@@ -1,0 +1,84 @@
+package graft.core
+
+import java.nio.file.{Files, Paths, Path, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import graft.lang.Op.StorageType
+
+/** Durable column catalog for a database directory.
+  *
+  * The engine's only persistent objects are named integer columns
+  * (reference data model: /root/reference/src/server/include/storage.h:21-47 —
+  * "tables" are a client naming convention). Each column lives at
+  * `dbDir/cols/<name>/v<version>/` as parquet `(id: long, v: int)`;
+  * `dbDir/catalog.txt` holds one record per column. Mutations write a new
+  * version directory then atomically swap the catalog (copy-on-write), so
+  * concurrent readers of the old version are never broken and a crash
+  * mid-rewrite leaves the previous version live.
+  *
+  * `nextId` mirrors the reference's `cd_nexttupleid` (storage.h:23-24):
+  * positions are dense at load, stable under delete (tombstoned ids are
+  * never reused), and independent per column.
+  */
+final case class ColumnMeta(dbDir: String, name: String, stype: StorageType,
+                            version: Long, nextId: Long) {
+  def dataPath: String = s"$dbDir/cols/$name/v$version"
+}
+
+final class Catalog(val dbDir: String) {
+
+  private val catalogFile: Path = Paths.get(dbDir, "catalog.txt")
+  private var cols: Map[String, ColumnMeta] = load()
+
+  private def load(): Map[String, ColumnMeta] = {
+    Files.createDirectories(Paths.get(dbDir, "cols"))
+    if (!Files.exists(catalogFile)) Map.empty
+    else Files.readAllLines(catalogFile).asScala.filter(_.nonEmpty).map { line =>
+      val Array(n, st, ver, nid) = line.split("\t")
+      val stype = StorageType.fromString(st).getOrElse(
+        throw DbError.ioError(s"bad storage type $st in catalog"))
+      n -> ColumnMeta(dbDir, n, stype, ver.toLong, nid.toLong)
+    }.toMap
+  }
+
+  private def persist(): Unit = {
+    val tmp = Paths.get(dbDir, "catalog.txt.tmp")
+    val body = cols.values.toSeq.sortBy(_.name)
+      .map(c => s"${c.name}\t${c.stype.name}\t${c.version}\t${c.nextId}")
+      .mkString("", "\n", "\n")
+    Files.writeString(tmp, body)
+    Files.move(tmp, catalogFile, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def get(name: String): Option[ColumnMeta] = synchronized { cols.get(name) }
+
+  def require(name: String): ColumnMeta =
+    get(name).getOrElse(throw DbError.colSelect(name))
+
+  def exists(name: String): Boolean = synchronized { cols.contains(name) }
+
+  def all: Seq[ColumnMeta] = synchronized { cols.values.toSeq.sortBy(_.name) }
+
+  /** Register a new empty column; idempotent if it already exists
+    * (reference tolerates re-create of a loaded column).
+    */
+  def create(name: String, stype: StorageType): ColumnMeta = synchronized {
+    cols.get(name) match {
+      case Some(m) => m
+      case None =>
+        val m = ColumnMeta(dbDir, name, stype, 0L, 0L)
+        cols += name -> m
+        persist()
+        m
+    }
+  }
+
+  /** Record a new data version and/or advanced nextId for `name`. */
+  def update(name: String, version: Long, nextId: Long): ColumnMeta = synchronized {
+    val prev = cols.getOrElse(name, throw DbError.colSelect(name))
+    val m = prev.copy(version = version, nextId = nextId)
+    cols += name -> m
+    persist()
+    m
+  }
+}

@@ -1,0 +1,241 @@
+package graft.core
+
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+import graft.lang.{Op, Parser}
+import graft.lang.Op._
+import graft.operators.ColumnOps
+import graft.core.Intermediate.{Ids, Vals}
+
+/** The engine: a database directory + script interpreter.
+  *
+  * Replaces the reference's client/TCP/threadpool topology
+  * (/root/reference/src/server/server.c) with in-process sessions over one
+  * SparkSession — Spark's own cluster runtime supplies the distribution the
+  * reference got from threads. Each [[Session]] holds the per-connection
+  * variable environment (server.c:45-268); the catalog is shared and
+  * synchronized.
+  *
+  * Evaluation is declarative-lazy: operators build DataFrame plans,
+  * Catalyst fuses the reference's eager select->fetch->agg chains into
+  * single Spark jobs, and `.collect()` happens only at emission points
+  * (print/tuple/bare ops) — never mid-pipeline.
+  */
+final class Engine(val spark: SparkSession, val dbDir: String) {
+  val catalog = new Catalog(dbDir)
+
+  def column(name: String): DataFrame =
+    Storage.readColumn(spark, catalog.require(name))
+
+  def newSession(): Session = new Session(this)
+
+  /** One-shot: run a whole script in a fresh session, return output lines. */
+  def execute(script: String): Seq[String] = {
+    val ops = Parser.parseScript(script) match {
+      case Right(o)  => o
+      case Left(bad) => throw DbError.parse(bad)
+    }
+    val s = newSession()
+    ops.flatMap(s.eval)
+  }
+}
+
+/** Per-connection variable environment + operator evaluation. */
+final class Session(val engine: Engine) {
+  import engine.{spark, catalog}
+
+  private val env = mutable.Map[String, Intermediate]()
+
+  def get(name: String): Intermediate =
+    env.getOrElse(name, throw DbError.varNotFound(name))
+
+  def getIds(name: String): Ids = get(name) match {
+    case i: Ids  => i
+    case _: Vals => throw DbError.unsupported(s"$name is a values intermediate, need positions")
+  }
+
+  def getVals(name: String): Vals = get(name) match {
+    case v: Vals => v
+    case _: Ids  => throw DbError.unsupported(s"$name is a position intermediate, need values")
+  }
+
+  /** Rebinding destroys the old value (server.c:197-268). */
+  private def bind(name: String, value: Intermediate): Unit = env(name) = value
+
+  /** Evaluate one op; returns client-visible output lines (non-assign
+    * forms stream results; assignments are silent). Output formats match
+    * the reference client (client.c:44-128): ids one per line, values one
+    * per line, tuples as `(v1,v2,...)`.
+    */
+  def eval(op: Op): Seq[String] = op match {
+
+    case Create(c, stype) =>
+      catalog.create(c, stype); Nil
+
+    case Load(file) =>
+      evalLoad(file); Nil
+
+    case SelectAll(assign, c)          => evalSelect(assign, c, None)
+    case SelectValue(assign, c, x)     => evalSelect(assign, c, Some((x, x)))
+    case SelectRange(assign, c, lo, hi) => evalSelect(assign, c, Some((lo, hi)))
+
+    case Fetch(assign, c, posVar) =>
+      val meta = catalog.require(c)
+      val base = engine.column(c)
+      val ids = getIds(posVar)
+      val df = if (ids.ordered) ColumnOps.fetchList(base, ids.df)
+               else {
+                 // bitmap length must match the column (storage.c:1311-1318)
+                 if (ids.srcLen.exists(_ != meta.nextId)) throw DbError.colDiffLen(c)
+                 ColumnOps.fetchSet(base, ids.df)
+               }
+      val vals = Vals(df, hasIds = true, fetchCol = Some(c),
+        fullBase = ids.fullSelect)
+      emitOrBind(assign, vals)
+
+    case Join(jtype, varL, varR, inL, inR) =>
+      val l = getVals(inL)
+      val r = getVals(inR)
+      if (!l.hasIds) throw DbError.noIds(inL)
+      if (!r.hasIds) throw DbError.noIds(inR)
+      if (jtype == TreeJoin) {
+        val ok = r.fullBase && r.fetchCol.exists(c =>
+          catalog.require(c).stype == BTree)
+        if (!ok) throw DbError.noTree(inR)
+      }
+      val pairs = ColumnOps.join(jtype, l.df, r.df).cache()
+      bind(varL, Ids(pairs.select(col("pos"), col("lid").as("id")), ordered = true))
+      bind(varR, Ids(pairs.select(col("pos"), col("rid").as("id")), ordered = true))
+      Nil
+
+    case Agg(atype, assign, input) =>
+      val in = getVals(input)
+      if (atype == AggAvg && in.df.isEmpty) throw DbError.divZero()
+      val out = Vals(ColumnOps.aggregate(atype, in.df), hasIds = false)
+      emitOrBind(assign, out)
+
+    case Math(mtype, assign, in1, in2) =>
+      val l = getVals(in1)
+      val r = getVals(in2)
+      // equal-length requirement (DBEINTERMDIFFLEN, aggregate.c:112-116)
+      if (l.df.count() != r.df.count()) throw DbError.intermDiffLen()
+      if (mtype == MathDiv && !r.df.filter(col("v") === 0).isEmpty)
+        throw DbError.divZero()
+      emitOrBind(assign, Vals(ColumnOps.math(mtype, l.df, r.df), hasIds = false))
+
+    case Insert(colVals) =>
+      val names = colVals.map(_._1)
+      names.diff(names.distinct).headOption.foreach(c => throw DbError.dupCol(c))
+      colVals.foreach { case (c, v) => insertOne(c, v) }
+      Nil
+
+    case Delete(posVar, cols) =>
+      val ids = idsOf(getIds(posVar))
+      cols.foreach { c => rewrite(c, base =>
+        base.join(ids, Seq("id"), "left_anti")) }
+      Nil
+
+    case Update(posVar, c, value) =>
+      val ids = idsOf(getIds(posVar))
+      rewrite(c, base =>
+        base.join(ids.withColumn("nv", lit(value)), Seq("id"), "left")
+          .select(col("id"), coalesce(col("nv"), col("v")).cast(IntegerType).as("v")))
+      Nil
+
+    case Op.Tuple(vars) =>
+      val vals = vars.map(getVals)
+      val lengths = vals.map(_.df.count())
+      if (lengths.distinct.size > 1) throw DbError.intermDiffLen()
+      ColumnOps.tupleZip(vals.map(_.df)).collect().toSeq
+        .map(row => (1 to vars.size).map(i => row.getAs[Int](s"v$i"))
+          .mkString("(", ",", ")"))
+
+    case Print(v) => emit(get(v))
+  }
+
+  // ---- helpers ----
+
+  private def evalSelect(assign: Option[String], c: String,
+                         bounds: Option[(Long, Long)]): Seq[String] = {
+    val meta = catalog.require(c)
+    val base = engine.column(c)
+    val df = bounds match {
+      case None             => ColumnOps.selectAll(base)
+      case Some((lo, hi)) if lo == hi => ColumnOps.selectValue(base, lo)
+      case Some((lo, hi))   => ColumnOps.selectRange(base, lo, hi)
+    }
+    val ids = Ids(df, ordered = false, srcCol = Some(c),
+      srcLen = Some(meta.nextId), fullSelect = bounds.isEmpty)
+    assign match {
+      case Some(v) => bind(v, ids); Nil
+      case None    => emit(ids)
+    }
+  }
+
+  private def emitOrBind(assign: Option[String], v: Vals): Seq[String] =
+    assign match {
+      case Some(name) => bind(name, v); Nil
+      case None       => emit(v)
+    }
+
+  /** Stream an intermediate to the client, reference text formats. */
+  private def emit(i: Intermediate): Seq[String] = i match {
+    case Ids(df, ordered, _, _, _) =>
+      val sorted = if (ordered) df.orderBy("pos") else df.orderBy("id")
+      sorted.select("id").collect().toSeq.map(_.getLong(0).toString)
+    case Vals(df, _, _, _) =>
+      df.orderBy("pos").select("v").collect().toSeq.map(_.getInt(0).toString)
+  }
+
+  /** Distinct ids of a position intermediate (delete is idempotent for
+    * duplicate ids, storage.c:1784-1788).
+    */
+  private def idsOf(ids: Ids): DataFrame = ids.df.select("id").distinct()
+
+  private def evalLoad(file: String): Unit = {
+    Storage.parseCsv(spark, file).foreach { case (name, df) =>
+      val meta = catalog.require(name)
+      if (meta.nextId == 0L) { // double-load ignored (storage.c:1863-1867)
+        val rows = df.count()
+        val data = df.select(col("ord").as("id"), col("v"))
+        Storage.writeColumn(data, meta.copy(version = meta.version + 1).dataPath,
+          meta.stype)
+        catalog.update(name, meta.version + 1, rows)
+      }
+    }
+  }
+
+  private def insertOne(c: String, v: Int): Unit = {
+    val meta = catalog.require(c)
+    val row = spark.range(1).select(lit(meta.nextId).as("id"),
+      lit(v).cast(IntegerType).as("v"))
+    if (meta.nextId == 0L) {
+      Storage.writeColumn(row, meta.copy(version = meta.version + 1).dataPath,
+        meta.stype)
+      catalog.update(c, meta.version + 1, 1L)
+    } else {
+      // O(1) append of a delta file; indexed layouts degrade gracefully
+      // (the reference maintains its sorted projection on insert,
+      // storage.c:1495-1584 — here clustering is a hint, not correctness)
+      row.write.mode("append").parquet(meta.dataPath)
+      catalog.update(c, meta.version, meta.nextId + 1)
+    }
+  }
+
+  /** Copy-on-write rewrite of a column (delete/update): new version dir,
+    * atomic catalog swap; ids survive untouched (storage.c:1787-1789 —
+    * positions are never compacted or reused). Unsorted only, like the
+    * reference (DBEUNSUPPORTED, storage.c:1833-1841).
+    */
+  private def rewrite(c: String, f: DataFrame => DataFrame): Unit = {
+    val meta = catalog.require(c)
+    if (meta.stype != Unsorted)
+      throw DbError.unsupported(s"delete/update on ${meta.stype.name} column $c")
+    val out = f(engine.column(c))
+    Storage.writeColumn(out, meta.copy(version = meta.version + 1).dataPath,
+      meta.stype)
+    catalog.update(c, meta.version + 1, meta.nextId)
+  }
+}
