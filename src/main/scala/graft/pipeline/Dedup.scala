@@ -1,0 +1,160 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over a document table `(doc_id, text, ...)`.
+  *
+  * Scale design: nothing here is ever all-pairs over documents.
+  *  - exact: hash group-by (one shuffle on the text key).
+  *  - n-gram Jaccard: shingle co-occurrence join (pairs only materialize
+  *    for docs sharing a shingle) + count-based intersection.
+  *  - MinHash-LSH: banded signatures -> bucket equi-join for candidates,
+  *    then exact verification restricted to candidates.
+  *  - SimHash: 64-bit signature, banded buckets, exact hamming verify.
+  *  - embedding cosine: see [[Similarity.cosinePairs]].
+  */
+object Dedup {
+
+  /** Exact duplicate groups by full text: `(keep_id, n)` — the surviving
+    * (minimum) doc id and the group size. One hash-shuffle; at 100 TB,
+    * group by a 128-bit text hash instead of the full text to shrink the
+    * shuffle key (same result for non-colliding hashes).
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy("text")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+      .select(col("keep_id").cast("long").as("keep_id"), col("n").cast("long").as("n"))
+
+  /** `(doc_id, g)`: distinct word n-gram shingles per document. */
+  def shingles(docs: DataFrame, n: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      split(trim(col("text")), "\\s+").as("w"))
+    // guard: sequence(0, x) with x<0 would generate a DESCENDING range
+    val grams = toks.select(col("doc_id"),
+      when(size(col("w")) >= n,
+        array_distinct(transform(
+          sequence(lit(0), size(col("w")) - n),
+          i => concat_ws(" ", (0 until n).map(o => col("w")(i + o)): _*))))
+        .otherwise(array().cast("array<string>")).as("gs"))
+    grams.select(col("doc_id"), explode(col("gs")).as("g"))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs `(da, db)` with
+    * J(A,B) = |A∩B| / (|A|+|B|-|A∩B|) >= tnum/tden, via shingle
+    * co-occurrence (intersection counts from a group-by over the shingle
+    * join — never an all-pairs document join). Integer cross-multiplied
+    * threshold: exact, engine-independent.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, tnum: Long, tden: Long): DataFrame = {
+    val sh = shingles(docs, n).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.select(col("doc_id").as("da"), col("g"))
+      .join(sh.select(col("doc_id").as("db"), col("g")), "g")
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("sz").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("sz").as("nb")), "db")
+      .filter(col("i") * tden >= (col("na") + col("nb") - col("i")) * tnum)
+      .select(col("da").cast("long"), col("db").cast("long"))
+  }
+
+  /** MinHash signatures: k permutations h_i(x) = (a_i * x + b_i) mod p
+    * over xxhash64 shingle hashes (classic universal hashing). Returns
+    * `(doc_id, sig: array<long>)` of length k. One shuffle (group-by doc).
+    */
+  def minhashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    // 2^31-1 (Mersenne): keeps h*a+b < 2^38 — no long overflow under ANSI
+    val p = 2147483647L
+    val sh = shingles(docs, n)
+      .select(col("doc_id"), pmod(xxhash64(col("g")), lit(p)).as("h"))
+    val minExprs = (0 until k).map { i =>
+      val a = 2L * i + 1; val b = 31L * i + 7
+      min(pmod(col("h") * a + b, lit(p))).as(s"m$i")
+    }
+    sh.groupBy("doc_id").agg(minExprs.head, minExprs.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** LSH candidate pairs from banded minhash signatures: `bands` bands of
+    * `sig.length/bands` rows; docs sharing any band bucket become
+    * candidates (bucket equi-join on the band hash — the 100 TB-safe
+    * shape). P(candidate | J=s) = 1-(1-s^r)^b.
+    */
+  def lshCandidates(sigs: DataFrame, bands: Int): DataFrame = {
+    val banded = sigs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(lit("band"), b,
+          // hash the band's slice of the signature
+          slice(col("sig"), b * (size(col("sig")) / bands) + 1,
+            size(col("sig")) / bands).cast("string")))))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
+    banded.select(col("band"), col("bh"), col("doc_id").as("da"))
+      .join(banded.select(col("band"), col("bh"), col("doc_id").as("db")),
+        Seq("band", "bh"))
+      .filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+  }
+
+  /** Full MinHash-LSH near-dedup: banded LSH candidates, then **exact**
+    * Jaccard verification restricted to the candidate set. With b=32,r=2
+    * the miss probability at J=0.6 is (1-0.36)^32 ~ 6e-7, so the verified
+    * output equals the exact-Jaccard oracle w.h.p. while never comparing
+    * non-candidate pairs.
+    */
+  def minhashNearDups(docs: DataFrame, n: Int, k: Int, bands: Int,
+                      tnum: Long, tden: Long): DataFrame = {
+    val cands = lshCandidates(minhashSignatures(docs, n, k), bands)
+    val sh = shingles(docs, n).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.select(col("doc_id").as("da"), col("g"))
+      .join(sh.select(col("doc_id").as("db"), col("g")), "g")
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("i"))
+      .join(cands, Seq("da", "db"), "left_semi") // verify candidates only
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("sz").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("sz").as("nb")), "db")
+      .filter(col("i") * tden >= (col("na") + col("nb") - col("i")) * tnum)
+      .select(col("da").cast("long"), col("db").cast("long"))
+  }
+
+  /** 64-bit SimHash per doc: bit b of the signature is the sign of the
+    * token-hash vote sum for that bit. `(doc_id, simhash: long)`.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(trim(col("text")), "\\s+")).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    // vote per bit: +1 if bit set else -1; sum over tokens; sign -> bit
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b")
+    }
+    val agg = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val sigExpr = (0 until 64).map { b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    agg.select(col("doc_id"), sigExpr.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: band the 64-bit signature into 16-bit
+    * quarters for bucketing (any pair with hamming <= 3 shares a band by
+    * pigeonhole; wider radii are caught with high probability), verify
+    * exact hamming distance <= maxHamming.
+    */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sigs = simhash(docs).cache()
+    val bands = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+      .select(col("doc_id"), col("simhash"), col("pos").as("band"), col("col").as("bh"))
+    val cands = bands.select(col("band"), col("bh"), col("doc_id").as("da"), col("simhash").as("ha"))
+      .join(bands.select(col("band"), col("bh"), col("doc_id").as("db"), col("simhash").as("hb")),
+        Seq("band", "bh"))
+      .filter(col("da") < col("db"))
+      .select("da", "db", "ha", "hb").distinct()
+    cands.filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming)
+      .select(col("da").cast("long"), col("db").cast("long"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language id, fingerprinting. All arithmetic is
+  * integer-exact so DuckDB oracles reproduce results bit-for-bit; all
+  * operators are per-row (narrow, no shuffle) — they scale linearly and
+  * push straight through whole-stage codegen.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+")).cast("int")
+
+  /** `(doc_id, n_tokens)`. */
+  def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+      .orderBy("doc_id")
+
+  /** Integer occurrence count of literal `kw` in `t` (no regex):
+    * (len(t) - len(replace(t, kw, ''))) / len(kw) — exact in any engine.
+    */
+  def occurrences(t: Column, kw: String): Column =
+    ((length(t) - length(regexp_replace(t, java.util.regex.Pattern.quote(kw), "")))
+      / kw.length).cast("int")
+
+  /** Quality metrics, all integers: char count, token count, alpha-char
+    * count, digit count, mean token length (x100, integer division), and
+    * a keep/drop flag from simple thresholds.
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val nChars = length(t).cast("int")
+    val nToks = tokenCount(t)
+    val nAlpha = length(regexp_replace(lower(t), "[^a-z]", "")).cast("int")
+    val nDigit = length(regexp_replace(t, "[^0-9]", "")).cast("int")
+    // mean token length in hundredths, integer-exact
+    val meanTokLen100 = (length(regexp_replace(t, "\\s", "")).cast("long") * 100L / nToks).cast("int")
+    docs.select(col("doc_id"), nChars.as("n_chars"), nToks.as("n_tokens"),
+        nAlpha.as("n_alpha"), nDigit.as("n_digit"),
+        meanTokLen100.as("mean_tok_len_100"))
+      .withColumn("keep",
+        (col("n_tokens") >= 5 && col("n_tokens") <= 100000 &&
+          col("mean_tok_len_100") >= 200 && col("mean_tok_len_100") <= 1200 &&
+          col("n_alpha") * 2 >= col("n_chars")).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** Stopword tables for the n-gram language-ID heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " and ", " a ", " of ", " to "),
+    "es" -> Seq(" el ", " la ", " de ", " que ", " y "),
+    "de" -> Seq(" der ", " die ", " und ", " das ", " ist "),
+    "fr" -> Seq(" le ", " la ", " et ", " les ", " des "),
+  )
+
+  /** Language ID: integer stopword-occurrence score per language over the
+    * space-padded lowercased text; argmax with deterministic tie order
+    * (en > es > de > fr > unknown at score 0).
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    val scores = stopwords.toSeq.sortBy(_._1).map { case (lang, kws) =>
+      lang -> kws.map(k => occurrences(padded, k)).reduce(_ + _)
+    }
+    val scored = docs.select(col("doc_id") +: scores.map { case (l, c) => c.as(s"s_$l") }: _*)
+    val best = Seq("en", "es", "de", "fr").map(l => col(s"s_$l"))
+      .reduce((a, b) => greatest(a, b))
+    val pred = when(best === 0, lit("unknown"))
+      .when(col("s_en") === best, "en").when(col("s_es") === best, "es")
+      .when(col("s_de") === best, "de").otherwise("fr")
+    scored.select(col("doc_id"), pred.as("lang_pred")).orderBy("doc_id")
+  }
+
+  /** Content fingerprint: md5 of the whitespace-normalized lowercase text
+    * — a deterministic, engine-portable document identity for dedup joins.
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(to_binary(regexp_replace(trim(lower(col("text"))), "\\s+", " "), lit("utf-8")))
+        .as("fp"))
+      .orderBy("doc_id")
+}

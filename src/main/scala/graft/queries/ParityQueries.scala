@@ -1,0 +1,263 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+import graft.core.Engine
+import graft.lang.Op._
+import graft.operators.ColumnOps
+
+/** One correctness query per parity operator (SURVEY.md §2), exercising
+  * the shared operator implementations ([[ColumnOps]], and the full
+  * [[Engine]] for create/load) over the driver's parquet tables, each with
+  * an equivalent DuckDB oracle in [[oracles]].
+  *
+  * Conventions keeping the DuckDB hash-compare deterministic:
+  * every output column is explicitly cast (INT <-> INTEGER, LONG <->
+  * BIGINT), no raw doubles or timestamps are emitted, and every query ends
+  * with an ORDER BY on a unique key.
+  */
+object ParityQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def qty = col("l_quantity")
+  private def lnum = col("l_linenumber")
+
+  // --- selects ---
+
+  def selectAll(s: SparkSession, d: String): DataFrame =
+    ColumnOps.selectAll(Tables.liCol(s, d, lnum)).orderBy("id")
+
+  def selectValue(s: SparkSession, d: String): DataFrame =
+    ColumnOps.selectValue(Tables.liCol(s, d, lnum), 3L).orderBy("id")
+
+  def selectRange(s: SparkSession, d: String): DataFrame =
+    ColumnOps.selectRange(Tables.liCol(s, d, qty), 10L, 20L).orderBy("id")
+
+  // --- fetch ---
+
+  def fetchVals(s: SparkSession, d: String): DataFrame = {
+    val ids = ColumnOps.selectRange(Tables.liCol(s, d, qty), 10L, 20L)
+    ColumnOps.fetchSet(Tables.liCol(s, d, col("l_partkey")), ids)
+      .select("id", "v").orderBy("id")
+  }
+
+  // --- joins (4 keywords, one semantic) ---
+
+  private def joinQ(jtype: JoinType)(s: SparkSession, d: String): DataFrame = {
+    val lIds = ColumnOps.selectRange(Tables.liCol(s, d, qty), 10L, 20L)
+    val l = ColumnOps.fetchSet(Tables.liCol(s, d, col("l_orderkey")), lIds)
+    val rIds = ColumnOps.selectRange(
+      Tables.ordCol(s, d, col("o_totalprice")), 50000L, 150000L)
+    val r = ColumnOps.fetchSet(Tables.ordCol(s, d, col("o_orderkey")), rIds)
+    ColumnOps.join(jtype, l, r)
+      .select(col("lid"), col("rid")).orderBy("lid", "rid")
+  }
+  def joinHash: Q = joinQ(HashJoin)
+  def joinSort: Q = joinQ(SortJoin)
+  def joinLoop: Q = joinQ(LoopJoin)
+  def joinTree: Q = joinQ(TreeJoin)
+
+  // --- aggregates ---
+
+  private def aggQ(atype: AggType, v: org.apache.spark.sql.Column)
+                  (s: SparkSession, d: String): DataFrame = {
+    val ids = ColumnOps.selectRange(Tables.liCol(s, d, qty), 5L, 45L)
+    val vals = ColumnOps.fetchSet(Tables.liCol(s, d, v), ids)
+    ColumnOps.aggregate(atype, vals).select("v")
+  }
+  def aggMin: Q = aggQ(AggMin, col("l_partkey"))
+  def aggMax: Q = aggQ(AggMax, col("l_partkey"))
+  def aggSum: Q = aggQ(AggSum, qty)
+  def aggCount: Q = aggQ(AggCount, qty)
+  def aggAvg: Q = aggQ(AggAvg, col("l_partkey"))
+
+  // --- column math (ordinal-aligned elementwise) ---
+
+  private def mathQ(mtype: MathType)(s: SparkSession, d: String): DataFrame = {
+    val all = ColumnOps.selectAll(Tables.liCol(s, d, qty))
+    val a = ColumnOps.fetchSet(Tables.liCol(s, d, qty), all)
+    val b = ColumnOps.fetchSet(Tables.liCol(s, d, lnum), all)
+    ColumnOps.math(mtype, a, b).select("pos", "v").orderBy("pos")
+  }
+  def mathAdd: Q = mathQ(MathAdd)
+  def mathSub: Q = mathQ(MathSub)
+  def mathMul: Q = mathQ(MathMul)
+  def mathDiv: Q = mathQ(MathDiv)
+
+  // --- tuple ---
+
+  def tupleEmit(s: SparkSession, d: String): DataFrame = {
+    val all = ColumnOps.selectAll(Tables.liCol(s, d, qty))
+    val vs = Seq(qty, lnum, col("l_partkey"))
+      .map(c => ColumnOps.fetchSet(Tables.liCol(s, d, c), all))
+    ColumnOps.tupleZip(vs).select("pos", "v1", "v2", "v3").orderBy("pos")
+  }
+
+  // --- mutations (the DataFrame mechanics the engine's rewrite uses) ---
+
+  def insertOp(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.liCol(s, d, col("l_partkey"))
+    val newRow = base.agg((max(col("id")) + 1L).as("id"))
+      .select(col("id"), lit(999999).cast(IntegerType).as("v"))
+    base.union(newRow).orderBy("id")
+  }
+
+  def deleteOp(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.liCol(s, d, col("l_partkey"))
+    val ids = ColumnOps.selectValue(Tables.liCol(s, d, lnum), 3L)
+    base.join(ids, Seq("id"), "left_anti").orderBy("id")
+  }
+
+  def updateOp(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.liCol(s, d, col("l_partkey"))
+    val ids = ColumnOps.selectValue(Tables.liCol(s, d, lnum), 3L)
+    base.join(ids.withColumn("nv", lit(0)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("nv"), col("v")).cast(IntegerType).as("v"))
+      .orderBy("id")
+  }
+
+  // --- create/load: full engine round-trip through headered CSV ---
+
+  def createLoad(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_load").toString
+    val csvDir = s"$tmp/csv"
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey").cast(IntegerType).as("ra"),
+        lnum.cast(IntegerType).as("rb"), qty.cast(IntegerType).as("rc"))
+      .coalesce(1).write.option("header", "true").csv(csvDir)
+    val csv = new java.io.File(csvDir).listFiles()
+      .find(_.getName.endsWith(".csv")).get.getAbsolutePath
+    val engine = new Engine(s, s"$tmp/db")
+    engine.execute(
+      s"""create(ra,"unsorted")
+         |create(rb,"unsorted")
+         |create(rc,"sorted")
+         |load("$csv")
+         |""".stripMargin)
+    val session = engine.newSession()
+    graft.lang.Parser.parseScript(
+      """p=select(ra)
+        |a=fetch(ra,p)
+        |b=fetch(rb,p)
+        |c=fetch(rc,p)
+        |""".stripMargin).toOption.get.foreach(session.eval)
+    val vals = Seq("a", "b", "c").map(v => session.getVals(v).df)
+    ColumnOps.tupleZip(vals).select("v1", "v2", "v3").orderBy("v1", "v2", "v3")
+  }
+
+  // --- flagship: the reference's canonical join-aggregate
+  //     (BASELINE.md query shape) over lineitem x orders ---
+
+  def flagship(s: SparkSession, d: String): DataFrame = {
+    val lIds = ColumnOps.selectRange(Tables.liCol(s, d, qty), 10L, 20L)
+    val l = ColumnOps.fetchSet(Tables.liCol(s, d, col("l_orderkey")), lIds)
+    val rIds = ColumnOps.selectRange(
+      Tables.ordCol(s, d, col("o_totalprice")), 50000L, 150000L)
+    val r = ColumnOps.fetchSet(Tables.ordCol(s, d, col("o_orderkey")), rIds)
+    val pairs = ColumnOps.join(HashJoin, l, r).cache()
+    val lVals = ColumnOps.fetchList(
+      Tables.liCol(s, d, col("l_partkey")),
+      pairs.select(col("pos"), col("lid").as("id")))
+    val rVals = ColumnOps.fetchList(
+      Tables.ordCol(s, d, col("o_custkey")),
+      pairs.select(col("pos"), col("rid").as("id")))
+    val maxr = ColumnOps.aggregate(AggMax, lVals).select(col("v").as("maxr"))
+    val mins = ColumnOps.aggregate(AggMin, rVals).select(col("v").as("mins"))
+    val cr = ColumnOps.aggregate(AggCount, lVals).select(col("v").as("cr"))
+    val cs = ColumnOps.aggregate(AggCount, rVals).select(col("v").as("cs"))
+    maxr.crossJoin(mins).crossJoin(cr).crossJoin(cs)
+  }
+
+  /** 32-bit wrap emulation in DuckDB SQL (sum/math overflow parity). */
+  private def wrapSql(x: String): String =
+    s"CAST(((($x) + 2147483648) % 4294967296 + 4294967296) % 4294967296 - 2147483648 AS INTEGER)"
+
+  private def liIdSqlFor(p: String) =
+    s"(($p.l_orderkey*10 + $p.l_linenumber)*1000000 + $p.l_partkey)*100000 + $p.l_suppkey"
+  private val liIdSql = liIdSqlFor("lineitem")
+
+  val queries: Map[String, Q] = Map(
+    "select_all" -> selectAll,
+    "select_value" -> selectValue,
+    "select_range" -> selectRange,
+    "fetch_vals" -> fetchVals,
+    "join_hash" -> joinHash,
+    "join_sort" -> joinSort,
+    "join_loop" -> joinLoop,
+    "join_tree" -> joinTree,
+    "agg_min" -> aggMin,
+    "agg_max" -> aggMax,
+    "agg_sum" -> aggSum,
+    "agg_count" -> aggCount,
+    "agg_avg" -> aggAvg,
+    "math_add" -> mathAdd,
+    "math_sub" -> mathSub,
+    "math_mul" -> mathMul,
+    "math_div" -> mathDiv,
+    "tuple_emit" -> tupleEmit,
+    "insert_op" -> insertOp,
+    "delete_op" -> deleteOp,
+    "update_op" -> updateOp,
+    "create_load" -> createLoad,
+  )
+
+  private def joinSql: String =
+    s"""SELECT CAST(${liIdSqlFor("l")} AS BIGINT) AS lid, CAST(o.o_orderkey AS BIGINT) AS rid
+       |FROM lineitem l JOIN orders o
+       |  ON CAST(l.l_orderkey AS INTEGER) = CAST(o.o_orderkey AS INTEGER)
+       |WHERE CAST(l.l_quantity AS INTEGER) BETWEEN 10 AND 20
+       |  AND CAST(o.o_totalprice AS INTEGER) BETWEEN 50000 AND 150000
+       |ORDER BY lid, rid""".stripMargin
+
+  private def aggSql(expr: String): String =
+    s"""SELECT $expr AS v FROM lineitem
+       |WHERE CAST(l_quantity AS INTEGER) BETWEEN 5 AND 45""".stripMargin
+
+  private def mathSql(expr: String): String =
+    s"""SELECT CAST(ROW_NUMBER() OVER (ORDER BY $liIdSql) - 1 AS BIGINT) AS pos,
+       |  CAST($expr AS INTEGER) AS v FROM lineitem ORDER BY pos""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "select_all" ->
+      s"SELECT CAST($liIdSql AS BIGINT) AS id FROM lineitem ORDER BY id",
+    "select_value" ->
+      s"SELECT CAST($liIdSql AS BIGINT) AS id FROM lineitem WHERE l_linenumber = 3 ORDER BY id",
+    "select_range" ->
+      s"SELECT CAST($liIdSql AS BIGINT) AS id FROM lineitem WHERE CAST(l_quantity AS INTEGER) BETWEEN 10 AND 20 ORDER BY id",
+    "fetch_vals" ->
+      s"""SELECT CAST($liIdSql AS BIGINT) AS id, CAST(l_partkey AS INTEGER) AS v
+         |FROM lineitem WHERE CAST(l_quantity AS INTEGER) BETWEEN 10 AND 20 ORDER BY id""".stripMargin,
+    "join_hash" -> joinSql,
+    "join_sort" -> joinSql,
+    "join_loop" -> joinSql,
+    "join_tree" -> joinSql,
+    "agg_min" -> aggSql("CAST(MIN(CAST(l_partkey AS INTEGER)) AS INTEGER)"),
+    "agg_max" -> aggSql("CAST(MAX(CAST(l_partkey AS INTEGER)) AS INTEGER)"),
+    "agg_sum" -> aggSql(wrapSql("SUM(CAST(l_quantity AS INTEGER))")),
+    "agg_count" -> aggSql("CAST(COUNT(*) AS INTEGER)"),
+    "agg_avg" -> aggSql("CAST(SUM(CAST(l_partkey AS BIGINT)) // COUNT(*) AS INTEGER)"),
+    "math_add" -> mathSql("CAST(l_quantity AS INTEGER) + l_linenumber"),
+    "math_sub" -> mathSql("CAST(l_quantity AS INTEGER) - l_linenumber"),
+    "math_mul" -> mathSql("CAST(l_quantity AS INTEGER) * l_linenumber"),
+    "math_div" -> mathSql("CAST(l_quantity AS INTEGER) // l_linenumber"),
+    "tuple_emit" ->
+      s"""SELECT CAST(ROW_NUMBER() OVER (ORDER BY $liIdSql) - 1 AS BIGINT) AS pos,
+         |  CAST(l_quantity AS INTEGER) AS v1, CAST(l_linenumber AS INTEGER) AS v2,
+         |  CAST(l_partkey AS INTEGER) AS v3 FROM lineitem ORDER BY pos""".stripMargin,
+    "insert_op" ->
+      s"""SELECT CAST($liIdSql AS BIGINT) AS id, CAST(l_partkey AS INTEGER) AS v FROM lineitem
+         |UNION ALL SELECT (SELECT CAST(MAX($liIdSql)+1 AS BIGINT) FROM lineitem), 999999
+         |ORDER BY id""".stripMargin,
+    "delete_op" ->
+      s"""SELECT CAST($liIdSql AS BIGINT) AS id, CAST(l_partkey AS INTEGER) AS v
+         |FROM lineitem WHERE l_linenumber <> 3 ORDER BY id""".stripMargin,
+    "update_op" ->
+      s"""SELECT CAST($liIdSql AS BIGINT) AS id,
+         |  CAST(CASE WHEN l_linenumber = 3 THEN 0 ELSE l_partkey END AS INTEGER) AS v
+         |FROM lineitem ORDER BY id""".stripMargin,
+    "create_load" ->
+      """SELECT CAST(l_orderkey AS INTEGER) AS v1, CAST(l_linenumber AS INTEGER) AS v2,
+        |  CAST(l_quantity AS INTEGER) AS v3 FROM lineitem ORDER BY v1, v2, v3""".stripMargin,
+  )
+}

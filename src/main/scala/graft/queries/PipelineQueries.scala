@@ -1,0 +1,239 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Correctness queries for the large-scale data-pipeline operators
+  * (dedup, similarity search, text analysis, multimodal, event windows),
+  * with DuckDB oracles wherever the semantics are SQL-expressible.
+  *
+  * Thresholds are calibrated to the driver's synthetic tables: word-3gram
+  * Jaccard of planted near-dups is >=0.8 vs <=0.07 background, so tau=0.6
+  * has a huge safety margin; similarity math uses integer-quantized
+  * vectors (see [[Similarity]]) so thresholds/rankings are exact in both
+  * engines.
+  */
+object PipelineQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // --- dedup ---
+
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(Tables.documents(s, d)).orderBy("keep_id")
+
+  def dedupMinhash(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashNearDups(Tables.documents(s, d), n = 3, k = 64, bands = 32,
+      tnum = 3, tden = 5).orderBy("da", "db")
+
+  def dedupNgram(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 3, tnum = 1, tden = 2)
+      .orderBy("da", "db")
+
+  def dedupSimhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashNearDups(Tables.documents(s, d), maxHamming = 6)
+      .orderBy("da", "db")
+
+  def dedupEmbedding(s: SparkSession, d: String): DataFrame =
+    Similarity.cosinePairs(Tables.embeddings(s, d), tnum = 9, tden = 20)
+      .orderBy("da", "db")
+
+  // --- similarity search ---
+
+  def annTopk(s: SparkSession, d: String): DataFrame =
+    Similarity.bruteForceTopK(Tables.embeddings(s, d), k = 3,
+      queryPred = col("vec_id") < 100).orderBy("qid", "rank")
+
+  def annLsh(s: SparkSession, d: String): DataFrame =
+    Similarity.lshTopK(Tables.embeddings(s, d), k = 3, planes = 8,
+      queryPred = col("vec_id") < 100).orderBy("qid", "rank")
+
+  // --- text analysis ---
+
+  def textTokens(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tokens(Tables.documents(s, d))
+
+  def textQuality(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.quality(Tables.documents(s, d))
+
+  def textLangid(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.langId(Tables.documents(s, d))
+
+  def textFingerprint(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.fingerprint(Tables.documents(s, d))
+
+  // --- multimodal ---
+
+  def multimodalFeatures(s: SparkSession, d: String): DataFrame =
+    Multimodal.extractFeatures(
+        Multimodal.ingestFromText(Tables.documents(s, d)))
+      .toDF().select(col("doc_id"), col("n_bytes").cast("long"),
+        col("width"), col("height"))
+      .orderBy("doc_id")
+
+  // --- event analytics (beyond reference parity: windows/sessions) ---
+
+  def eventsWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        countDistinct(col("event_type")).cast("long").as("n_types"),
+        sum(round(col("value") * 100).cast("long")).cast("long").as("cents"))
+      .select(col("user_id").cast("long").as("user_id"), col("n_events"),
+        col("n_types"), col("cents"))
+      .orderBy("user_id")
+
+  /** Event-time in epoch millis, robust to how the parquet ns timestamps
+    * surface: LongType nanos (with spark.sql.legacy.parquet.nanosAsLong)
+    * or TimestampType. Integral division keeps full precision (a double
+    * division would lose bits above 2^53).
+    */
+  private def eventMs(e: DataFrame): org.apache.spark.sql.Column =
+    e.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        call_function("div", col("ts"), lit(1000000L))
+      case _ => unix_millis(col("ts"))
+    }
+
+  def eventsSessionize(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+    val e = ev.select(col("user_id"), eventMs(ev).as("ms"), col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    val gaps = e.withColumn("gap", col("ms") - lag(col("ms"), 1).over(w))
+    gaps.groupBy("user_id")
+      .agg((sum(when(col("gap") > 1800000L, 1).otherwise(0)) + 1L)
+        .cast("long").as("n_sessions"))
+      .select(col("user_id").cast("long").as("user_id"), col("n_sessions"))
+      .orderBy("user_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact" -> dedupExact,
+    "dedup_minhash" -> dedupMinhash,
+    "dedup_ngram" -> dedupNgram,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_embedding" -> dedupEmbedding,
+    "ann_topk" -> annTopk,
+    "ann_lsh" -> annLsh,
+    "text_tokens" -> textTokens,
+    "text_quality" -> textQuality,
+    "text_langid" -> textLangid,
+    "text_fingerprint" -> textFingerprint,
+    "multimodal_features" -> multimodalFeatures,
+    "events_window" -> eventsWindow,
+    "events_sessionize" -> eventsSessionize,
+  )
+
+  /** Exact word-3gram Jaccard pairs at tnum/tden, shared by the minhash
+    * and ngram oracles (the LSH pipeline verifies candidates exactly, so
+    * its output equals the exhaustive oracle w.h.p.).
+    */
+  private def jaccardSql(tnum: Int, tden: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |nums AS (SELECT i FROM range(1, 100000) t(i)),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+       |  FROM toks JOIN nums ON i <= len(w)-2),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS xa, b.doc_id AS xb, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT CAST(xa AS BIGINT) AS da, CAST(xb AS BIGINT) AS db
+       |FROM inter JOIN sizes sa ON xa = sa.doc_id JOIN sizes sb ON xb = sb.doc_id
+       |WHERE i * $tden >= (sa.n + sb.n - i) * $tnum
+       |ORDER BY da, db""".stripMargin
+
+  private val quantSql =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "dedup_minhash" -> jaccardSql(3, 5),
+    "dedup_ngram" -> jaccardSql(1, 2),
+    // dedup_simhash: xxhash64 signatures are not DuckDB-expressible -> rows-only
+    "dedup_embedding" ->
+      s"""WITH q AS (SELECT vec_id, $quantSql AS qe FROM embeddings),
+         |n AS (SELECT vec_id, CAST(list_dot_product(qe, qe) AS BIGINT) AS n2, qe FROM q)
+         |SELECT CAST(a.vec_id AS BIGINT) AS da, CAST(b.vec_id AS BIGINT) AS db
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE CAST(list_dot_product(a.qe, b.qe) AS BIGINT) > 0
+         |  AND CAST(list_dot_product(a.qe, b.qe) AS BIGINT) * CAST(list_dot_product(a.qe, b.qe) AS BIGINT) * 400
+         |      >= 81 * a.n2 * b.n2
+         |ORDER BY da, db""".stripMargin,
+    "ann_topk" ->
+      s"""WITH q AS (SELECT vec_id, $quantSql AS qe FROM embeddings),
+         |sims AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |         CAST(list_dot_product(a.qe, b.qe) AS BIGINT) AS dot
+         |  FROM q a JOIN q b ON a.vec_id != b.vec_id WHERE a.vec_id < 100),
+         |ranked AS (
+         |  SELECT qid, nid, dot,
+         |         row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rank
+         |  FROM sims)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS INTEGER) AS rank,
+         |       CAST(nid AS BIGINT) AS nid, dot
+         |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    // ann_lsh: approximate by design -> rows-only
+    "text_tokens" ->
+      """SELECT doc_id, CAST(length(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INTEGER) AS n_chars,
+        |  CAST(length(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+        |  CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS INTEGER) AS n_alpha,
+        |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS INTEGER) AS n_digit,
+        |  CAST(CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) * 100
+        |       // length(string_split_regex(trim(text), '\s+')) AS INTEGER) AS mean_tok_len_100,
+        |  CAST(CASE WHEN length(string_split_regex(trim(text), '\s+')) BETWEEN 5 AND 100000
+        |       AND CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) * 100
+        |           // length(string_split_regex(trim(text), '\s+')) BETWEEN 200 AND 1200
+        |       AND length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 2 >= length(text)
+        |       THEN 1 ELSE 0 END AS INTEGER) AS keep
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents),
+        |sc AS (SELECT doc_id,
+        |  (length(t)-length(replace(t,' the ','')))//5 + (length(t)-length(replace(t,' and ','')))//5
+        |    + (length(t)-length(replace(t,' a ','')))//3 + (length(t)-length(replace(t,' of ','')))//4
+        |    + (length(t)-length(replace(t,' to ','')))//4 AS s_en,
+        |  (length(t)-length(replace(t,' el ','')))//4 + (length(t)-length(replace(t,' la ','')))//4
+        |    + (length(t)-length(replace(t,' de ','')))//4 + (length(t)-length(replace(t,' que ','')))//5
+        |    + (length(t)-length(replace(t,' y ','')))//3 AS s_es,
+        |  (length(t)-length(replace(t,' der ','')))//5 + (length(t)-length(replace(t,' die ','')))//5
+        |    + (length(t)-length(replace(t,' und ','')))//5 + (length(t)-length(replace(t,' das ','')))//5
+        |    + (length(t)-length(replace(t,' ist ','')))//5 AS s_de,
+        |  (length(t)-length(replace(t,' le ','')))//4 + (length(t)-length(replace(t,' la ','')))//4
+        |    + (length(t)-length(replace(t,' et ','')))//4 + (length(t)-length(replace(t,' les ','')))//5
+        |    + (length(t)-length(replace(t,' des ','')))//5 AS s_fr
+        |FROM p)
+        |SELECT doc_id, CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'unknown'
+        |  WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+        |  WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+        |  WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+        |  ELSE 'fr' END AS lang_pred
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_features" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(64 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
+        |  CAST(64 + octet_length(encode(text)) % 48 AS INTEGER) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "events_window" ->
+      """SELECT CAST(user_id AS BIGINT) AS user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "events_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id FROM events),
+        |g AS (SELECT user_id, ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS gap FROM e)
+        |SELECT CAST(user_id AS BIGINT) AS user_id,
+        |  CAST(1 + COUNT(*) FILTER (WHERE gap > 1800000) AS BIGINT) AS n_sessions
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+  )
+}
