@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.LongArrayDot
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -25,17 +26,23 @@ object Similarity {
   def quantize(e: Column): Column =
     transform(e, x => round(x.cast("double") * 1000).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors (codegen'd
-    * higher-order functions; no UDF).
+  /** Exact integer dot product of two quantized vectors — the native
+    * codegen'd [[LongArrayDot]] expression (a tight primitive loop inside
+    * whole-stage codegen; the higher-order `aggregate(zip_with(...))`
+    * formulation is interpreted per element and dominates pair-scoring).
+    * Callers must [[LongArrayDot.register]] on the session first; every
+    * DataFrame entry point below does.
     */
   def intDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    call_function(LongArrayDot.name, a, b)
 
   /** `(vec_id, q, n2)`: quantized vector + its squared norm. */
   def prepared(emb: DataFrame, idCol: String = "vec_id",
-               embCol: String = "embedding"): DataFrame =
+               embCol: String = "embedding"): DataFrame = {
+    LongArrayDot.register(emb.sparkSession)
     emb.select(col(idCol), quantize(col(embCol)).as("q"))
       .withColumn("n2", intDot(col("q"), col("q")))
+  }
 
   /** Exact top-k by integer dot product, brute force: each query joined
     * against all candidates, ranked (dot desc, id asc — deterministic
