@@ -8,6 +8,7 @@ import graft.lang.{Op, Parser}
 import graft.lang.Op._
 import graft.operators.ColumnOps
 import graft.core.Intermediate.{Ids, Vals}
+import graft.core.Align
 
 /** The engine: a database directory + script interpreter.
   *
@@ -85,13 +86,13 @@ final class Session(val engine: Engine) {
       val meta = catalog.require(c)
       val base = engine.column(c)
       val ids = getIds(posVar)
-      val df = if (ids.ordered) ColumnOps.fetchList(base, ids.df)
+      val df = if (ids.ordered) ColumnOps.fetchList(base, ids.df, ids.align.cols)
                else {
                  // bitmap length must match the column (storage.c:1311-1318)
                  if (ids.srcLen.exists(_ != meta.nextId)) throw DbError.colDiffLen(c)
                  ColumnOps.fetchSet(base, ids.df)
                }
-      val vals = Vals(df, hasIds = true, fetchCol = Some(c),
+      val vals = Vals(df, hasIds = true, align = ids.align, fetchCol = Some(c),
         fullBase = ids.fullSelect)
       emitOrBind(assign, vals)
 
@@ -105,15 +106,22 @@ final class Session(val engine: Engine) {
           catalog.require(c).stype == BTree)
         if (!ok) throw DbError.noTree(inR)
       }
-      val pairs = ColumnOps.join(jtype, l.df, r.df).cache()
-      bind(varL, Ids(pairs.select(col("pos"), col("lid").as("id")), ordered = true))
-      bind(varR, Ids(pairs.select(col("pos"), col("rid").as("id")), ordered = true))
+      val (pairs0, outCols) =
+        ColumnOps.join(jtype, l.df, r.df, l.align.cols, r.align.cols)
+      val pairs = pairs0.cache()
+      // both sides share one pair order: one fresh alignment lineage
+      val align = Align.fresh(outCols)
+      bind(varL, Ids(pairs.select(outCols.map(col) :+ col("lid").as("id"): _*),
+        ordered = true, align = align))
+      bind(varR, Ids(pairs.select(outCols.map(col) :+ col("rid").as("id"): _*),
+        ordered = true, align = align))
       Nil
 
     case Agg(atype, assign, input) =>
       val in = getVals(input)
       if (atype == AggAvg && in.df.isEmpty) throw DbError.divZero()
-      val out = Vals(ColumnOps.aggregate(atype, in.df), hasIds = false)
+      val out = Vals(ColumnOps.aggregate(atype, in.df), hasIds = false,
+        align = Align.singleton)
       emitOrBind(assign, out)
 
     case Math(mtype, assign, in1, in2) =>
@@ -123,7 +131,10 @@ final class Session(val engine: Engine) {
       if (l.df.count() != r.df.count()) throw DbError.intermDiffLen()
       if (mtype == MathDiv && !r.df.filter(col("v") === 0).isEmpty)
         throw DbError.divZero()
-      emitOrBind(assign, Vals(ColumnOps.math(mtype, l.df, r.df), hasIds = false))
+      val (lAligned, rAligned) = aligned(l, r)
+      val out = ColumnOps.math(mtype, lAligned.df, rAligned.df,
+        lAligned.align.cols)
+      emitOrBind(assign, Vals(out, hasIds = false, align = lAligned.align))
 
     case Insert(colVals) =>
       val names = colVals.map(_._1)
@@ -148,7 +159,18 @@ final class Session(val engine: Engine) {
       val vals = vars.map(getVals)
       val lengths = vals.map(_.df.count())
       if (lengths.distinct.size > 1) throw DbError.intermDiffLen()
-      ColumnOps.tupleZip(vals.map(_.df)).collect().toSeq
+      // same lineage -> zip on the shared align key; otherwise rank-zip
+      val zipped = vals.map(_.align.tag).distinct match {
+        case Seq(_) =>
+          val cols = vals.head.align.cols
+          ColumnOps.tupleZip(vals.map(_.df), cols).orderBy(cols.map(col): _*)
+        case _ =>
+          val posed = vals.map(v =>
+            ColumnOps.withPos(v.df.select((v.align.cols :+ "v").map(col): _*),
+              v.align.cols.map(col)).select("pos", "v"))
+          ColumnOps.tupleZip(posed, Seq("pos")).orderBy("pos")
+      }
+      zipped.collect().toSeq
         .map(row => (1 to vars.size).map(i => row.getAs[Int](s"v$i"))
           .mkString("(", ",", ")"))
 
@@ -166,8 +188,8 @@ final class Session(val engine: Engine) {
       case Some((lo, hi)) if lo == hi => ColumnOps.selectValue(base, lo)
       case Some((lo, hi))   => ColumnOps.selectRange(base, lo, hi)
     }
-    val ids = Ids(df, ordered = false, srcCol = Some(c),
-      srcLen = Some(meta.nextId), fullSelect = bounds.isEmpty)
+    val ids = Ids(df, ordered = false, align = Align.fresh(Seq("id")),
+      srcCol = Some(c), srcLen = Some(meta.nextId), fullSelect = bounds.isEmpty)
     assign match {
       case Some(v) => bind(v, ids); Nil
       case None    => emit(ids)
@@ -180,13 +202,37 @@ final class Session(val engine: Engine) {
       case None       => emit(v)
     }
 
-  /** Stream an intermediate to the client, reference text formats. */
+  /** Two values intermediates, made zippable: same lineage -> as-is (the
+    * align-column equi-join IS the ordinal zip); different lineages ->
+    * materialize each side's ordinal rank (the only place ranks are ever
+    * computed outside emission).
+    */
+  private def aligned(l: Vals, r: Vals): (Vals, Vals) =
+    if (l.align.tag == r.align.tag) (l, r)
+    else {
+      def rank(v: Vals): Vals = {
+        val posed = ColumnOps.withPos(
+          v.df.select((v.align.cols :+ "v").map(col): _*),
+          v.align.cols.map(col)).select("pos", "v")
+        Vals(posed, hasIds = false, align = Align.fresh(Seq("pos")))
+      }
+      val lp = rank(l)
+      // share the rank domain: same cols, same tag -> direct pos equi-join
+      (lp, rank(r).copy(align = lp.align))
+    }
+
+  /** Stream an intermediate to the client, reference text formats:
+    * ordinal order = ascending align-column order (see [[Align]]).
+    */
   private def emit(i: Intermediate): Seq[String] = i match {
-    case Ids(df, ordered, _, _, _) =>
-      val sorted = if (ordered) df.orderBy("pos") else df.orderBy("id")
-      sorted.select("id").collect().toSeq.map(_.getLong(0).toString)
-    case Vals(df, _, _, _) =>
-      df.orderBy("pos").select("v").collect().toSeq.map(_.getInt(0).toString)
+    case ids: Ids =>
+      ids.df.orderBy(ids.align.cols.map(col): _*)
+        .select("id").collect().toSeq.map(_.getLong(0).toString)
+    case vals: Vals =>
+      val sorted =
+        if (vals.align.cols.isEmpty) vals.df
+        else vals.df.orderBy(vals.align.cols.map(col): _*)
+      sorted.select("v").collect().toSeq.map(_.getInt(0).toString)
   }
 
   /** Distinct ids of a position intermediate (delete is idempotent for

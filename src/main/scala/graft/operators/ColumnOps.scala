@@ -11,18 +11,20 @@ import graft.lang.Op._
   * Shared by the script interpreter ([[graft.core.Engine]]) and by the
   * library-level query entry points. Schemas:
   *  - base column: `(id: long, v: int)` — dense stable positions;
-  *  - id set (select output): `(id)`, distinct, unordered
-  *    (reference "bitmap", results.h:12-23);
-  *  - id list (join output): `(pos, id)` — ordered, duplicates allowed
-  *    (reference "array");
-  *  - values: `(pos, id, v)` — `pos` is the output ordinal (the math/tuple
-  *    alignment key), `id` the source position (null for math/agg results).
+  *  - id set (select output): `(id)`, distinct (reference "bitmap",
+  *    results.h:12-23), ordinal order = ascending id;
+  *  - id list (join output): `(a0..ak, id)` — the align columns carry the
+  *    pair order, duplicates in id allowed (reference "array");
+  *  - values: `(alignCols..., v)` (+ `id` for fetch results).
   *
-  * Scale notes: ordinal assignment ([[withPos]]) is a range-partitioned
-  * distributed sort + a two-pass zipWithIndex — no single-partition windows,
-  * no driver collect. Selects are plain filters (predicate-pushdown eligible
-  * all the way to parquet); fetch and join are equi-joins that AQE can
-  * re-plan (broadcast when one side is small).
+  * Scale notes ([[graft.core.Align]] has the full story): ordinal zips
+  * between same-lineage intermediates are equi-joins on the align columns —
+  * no global rank materialization anywhere on the common paths. Selects
+  * are plain filters (predicate-pushdown eligible all the way to parquet);
+  * fetch and join are equi-joins that AQE can re-plan (broadcast when one
+  * side is small). [[withPos]] — a range-partitioned distributed sort +
+  * two-pass zipWithIndex, never a single-partition window, never a driver
+  * collect — exists only for the cross-lineage zip fallback.
   */
 object ColumnOps {
 
@@ -46,6 +48,7 @@ object ColumnOps {
   /** Append a dense 0..n-1 `pos` ordinal in the order of `orderCols`.
     * Distributed: range-partitioned sort, then per-partition offsets
     * (RDD zipWithIndex — one extra pass to count partitions, no shuffle).
+    * Fallback path only — see [[graft.core.Align]].
     */
   def withPos(df: DataFrame, orderCols: Seq[Column]): DataFrame = {
     val spark = df.sparkSession
@@ -70,25 +73,29 @@ object ColumnOps {
 
   // ---- fetch (storage.c:1298-1387) ----
 
-  /** Positional projection for a select-produced id set: values of `base`
-    * at the given positions, ordinal = ascending id (the reference's bitmap
-    * iteration order, storage.c:1324-1326).
+  /** Positional projection for a select-produced id set: `(id, v)`,
+    * ordinal = ascending id (the reference's bitmap iteration order,
+    * storage.c:1324-1326) — carried structurally, not materialized.
     */
   def fetchSet(base: DataFrame, ids: DataFrame): DataFrame =
-    withPos(ids.join(base, "id").select("id", "v"), Seq(col("id")))
-      .select("pos", "id", "v")
+    ids.join(base, "id").select("id", "v")
 
-  /** Positional projection for a join-produced (pos,id) list: input order
-    * and duplicates preserved (storage.c:1354-1366).
+  /** Positional projection for a join-produced id list: input order and
+    * duplicates preserved (storage.c:1354-1366) via the align columns.
     */
-  def fetchList(base: DataFrame, posIds: DataFrame): DataFrame =
-    posIds.join(base, "id").select("pos", "id", "v")
+  def fetchList(base: DataFrame, idList: DataFrame,
+                alignCols: Seq[String]): DataFrame =
+    idList.join(base, "id")
+      .select(alignCols.map(col) ++ Seq(col("id"), col("v")): _*)
 
   // ---- joins (join.c:327-390) ----
 
   /** Value equi-join of two fetched intermediates -> aligned position
-    * pairs `(pos, lid, rid)`, one row per matching value pair (M×N for
-    * duplicate values), `pos` dense in (left-pos, right-pos) order.
+    * pairs, one row per matching value pair (M×N for duplicate values).
+    * Returns the pair DataFrame `(outCols..., lid, rid)` and the output
+    * align columns (the two inputs' align keys, renamed `la*`/`ra*`) —
+    * their lexicographic order is the pair order both bound variables
+    * share.
     *
     * The four language keywords select the physical algorithm; here they
     * map to Catalyst join hints (the reference's manual algorithm choice is
@@ -98,26 +105,33 @@ object ColumnOps {
     * hashjoin -> SHUFFLE_HASH, treejoin -> BROADCAST of the indexed side
     * (an index probe ≈ a broadcast hash probe).
     */
-  def join(jtype: JoinType, l: DataFrame, r: DataFrame): DataFrame = {
-    val lf = l.select(col("pos").as("lpos"), col("id").as("lid"), col("v"))
-    val rf0 = r.select(col("pos").as("rpos"), col("id").as("rid"), col("v"))
+  def join(jtype: JoinType, l: DataFrame, r: DataFrame,
+           lCols: Seq[String], rCols: Seq[String]): (DataFrame, Seq[String]) = {
+    val lOut = lCols.indices.map(i => s"la$i")
+    val rOut = rCols.indices.map(i => s"ra$i")
+    val lf = l.select(lCols.zip(lOut).map { case (c, o) => col(c).as(o) } ++
+      Seq(col("id").as("lid"), col("v")): _*)
+    val rf0 = r.select(rCols.zip(rOut).map { case (c, o) => col(c).as(o) } ++
+      Seq(col("id").as("rid"), col("v")): _*)
     val rf = jtype match {
       case SortJoin => rf0.hint("MERGE")
       case HashJoin => rf0.hint("SHUFFLE_HASH")
       case TreeJoin => rf0.hint("BROADCAST")
       case LoopJoin => rf0
     }
-    val pairs = lf.join(rf, "v").select(col("lpos"), col("lid"), col("rid"))
-    withPos(pairs, Seq(col("lpos"), col("rid")))
-      .select(col("pos"), col("lid"), col("rid"))
+    val outCols = lOut ++ rOut
+    val pairs = lf.join(rf, "v")
+      .select(outCols.map(col) ++ Seq(col("lid"), col("rid")): _*)
+    (pairs, outCols)
   }
 
   // ---- aggregates (aggregate.c:9-98) ----
 
-  /** Singleton aggregate of a values intermediate, with the reference's
-    * empty-input identities: min->INT_MAX, max->INT_MIN, sum->0,
-    * count->0; avg on empty errors (DBEDIVZERO, aggregate.c:18-21).
-    * sum wraps at 32 bits; avg is truncating integer division.
+  /** Singleton aggregate of a values intermediate (any schema containing
+    * `v`), with the reference's empty-input identities: min->INT_MAX,
+    * max->INT_MIN, sum->0, count->0; avg on empty errors (DBEDIVZERO,
+    * aggregate.c:18-21). sum wraps at 32 bits; avg is truncating integer
+    * division. Output schema: `(v)`.
     */
   def aggregate(atype: AggType, vals: DataFrame): DataFrame = {
     val agg = atype match {
@@ -131,7 +145,6 @@ object ColumnOps {
         divTrunc(sum(col("v").cast(LongType)), count(lit(1))).cast(IntegerType)
     }
     val out = vals.agg(agg.as("v"))
-      .select(lit(0L).as("pos"), lit(null).cast(LongType).as("id"), col("v"))
     if (atype == AggAvg) out.na.drop(Seq("v")) // empty input -> caller errors
     else out
   }
@@ -139,35 +152,40 @@ object ColumnOps {
   // ---- elementwise math (aggregate.c:100-182) ----
 
   /** Elementwise `add/sub/mul/div` of two equal-length values
-    * intermediates, aligned by ordinal `pos` (NOT by id). Results carry no
-    * ids (aggregate.c:119-134). 32-bit wrapping; div truncates toward zero.
-    * Caller enforces the equal-length (DBEINTERMDIFFLEN) and div-by-zero
-    * (DBEDIVZERO) errors.
+    * intermediates sharing the alignment key `alignCols` (same lineage —
+    * the ordinal zip IS this equi-join; see [[graft.core.Align]]).
+    * Results keep the alignment but carry no ids (aggregate.c:119-134).
+    * 32-bit wrapping; div truncates toward zero. Caller enforces the
+    * equal-length (DBEINTERMDIFFLEN) and div-by-zero (DBEDIVZERO) errors.
     */
-  def math(mtype: MathType, l: DataFrame, r: DataFrame): DataFrame = {
-    val lf = l.select(col("pos"), col("v").cast(LongType).as("v1"))
-    val rf = r.select(col("pos"), col("v").cast(LongType).as("v2"))
-    val joined = lf.join(rf, "pos")
+  def math(mtype: MathType, l: DataFrame, r: DataFrame,
+           alignCols: Seq[String]): DataFrame = {
+    val lf = l.select(alignCols.map(col) :+ col("v").cast(LongType).as("v1"): _*)
+    val rf = r.select(alignCols.map(col) :+ col("v").cast(LongType).as("v2"): _*)
+    // empty align = two singletons (aggregate results): 1x1 cross join
+    val joined = if (alignCols.isEmpty) lf.crossJoin(rf)
+                 else lf.join(rf, alignCols)
     val vOut = mtype match {
       case MathAdd => wrapInt(col("v1") + col("v2"))
       case MathSub => wrapInt(col("v1") - col("v2"))
       case MathMul => wrapInt(col("v1") * col("v2"))
       case MathDiv => wrapInt(divTrunc(col("v1"), col("v2")))
     }
-    joined.select(col("pos"), lit(null).cast(LongType).as("id"), vOut.as("v"))
+    joined.select(alignCols.map(col) :+ vOut.as("v"): _*)
   }
 
   // ---- tuple (server.c:656-701, rpc.c:209-235) ----
 
-  /** Zip k values intermediates by ordinal into k-column rows, in `pos`
-    * order. Columns named v1..vk. Equal lengths enforced by the caller.
+  /** Zip k values intermediates sharing the alignment key `alignCols`
+    * into k-column rows `(alignCols..., v1..vk)`. Equal lengths enforced
+    * by the caller. Emission order = lexicographic in the align columns.
     */
-  def tupleZip(vals: Seq[DataFrame]): DataFrame = {
+  def tupleZip(vals: Seq[DataFrame], alignCols: Seq[String]): DataFrame = {
     require(vals.nonEmpty)
     val renamed = vals.zipWithIndex.map { case (df, i) =>
-      df.select(col("pos"), col("v").as(s"v${i + 1}"))
+      df.select(alignCols.map(col) :+ col("v").as(s"v${i + 1}"): _*)
     }
-    val joined = renamed.reduce((a, b) => a.join(b, "pos"))
-    joined.orderBy("pos")
+    if (alignCols.isEmpty) renamed.reduce(_.crossJoin(_))
+    else renamed.reduce((a, b) => a.join(b, alignCols))
   }
 }

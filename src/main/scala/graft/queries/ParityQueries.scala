@@ -50,8 +50,8 @@ object ParityQueries {
     val rIds = ColumnOps.selectRange(
       Tables.ordCol(s, d, col("o_totalprice")), 50000L, 150000L)
     val r = ColumnOps.fetchSet(Tables.ordCol(s, d, col("o_orderkey")), rIds)
-    ColumnOps.join(jtype, l, r)
-      .select(col("lid"), col("rid")).orderBy("lid", "rid")
+    val (pairs, _) = ColumnOps.join(jtype, l, r, Seq("id"), Seq("id"))
+    pairs.select(col("lid"), col("rid")).orderBy("lid", "rid")
   }
   def joinHash: Q = joinQ(HashJoin)
   def joinSort: Q = joinQ(SortJoin)
@@ -72,13 +72,15 @@ object ParityQueries {
   def aggCount: Q = aggQ(AggCount, qty)
   def aggAvg: Q = aggQ(AggAvg, col("l_partkey"))
 
-  // --- column math (ordinal-aligned elementwise) ---
+  // --- column math (ordinal-aligned elementwise; both operands fetched
+  //     from one id set, so the ordinal zip is the id equi-join — the
+  //     harness exposes the alignment key as `id` for row-wise compare) ---
 
   private def mathQ(mtype: MathType)(s: SparkSession, d: String): DataFrame = {
     val all = ColumnOps.selectAll(Tables.liCol(s, d, qty))
     val a = ColumnOps.fetchSet(Tables.liCol(s, d, qty), all)
     val b = ColumnOps.fetchSet(Tables.liCol(s, d, lnum), all)
-    ColumnOps.math(mtype, a, b).select("pos", "v").orderBy("pos")
+    ColumnOps.math(mtype, a, b, Seq("id")).select("id", "v").orderBy("id")
   }
   def mathAdd: Q = mathQ(MathAdd)
   def mathSub: Q = mathQ(MathSub)
@@ -91,7 +93,8 @@ object ParityQueries {
     val all = ColumnOps.selectAll(Tables.liCol(s, d, qty))
     val vs = Seq(qty, lnum, col("l_partkey"))
       .map(c => ColumnOps.fetchSet(Tables.liCol(s, d, c), all))
-    ColumnOps.tupleZip(vs).select("pos", "v1", "v2", "v3").orderBy("pos")
+    ColumnOps.tupleZip(vs, Seq("id"))
+      .select("id", "v1", "v2", "v3").orderBy("id")
   }
 
   // --- mutations (the DataFrame mechanics the engine's rewrite uses) ---
@@ -143,7 +146,8 @@ object ParityQueries {
         |c=fetch(rc,p)
         |""".stripMargin).toOption.get.foreach(session.eval)
     val vals = Seq("a", "b", "c").map(v => session.getVals(v).df)
-    ColumnOps.tupleZip(vals).select("v1", "v2", "v3").orderBy("v1", "v2", "v3")
+    ColumnOps.tupleZip(vals, Seq("id"))
+      .select("v1", "v2", "v3").orderBy("v1", "v2", "v3")
   }
 
   // --- flagship: the reference's canonical join-aggregate
@@ -155,13 +159,14 @@ object ParityQueries {
     val rIds = ColumnOps.selectRange(
       Tables.ordCol(s, d, col("o_totalprice")), 50000L, 150000L)
     val r = ColumnOps.fetchSet(Tables.ordCol(s, d, col("o_orderkey")), rIds)
-    val pairs = ColumnOps.join(HashJoin, l, r).cache()
+    val (pairs0, outCols) = ColumnOps.join(HashJoin, l, r, Seq("id"), Seq("id"))
+    val pairs = pairs0.cache()
     val lVals = ColumnOps.fetchList(
       Tables.liCol(s, d, col("l_partkey")),
-      pairs.select(col("pos"), col("lid").as("id")))
+      pairs.select(outCols.map(col) :+ col("lid").as("id"): _*), outCols)
     val rVals = ColumnOps.fetchList(
       Tables.ordCol(s, d, col("o_custkey")),
-      pairs.select(col("pos"), col("rid").as("id")))
+      pairs.select(outCols.map(col) :+ col("rid").as("id"): _*), outCols)
     val maxr = ColumnOps.aggregate(AggMax, lVals).select(col("v").as("maxr"))
     val mins = ColumnOps.aggregate(AggMin, rVals).select(col("v").as("mins"))
     val cr = ColumnOps.aggregate(AggCount, lVals).select(col("v").as("cr"))
@@ -215,8 +220,8 @@ object ParityQueries {
        |WHERE CAST(l_quantity AS INTEGER) BETWEEN 5 AND 45""".stripMargin
 
   private def mathSql(expr: String): String =
-    s"""SELECT CAST(ROW_NUMBER() OVER (ORDER BY $liIdSql) - 1 AS BIGINT) AS pos,
-       |  CAST($expr AS INTEGER) AS v FROM lineitem ORDER BY pos""".stripMargin
+    s"""SELECT CAST($liIdSql AS BIGINT) AS id,
+       |  CAST($expr AS INTEGER) AS v FROM lineitem ORDER BY id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "select_all" ->
@@ -242,9 +247,9 @@ object ParityQueries {
     "math_mul" -> mathSql("CAST(l_quantity AS INTEGER) * l_linenumber"),
     "math_div" -> mathSql("CAST(l_quantity AS INTEGER) // l_linenumber"),
     "tuple_emit" ->
-      s"""SELECT CAST(ROW_NUMBER() OVER (ORDER BY $liIdSql) - 1 AS BIGINT) AS pos,
+      s"""SELECT CAST($liIdSql AS BIGINT) AS id,
          |  CAST(l_quantity AS INTEGER) AS v1, CAST(l_linenumber AS INTEGER) AS v2,
-         |  CAST(l_partkey AS INTEGER) AS v3 FROM lineitem ORDER BY pos""".stripMargin,
+         |  CAST(l_partkey AS INTEGER) AS v3 FROM lineitem ORDER BY id""".stripMargin,
     "insert_op" ->
       s"""SELECT CAST($liIdSql AS BIGINT) AS id, CAST(l_partkey AS INTEGER) AS v FROM lineitem
          |UNION ALL SELECT (SELECT CAST(MAX($liIdSql)+1 AS BIGINT) FROM lineitem), 999999
