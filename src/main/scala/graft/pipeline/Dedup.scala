@@ -26,25 +26,44 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
       .select(col("keep_id").cast("long").as("keep_id"), col("n").cast("long").as("n"))
 
-  /** `(doc_id, g)`: distinct word n-gram shingles per document. */
+  /** `(doc_id, g)`: distinct word n-gram shingles per document.
+    *
+    * Formulated as token explode + window `lead` (one shuffle on doc_id,
+    * codegen'd window) rather than a per-document
+    * `transform(sequence(...))` lambda — higher-order functions are
+    * interpreted per element and dominated the whole dedup family
+    * (16s -> ~2s for 5k docs at sf0.1). Documents shorter than n tokens
+    * produce no shingles.
+    */
   def shingles(docs: DataFrame, n: Int): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      split(trim(col("text")), "\\s+").as("w"))
-    // guard: sequence(0, x) with x<0 would generate a DESCENDING range
-    val grams = toks.select(col("doc_id"),
-      when(size(col("w")) >= n,
-        array_distinct(transform(
-          sequence(lit(0), size(col("w")) - n),
-          i => concat_ws(" ", (0 until n).map(o => col("w")(i + o)): _*))))
-        .otherwise(array().cast("array<string>")).as("gs"))
-    grams.select(col("doc_id"), explode(col("gs")).as("g"))
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(trim(col("text")), "\\s+")))
+      .select(col("doc_id"), col("pos").as("idx"), col("col").as("w"))
+    if (n == 1) toks.select(col("doc_id"), col("w").as("g")).distinct()
+    else {
+      val win = Window.partitionBy("doc_id").orderBy("idx")
+      val leads = (1 until n).map(o => lead(col("w"), o).over(win))
+      toks
+        .select(col("doc_id"), concat_ws(" ", col("w") +: leads: _*).as("g"),
+          leads.last.as("tail"))
+        .filter(col("tail").isNotNull) // incomplete shingles at doc end
+        .select("doc_id", "g").distinct()
+    }
   }
 
   /** Exact n-gram Jaccard near-dup pairs `(da, db)` with
     * J(A,B) = |A∩B| / (|A|+|B|-|A∩B|) >= tnum/tden, via shingle
-    * co-occurrence (intersection counts from a group-by over the shingle
-    * join — never an all-pairs document join). Integer cross-multiplied
-    * threshold: exact, engine-independent.
+    * co-occurrence (pairs only materialize for docs sharing a shingle,
+    * intersection counts from one group-by — never an all-pairs document
+    * join). Integer cross-multiplied threshold: exact, engine-independent.
+    *
+    * Scale note: co-occurrence is quadratic in a shingle's document
+    * frequency, so a web-scale corpus with stop-phrase shingles ("of the
+    * and" in millions of docs) needs either a document-frequency cap on
+    * join shingles or the [[minhashNearDups]] LSH path — LSH candidate
+    * cost is governed by band-bucket sizes, not shingle hotness. This
+    * exhaustive variant is the oracle-checked exact baseline.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, tnum: Long, tden: Long): DataFrame = {
     val sh = shingles(docs, n).cache()
@@ -60,64 +79,78 @@ object Dedup {
       .select(col("da").cast("long"), col("db").cast("long"))
   }
 
-  /** MinHash signatures: k permutations h_i(x) = (a_i * x + b_i) mod p
-    * over xxhash64 shingle hashes (classic universal hashing). Returns
-    * `(doc_id, sig: array<long>)` of length k. One shuffle (group-by doc).
+  /** Exact Jaccard check of candidate pairs against their shingle sets:
+    * cost |candidates| x shingles-per-doc, never a full co-occurrence.
     */
-  def minhashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
-    // 2^31-1 (Mersenne): keeps h*a+b < 2^38 — no long overflow under ANSI
-    val p = 2147483647L
-    val sh = shingles(docs, n)
-      .select(col("doc_id"), pmod(xxhash64(col("g")), lit(p)).as("h"))
-    val minExprs = (0 until k).map { i =>
-      val a = 2L * i + 1; val b = 31L * i + 7
-      min(pmod(col("h") * a + b, lit(p))).as(s"m$i")
-    }
-    sh.groupBy("doc_id").agg(minExprs.head, minExprs.tail: _*)
-      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
-  }
-
-  /** LSH candidate pairs from banded minhash signatures: `bands` bands of
-    * `sig.length/bands` rows; docs sharing any band bucket become
-    * candidates (bucket equi-join on the band hash — the 100 TB-safe
-    * shape). P(candidate | J=s) = 1-(1-s^r)^b.
-    */
-  def lshCandidates(sigs: DataFrame, bands: Int): DataFrame = {
-    val banded = sigs.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(lit("band"), b,
-          // hash the band's slice of the signature
-          slice(col("sig"), b * (size(col("sig")) / bands) + 1,
-            size(col("sig")) / bands).cast("string")))))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
-    banded.select(col("band"), col("bh"), col("doc_id").as("da"))
-      .join(banded.select(col("band"), col("bh"), col("doc_id").as("db")),
-        Seq("band", "bh"))
-      .filter(col("da") < col("db"))
-      .select("da", "db").distinct()
-  }
-
-  /** Full MinHash-LSH near-dedup: banded LSH candidates, then **exact**
-    * Jaccard verification restricted to the candidate set. With b=32,r=2
-    * the miss probability at J=0.6 is (1-0.36)^32 ~ 6e-7, so the verified
-    * output equals the exact-Jaccard oracle w.h.p. while never comparing
-    * non-candidate pairs.
-    */
-  def minhashNearDups(docs: DataFrame, n: Int, k: Int, bands: Int,
-                      tnum: Long, tden: Long): DataFrame = {
-    val cands = lshCandidates(minhashSignatures(docs, n, k), bands)
-    val sh = shingles(docs, n).cache()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = sh.select(col("doc_id").as("da"), col("g"))
-      .join(sh.select(col("doc_id").as("db"), col("g")), "g")
-      .filter(col("da") < col("db"))
+  private def verifyJaccard(cands: DataFrame, sh: DataFrame, sizes: DataFrame,
+                            tnum: Long, tden: Long): DataFrame = {
+    val inter = cands
+      .join(sh.select(col("doc_id").as("da"), col("g")), "da")
+      .join(sh.select(col("doc_id").as("db"), col("g")), Seq("db", "g"))
       .groupBy("da", "db").agg(count(lit(1)).as("i"))
-      .join(cands, Seq("da", "db"), "left_semi") // verify candidates only
     inter
       .join(sizes.select(col("doc_id").as("da"), col("sz").as("na")), "da")
       .join(sizes.select(col("doc_id").as("db"), col("sz").as("nb")), "db")
       .filter(col("i") * tden >= (col("na") + col("nb") - col("i")) * tnum)
       .select(col("da").cast("long"), col("db").cast("long"))
+  }
+
+  /** MinHash signatures: k permutations h_i(x) = (a_i * x + b_i) mod p
+    * over xxhash64 shingle hashes (classic universal hashing), from a
+    * pre-computed shingle table. Returns `(doc_id, m0..m{k-1})` wide —
+    * kept as columns (not an array) so downstream band hashing stays in
+    * whole-stage codegen. One shuffle (group-by doc).
+    */
+  def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
+    // 2^31-1 (Mersenne): keeps h*a+b < 2^38 — no long overflow under ANSI
+    val p = 2147483647L
+    val hashed = sh.select(col("doc_id"), pmod(xxhash64(col("g")), lit(p)).as("h"))
+    val minExprs = (0 until k).map { i =>
+      val a = 2L * i + 1; val b = 31L * i + 7
+      min(pmod(col("h") * a + b, lit(p))).as(s"m$i")
+    }
+    hashed.groupBy("doc_id").agg(minExprs.head, minExprs.tail: _*)
+  }
+
+  /** `(doc_id, band, bh)`: one row per band, bh = hash of the band's
+    * r = k/bands signature rows — computed straight from the signature
+    * columns (codegen'd xxhash64 over r columns, no array slicing).
+    */
+  def bandHashes(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    val r = k / bands
+    val bandExprs = (0 until bands).map { b =>
+      xxhash64(lit(b) +: (0 until r).map(j => col(s"m${b * r + j}")): _*)
+    }
+    sigs.select(col("doc_id"), posexplode(array(bandExprs: _*)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
+  }
+
+  /** LSH candidate pairs: docs sharing any band bucket (bucket equi-join
+    * on the band hash — the 100 TB-safe shape; never all-pairs).
+    * P(candidate | J=s) = 1-(1-s^r)^b.
+    */
+  def lshCandidates(banded: DataFrame): DataFrame =
+    banded.select(col("band"), col("bh"), col("doc_id").as("da"))
+      .join(banded.select(col("band"), col("bh"), col("doc_id").as("db")),
+        Seq("band", "bh"))
+      .filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+
+  /** Full MinHash-LSH near-dedup: banded LSH candidates, then **exact**
+    * Jaccard verification restricted to the candidate set — intersections
+    * are computed by joining each candidate pair with its two shingle
+    * sets, so verification cost is |candidates| x shingles-per-doc, never
+    * the full shingle co-occurrence square. With b=32,r=2 the miss
+    * probability at J=0.6 is (1-0.36)^32 ~ 6e-7, so the verified output
+    * equals the exact-Jaccard oracle w.h.p. while never comparing
+    * non-candidate pairs.
+    */
+  def minhashNearDups(docs: DataFrame, n: Int, k: Int, bands: Int,
+                      tnum: Long, tden: Long): DataFrame = {
+    val sh = shingles(docs, n).cache()
+    val cands = lshCandidates(bandHashes(minhashSignatures(sh, k), k, bands))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    verifyJaccard(cands, sh, sizes, tnum, tden)
   }
 
   /** 64-bit SimHash per doc: bit b of the signature is the sign of the
