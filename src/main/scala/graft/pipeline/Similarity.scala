@@ -75,13 +75,14 @@ object Similarity {
       .select("da", "db")
   }
 
-  /** Scale path: random-hyperplane LSH. Deterministic pseudo-random
-    * hyperplanes: plane p's weight for dimension j is +1/-1 by parity of
-    * xxhash64(p, j). Signature = `planes` sign bits; candidates share a
-    * signature bucket. Approximate (bucket boundaries lose some
-    * neighbors) — by design; no SQL oracle.
+  /** `(vec_id, q, n2, sig)`: prepared vectors + a `planes`-bit
+    * random-hyperplane signature. Deterministic pseudo-random hyperplanes:
+    * plane p's weight for dimension j is +1/-1 by parity of xxhash64(p, j).
+    * P(two vectors share a bit) = 1 - angle/pi, so near-identical vectors
+    * land in the same bucket w.h.p. while the expected bucket size for
+    * unrelated vectors is n / 2^planes.
     */
-  def lshTopK(emb: DataFrame, k: Int, planes: Int, queryPred: Column): DataFrame = {
+  def signed(emb: DataFrame, planes: Int): DataFrame = {
     val p = prepared(emb)
     val sigBits = (0 until planes).map { pl =>
       val proj = aggregate(
@@ -92,7 +93,15 @@ object Similarity {
         lit(0L), (acc, x) => acc + x)
       when(proj >= 0, lit(1)).otherwise(lit(0)) * lit(1 << pl)
     }
-    val sig = p.withColumn("sig", sigBits.reduce(_ + _))
+    p.withColumn("sig", sigBits.reduce(_ + _))
+  }
+
+  /** Scale path for top-k: random-hyperplane LSH — candidates share a
+    * signature bucket (bucket equi-join, never all-pairs). Approximate
+    * (bucket boundaries lose some neighbors) — by design; no SQL oracle.
+    */
+  def lshTopK(emb: DataFrame, k: Int, planes: Int, queryPred: Column): DataFrame = {
+    val sig = signed(emb, planes)
     val qs = sig.filter(queryPred)
       .select(col("vec_id").as("qid"), col("q").as("qq"), col("sig"))
     val cands = sig.select(col("vec_id").as("nid"), col("q").as("nq"), col("sig"))
@@ -102,5 +111,61 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank").cast("int").as("rank"), col("nid"), col("dot"))
+  }
+
+  /** Scale path for embedding near-dup: **banded** random-hyperplane LSH
+    * (OR of `bands` AND-constructions of `r` sign bits each) + exact
+    * quantized-cosine verification of candidates only. The all-pairs
+    * [[cosinePairs]] is the exact oracle-checked baseline; this is the
+    * shape that survives 100 TB — candidates come from bucket equi-joins
+    * on (band, band-signature), verification touches candidates only, so
+    * false positives are impossible and cost is governed by bucket sizes.
+    *
+    * Math (P(bit agrees) = p = 1 - angle/pi): recall = 1-(1-p^r)^b;
+    * background pair collision ~ b/2^r of the n^2 pairs. At production
+    * near-dup thresholds (cos >= 0.85, p >= 0.82) the defaults b=64,r=8
+    * give recall ~0.99+ at ~25% of the all-pairs verification cost; at
+    * the synthetic tables' unusually low planted similarity (cos ~ 0.46,
+    * p ~ 0.65) the same setting still finds ~88% of true pairs — the
+    * regime analysis is the point: band/width are the knobs a 100 TB run
+    * tunes to its similarity threshold.
+    *
+    * Hyperplane signatures are computed with the codegen'd [[LongArrayDot]]
+    * against a broadcast table of deterministic +-1 weight vectors — one
+    * narrow broadcast join + a group-by, no interpreted per-element lambdas.
+    */
+  def lshCosinePairs(emb: DataFrame, dim: Int, bands: Int, r: Int,
+                     tnum: Long, tden: Long): DataFrame = {
+    val spark = emb.sparkSession
+    LongArrayDot.register(spark)
+    // deterministic +-1 hyperplanes: plane (band*r+pl), dimension j
+    val weights = for (b <- 0 until bands; pl <- 0 until r) yield {
+      val rnd = new java.util.Random(1000003L * (b.toLong * r + pl) + 17)
+      (b, pl, Array.fill(dim)(if (rnd.nextBoolean()) 1L else -1L))
+    }
+    import spark.implicits._
+    val wdf = weights.toDF("band", "pl", "w")
+    val p = prepared(emb).cache()
+    // narrow signatures (vec_id, band, bh) — vectors re-attach only after
+    // the candidate distinct, so no grouping/dedup ever hashes an array
+    val banded = p.crossJoin(broadcast(wdf))
+      .select(col("vec_id"), col("band"),
+        (when(intDot(col("q"), col("w")) >= 0, lit(1L)).otherwise(lit(0L)) *
+          call_function("shiftleft", lit(1L), col("pl"))).as("bit"))
+      .groupBy("vec_id", "band").agg(sum(col("bit")).as("bh"))
+    val cands = banded.select(col("band"), col("bh"), col("vec_id").as("da"))
+      .join(banded.select(col("band"), col("bh"), col("vec_id").as("db")),
+        Seq("band", "bh"))
+      .filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+    cands
+      .join(p.select(col("vec_id").as("da"), col("q").as("qa"),
+        col("n2").as("na")), "da")
+      .join(p.select(col("vec_id").as("db"), col("q").as("qb"),
+        col("n2").as("nb")), "db")
+      .withColumn("dot", intDot(col("qa"), col("qb")))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * (tden * tden) >= lit(tnum * tnum) * col("na") * col("nb"))
+      .select("da", "db")
   }
 }

@@ -38,6 +38,16 @@ object PipelineQueries {
     Similarity.cosinePairs(Tables.embeddings(s, d), tnum = 9, tden = 20)
       .orderBy("da", "db")
 
+  /** Bucketed (banded-LSH) embedding near-dup — the 100 TB shape;
+    * approximate recall (~88% at the synthetic tables' low planted
+    * similarity, ~99%+ at production thresholds — see
+    * [[Similarity.lshCosinePairs]]), exactly-verified candidates,
+    * rows-only check.
+    */
+  def dedupEmbeddingLsh(s: SparkSession, d: String): DataFrame =
+    Similarity.lshCosinePairs(Tables.embeddings(s, d), dim = 64,
+      bands = 64, r = 8, tnum = 9, tden = 20).orderBy("da", "db")
+
   // --- similarity search ---
 
   def annTopk(s: SparkSession, d: String): DataFrame =
@@ -113,6 +123,7 @@ object PipelineQueries {
     "dedup_ngram" -> dedupNgram,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding,
+    "dedup_embedding_lsh" -> dedupEmbeddingLsh,
     "ann_topk" -> annTopk,
     "ann_lsh" -> annLsh,
     "text_tokens" -> textTokens,
