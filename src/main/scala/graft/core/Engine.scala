@@ -241,15 +241,28 @@ final class Session(val engine: Engine) {
   private def idsOf(ids: Ids): DataFrame = ids.df.select("id").distinct()
 
   private def evalLoad(file: String): Unit = {
-    Storage.parseCsv(spark, file).foreach { case (name, df) =>
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val cols = Storage.parseCsv(spark, file)
+    // per-column writes are independent Spark jobs — run them concurrently
+    // (the scheduler interleaves their stages across executor cores; the
+    // shared cached CSV scan is computed once). Catalog updates stay on
+    // this thread, after all writes land.
+    val written = cols.map { case (name, df) =>
       val meta = catalog.require(name)
       if (meta.nextId == 0L) { // double-load ignored (storage.c:1863-1867)
-        val rows = df.count()
-        val data = df.select(col("ord").as("id"), col("v"))
-        Storage.writeColumn(data, meta.copy(version = meta.version + 1).dataPath,
-          meta.stype)
-        catalog.update(name, meta.version + 1, rows)
-      }
+        Some(Future {
+          val rows = df.count()
+          val data = df.select(col("ord").as("id"), col("v"))
+          Storage.writeColumn(data,
+            meta.copy(version = meta.version + 1).dataPath, meta.stype)
+          (name, meta.version + 1, rows)
+        })
+      } else None
+    }
+    written.flatten.map(Await.result(_, Duration.Inf)).foreach {
+      case (name, version, rows) => catalog.update(name, version, rows)
     }
   }
 

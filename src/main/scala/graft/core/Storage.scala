@@ -62,6 +62,7 @@ object Storage {
     val withOrd = spark.createDataFrame(
       casted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(i +: r.toSeq) },
       schema).cache()
+    withOrd.count() // materialize once — per-column writers run concurrently
     names.map(n => n -> withOrd.select(col("ord"), col(n).as("v")))
   }
 }

@@ -1,0 +1,132 @@
+package graft.tools
+
+import java.io.PrintWriter
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import graft.core.Engine
+
+/** Reproduces the reference's published join benchmark
+  * (/root/reference/reports/finalreport.pdf p.4; workload generator
+  * /root/reference/perftests/gen.py, seed=42) against this engine, at the
+  * same data scales, through the full script path — CSV generation aside,
+  * each measurement covers exactly what the reference timed: create+load
+  * (t_load) and the canonical select/fetch/join/agg/tuple query per join
+  * keyword (t_<join>), with the JVM+session already warm (the reference's
+  * `time client < plan` ran against an already-started server).
+  *
+  * Workload distributions (gen.py:109-146): |S|=10k, sa,ra ~ U[0,1000];
+  * rc ~ U[1,9] w.p. 0.75 else 10 (selectivity knob); rd ~ U[-2^30,0];
+  * sf ~ U[31,99] (selrates=1.0); sg ~ U[0,2^30]. JVM Random(42) differs
+  * from python's Mersenne Twister, so absolute pair counts differ ~0.3%
+  * from the published 748,374-per-100k — counts are printed so runs are
+  * comparable at equal output scale.
+  *
+  * Usage: runMain graft.tools.PerfBaseline [sizes-of-R-csv, default
+  * "100000,300000,600000"]. Prints one JSON line per (|R|, join).
+  */
+object PerfBaseline {
+
+  def genCsvs(dir: String, nR: Int, nS: Int): (String, String) = {
+    val rnd = new java.util.Random(42)
+    val r = s"$dir/r.csv"
+    val rw = new PrintWriter(r)
+    rw.println("ra,rc,rd")
+    var i = 0
+    while (i < nR) {
+      val ra = rnd.nextInt(1001)
+      val rc = if (rnd.nextDouble() < 0.75) 1 + rnd.nextInt(9) else 10
+      val rd = -rnd.nextInt(1 << 30)
+      rw.println(s"$ra,$rc,$rd")
+      i += 1
+    }
+    rw.close()
+    val s = s"$dir/s.csv"
+    val sw = new PrintWriter(s)
+    sw.println("sa,sf,sg")
+    i = 0
+    while (i < nS) {
+      sw.println(s"${rnd.nextInt(1001)},${31 + rnd.nextInt(69)},${rnd.nextInt(1 << 30)}")
+      i += 1
+    }
+    sw.close()
+    (r, s)
+  }
+
+  /** The canonical query (reference README.md:123-131) for one join
+    * keyword. treejoin's precondition (right input = full select of a
+    * b+tree column) mirrors the reference's selrates=1.0 run.
+    */
+  def queryScript(join: String): String = {
+    val rightSel =
+      if (join == "treejoin") "sf_inter=select(sa)\njoin_input2=fetch(sa,sf_inter)"
+      else "sf_inter=select(sf,31,99)\njoin_input2=fetch(sa,sf_inter)"
+    s"""rc_inter=select(rc,1,9)
+       |join_input1=fetch(ra,rc_inter)
+       |$rightSel
+       |r_results,s_results=$join(join_input1,join_input2)
+       |rd_values=fetch(rd,r_results)
+       |sg_values=fetch(sg,s_results)
+       |maxr=max(rd_values)
+       |mins=min(sg_values)
+       |cr=count(rd_values)
+       |cs=count(sg_values)
+       |tuple(maxr,mins,cr,cs)
+       |""".stripMargin
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sizes = args.headOption.getOrElse("100000,300000,600000")
+      .split(",").map(_.trim.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // warm the session (codegen, parquet committers) on a throwaway load
+    {
+      val w = Files.createTempDirectory("graft_warm").toString
+      val (r, s) = genCsvs(w, 1000, 1000)
+      val e = new Engine(spark, s"$w/db")
+      e.execute(s"""create(ra,"unsorted")
+                   |create(rc,"b+tree")
+                   |create(rd,"unsorted")
+                   |create(sa,"b+tree")
+                   |create(sf,"b+tree")
+                   |create(sg,"unsorted")
+                   |load("$r")
+                   |load("$s")
+                   |""".stripMargin)
+      e.execute(queryScript("hashjoin"))
+    }
+
+    for (nR <- sizes) {
+      val dir = Files.createTempDirectory(s"graft_perf_$nR").toString
+      val (r, s) = genCsvs(dir, nR, 10000)
+      val engine = new Engine(spark, s"$dir/db")
+      val t0 = System.nanoTime()
+      engine.execute(
+        s"""create(ra,"unsorted")
+           |create(rc,"b+tree")
+           |create(rd,"unsorted")
+           |create(sa,"b+tree")
+           |create(sf,"b+tree")
+           |create(sg,"unsorted")
+           |load("$r")
+           |load("$s")
+           |""".stripMargin)
+      val tLoad = (System.nanoTime() - t0) / 1e9
+      for (join <- Seq("hashjoin", "sortjoin", "loopjoin", "treejoin")) {
+        val q0 = System.nanoTime()
+        val out = engine.execute(queryScript(join))
+        val tQ = (System.nanoTime() - q0) / 1e9
+        // pair count = the count aggregate inside the tuple output
+        val pairs = out.head.stripPrefix("(").stripSuffix(")").split(",")(2)
+        println(f"""{"bench":"baseline","nR":$nR,"join":"$join","pairs":$pairs,"t_load":$tLoad%.2f,"t_query":$tQ%.2f,"t_total":${tLoad + tQ}%.2f,"tuple":"${out.head}"}""")
+      }
+    }
+    spark.stop()
+  }
+}
