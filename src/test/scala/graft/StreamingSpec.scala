@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+/** Structured Streaming operators driven through MemoryStream: windowed
+  * aggregation with watermark, declarative session windows, and the
+  * custom flatMapGroupsWithState sessionizer (incl. watermark-driven
+  * session close).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+
+  private def ev(uid: Long, id: Long, min: Long, typ: String = "click",
+                 v: Double = 1.0): Event = Event(uid, id, typ, ts(min), v)
+
+  test("windowedStats: tumbling windows close under the watermark") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.windowedStats(in.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("win")
+      .outputMode("append").start()
+    try {
+      in.addData(ev(1, 1, 1), ev(1, 2, 3, "buy", 2.5), ev(2, 3, 4))
+      q.processAllAvailable()
+      // advance event time far enough to close the [0,10) window
+      in.addData(ev(1, 4, 30))
+      q.processAllAvailable()
+      val rows = spark.table("win")
+        .select("user_id", "n_events", "cents").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set((1L, 2L, 350L), (2L, 1L, 100L)))
+    } finally q.stop()
+  }
+
+  test("sessionStats: gap-merged session windows") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionStats(in.toDF(), "30 minutes", "1 minute")
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // user 1: events at 0,10 (one session), then 60 (new session)
+      in.addData(ev(1, 1, 0), ev(1, 2, 10), ev(1, 3, 60))
+      q.processAllAvailable()
+      in.addData(ev(1, 4, 300)) // push watermark, close both sessions
+      q.processAllAvailable()
+      val rows = spark.table("sess")
+        .select("user_id", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((1L, 2L), (1L, 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionizeCustom: flatMapGroupsWithState closes sessions on gap") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionizeCustom(in.toDS(), gapMs = 30 * 60000L,
+        lateness = "1 minute")
+      .writeStream.format("memory").queryName("custom")
+      .outputMode("append").start()
+    try {
+      // rows at event time <= current watermark (0 at the first batch) are
+      // filtered before reaching the state function -> start at minute 1
+      in.addData(ev(1, 1, 1), ev(1, 2, 10), ev(2, 3, 5))
+      q.processAllAvailable()
+      // event at minute 100 for user 1: closes [1,10] (gap 30 exceeded) in
+      // the batch; user 2's session closes via event-time timeout
+      in.addData(ev(1, 4, 100))
+      q.processAllAvailable()
+      in.addData(ev(1, 5, 300)) // advance watermark far -> timeouts fire
+      q.processAllAvailable()
+      val rows = spark.table("custom")
+        .select("user_id", "s_start", "s_end", "n_events").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000,
+          r.getTimestamp(2).getTime / 60000, r.getLong(3))).toSet
+      assert(rows.contains((1L, 1L, 10L, 2L)), s"user1 first session: $rows")
+      assert(rows.contains((2L, 5L, 5L, 1L)), s"user2 timed-out session: $rows")
+    } finally q.stop()
+  }
+}
