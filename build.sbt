@@ -11,6 +11,7 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+run / connectInput := true // Cli reads stdin (batch pipe + --interactive)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

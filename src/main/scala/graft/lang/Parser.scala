@@ -41,8 +41,11 @@ object Parser {
   private val aggTypes  = AggType.all.map(a => a.keyword -> a).toMap
   private val joinTypes = JoinType.all.map(j => j.keyword -> j).toMap
 
-  /** Parse one line; None if it matches no form (or fails round-trip). */
-  def parseLine(line: String): Option[Op] = {
+  /** Parse one line (surrounding whitespace tolerated); None if it
+    * matches no form (or fails round-trip).
+    */
+  def parseLine(rawLine: String): Option[Op] = {
+    val line = rawLine.trim
     val op: Option[Op] = line match {
       case SelRangeA(v, c, lo, hi) => Some(SelectRange(Some(v), c, lo.toLong, hi.toLong))
       case SelValueA(v, c, x)      => Some(SelectValue(Some(v), c, x.toLong))

@@ -2,21 +2,29 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import graft.core.{DbException, Engine}
+import graft.lang.Parser
 
 /** Script-runner CLI — the engine's user surface, playing the role of the
   * reference's client (/root/reference/src/client/client.c): feed it a
   * script file (or stdin) of operator lines, results go to stdout in the
   * reference's text formats (ids / values one per line, `(a,b,c)` tuples).
   *
-  * Usage: Cli <dbDir> [scriptFile]   (no scriptFile -> read stdin)
+  * Like the reference client, errors are per-line and non-fatal: a failed
+  * op prints its DBE* message to stderr and the session continues
+  * (client.c:88-104 renders RPC_ERROR and keeps going); the exit code is
+  * 1 if any line failed. `--interactive` gives the reference's REPL mode
+  * (client.c:237-262): a prompt, one op per line, same session throughout.
+  *
+  * Usage: Cli <dbDir> [scriptFile | --interactive]   (neither -> stdin)
   */
 object Cli {
   def main(args: Array[String]): Unit = {
-    if (args.isEmpty) { System.err.println("usage: Cli <dbDir> [scriptFile]"); sys.exit(2) }
+    if (args.isEmpty) {
+      System.err.println("usage: Cli <dbDir> [scriptFile | --interactive]")
+      sys.exit(2)
+    }
     val dbDir = args(0)
-    val script =
-      if (args.length > 1) new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(1))))
-      else scala.io.Source.stdin.mkString
+    val interactive = args.contains("--interactive") || args.contains("-i")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("GRAFT_MASTER", "local[*]"))
       .appName("graft-cli")
@@ -27,10 +35,41 @@ object Cli {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val engine = new Engine(spark, dbDir)
-    try engine.execute(script).foreach(println)
-    catch {
-      case e: DbException => System.err.println(e.getMessage); sys.exit(1)
+    val session = engine.newSession()
+    var failed = false
+
+    def evalLine(line: String): Unit = {
+      val t = line.trim
+      if (t.nonEmpty && !t.startsWith("#")) {
+        Parser.parseLine(t) match {
+          case Some(op) =>
+            try session.eval(op).foreach(println)
+            catch {
+              case e: DbException =>
+                failed = true; System.err.println(e.getMessage)
+            }
+          case None =>
+            failed = true; System.err.println(s"DBEPARSE: cannot parse: $t")
+        }
+      }
     }
-    finally spark.stop()
+
+    try {
+      if (interactive) {
+        print("graft> "); Console.flush()
+        scala.io.Source.stdin.getLines().foreach { line =>
+          evalLine(line)
+          print("graft> "); Console.flush()
+        }
+        println()
+      } else {
+        val script =
+          if (args.length > 1) new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(args(1))))
+          else scala.io.Source.stdin.mkString
+        script.linesIterator.foreach(evalLine)
+      }
+    } finally spark.stop()
+    if (failed) sys.exit(1)
   }
 }
