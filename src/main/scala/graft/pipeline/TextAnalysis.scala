@@ -20,6 +20,22 @@ object TextAnalysis {
     docs.select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
       .orderBy("doc_id")
 
+  /** BPE-style pre-tokenization pattern (the GPT-2 family shape, kept to
+    * portable RE2/Java syntax): contraction suffixes, letter runs, digit
+    * runs, non-alphanumeric punctuation runs. A real BPE vocab then splits
+    * these further; the pre-token count is the standard cheap proxy for
+    * token budget at corpus scale.
+    */
+  val bpePattern: String = "'(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s']+"
+
+  /** `(doc_id, n_bpe)`: BPE-ish pre-token count via regexp_count — per-row,
+    * codegen'd, no shuffle.
+    */
+  def bpeTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit(bpePattern)).cast("int").as("n_bpe"))
+      .orderBy("doc_id")
+
   /** Integer occurrence count of literal `kw` in `t` (no regex):
     * (len(t) - len(replace(t, kw, ''))) / len(kw) — exact in any engine.
     */

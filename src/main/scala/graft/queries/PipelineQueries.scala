@@ -63,6 +63,9 @@ object PipelineQueries {
   def textTokens(s: SparkSession, d: String): DataFrame =
     TextAnalysis.tokens(Tables.documents(s, d))
 
+  def textTokensBpe(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bpeTokens(Tables.documents(s, d))
+
   def textQuality(s: SparkSession, d: String): DataFrame =
     TextAnalysis.quality(Tables.documents(s, d))
 
@@ -127,6 +130,7 @@ object PipelineQueries {
     "ann_topk" -> annTopk,
     "ann_lsh" -> annLsh,
     "text_tokens" -> textTokens,
+    "text_tokens_bpe" -> textTokensBpe,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
@@ -190,6 +194,10 @@ object PipelineQueries {
     // ann_lsh: approximate by design -> rows-only
     "text_tokens" ->
       """SELECT doc_id, CAST(length(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_tokens_bpe" ->
+      """SELECT doc_id, CAST(length(regexp_extract_all(text,
+        |  '''(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s'']+')) AS INTEGER) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,

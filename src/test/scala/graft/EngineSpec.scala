@@ -189,6 +189,27 @@ class EngineSpec extends SparkSpec {
     assert(e.execute("p=select(ra)\nv=fetch(ra,p)\ncount(v)") == Seq("8"))
   }
 
+  test("concurrent sessions are isolated (reference: threadpooled clients)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val (e, _, _) = freshEngine()
+    // 8 sessions, same variable names, different bindings — each must see
+    // only its own environment (server.c:72-78: env is per-connection)
+    val futures = (1 to 8).map { i =>
+      Future {
+        val s = e.newSession()
+        graft.lang.Parser.parseScript(
+          s"""p=select(rc,1,$i)
+             |v=fetch(rd,p)
+             |""".stripMargin).toOption.get.foreach(s.eval)
+        s.eval(graft.lang.Parser.parseLine("count(v)").get)
+      }
+    }
+    val results = futures.map(Await.result(_, Duration.Inf))
+    assert(results == (1 to 8).map(i => Seq(i.toString)))
+  }
+
   test("error vocabulary") {
     val (e, _, _) = freshEngine()
     assert(intercept[DbException](e.execute("select(nope)")).code == "DBECOLSELECT")
