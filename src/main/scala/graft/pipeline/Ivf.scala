@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.LongArrayDot
+
+/** IVF (inverted-file) approximate nearest-neighbor search: a coarse
+  * k-means quantizer partitions vectors into cells; a query scores only
+  * the vectors in its `nprobe` nearest cells. The standard ANN scale
+  * shape alongside LSH ([[Similarity.lshTopK]]): candidate cost drops
+  * from n to ~ n * nprobe / k per query, governed by cell sizes.
+  *
+  * Everything is distributed except the centroid table itself — k x dim
+  * integers, legitimately driver-sized (the coarse codebook of a 100 TB
+  * index is kilobytes; it broadcasts to every assignment join). Distances
+  * use the codegen'd [[LongArrayDot]]: d2(a,c) = |a|^2 + |c|^2 - 2<a,c>,
+  * all exact integer arithmetic on quantized vectors. Training is Lloyd's
+  * algorithm with deterministic init (first k vectors by id), `iters`
+  * rounds of assign (broadcast join) + recompute (posexplode + per-dim
+  * integer mean) — each round is two narrow shuffles.
+  */
+object Ivf {
+
+  /** Train k centroids on (vec_id, q) prepared vectors; returns the
+    * centroid DataFrame `(cid, c, cn2)` (quantized ints, squared norm).
+    */
+  def train(p: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = p.sparkSession
+    LongArrayDot.register(spark)
+    import spark.implicits._
+    // deterministic init: the k lowest-id vectors
+    var centroids = p.orderBy("vec_id").limit(k).orderBy("vec_id")
+      .select(col("q")).collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Long](0).toArray) }.toSeq
+    for (_ <- 1 to iters) {
+      val cdf = centroids.toDF("cid", "c")
+        .withColumn("cn2", Similarity.intDot(col("c"), col("c")))
+      val assigned = assign(p, cdf)
+      // per-dimension integer mean of each cell's members
+      centroids = assigned
+        .select(col("cid"), posexplode(col("q")))
+        .groupBy("cid", "pos")
+        .agg(call_function("div", sum(col("col")), count(lit(1))).as("m"))
+        .groupBy("cid")
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("dims"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[org.apache.spark.sql.Row](1)
+          .map(_.getLong(1)).toArray)).toSeq
+    }
+    centroids.toDF("cid", "c")
+      .withColumn("cn2", Similarity.intDot(col("c"), col("c")))
+  }
+
+  /** Nearest-centroid assignment: broadcast the codebook, argmin integer
+    * L2 over cells. Returns p's columns + `cid`.
+    */
+  def assign(p: DataFrame, centroids: DataFrame): DataFrame = {
+    val d2 = col("n2") + col("cn2") - lit(2L) * Similarity.intDot(col("q"), col("c"))
+    val w = Window.partitionBy("vec_id").orderBy(d2.asc, col("cid").asc)
+    p.crossJoin(broadcast(centroids))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .drop("rk", "c", "cn2")
+  }
+
+  /** IVF top-k: score each query against the vectors in its nprobe
+    * nearest cells only. Approximate (cell boundaries lose neighbors);
+    * exact dot ranking within the probed cells.
+    */
+  def topK(emb: DataFrame, k: Int, nCells: Int, iters: Int, nprobe: Int,
+           queryPred: Column): DataFrame = {
+    val p = Similarity.prepared(emb).cache()
+    val centroids = train(p, nCells, iters)
+    val indexed = assign(p, centroids)
+      .select(col("cid"), col("vec_id").as("nid"), col("q").as("nq"))
+    // nprobe nearest cells per query vector
+    val qd2 = col("n2") + col("cn2") - lit(2L) * Similarity.intDot(col("qq"), col("c"))
+    val qw = Window.partitionBy("qid").orderBy(qd2.asc, col("cid").asc)
+    val probes = p.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("rk", row_number().over(qw))
+      .filter(col("rk") <= nprobe)
+      .select(col("qid"), col("qq"), col("cid"))
+    val scored = probes.join(indexed, Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("dot", Similarity.intDot(col("qq"), col("nq")))
+    val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("int").as("rank"), col("nid"), col("dot"))
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Ivf, Multimodal, Similarity, TextAnalysis}
 
 /** Correctness queries for the large-scale data-pipeline operators
   * (dedup, similarity search, text analysis, multimodal, event windows),
@@ -57,6 +57,13 @@ object PipelineQueries {
   def annLsh(s: SparkSession, d: String): DataFrame =
     Similarity.lshTopK(Tables.embeddings(s, d), k = 3, planes = 8,
       queryPred = col("vec_id") < 100).orderBy("qid", "rank")
+
+  /** IVF-bucketed ANN — coarse k-means cells + nprobe search; rows-only
+    * (approximate by design). See [[graft.pipeline.Ivf]].
+    */
+  def annIvf(s: SparkSession, d: String): DataFrame =
+    Ivf.topK(Tables.embeddings(s, d), k = 3, nCells = 16, iters = 2,
+      nprobe = 4, queryPred = col("vec_id") < 100).orderBy("qid", "rank")
 
   // --- text analysis ---
 
@@ -129,6 +136,7 @@ object PipelineQueries {
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,
     "ann_topk" -> annTopk,
     "ann_lsh" -> annLsh,
+    "ann_ivf" -> annIvf,
     "text_tokens" -> textTokens,
     "text_tokens_bpe" -> textTokensBpe,
     "text_quality" -> textQuality,

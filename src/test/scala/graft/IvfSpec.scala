@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Ivf, Similarity}
+
+/** IVF ANN vs exact brute force on synthetic clustered vectors: recall@k
+  * must be high when the data actually clusters (the IVF assumption).
+  */
+class IvfSpec extends SparkSpec {
+
+  /** 400 vectors in 8 well-separated clusters (dim 16), deterministic. */
+  private def clustered() = {
+    val spark0 = spark
+    import spark0.implicits._
+    val rnd = new java.util.Random(7)
+    val centers = Array.fill(8, 16)(rnd.nextGaussian() * 10f)
+    val rows = (0 until 400).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.5).toFloat).toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("IVF top-k recall vs brute force on clustered data") {
+    val emb = clustered().cache()
+    val pred = col("vec_id") < 40
+    val exact = Similarity.bruteForceTopK(emb, k = 5, queryPred = pred)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ivf.topK(emb, k = 5, nCells = 8, iters = 2, nprobe = 2,
+        queryPred = pred)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall $recall (${ivf.size} vs ${exact.size})")
+  }
+
+  test("IVF ranking within probed cells matches exact dot order") {
+    val emb = clustered()
+    val res = Ivf.topK(emb, k = 3, nCells = 8, iters = 1, nprobe = 8,
+      queryPred = col("vec_id") === 0)
+    // nprobe = nCells -> probes everything -> must equal brute force
+    val exact = Similarity.bruteForceTopK(emb, k = 3,
+      queryPred = col("vec_id") === 0)
+    assert(res.select("qid", "rank", "nid").collect().toSeq ==
+      exact.select("qid", "rank", "nid").collect().toSeq)
+  }
+}
