@@ -101,6 +101,37 @@ class EngineSpec extends SparkSpec {
     intercept[DbException](e.execute(pre + "z=sub(a,a)\ndiv(a,z)"))
   }
 
+  test("math across unrelated selects falls back to ordinal ranks") {
+    val (e, _, _) = freshEngine()
+    // p: rc in [1,4] -> ids 0..3, ra values 1,2,3,4
+    // q: rc in [5,8] -> ids 4..7, ra values 5,1,2,9
+    // ordinal zip: (1+5, 2+1, 3+2, 4+9)
+    val out = e.execute(
+      """p=select(rc,1,4)
+        |q=select(rc,5,8)
+        |a=fetch(ra,p)
+        |b=fetch(ra,q)
+        |add(a,b)
+        |""".stripMargin)
+    assert(out == Seq("6", "3", "5", "13"))
+    // chained: a result of a cross-lineage zip zips again (with itself)
+    val out2 = e.execute(
+      "p=select(rc,1,4)\nq=select(rc,5,8)\na=fetch(ra,p)\nb=fetch(ra,q)\n" +
+        "s=add(a,b)\nmul(s,s)")
+    assert(out2 == Seq("36", "9", "25", "169"))
+  }
+
+  test("math and tuple over aggregate singletons") {
+    val (e, _, _) = freshEngine()
+    val pre = "p=select(rc,1,8)\nv=fetch(rd,p)\nlo=min(v)\nhi=max(v)\n"
+    assert(e.execute(pre + "add(lo,hi)") == Seq("90"))
+    assert(e.execute(pre + "sub(hi,lo)") == Seq("70"))
+    assert(e.execute(pre + "tuple(lo,hi)") == Seq("(10,80)"))
+    // singleton zipped against a 1-row fetch (different lineage, length 1)
+    assert(e.execute(pre + "o=select(rc,3)\nw=fetch(rd,o)\nadd(lo,w)") ==
+      Seq("40"))
+  }
+
   test("all four join keywords produce identical multisets") {
     val (e, _, _) = freshEngine()
     // ra values {1,2,3,4,5,1,2,9}, ua values {1,2,7,2}
