@@ -62,8 +62,26 @@ final class Session(val engine: Engine) {
     case _: Ids  => throw DbError.unsupported(s"$name is a position intermediate, need values")
   }
 
-  /** Rebinding destroys the old value (server.c:197-268). */
-  private def bind(name: String, value: Intermediate): Unit = env(name) = value
+  /** Rebinding destroys the old value (server.c:197-268). Bound
+    * intermediates are cached: the reference materializes every
+    * intermediate eagerly, and scripts routinely consume one variable
+    * several times (the canonical query aggregates each fetch twice) —
+    * without caching, each consumer re-runs the variable's whole lineage.
+    * Caching is lazy (first use materializes), storage is
+    * memory-and-disk with LRU eviction, and the replaced value's cache
+    * is dropped on rebind, so long sessions don't accumulate state.
+    */
+  private def bind(name: String, value: Intermediate): Unit = {
+    env.get(name).foreach {
+      case i: Ids  => i.df.unpersist(false)
+      case v: Vals => v.df.unpersist(false)
+    }
+    value match {
+      case i: Ids  => i.df.cache()
+      case v: Vals => v.df.cache()
+    }
+    env(name) = value
+  }
 
   /** Evaluate one op; returns client-visible output lines (non-assign
     * forms stream results; assignments are silent). Output formats match
