@@ -75,23 +75,38 @@ object Similarity {
       .select("da", "db")
   }
 
+  /** Deterministic +-1 hyperplane weight table `(pl, w)` for `planes`
+    * planes of `dim` dimensions, broadcast-sized at any corpus scale.
+    */
+  private[pipeline] def planeWeights(emb: DataFrame, planes: Int,
+                                     seedBase: Long): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val dim = emb.select(size(col("embedding")).as("d")).limit(1)
+      .first().getInt(0)
+    (0 until planes).map { pl =>
+      val rnd = new java.util.Random(seedBase + pl)
+      (pl, Array.fill(dim)(if (rnd.nextBoolean()) 1L else -1L))
+    }.toDF("pl", "w")
+  }
+
   /** `(vec_id, q, n2, sig)`: prepared vectors + a `planes`-bit
-    * random-hyperplane signature. Deterministic pseudo-random hyperplanes:
-    * plane p's weight for dimension j is +1/-1 by parity of xxhash64(p, j).
-    * P(two vectors share a bit) = 1 - angle/pi, so near-identical vectors
-    * land in the same bucket w.h.p. while the expected bucket size for
-    * unrelated vectors is n / 2^planes.
+    * random-hyperplane signature. For a handful of planes the weights are
+    * inlined as literal arrays — `planes` codegen'd dot products per row,
+    * zero extra joins or jobs (the broadcast weight-table shape in
+    * [[lshCosinePairs]] is for hundreds of planes). P(two vectors share a
+    * bit) = 1 - angle/pi, so near-identical vectors land in the same
+    * bucket w.h.p. while the expected bucket size for unrelated vectors
+    * is n / 2^planes.
     */
   def signed(emb: DataFrame, planes: Int): DataFrame = {
+    val dim = emb.select(size(col("embedding")).as("d")).limit(1)
+      .first().getInt(0)
     val p = prepared(emb)
     val sigBits = (0 until planes).map { pl =>
-      val proj = aggregate(
-        zip_with(col("q"),
-          transform(sequence(lit(0), size(col("q")) - 1),
-            j => when(pmod(xxhash64(lit(pl), j), lit(2)) === 0, lit(1L)).otherwise(lit(-1L))),
-          (x, s) => x * s),
-        lit(0L), (acc, x) => acc + x)
-      when(proj >= 0, lit(1)).otherwise(lit(0)) * lit(1 << pl)
+      val rnd = new java.util.Random(7001L + pl)
+      val w = Array.fill(dim)(if (rnd.nextBoolean()) 1L else -1L)
+      when(intDot(col("q"), typedlit(w)) >= 0, lit(1L << pl)).otherwise(lit(0L))
     }
     p.withColumn("sig", sigBits.reduce(_ + _))
   }
@@ -134,24 +149,18 @@ object Similarity {
     * against a broadcast table of deterministic +-1 weight vectors — one
     * narrow broadcast join + a group-by, no interpreted per-element lambdas.
     */
-  def lshCosinePairs(emb: DataFrame, dim: Int, bands: Int, r: Int,
+  def lshCosinePairs(emb: DataFrame, bands: Int, r: Int,
                      tnum: Long, tden: Long): DataFrame = {
-    val spark = emb.sparkSession
-    LongArrayDot.register(spark)
-    // deterministic +-1 hyperplanes: plane (band*r+pl), dimension j
-    val weights = for (b <- 0 until bands; pl <- 0 until r) yield {
-      val rnd = new java.util.Random(1000003L * (b.toLong * r + pl) + 17)
-      (b, pl, Array.fill(dim)(if (rnd.nextBoolean()) 1L else -1L))
-    }
-    import spark.implicits._
-    val wdf = weights.toDF("band", "pl", "w")
+    val wdf = planeWeights(emb, bands * r, seedBase = 1000003L)
+      .select((col("pl") / r).cast("int").as("band"),
+        pmod(col("pl"), lit(r)).as("bit_ix"), col("w"))
     val p = prepared(emb).cache()
     // narrow signatures (vec_id, band, bh) — vectors re-attach only after
     // the candidate distinct, so no grouping/dedup ever hashes an array
     val banded = p.crossJoin(broadcast(wdf))
       .select(col("vec_id"), col("band"),
         (when(intDot(col("q"), col("w")) >= 0, lit(1L)).otherwise(lit(0L)) *
-          call_function("shiftleft", lit(1L), col("pl"))).as("bit"))
+          call_function("shiftleft", lit(1L), col("bit_ix"))).as("bit"))
       .groupBy("vec_id", "band").agg(sum(col("bit")).as("bh"))
     val cands = banded.select(col("band"), col("bh"), col("vec_id").as("da"))
       .join(banded.select(col("band"), col("bh"), col("vec_id").as("db")),

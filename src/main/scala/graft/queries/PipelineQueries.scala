@@ -45,7 +45,7 @@ object PipelineQueries {
     * rows-only check.
     */
   def dedupEmbeddingLsh(s: SparkSession, d: String): DataFrame =
-    Similarity.lshCosinePairs(Tables.embeddings(s, d), dim = 64,
+    Similarity.lshCosinePairs(Tables.embeddings(s, d),
       bands = 64, r = 8, tnum = 9, tden = 20).orderBy("da", "db")
 
   // --- similarity search ---
