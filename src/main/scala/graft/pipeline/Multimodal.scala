@@ -65,4 +65,47 @@ object Multimodal {
   def byteStats(media: DataFrame): DataFrame =
     media.select(col("doc_id"), octet_length(col("media")).cast("int").as("n_bytes"))
       .orderBy("doc_id")
+
+  /** One sampled "frame" of a media payload. */
+  final case class Frame(doc_id: Long, frame_ix: Int, n_bytes: Int,
+                         payload: Array[Byte])
+
+  /** Frame sampling (the video path's 1->N expansion): split each payload
+    * into `frameBytes` chunks, keep every `everyN`-th. A real codec would
+    * decode container frames; the chunking stands in, but the execution
+    * shape — a flatMap over typed rows producing multiple blob rows, the
+    * per-partition batch model, the downstream schema — is the real
+    * thing. Output rows stay narrow until `payload` is touched (parquet
+    * column pruning).
+    */
+  def frameSample(media: DataFrame, frameBytes: Int, everyN: Int): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].flatMap { m =>
+      val n = m.media.length
+      val nFrames = (n + frameBytes - 1) / frameBytes
+      (0 until nFrames by everyN).iterator.map { ix =>
+        val start = ix * frameBytes
+        val len = math.min(frameBytes, n - start)
+        Frame(m.doc_id, ix, len,
+          java.util.Arrays.copyOfRange(m.media, start, start + len))
+      }
+    }
+  }
+
+  /** Resize stub (the image path): deterministic byte subsampling to a
+    * fixed target size in place of a real scaler — metadata and batch
+    * plumbing are real, the pixel math is the clearly-marked fake.
+    */
+  def resizeStub(media: DataFrame, targetBytes: Int): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].map { m =>
+      val n = m.media.length
+      val out =
+        if (n <= targetBytes) m.media
+        else Array.tabulate(targetBytes)(i => m.media((i.toLong * n / targetBytes).toInt))
+      MediaRow(m.doc_id, m.kind, out)
+    }
+  }
 }

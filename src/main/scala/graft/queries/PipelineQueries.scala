@@ -91,6 +91,14 @@ object PipelineQueries {
         col("width"), col("height"))
       .orderBy("doc_id")
 
+  /** Frame sampling over binary payloads (256-byte frames, every 4th). */
+  def multimodalFrames(s: SparkSession, d: String): DataFrame =
+    Multimodal.frameSample(
+        Multimodal.ingestFromText(Tables.documents(s, d)),
+        frameBytes = 256, everyN = 4)
+      .toDF().select(col("doc_id"), col("frame_ix"), col("n_bytes"))
+      .orderBy("doc_id", "frame_ix")
+
   // --- event analytics (beyond reference parity: windows/sessions) ---
 
   def eventsWindow(s: SparkSession, d: String): DataFrame =
@@ -143,6 +151,7 @@ object PipelineQueries {
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
     "multimodal_features" -> multimodalFeatures,
+    "multimodal_frames" -> multimodalFrames,
     "events_window" -> eventsWindow,
     "events_sessionize" -> eventsSessionize,
   )
@@ -251,6 +260,13 @@ object PipelineQueries {
         |  CAST(64 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
         |  CAST(64 + octet_length(encode(text)) % 48 AS INTEGER) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_frames" ->
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+        |nums AS (SELECT ix FROM generate_series(0, 1000000, 4) t(ix))
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(ix AS INTEGER) AS frame_ix,
+        |  CAST(LEAST(256, n - ix*256) AS INTEGER) AS n_bytes
+        |FROM d JOIN nums ON ix <= (n + 255) // 256 - 1
+        |ORDER BY doc_id, frame_ix""".stripMargin,
     "events_window" ->
       """SELECT CAST(user_id AS BIGINT) AS user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
