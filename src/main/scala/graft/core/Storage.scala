@@ -60,7 +60,7 @@ object Storage {
       StructField("ord", LongType, nullable = false) +:
         names.map(n => StructField(n, IntegerType, nullable = true)))
     val withOrd = spark.createDataFrame(
-      casted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(i +: r.toSeq) },
+      casted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(i +: r.toSeq) },
       schema).cache()
     withOrd.count() // materialize once — per-column writers run concurrently
     names.map(n => n -> withOrd.select(col("ord"), col(n).as("v")))

@@ -55,7 +55,7 @@ object ColumnOps {
     val sorted = if (orderCols.isEmpty) df else df.orderBy(orderCols: _*)
     val schema = org.apache.spark.sql.types.StructType(
       StructField("pos", LongType, nullable = false) +: sorted.schema.fields)
-    val rdd = sorted.rdd.zipWithIndex.map { case (row, i) =>
+    val rdd = sorted.rdd.zipWithIndex().map { case (row, i) =>
       Row.fromSeq(i +: row.toSeq)
     }
     spark.createDataFrame(rdd, schema)
