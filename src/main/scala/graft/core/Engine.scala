@@ -62,21 +62,31 @@ final class Session(val engine: Engine) {
     case _: Ids  => throw DbError.unsupported(s"$name is a position intermediate, need values")
   }
 
-  /** Rebinding destroys the old value (server.c:197-268). Bound
-    * intermediates are cached: the reference materializes every
-    * intermediate eagerly, and scripts routinely consume one variable
-    * several times (the canonical query aggregates each fetch twice) —
-    * without caching, each consumer re-runs the variable's whole lineage.
-    * Caching is lazy (first use materializes), storage is
-    * memory-and-disk with LRU eviction, and the replaced value's cache
-    * is dropped on rebind, so long sessions don't accumulate state.
+  /** Rebinding destroys the old value (server.c:197-268).
+    *
+    * Caching policy: scripts routinely consume one variable several
+    * times (the canonical query aggregates each fetch twice), so bound
+    * intermediates whose size is bounded by a BASE COLUMN (select id
+    * sets, fetches from selects, singletons) are cached — lazy
+    * materialization, memory-and-disk LRU, dropped on rebind. Join
+    * LINEAGE intermediates (pair lists and fetches from them) are NOT
+    * cached: a join's output can be quadratic in its inputs, and
+    * materializing 10^8 pairs costs far more than re-running the join's
+    * final stage per consumer — Spark reuses the shuffle files of the
+    * same DataFrame lineage across jobs, so each extra consumer pays
+    * only the pair-production stage, never the scans or the shuffle.
+    * (Measured at 75M pairs: caching 62s, shuffle-reuse ~1s/consumer.)
     */
   private def bind(name: String, value: Intermediate): Unit = {
     env.get(name).foreach {
       case i: Ids  => i.df.unpersist(false)
       case v: Vals => v.df.unpersist(false)
     }
-    value match {
+    val joinLineage = value match {
+      case i: Ids  => i.ordered
+      case v: Vals => v.align.cols.size > 1
+    }
+    if (!joinLineage) value match {
       case i: Ids  => i.df.cache()
       case v: Vals => v.df.cache()
     }
@@ -124,10 +134,11 @@ final class Session(val engine: Engine) {
           catalog.require(c).stype == BTree)
         if (!ok) throw DbError.noTree(inR)
       }
-      val (pairs0, outCols) =
+      val (pairs, outCols) =
         ColumnOps.join(jtype, l.df, r.df, l.align.cols, r.align.cols)
-      val pairs = pairs0.cache()
-      // both sides share one pair order: one fresh alignment lineage
+      // NOT cached — see bind(): pair lists can be quadratic; consumers
+      // share the join's shuffle files instead of a materialized copy.
+      // Both sides share one pair order: one fresh alignment lineage.
       val align = Align.fresh(outCols)
       bind(varL, Ids(pairs.select(outCols.map(col) :+ col("lid").as("id"): _*),
         ordered = true, align = align))

@@ -119,6 +119,10 @@ object PerfBaseline {
            |""".stripMargin)
       val tLoad = (System.nanoTime() - t0) / 1e9
       for (join <- Seq("hashjoin", "sortjoin", "loopjoin", "treejoin")) {
+        // drop cross-query cached plans (fetches, singleton agg results
+        // survive the session otherwise) so every join runs cold, like
+        // the reference's fresh-server-per-run timing
+        spark.catalog.clearCache()
         val q0 = System.nanoTime()
         val out = engine.execute(queryScript(join))
         val tQ = (System.nanoTime() - q0) / 1e9
