@@ -157,7 +157,7 @@ final class Session(val engine: Engine) {
       val l = getVals(in1)
       val r = getVals(in2)
       // equal-length requirement (DBEINTERMDIFFLEN, aggregate.c:112-116)
-      if (l.df.count() != r.df.count()) throw DbError.intermDiffLen()
+      if (lengthOf(l) != lengthOf(r)) throw DbError.intermDiffLen()
       if (mtype == MathDiv && !r.df.filter(col("v") === 0).isEmpty)
         throw DbError.divZero()
       val (lAligned, rAligned) = aligned(l, r)
@@ -186,7 +186,7 @@ final class Session(val engine: Engine) {
 
     case Op.Tuple(vars) =>
       val vals = vars.map(getVals)
-      val lengths = vals.map(_.df.count())
+      val lengths = vals.map(lengthOf)
       if (lengths.distinct.size > 1) throw DbError.intermDiffLen()
       // same lineage -> zip on the shared align key; otherwise rank-zip
       val zipped = vals.map(_.align.tag).distinct match {
@@ -230,6 +230,15 @@ final class Session(val engine: Engine) {
       case Some(name) => bind(name, v); Nil
       case None       => emit(v)
     }
+
+  /** Length of a values intermediate for the DBEINTERMDIFFLEN checks.
+    * Aggregate results are singletons BY CONSTRUCTION (aggregate.c:26-30)
+    * — counting them would replay their whole input lineage (at 10^8 join
+    * pairs, one wasted pair-production pass per aggregate operand), so
+    * they answer 1 without an action. Everything else counts.
+    */
+  private def lengthOf(v: Vals): Long =
+    if (v.align.tag == Align.SingletonTag) 1L else v.df.count()
 
   /** Two values intermediates, made zippable: same lineage -> as-is (the
     * align-column equi-join IS the ordinal zip); different lineages ->
