@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Salted equi-join for skewed keys.
+  *
+  * A shuffle join hashes rows to partitions by key; one hot key (a viral
+  * document id, a null-ish default, a stop-phrase shingle) lands its
+  * entire M x N blowup on one task. AQE's skew-join split handles
+  * moderate skew at runtime; this utility is the explicit salting form
+  * for pipelines that KNOW their hot keys — deterministic, planner-
+  * independent, and usable under any join type:
+  *
+  *  - the large (skewed) side gets a salt in [0, buckets) derived from a
+  *    deterministic hash of its other columns;
+  *  - the small side is replicated `buckets` times (explode over the salt
+  *    range);
+  *  - the join key becomes (key, salt), spreading each hot key over
+  *    `buckets` tasks. Result multiset is identical to the unsalted join.
+  *
+  * Cost model: small side inflates by `buckets`; use for joins where the
+  * small side is modest but too big (or too skew-correlated) to
+  * broadcast outright.
+  */
+object SkewJoin {
+
+  /** Inner equi-join of `large` and `small` on `key`, salted into
+    * `buckets` sub-keys. Column sets must be disjoint apart from `key`.
+    */
+  def saltedInnerJoin(large: DataFrame, small: DataFrame, key: String,
+                      buckets: Int): DataFrame = {
+    require(buckets > 0)
+    val largeCols = large.columns.filterNot(_ == key)
+    // deterministic salt: stable across retries (no rand()), spreads a
+    // hot key by the row's full content
+    val salted = large.withColumn("_salt",
+      pmod(xxhash64(largeCols.map(col): _*), lit(buckets)))
+    val replicated = small.withColumn("_salt",
+      explode(sequence(lit(0L), lit(buckets - 1L))))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+}

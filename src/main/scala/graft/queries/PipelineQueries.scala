@@ -122,6 +122,23 @@ object PipelineQueries {
       case _ => unix_millis(col("ts"))
     }
 
+  /** Tumbling 1-hour event-time windows per user: the batch counterpart
+    * of [[graft.streaming.EventStreams.windowedStats]], integer window
+    * keys (epoch-hour) so the DuckDB compare is exact.
+    */
+  def eventsTimeWindow(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    ev.select(col("user_id"),
+        call_function("div", eventMs(ev), lit(3600000L)).as("hour"),
+        col("value"))
+      .groupBy("user_id", "hour")
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum(round(col("value") * 100).cast("long")).cast("long").as("cents"))
+      .select(col("user_id").cast("long").as("user_id"), col("hour"),
+        col("n_events"), col("cents"))
+      .orderBy("user_id", "hour")
+  }
+
   def eventsSessionize(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(s, d)
@@ -153,6 +170,7 @@ object PipelineQueries {
     "multimodal_features" -> multimodalFeatures,
     "multimodal_frames" -> multimodalFrames,
     "events_window" -> eventsWindow,
+    "events_time_window" -> eventsTimeWindow,
     "events_sessionize" -> eventsSessionize,
   )
 
@@ -272,6 +290,12 @@ object PipelineQueries {
         |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
         |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "events_time_window" ->
+      """SELECT CAST(user_id AS BIGINT) AS user_id,
+        |  CAST(epoch_ms(ts) // 3600000 AS BIGINT) AS hour,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, hour""".stripMargin,
     "events_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id FROM events),
         |g AS (SELECT user_id, ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS gap FROM e)

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SkewJoin
+
+class SkewJoinSpec extends SparkSpec {
+
+  test("salted join multiset equals plain join under heavy skew") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 10k rows, 90% on one hot key
+    val rnd = new scala.util.Random(3)
+    val large = (1 to 10000)
+      .map(i => (if (rnd.nextInt(10) < 9) 7 else rnd.nextInt(50), i))
+      .toDF("k", "payload")
+    val small = (0 until 50).map(k => (k, s"dim$k")).toDF("k", "name")
+    val plain = large.join(small, "k")
+      .select("k", "payload", "name").collect()
+      .map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val salted = SkewJoin.saltedInnerJoin(large, small, "k", buckets = 8)
+      .select("k", "payload", "name").collect()
+      .map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(salted == plain)
+  }
+
+  test("salt actually spreads the hot key across sub-keys") {
+    val spark0 = spark
+    import spark0.implicits._
+    val large = (1 to 1000).map(i => (7, i)).toDF("k", "payload")
+    val salts = large.withColumn("_salt",
+        pmod(xxhash64(col("payload")), lit(8L)))
+      .select("_salt").distinct().count()
+    assert(salts == 8L)
+  }
+}
