@@ -20,7 +20,8 @@ import graft.lang.Op.StorageType
   * never reused), and independent per column.
   */
 final case class ColumnMeta(dbDir: String, name: String, stype: StorageType,
-                            version: Long, nextId: Long) {
+                            version: Long, nextId: Long,
+                            pristine: Boolean = true) {
   def dataPath: String = s"$dbDir/cols/$name/v$version"
 }
 
@@ -33,17 +34,21 @@ final class Catalog(val dbDir: String) {
     Files.createDirectories(Paths.get(dbDir, "cols"))
     if (!Files.exists(catalogFile)) Map.empty
     else Files.readAllLines(catalogFile).asScala.filter(_.nonEmpty).map { line =>
-      val Array(n, st, ver, nid) = line.split("\t")
+      // 4-field records predate the pristine flag; they may have seen
+      // deletes, so read them conservatively as non-pristine
+      val fields = line.split("\t")
+      val Array(n, st, ver, nid) = fields.take(4)
+      val pristine = fields.length > 4 && fields(4) == "1"
       val stype = StorageType.fromString(st).getOrElse(
         throw DbError.ioError(s"bad storage type $st in catalog"))
-      n -> ColumnMeta(dbDir, n, stype, ver.toLong, nid.toLong)
+      n -> ColumnMeta(dbDir, n, stype, ver.toLong, nid.toLong, pristine)
     }.toMap
   }
 
   private def persist(): Unit = {
     val tmp = Paths.get(dbDir, "catalog.txt.tmp")
     val body = cols.values.toSeq.sortBy(_.name)
-      .map(c => s"${c.name}\t${c.stype.name}\t${c.version}\t${c.nextId}")
+      .map(c => s"${c.name}\t${c.stype.name}\t${c.version}\t${c.nextId}\t${if (c.pristine) "1" else "0"}")
       .mkString("", "\n", "\n")
     Files.writeString(tmp, body)
     Files.move(tmp, catalogFile, StandardCopyOption.ATOMIC_MOVE,
@@ -73,10 +78,16 @@ final class Catalog(val dbDir: String) {
     }
   }
 
-  /** Record a new data version and/or advanced nextId for `name`. */
-  def update(name: String, version: Long, nextId: Long): ColumnMeta = synchronized {
+  /** Record a new data version and/or advanced nextId for `name`.
+    * `stillPristine = false` marks the column as mutated (delete/update
+    * may have punched holes) — engine rewrite paths set it; load/insert
+    * keep the flag.
+    */
+  def update(name: String, version: Long, nextId: Long,
+             stillPristine: Boolean = true): ColumnMeta = synchronized {
     val prev = cols.getOrElse(name, throw DbError.colSelect(name))
-    val m = prev.copy(version = version, nextId = nextId)
+    val m = prev.copy(version = version, nextId = nextId,
+      pristine = prev.pristine && stillPristine)
     cols += name -> m
     persist()
     m

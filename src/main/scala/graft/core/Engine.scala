@@ -118,7 +118,15 @@ final class Session(val engine: Engine) {
                else {
                  // bitmap length must match the column (storage.c:1311-1318)
                  if (ids.srcLen.exists(_ != meta.nextId)) throw DbError.colDiffLen(c)
-                 ColumnOps.fetchSet(base, ids.df)
+                 // select-all -> fetch fusion: a full select of a pristine
+                 // column over an equally pristine target selects every
+                 // position 0..nextId-1, so the fetch IS the base column —
+                 // no join. Any delete on either column clears `pristine`
+                 // and disables the fusion (live sets may then differ).
+                 val fullPristine = ids.fullSelect && meta.pristine &&
+                   ids.srcCol.forall(sc => catalog.require(sc).pristine)
+                 if (fullPristine) base.select("id", "v")
+                 else ColumnOps.fetchSet(base, ids.df)
                }
       val vals = Vals(df, hasIds = true, align = ids.align, fetchCol = Some(c),
         fullBase = ids.fullSelect)
@@ -173,15 +181,18 @@ final class Session(val engine: Engine) {
 
     case Delete(posVar, cols) =>
       val ids = idsOf(getIds(posVar))
+      // delete punches holes in the position space -> pristine off
       cols.foreach { c => rewrite(c, base =>
-        base.join(ids, Seq("id"), "left_anti")) }
+        base.join(ids, Seq("id"), "left_anti"), keepsPristine = false) }
       Nil
 
     case Update(posVar, c, value) =>
       val ids = idsOf(getIds(posVar))
+      // update changes values but every position stays live
       rewrite(c, base =>
         base.join(ids.withColumn("nv", lit(value)), Seq("id"), "left")
-          .select(col("id"), coalesce(col("nv"), col("v")).cast(IntegerType).as("v")))
+          .select(col("id"), coalesce(col("nv"), col("v")).cast(IntegerType).as("v")),
+        keepsPristine = true)
       Nil
 
     case Op.Tuple(vars) =>
@@ -326,13 +337,15 @@ final class Session(val engine: Engine) {
     * positions are never compacted or reused). Unsorted only, like the
     * reference (DBEUNSUPPORTED, storage.c:1833-1841).
     */
-  private def rewrite(c: String, f: DataFrame => DataFrame): Unit = {
+  private def rewrite(c: String, f: DataFrame => DataFrame,
+                      keepsPristine: Boolean): Unit = {
     val meta = catalog.require(c)
     if (meta.stype != Unsorted)
       throw DbError.unsupported(s"delete/update on ${meta.stype.name} column $c")
     val out = f(engine.column(c))
     Storage.writeColumn(out, meta.copy(version = meta.version + 1).dataPath,
       meta.stype)
-    catalog.update(c, meta.version + 1, meta.nextId)
+    catalog.update(c, meta.version + 1, meta.nextId,
+      stillPristine = keepsPristine)
   }
 }

@@ -206,6 +206,39 @@ class EngineSpec extends SparkSpec {
       e2.execute("p=select(rc,4)\ndelete(p,rc)")).code == "DBEUNSUPPORTED")
   }
 
+  test("full-select fetch fusion stays exact across deletes") {
+    // all-unsorted db so delete is allowed
+    val db = tmpDir("graftdb")
+    val (r, _) = writeCsvs(tmpDir("csv"))
+    val e = new Engine(spark, db)
+    e.execute(
+      s"""create(ra,"unsorted")
+         |create(rc,"unsorted")
+         |create(rd,"unsorted")
+         |load("$r")
+         |""".stripMargin)
+    // pristine: select-all + fetch = whole column (fusion path)
+    assert(e.execute("p=select(ra)\nv=fetch(rd,p)\ncount(v)") == Seq("8"))
+    // delete id 1 via rc==2; ra/rc/rd all lose a position
+    e.execute("d=select(rc,2)\ndelete(d,ra,rc,rd)")
+    // non-pristine: the same script must now see 7 live positions, and
+    // values must come from the live set only (20 is gone)
+    assert(e.execute("p=select(ra)\nv=fetch(rd,p)\ncount(v)") == Seq("7"))
+    assert(e.execute("p=select(ra)\nv=fetch(rd,p)\nprint(v)") ==
+      Seq("10", "30", "40", "50", "60", "70", "80"))
+    // fusion also must not kick in when only the SELECT source was deleted
+    val db2 = tmpDir("graftdb")
+    val e2 = new Engine(spark, db2)
+    e2.execute(
+      s"""create(ra,"unsorted")
+         |create(rc,"unsorted")
+         |create(rd,"unsorted")
+         |load("$r")
+         |""".stripMargin)
+    e2.execute("d=select(rc,2)\ndelete(d,ra)") // ra only; rd stays pristine
+    assert(e2.execute("p=select(ra)\nv=fetch(rd,p)\ncount(v)") == Seq("7"))
+  }
+
   test("persistence: a new engine over the same dbDir sees the data") {
     val (e, _, _) = freshEngine()
     e.execute("insert(ra,42,rc,42,rd,42)")
