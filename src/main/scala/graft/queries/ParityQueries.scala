@@ -179,7 +179,7 @@ object ParityQueries {
     s"CAST(((($x) + 2147483648) % 4294967296 + 4294967296) % 4294967296 - 2147483648 AS INTEGER)"
 
   private def liIdSqlFor(p: String) =
-    s"(($p.l_orderkey*10 + $p.l_linenumber)*1000000 + $p.l_partkey)*100000 + $p.l_suppkey"
+    s"((($p.l_orderkey*10 + $p.l_linenumber)*1000000 + $p.l_partkey)*10000 + $p.l_suppkey)*100 + CAST($p.l_quantity AS INTEGER)"
   private val liIdSql = liIdSqlFor("lineitem")
 
   val queries: Map[String, Q] = Map(

@@ -26,14 +26,16 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/events.parquet")
 
-  /** lineitem's deterministic position key. (l_orderkey, l_linenumber)
-    * alone is NOT unique in the synthetic data; the 4-tuple with partkey
-    * and suppkey is. Packed into one long (exact in BIGINT at bench
-    * scales).
+  /** lineitem's deterministic position key. Neither (l_orderkey,
+    * l_linenumber) nor the 4-tuple with partkey+suppkey is unique in the
+    * synthetic data (one 4-tuple collision at sf0.001); the 5-tuple with
+    * int quantity is, at every shipped sf. Packed into one long — max
+    * ~1.5e18 at sf0.1's key ranges (orderkey<=150k, partkey<=20k,
+    * suppkey<=1k, qty<=50), well inside BIGINT.
     */
   val liId: Column =
-    ((col("l_orderkey") * 10 + col("l_linenumber")) * 1000000 + col("l_partkey")) * 100000 +
-      col("l_suppkey")
+    (((col("l_orderkey") * 10 + col("l_linenumber")) * 1000000 + col("l_partkey")) * 10000 +
+      col("l_suppkey")) * 100 + col("l_quantity").cast(IntegerType)
 
   /** Adapt one lineitem expression to an engine column `(id, v)`. */
   def liCol(spark: SparkSession, dir: String, v: Column): DataFrame =
