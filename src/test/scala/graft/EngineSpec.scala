@@ -274,6 +274,22 @@ class EngineSpec extends SparkSpec {
     assert(results == (1 to 8).map(i => Seq(i.toString)))
   }
 
+  test("empty columns: select/fetch/aggregate before any load") {
+    val e = new Engine(spark, tmpDir("graftdb"))
+    e.execute("""create(ea,"unsorted")
+                |create(eb,"unsorted")""".stripMargin)
+    assert(e.execute("select(ea)") == Nil)
+    assert(e.execute("p=select(ea,1,9)\nv=fetch(eb,p)\ncount(v)") == Seq("0"))
+    assert(e.execute("p=select(ea)\nv=fetch(ea,p)\nsum(v)") == Seq("0"))
+    // load into a not-created column errors, session survives
+    val dir = tmpDir("csv")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/x.csv"), "nope\n1\n")
+    assert(intercept[DbException](
+      e.execute(s"""load("$dir/x.csv")""")).code == "DBECOLSELECT")
+    assert(e.execute("select(ea)") == Nil)
+  }
+
   test("error vocabulary") {
     val (e, _, _) = freshEngine()
     assert(intercept[DbException](e.execute("select(nope)")).code == "DBECOLSELECT")
