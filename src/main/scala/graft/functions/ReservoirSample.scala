@@ -1,0 +1,119 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Buffer: the k (priority, value) pairs with the smallest priorities
+  * seen so far, as a max-heap on priority so the worst is evicted in
+  * O(log k).
+  */
+final class BottomK(val k: Int) {
+  val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Long)](
+    Ordering.by(_._1)) // max-priority on top
+  def offer(p: Long, v: Long): Unit =
+    if (heap.size < k) heap.enqueue((p, v))
+    else if (p < heap.head._1) { heap.dequeue(); heap.enqueue((p, v)) }
+}
+
+/** Deterministic uniform k-sample of a bigint column via bottom-k
+  * priorities ("consistent sampling"): each value's priority is a
+  * mixed hash of (seed, value); the sample is the k smallest
+  * priorities. A [[TypedImperativeAggregate]] — the extension point for
+  * aggregates whose state is an arbitrary object rather than a
+  * fixed-width row, and the representative of the sketch family: state
+  * is O(k) whatever the input size, partial states merge exactly
+  * (bottom-k of a union is the bottom-k of bottom-ks), so a 100 TB
+  * column samples in one map-side pass plus k-sized merges.
+  *
+  * Hash-priority sampling is uniform over DISTINCT values and fully
+  * deterministic — independent of partitioning, retries, and row order.
+  *
+  * Registered as `graft_reservoir(col, k, seed)`.
+  */
+case class ReservoirSample(child: Expression, k: Int, seed: Long,
+                           mutableAggBufferOffset: Int = 0,
+                           inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[BottomK] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_reservoir"
+
+  /** splitmix64 finalizer — a well-mixed deterministic priority. */
+  private def mix(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  override def createAggregationBuffer(): BottomK = new BottomK(k)
+
+  override def update(b: BottomK, input: InternalRow): BottomK = {
+    val v = child.eval(input)
+    if (v != null) {
+      val x = v.asInstanceOf[Long]
+      b.offer(mix(seed ^ x), x)
+    }
+    b
+  }
+
+  override def merge(b: BottomK, o: BottomK): BottomK = {
+    o.heap.foreach { case (p, v) => b.offer(p, v) }
+    b
+  }
+
+  override def eval(b: BottomK): Any =
+    new GenericArrayData(b.heap.toArray.sortBy(_._1).map(_._2))
+
+  override def serialize(b: BottomK): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(b.k); out.writeInt(b.heap.size)
+    b.heap.foreach { case (p, v) => out.writeLong(p); out.writeLong(v) }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): BottomK = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val b = new BottomK(in.readInt())
+    val n = in.readInt()
+    var i = 0
+    while (i < n) { b.heap.enqueue((in.readLong(), in.readLong())); i += 1 }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): ReservoirSample =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ReservoirSample =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): ReservoirSample = copy(child = c.head)
+}
+
+object ReservoirSample {
+  val name = "graft_reservoir"
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val id = FunctionIdentifier(name)
+    if (!reg.functionExists(id)) {
+      reg.registerFunction(
+        id,
+        new ExpressionInfo(classOf[ReservoirSample].getName, name),
+        (children: Seq[Expression]) => {
+          require(children.length == 3, s"$name(col, k, seed)")
+          val k = children(1).eval().asInstanceOf[Number].intValue()
+          val seed = children(2).eval().asInstanceOf[Number].longValue()
+          ReservoirSample(children.head, k, seed).toAggregateExpression()
+        })
+    }
+  }
+}

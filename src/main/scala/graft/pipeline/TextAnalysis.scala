@@ -91,6 +91,19 @@ object TextAnalysis {
     scored.select(col("doc_id"), pred.as("lang_pred")).orderBy("doc_id")
   }
 
+  /** Corpus vocabulary: the `k` most frequent whitespace tokens with
+    * exact counts (deterministic tie-break by token). The standard
+    * corpus-stats pass before vocab/BPE training: one explode + one
+    * hash-shuffle group-by + a top-k — at 100 TB the group-by is the
+    * only wide stage, and the top-k moves k rows, not the vocabulary.
+    */
+  def vocabulary(docs: DataFrame, k: Int): DataFrame =
+    docs.select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(k)
+
   /** Content fingerprint: md5 of the whitespace-normalized lowercase text
     * — a deterministic, engine-portable document identity for dedup joins.
     */

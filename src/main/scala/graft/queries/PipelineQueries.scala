@@ -82,6 +82,10 @@ object PipelineQueries {
   def textFingerprint(s: SparkSession, d: String): DataFrame =
     TextAnalysis.fingerprint(Tables.documents(s, d))
 
+  def textVocab(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.vocabulary(Tables.documents(s, d), k = 50)
+      .select(col("token"), col("freq").cast("long").as("freq"))
+
   // --- multimodal ---
 
   def multimodalFeatures(s: SparkSession, d: String): DataFrame =
@@ -167,6 +171,7 @@ object PipelineQueries {
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
+    "text_vocab" -> textVocab,
     "multimodal_features" -> multimodalFeatures,
     "multimodal_frames" -> multimodalFrames,
     "events_window" -> eventsWindow,
@@ -273,6 +278,11 @@ object PipelineQueries {
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_vocab" ->
+      """SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+        |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents)
+        |WHERE length(token) > 0
+        |GROUP BY token ORDER BY freq DESC, token ASC LIMIT 50""".stripMargin,
     "multimodal_features" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  CAST(64 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
