@@ -104,6 +104,40 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("token").asc)
       .limit(k)
 
+  /** Winnowed rolling-hash fingerprints (the MOSS scheme, Schleimer et
+    * al. 2003): hash every token k-gram, then keep the minimum hash of
+    * each sliding window of `w` consecutive k-grams (ties to the
+    * rightmost, i.e. latest position). Guarantees: any shared run of
+    * w+k-1 tokens between two documents shares at least one fingerprint,
+    * and ~1/w of the k-gram hashes survive — a position-robust partial-
+    * overlap signature at a fraction of the shingle volume.
+    *
+    * `(doc_id, fp)` distinct. All window work (lead for k-grams, min over
+    * a row frame for winnowing) is codegen'd; one doc_id shuffle total.
+    */
+  def winnowedFingerprints(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && w >= 1)
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(trim(col("text")), "\\s+")))
+      .select(col("doc_id"), col("pos").as("idx"), col("col").as("t"))
+    val seq = Window.partitionBy("doc_id").orderBy("idx")
+    val gramCols = col("t") +: (1 until k).map(o => lead(col("t"), o).over(seq))
+    val grams = toks
+      .select(col("doc_id"), col("idx"),
+        xxhash64(gramCols: _*).as("h"),
+        (if (k > 1) lead(col("t"), k - 1).over(seq) else col("t")).as("tail"))
+      .filter(col("tail").isNotNull)
+    // winnow: min hash over each w-window of consecutive k-gram positions
+    val frame = Window.partitionBy("doc_id").orderBy("idx")
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .select(col("doc_id"), min(col("h")).over(frame).as("fp"),
+        count(lit(1)).over(frame).as("span"))
+      .filter(col("span") === w) // only complete windows select
+      .select("doc_id", "fp").distinct()
+  }
+
   /** Content fingerprint: md5 of the whitespace-normalized lowercase text
     * — a deterministic, engine-portable document identity for dedup joins.
     */

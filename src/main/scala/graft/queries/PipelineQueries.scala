@@ -86,6 +86,11 @@ object PipelineQueries {
     TextAnalysis.vocabulary(Tables.documents(s, d), k = 50)
       .select(col("token"), col("freq").cast("long").as("freq"))
 
+  /** Winnowed rolling-hash fingerprints (xxhash64-based -> rows-only). */
+  def textWinnow(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.winnowedFingerprints(Tables.documents(s, d), k = 5, w = 8)
+      .orderBy("doc_id", "fp")
+
   // --- multimodal ---
 
   def multimodalFeatures(s: SparkSession, d: String): DataFrame =
@@ -172,6 +177,7 @@ object PipelineQueries {
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
     "text_vocab" -> textVocab,
+    "text_winnow" -> textWinnow,
     "multimodal_features" -> multimodalFeatures,
     "multimodal_frames" -> multimodalFrames,
     "events_window" -> eventsWindow,

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.TextAnalysis
+
+class WinnowSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    val spark0 = spark
+    import spark0.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("shared token runs share a winnowed fingerprint") {
+    val common = "one two three four five six seven eight nine ten"
+    val d = docs(
+      1L -> s"alpha beta $common gamma delta",
+      2L -> s"zeta eta theta $common iota")
+    // k=3, w=4: any shared run of w+k-1=6 tokens guarantees a shared fp;
+    // the common run has 10
+    val fp = TextAnalysis.winnowedFingerprints(d, k = 3, w = 4).cache()
+    val f1 = fp.filter(col("doc_id") === 1).select("fp").collect().map(_.getLong(0)).toSet
+    val f2 = fp.filter(col("doc_id") === 2).select("fp").collect().map(_.getLong(0)).toSet
+    assert((f1 & f2).nonEmpty)
+    // and an unrelated doc shares nothing
+    val other = TextAnalysis.winnowedFingerprints(
+      docs(3L -> "completely different words entirely here and more and more"),
+      k = 3, w = 4).select("fp").collect().map(_.getLong(0)).toSet
+    assert((f1 & other).isEmpty)
+  }
+
+  test("winnowing reduces fingerprint volume vs raw k-grams") {
+    val text = (1 to 400).map(i => s"w${i % 83}").mkString(" ")
+    val d = docs(1L -> text)
+    val raw = 400 - 3 + 1 // all 3-gram positions
+    val kept = TextAnalysis.winnowedFingerprints(d, k = 3, w = 8).count()
+    assert(kept < raw / 2, s"kept $kept of $raw")
+    assert(kept > 0)
+  }
+}
