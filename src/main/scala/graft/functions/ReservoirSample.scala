@@ -9,16 +9,23 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
-/** Buffer: the k (priority, value) pairs with the smallest priorities
-  * seen so far, as a max-heap on priority so the worst is evicted in
-  * O(log k).
+/** Buffer: the k DISTINCT values with the smallest priorities seen so
+  * far — max-heap on priority for O(log k) eviction, plus a membership
+  * set so repeated occurrences of a value (same hash priority) never
+  * enter twice and flood the sample on skewed data.
   */
 final class BottomK(val k: Int) {
   val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Long)](
     Ordering.by(_._1)) // max-priority on top
+  private val present = scala.collection.mutable.HashSet.empty[Long]
   def offer(p: Long, v: Long): Unit =
-    if (heap.size < k) heap.enqueue((p, v))
-    else if (p < heap.head._1) { heap.dequeue(); heap.enqueue((p, v)) }
+    if (!present(v)) {
+      if (heap.size < k) { heap.enqueue((p, v)); present += v }
+      else if (p < heap.head._1) {
+        present -= heap.dequeue()._2
+        heap.enqueue((p, v)); present += v
+      }
+    }
 }
 
 /** Deterministic uniform k-sample of a bigint column via bottom-k
@@ -41,10 +48,20 @@ case class ReservoirSample(child: Expression, k: Int, seed: Long,
                            inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[BottomK] {
 
+  require(k > 0, s"$prettyName: k must be positive, got $k")
+
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_reservoir"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (child.dataType == LongType) TypeCheckSuccess
+    else TypeCheckFailure(
+      s"$prettyName requires a bigint column, got ${child.dataType.sql}")
+  }
 
   /** splitmix64 finalizer — a well-mixed deterministic priority. */
   private def mix(x0: Long): Long = {
@@ -86,7 +103,8 @@ case class ReservoirSample(child: Expression, k: Int, seed: Long,
     val b = new BottomK(in.readInt())
     val n = in.readInt()
     var i = 0
-    while (i < n) { b.heap.enqueue((in.readLong(), in.readLong())); i += 1 }
+    // offer() rebuilds the membership set alongside the heap
+    while (i < n) { b.offer(in.readLong(), in.readLong()); i += 1 }
     b
   }
 
@@ -110,7 +128,10 @@ object ReservoirSample {
         new ExpressionInfo(classOf[ReservoirSample].getName, name),
         (children: Seq[Expression]) => {
           require(children.length == 3, s"$name(col, k, seed)")
+          require(children(1).foldable && children(2).foldable,
+            s"$name: k and seed must be literals")
           val k = children(1).eval().asInstanceOf[Number].intValue()
+          require(k > 0, s"$name: k must be positive, got $k")
           val seed = children(2).eval().asInstanceOf[Number].longValue()
           ReservoirSample(children.head, k, seed).toAggregateExpression()
         })

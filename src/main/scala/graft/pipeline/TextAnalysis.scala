@@ -121,13 +121,13 @@ object TextAnalysis {
     val toks = docs
       .select(col("doc_id"), posexplode(split(trim(col("text")), "\\s+")))
       .select(col("doc_id"), col("pos").as("idx"), col("col").as("t"))
+      .filter(length(col("t")) > 0) // blank text tokenizes to one "" token
     val seq = Window.partitionBy("doc_id").orderBy("idx")
     val gramCols = col("t") +: (1 until k).map(o => lead(col("t"), o).over(seq))
     val grams = toks
       .select(col("doc_id"), col("idx"),
-        xxhash64(gramCols: _*).as("h"),
-        (if (k > 1) lead(col("t"), k - 1).over(seq) else col("t")).as("tail"))
-      .filter(col("tail").isNotNull)
+        xxhash64(gramCols: _*).as("h"), gramCols.last.as("tail"))
+      .filter(col("tail").isNotNull) // incomplete k-grams at doc end
     // winnow: min hash over each w-window of consecutive k-gram positions
     val frame = Window.partitionBy("doc_id").orderBy("idx")
       .rowsBetween(Window.currentRow, w - 1)

@@ -29,9 +29,15 @@ object Tables {
   /** lineitem's deterministic position key. Neither (l_orderkey,
     * l_linenumber) nor the 4-tuple with partkey+suppkey is unique in the
     * synthetic data (one 4-tuple collision at sf0.001); the 5-tuple with
-    * int quantity is, at every shipped sf. Packed into one long — max
-    * ~1.5e18 at sf0.1's key ranges (orderkey<=150k, partkey<=20k,
-    * suppkey<=1k, qty<=50), well inside BIGINT.
+    * int quantity is, at every shipped sf. Packed into one long.
+    *
+    * Field radii and their hard validity bounds: linenumber < 10,
+    * partkey < 1e6, suppkey < 1e4, qty < 100, and orderkey <= ~920k
+    * before BIGINT overflow. The shipped testdata (<= sf0.1) maxes at
+    * orderkey 149,999 / partkey 19,999 / suppkey 999 / qty 50 — inside
+    * every bound with >=6x headroom. A hypothetical sf1 table would
+    * break the suppkey radix (TPC-H suppkey reaches 1e4) — this key is a
+    * test-harness adapter for the shipped tables, not a general encoder.
     */
   val liId: Column =
     (((col("l_orderkey") * 10 + col("l_linenumber")) * 1000000 + col("l_partkey")) * 10000 +

@@ -34,6 +34,21 @@ class ReservoirSpec extends SparkSpec {
     assert(sample.toSeq == (0L until 7L))
   }
 
+  test("heavy-hitter duplicates cannot flood the sample") {
+    val spark0 = spark
+    import spark0.implicits._
+    ReservoirSample.register(spark)
+    // value 7 repeated 100k times + 1000 distinct values
+    val df = Seq.fill(100000)(7L).toDF("x")
+      .union(spark.range(1000, 2000).toDF("x"))
+    val sample = df
+      .agg(call_function("graft_reservoir", col("x"), lit(100), lit(5L)).as("s"))
+      .select(explode(col("s")).as("v"))
+      .collect().map(_.getLong(0))
+    assert(sample.length == 100)
+    assert(sample.distinct.length == 100, "sample must be duplicate-free")
+  }
+
   test("sample is deterministic across partitionings") {
     val spark0 = spark
     import spark0.implicits._
