@@ -128,7 +128,17 @@ final class Session(val engine: Engine) {
                  if (fullPristine) base.select("id", "v")
                  else ColumnOps.fetchSet(base, ids.df)
                }
-      val vals = Vals(df, hasIds = true, align = ids.align, fetchCol = Some(c),
+      // A fetch keeps its id set's alignment lineage only when no row of
+      // the set can be dropped — i.e. the target column is pristine
+      // (live set = the full position space) or the set came from a join
+      // list (its ids were fetched, hence live, and fetchList preserves
+      // every list row). A non-pristine set-fetch may drop tombstoned
+      // positions, so two fetches from one set could diverge row-wise;
+      // a fresh tag forces the rank-zip fallback (the reference's
+      // k-th-value-of-each semantics) instead of a silent id-join drop.
+      val keepsLineage = ids.ordered || meta.pristine
+      val align = if (keepsLineage) ids.align else Align.fresh(Seq("id"))
+      val vals = Vals(df, hasIds = true, align = align, fetchCol = Some(c),
         fullBase = ids.fullSelect)
       emitOrBind(assign, vals)
 
@@ -165,9 +175,13 @@ final class Session(val engine: Engine) {
       val l = getVals(in1)
       val r = getVals(in2)
       // equal-length requirement (DBEINTERMDIFFLEN, aggregate.c:112-116)
-      if (lengthOf(l) != lengthOf(r)) throw DbError.intermDiffLen()
-      if (mtype == MathDiv && !r.df.filter(col("v") === 0).isEmpty)
-        throw DbError.divZero()
+      if (mtype == MathDiv) {
+        // one job answers both pre-checks (length + zero divisor)
+        val row = r.df.agg(count(lit(1)),
+          coalesce(sum(when(col("v") === 0, 1).otherwise(0)), lit(0))).head()
+        if (lengthOf(l) != row.getLong(0)) throw DbError.intermDiffLen()
+        if (row.getLong(1) != 0L) throw DbError.divZero()
+      } else if (lengthOf(l) != lengthOf(r)) throw DbError.intermDiffLen()
       val (lAligned, rAligned) = aligned(l, r)
       val out = ColumnOps.math(mtype, lAligned.df, rAligned.df,
         lAligned.align.cols)
@@ -289,11 +303,18 @@ final class Session(val engine: Engine) {
     */
   private def idsOf(ids: Ids): DataFrame = ids.df.select("id").distinct()
 
-  private def evalLoad(file: String): Unit = {
+  /** Mutations (load/insert/delete/update) serialize on the shared
+    * catalog: each one is a require -> write -> update read-modify-write
+    * whose interleaving across sessions would duplicate positions or
+    * clobber versions. Reads never take the lock (they work from an
+    * immutable ColumnMeta snapshot). Single-op atomicity only — exactly
+    * the reference's guarantee (per-column rwlocks, no transactions).
+    */
+  private def evalLoad(file: String): Unit = catalog.synchronized {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val cols = Storage.parseCsv(spark, file)
+    val (csvScan, cols) = Storage.parseCsv(spark, file)
     // per-column writes are independent Spark jobs — run them concurrently
     // (the scheduler interleaves their stages across executor cores; the
     // shared cached CSV scan is computed once). Catalog updates stay on
@@ -310,12 +331,12 @@ final class Session(val engine: Engine) {
         })
       } else None
     }
-    written.flatten.map(Await.result(_, Duration.Inf)).foreach {
+    try written.flatten.map(Await.result(_, Duration.Inf)).foreach {
       case (name, version, rows) => catalog.update(name, version, rows)
-    }
+    } finally csvScan.unpersist(false) // release the shared CSV cache
   }
 
-  private def insertOne(c: String, v: Int): Unit = {
+  private def insertOne(c: String, v: Int): Unit = catalog.synchronized {
     val meta = catalog.require(c)
     val row = spark.range(1).select(lit(meta.nextId).as("id"),
       lit(v).cast(IntegerType).as("v"))
@@ -338,7 +359,7 @@ final class Session(val engine: Engine) {
     * reference (DBEUNSUPPORTED, storage.c:1833-1841).
     */
   private def rewrite(c: String, f: DataFrame => DataFrame,
-                      keepsPristine: Boolean): Unit = {
+                      keepsPristine: Boolean): Unit = catalog.synchronized {
     val meta = catalog.require(c)
     if (meta.stype != Unsorted)
       throw DbError.unsupported(s"delete/update on ${meta.stype.name} column $c")

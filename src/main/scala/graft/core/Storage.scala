@@ -25,12 +25,19 @@ object Storage {
     StructField("id", LongType, nullable = false),
     StructField("v", IntegerType, nullable = false)))
 
-  def readColumn(spark: SparkSession, meta: ColumnMeta): DataFrame = {
-    val dir = new java.io.File(meta.dataPath)
-    if (!dir.exists() || meta.nextId == 0L)
+  /** Read a column version. The `id < nextId` filter makes reads
+    * snapshot-consistent against concurrent in-place appends (insert
+    * appends a row with id == nextId BEFORE the catalog advance; a
+    * reader holding the old meta must not see it, and a crash between
+    * append and advance must leave the orphan invisible). nextId == 0
+    * short-circuits to empty without touching the filesystem, so remote
+    * dbDirs (hdfs://, s3a://) need no local-path existence probe.
+    */
+  def readColumn(spark: SparkSession, meta: ColumnMeta): DataFrame =
+    if (meta.nextId == 0L)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], columnSchema)
     else spark.read.schema(columnSchema).parquet(meta.dataPath)
-  }
+      .filter(org.apache.spark.sql.functions.col("id") < meta.nextId)
 
   /** Layout-aware write: indexed storage types are clustered by value so
     * range selects prune row groups.
@@ -48,14 +55,19 @@ object Storage {
 
   /** Parse a headered CSV of ints into per-column DataFrames with dense,
     * row-aligned ordinals (reference csv.c:33-105: header names target
-    * columns, one int per column per row). Returns (columnName -> df(ord, v))
-    * in header order; `ord` is the 0-based row ordinal, the caller offsets
-    * it by each target column's nextId.
+    * columns, one int per column per row). Returns the cached shared scan
+    * (caller unpersists it once the per-column writes land) and
+    * (columnName -> df(ord, v)) in header order; `ord` is the 0-based row
+    * ordinal, the caller offsets it by each target column's nextId.
     */
-  def parseCsv(spark: SparkSession, file: String): Seq[(String, DataFrame)] = {
+  def parseCsv(spark: SparkSession, file: String)
+      : (DataFrame, Seq[(String, DataFrame)]) = {
     val raw = spark.read.option("header", "true").csv(file)
     val names = raw.columns.toSeq
-    val casted = raw.select(names.map(n => col(n).cast(IntegerType).as(n)): _*)
+    // non-numeric/empty cells parse to 0, matching the reference's atoi
+    // (csv.c:81) — a null here would crash emission and skew aggregates
+    val casted = raw.select(
+      names.map(n => coalesce(col(n).cast(IntegerType), lit(0)).as(n)): _*)
     val schema = StructType(
       StructField("ord", LongType, nullable = false) +:
         names.map(n => StructField(n, IntegerType, nullable = true)))
@@ -63,6 +75,6 @@ object Storage {
       casted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(i +: r.toSeq) },
       schema).cache()
     withOrd.count() // materialize once — per-column writers run concurrently
-    names.map(n => n -> withOrd.select(col("ord"), col(n).as("v")))
+    (withOrd, names.map(n => n -> withOrd.select(col("ord"), col(n).as("v"))))
   }
 }

@@ -103,7 +103,10 @@ object ColumnOps {
     * still override, which only changes the plan, never the result):
     * loopjoin -> unhinted (AQE picks), sortjoin -> MERGE,
     * hashjoin -> SHUFFLE_HASH, treejoin -> BROADCAST of the indexed side
-    * (an index probe ≈ a broadcast hash probe).
+    * (an index probe ≈ a broadcast hash probe — valid exactly when the
+    * index fits in memory, which is also the reference's own treejoin
+    * precondition; for an indexed side too large to broadcast, hashjoin
+    * is the right keyword, as it is in the reference).
     */
   def join(jtype: JoinType, l: DataFrame, r: DataFrame,
            lCols: Seq[String], rCols: Seq[String]): (DataFrame, Seq[String]) = {

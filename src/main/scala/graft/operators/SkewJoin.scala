@@ -27,15 +27,20 @@ object SkewJoin {
 
   /** Inner equi-join of `large` and `small` on `key`, salted into
     * `buckets` sub-keys. Column sets must be disjoint apart from `key`.
+    *
+    * Salt choice: `rand(seed)` rather than a content hash — hot keys in
+    * the wild are usually hot with IDENTICAL rows (a default value, a
+    * crawl dup), which any deterministic row function would send to one
+    * bucket, silently restoring the skew. rand(seed) is seeded per
+    * partition, so it is reproducible for a fixed partitioning and
+    * always spreads; for an inner join every salt assignment yields the
+    * same result multiset, so task retries stay correct.
     */
   def saltedInnerJoin(large: DataFrame, small: DataFrame, key: String,
-                      buckets: Int): DataFrame = {
+                      buckets: Int, seed: Long = 42L): DataFrame = {
     require(buckets > 0)
-    val largeCols = large.columns.filterNot(_ == key)
-    // deterministic salt: stable across retries (no rand()), spreads a
-    // hot key by the row's full content
     val salted = large.withColumn("_salt",
-      pmod(xxhash64(largeCols.map(col): _*), lit(buckets)))
+      floor(rand(seed) * buckets).cast("long"))
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0L), lit(buckets - 1L))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")

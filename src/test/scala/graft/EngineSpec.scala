@@ -121,6 +121,31 @@ class EngineSpec extends SparkSpec {
     assert(out2 == Seq("36", "9", "25", "169"))
   }
 
+  test("math over fetches with divergent holes rank-zips, never id-joins") {
+    // t1, t2 lose DIFFERENT positions; fetches from one full select must
+    // zip k-th-live-value to k-th-live-value (3 rows), not drop to the
+    // id intersection (2 rows)
+    val db = tmpDir("graftdb")
+    val dir = tmpDir("csv")
+    Files.writeString(Paths.get(s"$dir/m.csv"),
+      "ma,mb,mc\n1,10,100\n2,20,200\n3,30,300\n4,40,400\n")
+    val e = new Engine(spark, db)
+    e.execute(
+      s"""create(ma,"unsorted")
+         |create(mb,"unsorted")
+         |create(mc,"unsorted")
+         |load("$dir/m.csv")
+         |""".stripMargin)
+    e.execute("d=select(mb,20)\ndelete(d,mb)")   // mb loses id 1
+    e.execute("d=select(mc,300)\ndelete(d,mc)")  // mc loses id 2
+    // select-all on ma (pristine, 4 live); both fetches drop one row each
+    val out = e.execute(
+      "p=select(ma)\nb=fetch(mb,p)\nc=fetch(mc,p)\nadd(b,c)")
+    // b = (10,30,40) at ids 0,2,3; c = (100,200,400) at ids 0,1,3
+    // ordinal zip: 110, 230, 440
+    assert(out == Seq("110", "230", "440"))
+  }
+
   test("math and tuple over aggregate singletons") {
     val (e, _, _) = freshEngine()
     val pre = "p=select(rc,1,8)\nv=fetch(rd,p)\nlo=min(v)\nhi=max(v)\n"

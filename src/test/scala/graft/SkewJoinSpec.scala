@@ -23,12 +23,17 @@ class SkewJoinSpec extends SparkSpec {
     assert(salted == plain)
   }
 
-  test("salt actually spreads the hot key across sub-keys") {
+  test("identical hot-key rows still spread and join exactly") {
     val spark0 = spark
     import spark0.implicits._
-    val large = (1 to 1000).map(i => (7, i)).toDF("k", "payload")
-    val salts = large.withColumn("_salt",
-        pmod(xxhash64(col("payload")), lit(8L)))
+    // the degenerate hot key: 5000 IDENTICAL rows (same key, same payload)
+    val large = Seq.fill(5000)((7, "dup")).toDF("k", "payload")
+    val small = Seq((7, "dim7"), (8, "dim8")).toDF("k", "name")
+    val out = SkewJoin.saltedInnerJoin(large, small, "k", buckets = 8)
+    assert(out.count() == 5000)
+    // and the salt expression itself fans identical rows out
+    val salts = large
+      .withColumn("_salt", floor(rand(42L) * 8).cast("long"))
       .select("_salt").distinct().count()
     assert(salts == 8L)
   }
