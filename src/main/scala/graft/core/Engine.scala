@@ -314,7 +314,11 @@ final class Session(val engine: Engine) {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val (csvScan, cols) = Storage.parseCsv(spark, file)
+    val (csvScan, cols) =
+      try Storage.parseCsv(spark, file)
+      catch { case scala.util.control.NonFatal(e) =>
+        throw DbError.ioError(s"cannot load $file: ${e.getMessage}")
+      }
     // per-column writes are independent Spark jobs — run them concurrently
     // (the scheduler interleaves their stages across executor cores; the
     // shared cached CSV scan is computed once). Catalog updates stay on

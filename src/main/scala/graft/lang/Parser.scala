@@ -46,12 +46,19 @@ object Parser {
     */
   def parseLine(rawLine: String): Option[Op] = {
     val line = rawLine.trim
+    // numeric literals can overflow their regex (\d+ admits any length);
+    // toLongOption/toIntOption turn that into a parse failure, never an
+    // exception out of the parser
     val op: Option[Op] = line match {
-      case SelRangeA(v, c, lo, hi) => Some(SelectRange(Some(v), c, lo.toLong, hi.toLong))
-      case SelValueA(v, c, x)      => Some(SelectValue(Some(v), c, x.toLong))
+      case SelRangeA(v, c, lo, hi) =>
+        for (l <- lo.toLongOption; h <- hi.toLongOption)
+          yield SelectRange(Some(v), c, l, h)
+      case SelValueA(v, c, x)      => x.toLongOption.map(SelectValue(Some(v), c, _))
       case SelAllA(v, c)           => Some(SelectAll(Some(v), c))
-      case SelRange(c, lo, hi)     => Some(SelectRange(None, c, lo.toLong, hi.toLong))
-      case SelValue(c, x)          => Some(SelectValue(None, c, x.toLong))
+      case SelRange(c, lo, hi)     =>
+        for (l <- lo.toLongOption; h <- hi.toLongOption)
+          yield SelectRange(None, c, l, h)
+      case SelValue(c, x)          => x.toLongOption.map(SelectValue(None, c, _))
       case SelAll(c)               => Some(SelectAll(None, c))
       case FetchA(v, c, p)         => Some(Fetch(Some(v), c, p))
       case FetchP(c, p)            => Some(Fetch(None, c, p))
@@ -59,7 +66,7 @@ object Parser {
       case LoadP(f)                => Some(Load(f))
       case InsertP(body)           => parseInsertBody(body)
       case DeleteP(v, cols)        => Some(Delete(v, cols.split(",").toSeq))
-      case UpdateP(v, c, x)        => Some(Update(v, c, x.toInt))
+      case UpdateP(v, c, x)        => x.toIntOption.map(Update(v, c, _))
       case TupleP(body)            => Some(Tuple(body.split(",").toSeq))
       case PrintP(v)               => Some(Print(v))
       case MathA(v, m, a, b)       => Some(Math(mathTypes(m), Some(v), a, b))

@@ -37,9 +37,11 @@ object Dedup {
     */
   def shingles(docs: DataFrame, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"shingle width must be positive, got $n")
     val toks = docs
       .select(col("doc_id"), posexplode(split(trim(col("text")), "\\s+")))
       .select(col("doc_id"), col("pos").as("idx"), col("col").as("w"))
+      .filter(length(col("w")) > 0) // blank text tokenizes to one "" token
     if (n == 1) toks.select(col("doc_id"), col("w").as("g")).distinct()
     else {
       val win = Window.partitionBy("doc_id").orderBy("idx")
@@ -117,6 +119,10 @@ object Dedup {
     * columns (codegen'd xxhash64 over r columns, no array slicing).
     */
   def bandHashes(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    // r = 0 would make every doc share every band hash (all-pairs blowup);
+    // a non-dividing bands would silently ignore the tail signature rows
+    require(bands >= 1 && k % bands == 0,
+      s"bands ($bands) must divide the signature length ($k)")
     val r = k / bands
     val bandExprs = (0 until bands).map { b =>
       xxhash64(lit(b) +: (0 until r).map(j => col(s"m${b * r + j}")): _*)
@@ -159,6 +165,7 @@ object Dedup {
   def simhash(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(split(trim(col("text")), "\\s+")).as("t"))
+      .filter(length(col("t")) > 0) // else blank docs all "share" hash('')
       .select(col("doc_id"), xxhash64(col("t")).as("h"))
     // vote per bit: +1 if bit set else -1; sum over tokens; sign -> bit
     val votes = (0 until 64).map { b =>

@@ -37,16 +37,21 @@ object Ivf {
       val cdf = centroids.toDF("cid", "c")
         .withColumn("cn2", Similarity.intDot(col("c"), col("c")))
       val assigned = assign(p, cdf)
-      // per-dimension integer mean of each cell's members
-      centroids = assigned
+      // per-dimension integer mean of each cell's members; a cell with
+      // no members keeps its previous centroid (the groupBy would
+      // silently drop its cid and shrink the codebook below k)
+      val recomputed = assigned
         .select(col("cid"), posexplode(col("q")))
         .groupBy("cid", "pos")
         .agg(call_function("div", sum(col("col")), count(lit(1))).as("m"))
         .groupBy("cid")
         .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("dims"))
         .collect()
-        .map(r => (r.getInt(0), r.getSeq[org.apache.spark.sql.Row](1)
-          .map(_.getLong(1)).toArray)).toSeq
+        .map(r => r.getInt(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(_.getLong(1)).toArray).toMap
+      centroids = centroids.map { case (cid, prev) =>
+        (cid, recomputed.getOrElse(cid, prev))
+      }
     }
     centroids.toDF("cid", "c")
       .withColumn("cn2", Similarity.intDot(col("c"), col("c")))

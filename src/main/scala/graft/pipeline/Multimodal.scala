@@ -79,6 +79,8 @@ object Multimodal {
     * column pruning).
     */
   def frameSample(media: DataFrame, frameBytes: Int, everyN: Int): Dataset[Frame] = {
+    require(frameBytes > 0 && everyN > 0,
+      s"frameBytes ($frameBytes) and everyN ($everyN) must be positive")
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].flatMap { m =>

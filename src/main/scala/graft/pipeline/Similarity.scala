@@ -82,8 +82,10 @@ object Similarity {
                                      seedBase: Long): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // empty table -> dim 0 -> empty weight vectors (results are empty
+    // anyway); never .first() on a possibly-empty scan
     val dim = emb.select(size(col("embedding")).as("d")).limit(1)
-      .first().getInt(0)
+      .collect().headOption.map(_.getInt(0)).getOrElse(0)
     (0 until planes).map { pl =>
       val rnd = new java.util.Random(seedBase + pl)
       (pl, Array.fill(dim)(if (rnd.nextBoolean()) 1L else -1L))
@@ -101,7 +103,7 @@ object Similarity {
     */
   def signed(emb: DataFrame, planes: Int): DataFrame = {
     val dim = emb.select(size(col("embedding")).as("d")).limit(1)
-      .first().getInt(0)
+      .collect().headOption.map(_.getInt(0)).getOrElse(0)
     val p = prepared(emb)
     val sigBits = (0 until planes).map { pl =>
       val rnd = new java.util.Random(7001L + pl)

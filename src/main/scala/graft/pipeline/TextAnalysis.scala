@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace token count. */
+  /** Whitespace token count. Blank text is 0 tokens — split of an empty
+    * string yields one "" token, which would count as 1.
+    */
   def tokenCount(text: Column): Column =
-    size(split(trim(text), "\\s+")).cast("int")
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+"))).cast("int")
 
   /** `(doc_id, n_tokens)`. */
   def tokens(docs: DataFrame): DataFrame =
@@ -53,8 +56,9 @@ object TextAnalysis {
     val nToks = tokenCount(t)
     val nAlpha = length(regexp_replace(lower(t), "[^a-z]", "")).cast("int")
     val nDigit = length(regexp_replace(t, "[^0-9]", "")).cast("int")
-    // mean token length in hundredths, integer-exact
-    val meanTokLen100 = (length(regexp_replace(t, "\\s", "")).cast("long") * 100L / nToks).cast("int")
+    // mean token length in hundredths, integer-exact; 0 for blank docs
+    val meanTokLen100 = when(nToks === 0, lit(0)).otherwise(
+      (length(regexp_replace(t, "\\s", "")).cast("long") * 100L / nToks)).cast("int")
     docs.select(col("doc_id"), nChars.as("n_chars"), nToks.as("n_tokens"),
         nAlpha.as("n_alpha"), nDigit.as("n_digit"),
         meanTokLen100.as("mean_tok_len_100"))
@@ -78,7 +82,11 @@ object TextAnalysis {
     * (en > es > de > fr > unknown at score 0).
     */
   def langId(docs: DataFrame): DataFrame = {
-    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    // double every whitespace run so adjacent stopwords don't share a
+    // delimiter space: non-overlap counting of ' the the ' would see one
+    // match because the first consumed the middle space
+    val padded = concat(lit(" "),
+      regexp_replace(lower(col("text")), "\\s+", "  "), lit(" "))
     val scores = stopwords.toSeq.sortBy(_._1).map { case (lang, kws) =>
       lang -> kws.map(k => occurrences(padded, k)).reduce(_ + _)
     }

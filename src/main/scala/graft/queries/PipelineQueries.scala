@@ -239,28 +239,35 @@ object PipelineQueries {
          |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     // ann_lsh: approximate by design -> rows-only
     "text_tokens" ->
-      """SELECT doc_id, CAST(length(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens
+      """SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |  ELSE length(string_split_regex(trim(text), '\s+')) END AS INTEGER) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_tokens_bpe" ->
       """SELECT doc_id, CAST(length(regexp_extract_all(text,
         |  '''(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s'']+')) AS INTEGER) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_quality" ->
-      """SELECT doc_id,
+      """WITH q AS (SELECT doc_id, text,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE length(string_split_regex(trim(text), '\s+')) END AS nt FROM documents)
+        |SELECT doc_id,
         |  CAST(length(text) AS INTEGER) AS n_chars,
-        |  CAST(length(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+        |  CAST(nt AS INTEGER) AS n_tokens,
         |  CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS INTEGER) AS n_alpha,
         |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS INTEGER) AS n_digit,
-        |  CAST(CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) * 100
-        |       // length(string_split_regex(trim(text), '\s+')) AS INTEGER) AS mean_tok_len_100,
-        |  CAST(CASE WHEN length(string_split_regex(trim(text), '\s+')) BETWEEN 5 AND 100000
-        |       AND CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) * 100
-        |           // length(string_split_regex(trim(text), '\s+')) BETWEEN 200 AND 1200
+        |  CAST(CASE WHEN nt = 0 THEN 0
+        |    ELSE CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) * 100 // nt
+        |    END AS INTEGER) AS mean_tok_len_100,
+        |  CAST(CASE WHEN nt BETWEEN 5 AND 100000
+        |       AND CASE WHEN nt = 0 THEN 0
+        |         ELSE CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) * 100 // nt
+        |         END BETWEEN 200 AND 1200
         |       AND length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 2 >= length(text)
         |       THEN 1 ELSE 0 END AS INTEGER) AS keep
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM q ORDER BY doc_id""".stripMargin,
     "text_langid" ->
-      """WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents),
+      """WITH p AS (SELECT doc_id,
+        |  ' ' || regexp_replace(lower(text), '\s+', '  ', 'g') || ' ' AS t FROM documents),
         |sc AS (SELECT doc_id,
         |  (length(t)-length(replace(t,' the ','')))//5 + (length(t)-length(replace(t,' and ','')))//5
         |    + (length(t)-length(replace(t,' a ','')))//3 + (length(t)-length(replace(t,' of ','')))//4

@@ -47,6 +47,10 @@ object Cli {
             catch {
               case e: DbException =>
                 failed = true; System.err.println(e.getMessage)
+              case scala.util.control.NonFatal(e) =>
+                // any engine/Spark failure is per-line too (the reference
+                // renders RPC_ERROR and keeps the session, client.c:88-104)
+                failed = true; System.err.println(s"DBEIOEARLY: ${e.getMessage}")
             }
           case None =>
             failed = true; System.err.println(s"DBEPARSE: cannot parse: $t")
