@@ -5,6 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Deduplication operators over a document table `(doc_id, text, ...)`.
   *
+  * Caching contract: operators cache shared sub-plans (shingle tables,
+  * prepared vectors) for the duration of their own evaluation and leave
+  * them registered; in a long-lived session the caller decides when to
+  * `spark.catalog.clearCache()` — Spark's LRU eviction bounds the cost
+  * meanwhile.
+  *
   * Scale design: nothing here is ever all-pairs over documents.
   *  - exact: hash group-by (one shuffle on the text key).
   *  - n-gram Jaccard: shingle co-occurrence join (pairs only materialize
