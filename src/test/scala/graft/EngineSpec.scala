@@ -68,7 +68,7 @@ class EngineSpec extends SparkSpec {
     assert(e.execute(empty + "max(v)") == Seq(Int.MinValue.toString))
     assert(e.execute(empty + "sum(v)") == Seq("0"))
     assert(e.execute(empty + "count(v)") == Seq("0"))
-    intercept[DbException](e.execute(empty + "avg(v)"))
+    assert(intercept[DbException](e.execute(empty + "avg(v)")).code == "DBEDIVZERO")
   }
 
   test("32-bit wrapping sum") {
@@ -95,10 +95,12 @@ class EngineSpec extends SparkSpec {
     assert(e.execute(pre + "mul(a,a)") == Seq("1", "4", "9", "16"))
     assert(e.execute(pre + "div(d,a)") == Seq("10", "10", "10", "10"))
     // different lengths error (DBEINTERMDIFFLEN)
-    intercept[DbException](e.execute(
+    assert(intercept[DbException](e.execute(
       "p=select(rc,1,4)\nq=select(rc,1,2)\na=fetch(ra,p)\nb=fetch(ra,q)\nadd(a,b)"))
+      .code == "DBEINTERMDIFFLEN")
     // div by zero errors (DBEDIVZERO): 0-valued divisor via sub(a,a)
-    intercept[DbException](e.execute(pre + "z=sub(a,a)\ndiv(a,z)"))
+    assert(intercept[DbException](e.execute(pre + "z=sub(a,a)\ndiv(a,z)"))
+      .code == "DBEDIVZERO")
   }
 
   test("math across unrelated selects falls back to ordinal ranks") {
@@ -181,8 +183,9 @@ class EngineSpec extends SparkSpec {
     val tj = run("treejoin")
     assert(tj.size == 6 && tj.toSet == expected)
     // treejoin precondition violation: ub is unsorted -> DBENOTREE
-    intercept[DbException](e.execute(
+    assert(intercept[DbException](e.execute(
       "pu=select(ub)\nvu=fetch(ub,pu)\npr=select(ra)\nva=fetch(ra,pr)\nl,r=treejoin(va,vu)"))
+      .code == "DBENOTREE")
   }
 
   test("fetch-after-join preserves pair alignment with duplicates") {

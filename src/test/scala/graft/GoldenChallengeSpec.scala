@@ -78,6 +78,8 @@ class GoldenChallengeSpec extends SparkSpec {
   }
 
   def referenceScript(name: String, tPath: String, uPath: String): String = {
+    assume(Files.exists(Paths.get("/root/reference")),
+      "reference checkout required at /root/reference")
     val raw = Files.readString(Paths.get(s"/root/reference/$name"))
     raw.replace("\"t.csv\"", s""""$tPath"""").replace("\"u.csv\"", s""""$uPath"""")
   }

@@ -40,7 +40,9 @@ class IvfSpec extends SparkSpec {
     // nprobe = nCells -> probes everything -> must equal brute force
     val exact = Similarity.bruteForceTopK(emb, k = 3,
       queryPred = col("vec_id") === 0)
-    assert(res.select("qid", "rank", "nid").collect().toSeq ==
-      exact.select("qid", "rank", "nid").collect().toSeq)
+    assert(res.select("qid", "rank", "nid").orderBy("qid", "rank")
+      .collect().toSeq ==
+      exact.select("qid", "rank", "nid").orderBy("qid", "rank")
+        .collect().toSeq)
   }
 }

@@ -43,6 +43,7 @@ object JoinProps extends Properties("Joins") {
           .map(row => (row.getLong(0), row.getLong(1)))
           .groupBy(identity).view.mapValues(_.length).toMap
       }
+      l.unpersist(false); r.unpersist(false) // shared session across cases
       results.forall { case (kw, got) => got == expected } :| results
         .collect { case (kw, got) if got != expected => s"$kw mismatched" }
         .mkString(",")

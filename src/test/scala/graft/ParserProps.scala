@@ -18,7 +18,8 @@ object ParserProps extends Properties("Parser") {
 
   val ident: Gen[String] = for {
     h <- Gen.alphaLowerChar
-    t <- Gen.listOfN(5, Gen.oneOf(Gen.alphaNumChar, Gen.const('_')))
+    n <- Gen.choose(0, 8) // cover 1-char names and keyword prefixes/extensions
+    t <- Gen.listOfN(n, Gen.oneOf(Gen.alphaNumChar, Gen.const('_')))
     s = (h :: t).mkString if !keywords(s)
   } yield s
 

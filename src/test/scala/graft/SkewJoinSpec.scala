@@ -31,10 +31,14 @@ class SkewJoinSpec extends SparkSpec {
     val small = Seq((7, "dim7"), (8, "dim8")).toDF("k", "name")
     val out = SkewJoin.saltedInnerJoin(large, small, "k", buckets = 8)
     assert(out.count() == 5000)
-    // and the salt expression itself fans identical rows out
-    val salts = large
-      .withColumn("_salt", floor(rand(42L) * 8).cast("long"))
-      .select("_salt").distinct().count()
-    assert(salts == 8L)
+  }
+
+  test("single-column large side salts without error") {
+    val spark0 = spark
+    import spark0.implicits._
+    val large = (1 to 1000).map(_ % 5).toDF("k")
+    val small = (0 until 5).map(k => (k, s"d$k")).toDF("k", "name")
+    assert(SkewJoin.saltedInnerJoin(large, small, "k", buckets = 4)
+      .count() == 1000)
   }
 }

@@ -30,7 +30,9 @@ class WinnowSpec extends SparkSpec {
   }
 
   test("winnowing reduces fingerprint volume vs raw k-grams") {
-    val text = (1 to 400).map(i => s"w${i % 83}").mkString(" ")
+    // all tokens distinct -> every 3-gram hash distinct, so a broken
+    // no-op winnow would keep all `raw` of them and fail the bound
+    val text = (1 to 400).map(i => s"w$i").mkString(" ")
     val d = docs(1L -> text)
     val raw = 400 - 3 + 1 // all 3-gram positions
     val kept = TextAnalysis.winnowedFingerprints(d, k = 3, w = 8).count()
