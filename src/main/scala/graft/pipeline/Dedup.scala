@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   *    for docs sharing a shingle) + count-based intersection.
   *  - MinHash-LSH: banded signatures -> bucket equi-join for candidates,
   *    then exact verification restricted to candidates.
-  *  - SimHash: 64-bit signature, banded buckets, exact hamming verify.
+  *  - SimHash: 60-bit signature, banded buckets, exact hamming verify.
   *  - embedding cosine: see [[Similarity.cosinePairs]].
   */
 object Dedup {
@@ -165,26 +165,47 @@ object Dedup {
     verifyJaccard(cands, sh, sizes, tnum, tden)
   }
 
-  /** 64-bit SimHash per doc: bit b of the signature is the sign of the
+  /** SimHash signature width: 60 bits, derived from the first 15 hex
+    * digits of each token's md5. 60 (not 64) keeps the signature in
+    * non-negative BIGINT range, so engines with checked integer
+    * arithmetic (DuckDB, ANSI Spark) build and compare it without
+    * overflow — which is what makes the whole near-dup pipeline
+    * oracle-checkable bit-for-bit rather than rows-only.
+    */
+  val SimhashBits = 60
+
+  /** 60-bit SimHash per doc: bit b of the signature is the sign of the
     * token-hash vote sum for that bit. `(doc_id, simhash: long)`.
+    *
+    * Token bits come from md5 hex digits (digit j supplies bits 4j..4j+3)
+    * rather than an engine-private 64-bit hash, so any SQL engine
+    * reproduces the signature exactly; per-token cost is one md5 plus 15
+    * codegen'd ascii/substring ops.
     */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(split(trim(col("text")), "\\s+")).as("t"))
       .filter(length(col("t")) > 0) // else blank docs all "share" hash('')
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    // vote per bit: +1 if bit set else -1; sum over tokens; sign -> bit
-    val votes = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b")
+    val hex = md5(to_binary(col("t"), lit("utf-8")))
+    // hex digit j (0-based) as an int: ascii '0'-'9' -> 0-9, 'a'-'f' -> 10-15
+    val digitCols = (0 until SimhashBits / 4).map { j =>
+      val a = ascii(substring(hex, j + 1, 1))
+      when(a <= 57, a - 48).otherwise(a - 87).as(s"v$j")
     }
-    val agg = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-    val sigExpr = (0 until 64).map { b =>
+    val hashed = toks.select(col("doc_id") +: digitCols: _*)
+    // vote per bit: +1 if bit set else -1; sum over tokens; sign -> bit
+    val votes = (0 until SimhashBits).map { b =>
+      sum(when(shiftright(col(s"v${b / 4}"), b % 4).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"s$b")
+    }
+    val agg = hashed.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val sigExpr = (0 until SimhashBits).map { b =>
       when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
     agg.select(col("doc_id"), sigExpr.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: band the 64-bit signature into 16-bit
+  /** SimHash near-dup pairs: band the 60-bit signature into 15-bit
     * quarters for bucketing (any pair with hamming <= 3 shares a band by
     * pigeonhole; wider radii are caught with high probability), verify
     * exact hamming distance <= maxHamming.
@@ -193,7 +214,7 @@ object Dedup {
     val sigs = simhash(docs).cache()
     val bands = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+        shiftright(col("simhash"), b * 15).bitwiseAND(0x7FFFL)): _*)))
       .select(col("doc_id"), col("simhash"), col("pos").as("band"), col("col").as("bh"))
     val cands = bands.select(col("band"), col("bh"), col("doc_id").as("da"), col("simhash").as("ha"))
       .join(bands.select(col("band"), col("bh"), col("doc_id").as("db"), col("simhash").as("hb")),

@@ -120,6 +120,13 @@ object TextAnalysis {
     * and ~1/w of the k-gram hashes survive — a position-robust partial-
     * overlap signature at a fraction of the shingle volume.
     *
+    * The k-gram hash is the md5 hex digest of the space-joined gram
+    * (tokens are whitespace-free, so the join is unambiguous): any engine
+    * computes it identically, and the winnow min is a plain lexicographic
+    * min over lowercase-hex ASCII — bit-for-bit portable, unlike a
+    * engine-private 64-bit hash. MOSS only needs *a* consistent hash
+    * order, so the scheme is unchanged.
+    *
     * `(doc_id, fp)` distinct. All window work (lead for k-grams, min over
     * a row frame for winnowing) is codegen'd; one doc_id shuffle total.
     */
@@ -134,7 +141,8 @@ object TextAnalysis {
     val gramCols = col("t") +: (1 until k).map(o => lead(col("t"), o).over(seq))
     val grams = toks
       .select(col("doc_id"), col("idx"),
-        xxhash64(gramCols: _*).as("h"), gramCols.last.as("tail"))
+        md5(to_binary(concat_ws(" ", gramCols: _*), lit("utf-8"))).as("h"),
+        gramCols.last.as("tail"))
       .filter(col("tail").isNotNull) // incomplete k-grams at doc end
     // winnow: min hash over each w-window of consecutive k-gram positions
     val frame = Window.partitionBy("doc_id").orderBy("idx")

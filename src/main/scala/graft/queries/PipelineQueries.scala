@@ -86,7 +86,7 @@ object PipelineQueries {
     TextAnalysis.vocabulary(Tables.documents(s, d), k = 50)
       .select(col("token"), col("freq").cast("long").as("freq"))
 
-  /** Winnowed rolling-hash fingerprints (xxhash64-based -> rows-only). */
+  /** Winnowed rolling-hash fingerprints (md5-based -> oracle-exact). */
   def textWinnow(s: SparkSession, d: String): DataFrame =
     TextAnalysis.winnowedFingerprints(Tables.documents(s, d), k = 5, w = 8)
       .orderBy("doc_id", "fp")
@@ -208,13 +208,72 @@ object PipelineQueries {
   private val quantSql =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
+  /** DuckDB twin of [[Dedup.simhash]] + [[Dedup.simhashNearDups]]: the
+    * 60-bit md5-derived signature, 15-bit banding, and hamming verify are
+    * all plain SQL, so the near-dup output is oracle-exact. Generated
+    * programmatically (15 digit defs, 60 vote sums) to match the Spark
+    * expressions one-for-one.
+    */
+  private def simhashSql(maxHamming: Int): String = {
+    def digit(j: Int) =
+      s"CASE WHEN ascii(substr(h, ${j + 1}, 1)) <= 57 THEN ascii(substr(h, ${j + 1}, 1)) - 48" +
+        s" ELSE ascii(substr(h, ${j + 1}, 1)) - 87 END AS v$j"
+    val digitDefs = (0 until 15).map(digit).mkString(",\n  ")
+    val voteDefs = (0 until 60).map { b =>
+      s"SUM(CASE WHEN (v${b / 4} >> ${b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(",\n  ")
+    val sigSum = (0 until 60).map { b =>
+      s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t FROM documents),
+       |hashed AS (SELECT doc_id, md5(t) AS h FROM toks WHERE length(t) > 0),
+       |dig AS (SELECT doc_id,
+       |  $digitDefs
+       |FROM hashed),
+       |votes AS (SELECT doc_id,
+       |  $voteDefs
+       |FROM dig GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sigSum AS sh FROM votes),
+       |bands AS (
+       |  SELECT doc_id, sh, unnest([0, 1, 2, 3]) AS band,
+       |    unnest([(sh >> 0) & 32767, (sh >> 15) & 32767,
+       |            (sh >> 30) & 32767, (sh >> 45) & 32767]) AS bh
+       |  FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS xa, b.doc_id AS xb, a.sh AS ha, b.sh AS hb
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+       |SELECT CAST(xa AS BIGINT) AS da, CAST(xb AS BIGINT) AS db
+       |FROM cand WHERE bit_count(xor(ha, hb)) <= $maxHamming ORDER BY da, db""".stripMargin
+  }
+
+  /** DuckDB twin of [[TextAnalysis.winnowedFingerprints]] at (k, w):
+    * zipped unnest for token positions, window lead for k-grams, md5 of
+    * the space-joined gram, frame min for the winnow.
+    */
+  private def winnowSql(k: Int, w: Int): String = {
+    val gram = (1 until k).map(o => s" || ' ' || lead(t, $o) OVER win").mkString
+    s"""WITH raw AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |toks AS (SELECT doc_id, unnest(w) AS t, unnest(range(1, len(w) + 1)) AS idx FROM raw),
+       |tok2 AS (SELECT doc_id, t, idx FROM toks WHERE length(t) > 0),
+       |grams AS (
+       |  SELECT doc_id, idx, md5(t$gram) AS h, lead(t, ${k - 1}) OVER win AS tail
+       |  FROM tok2 WINDOW win AS (PARTITION BY doc_id ORDER BY idx)),
+       |winnow AS (
+       |  SELECT doc_id, min(h) OVER fr AS fp, count(*) OVER fr AS span
+       |  FROM grams WHERE tail IS NOT NULL
+       |  WINDOW fr AS (PARTITION BY doc_id ORDER BY idx ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING))
+       |SELECT DISTINCT doc_id, fp FROM winnow WHERE span = $w ORDER BY doc_id, fp""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
     "dedup_minhash" -> jaccardSql(3, 5),
     "dedup_ngram" -> jaccardSql(1, 2),
-    // dedup_simhash: xxhash64 signatures are not DuckDB-expressible -> rows-only
+    "dedup_simhash" -> simhashSql(maxHamming = 6),
+    "text_winnow" -> winnowSql(k = 5, w = 8),
     "dedup_embedding" ->
       s"""WITH q AS (SELECT vec_id, $quantSql AS qe FROM embeddings),
          |n AS (SELECT vec_id, CAST(list_dot_product(qe, qe) AS BIGINT) AS n2, qe FROM q)

@@ -19,13 +19,13 @@ class WinnowSpec extends SparkSpec {
     // k=3, w=4: any shared run of w+k-1=6 tokens guarantees a shared fp;
     // the common run has 10
     val fp = TextAnalysis.winnowedFingerprints(d, k = 3, w = 4).cache()
-    val f1 = fp.filter(col("doc_id") === 1).select("fp").collect().map(_.getLong(0)).toSet
-    val f2 = fp.filter(col("doc_id") === 2).select("fp").collect().map(_.getLong(0)).toSet
+    val f1 = fp.filter(col("doc_id") === 1).select("fp").collect().map(_.getString(0)).toSet
+    val f2 = fp.filter(col("doc_id") === 2).select("fp").collect().map(_.getString(0)).toSet
     assert((f1 & f2).nonEmpty)
     // and an unrelated doc shares nothing
     val other = TextAnalysis.winnowedFingerprints(
       docs(3L -> "completely different words entirely here and more and more"),
-      k = 3, w = 4).select("fp").collect().map(_.getLong(0)).toSet
+      k = 3, w = 4).select("fp").collect().map(_.getString(0)).toSet
     assert((f1 & other).isEmpty)
   }
 
