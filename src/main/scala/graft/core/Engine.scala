@@ -32,14 +32,17 @@ final class Engine(val spark: SparkSession, val dbDir: String) {
 
   def newSession(): Session = new Session(this)
 
-  /** One-shot: run a whole script in a fresh session, return output lines. */
+  /** One-shot: run a whole script in a fresh session, return output lines
+    * (materialized — tests and small batch runs; the CLI consumes
+    * [[Session.eval]]'s iterator directly to keep driver memory bounded).
+    */
   def execute(script: String): Seq[String] = {
     val ops = Parser.parseScript(script) match {
       case Right(o)  => o
       case Left(bad) => throw DbError.parse(bad)
     }
     val s = newSession()
-    ops.flatMap(s.eval)
+    ops.flatMap(op => s.eval(op).toSeq)
   }
 }
 
@@ -97,14 +100,23 @@ final class Session(val engine: Engine) {
     * forms stream results; assignments are silent). Output formats match
     * the reference client (client.c:44-128): ids one per line, values one
     * per line, tuples as `(v1,v2,...)`.
+    *
+    * Emission is an ITERATOR over [[org.apache.spark.sql.Dataset
+    * .toLocalIterator]]: the reference streams results over the socket
+    * (rpc.c:209-357) rather than buffering them, and the Spark twin of
+    * that is fetching one partition at a time — driver memory is bounded
+    * by the largest partition, never the full result. Side effects
+    * (binds, mutations) happen eagerly in this call; only result
+    * transfer is lazy. Consume (or discard) the iterator before issuing
+    * an op that mutates the columns it reads.
     */
-  def eval(op: Op): Seq[String] = op match {
+  def eval(op: Op): Iterator[String] = op match {
 
     case Create(c, stype) =>
-      catalog.create(c, stype); Nil
+      catalog.create(c, stype); Iterator.empty
 
     case Load(file) =>
-      evalLoad(file); Nil
+      evalLoad(file); Iterator.empty
 
     case SelectAll(assign, c)          => evalSelect(assign, c, None)
     case SelectValue(assign, c, x)     => evalSelect(assign, c, Some((x, x)))
@@ -162,7 +174,7 @@ final class Session(val engine: Engine) {
         ordered = true, align = align))
       bind(varR, Ids(pairs.select(outCols.map(col) :+ col("rid").as("id"): _*),
         ordered = true, align = align))
-      Nil
+      Iterator.empty
 
     case Agg(atype, assign, input) =>
       val in = getVals(input)
@@ -191,14 +203,14 @@ final class Session(val engine: Engine) {
       val names = colVals.map(_._1)
       names.diff(names.distinct).headOption.foreach(c => throw DbError.dupCol(c))
       colVals.foreach { case (c, v) => insertOne(c, v) }
-      Nil
+      Iterator.empty
 
     case Delete(posVar, cols) =>
       val ids = idsOf(getIds(posVar))
       // delete punches holes in the position space -> pristine off
       cols.foreach { c => rewrite(c, base =>
         base.join(ids, Seq("id"), "left_anti"), keepsPristine = false) }
-      Nil
+      Iterator.empty
 
     case Update(posVar, c, value) =>
       val ids = idsOf(getIds(posVar))
@@ -207,7 +219,7 @@ final class Session(val engine: Engine) {
         base.join(ids.withColumn("nv", lit(value)), Seq("id"), "left")
           .select(col("id"), coalesce(col("nv"), col("v")).cast(IntegerType).as("v")),
         keepsPristine = true)
-      Nil
+      Iterator.empty
 
     case Op.Tuple(vars) =>
       val vals = vars.map(getVals)
@@ -224,9 +236,12 @@ final class Session(val engine: Engine) {
               v.align.cols.map(col)).select("pos", "v"))
           ColumnOps.tupleZip(posed, Seq("pos")).orderBy("pos")
       }
-      zipped.collect().toSeq
-        .map(row => (1 to vars.size).map(i => row.getAs[Int](s"v$i"))
-          .mkString("(", ",", ")"))
+      {
+        import scala.jdk.CollectionConverters._
+        zipped.toLocalIterator().asScala
+          .map(row => (1 to vars.size).map(i => row.getAs[Int](s"v$i"))
+            .mkString("(", ",", ")"))
+      }
 
     case Print(v) => emit(get(v))
   }
@@ -234,7 +249,7 @@ final class Session(val engine: Engine) {
   // ---- helpers ----
 
   private def evalSelect(assign: Option[String], c: String,
-                         bounds: Option[(Long, Long)]): Seq[String] = {
+                         bounds: Option[(Long, Long)]): Iterator[String] = {
     val meta = catalog.require(c)
     val base = engine.column(c)
     val df = bounds match {
@@ -245,14 +260,14 @@ final class Session(val engine: Engine) {
     val ids = Ids(df, ordered = false, align = Align.fresh(Seq("id")),
       srcCol = Some(c), srcLen = Some(meta.nextId), fullSelect = bounds.isEmpty)
     assign match {
-      case Some(v) => bind(v, ids); Nil
+      case Some(v) => bind(v, ids); Iterator.empty
       case None    => emit(ids)
     }
   }
 
-  private def emitOrBind(assign: Option[String], v: Vals): Seq[String] =
+  private def emitOrBind(assign: Option[String], v: Vals): Iterator[String] =
     assign match {
-      case Some(name) => bind(name, v); Nil
+      case Some(name) => bind(name, v); Iterator.empty
       case None       => emit(v)
     }
 
@@ -286,16 +301,25 @@ final class Session(val engine: Engine) {
 
   /** Stream an intermediate to the client, reference text formats:
     * ordinal order = ascending align-column order (see [[Align]]).
+    *
+    * `toLocalIterator` on the globally-sorted plan fetches one partition
+    * per job, in partition order — a global sort range-partitions, so
+    * concatenation preserves the total order while the driver holds at
+    * most one partition of rows (vs `collect`'s whole-result buffer,
+    * which caps printable results at `spark.driver.maxResultSize`).
     */
-  private def emit(i: Intermediate): Seq[String] = i match {
-    case ids: Ids =>
-      ids.df.orderBy(ids.align.cols.map(col): _*)
-        .select("id").collect().toSeq.map(_.getLong(0).toString)
-    case vals: Vals =>
-      val sorted =
-        if (vals.align.cols.isEmpty) vals.df
-        else vals.df.orderBy(vals.align.cols.map(col): _*)
-      sorted.select("v").collect().toSeq.map(_.getInt(0).toString)
+  private def emit(i: Intermediate): Iterator[String] = {
+    import scala.jdk.CollectionConverters._
+    i match {
+      case ids: Ids =>
+        ids.df.orderBy(ids.align.cols.map(col): _*)
+          .select("id").toLocalIterator().asScala.map(_.getLong(0).toString)
+      case vals: Vals =>
+        val sorted =
+          if (vals.align.cols.isEmpty) vals.df
+          else vals.df.orderBy(vals.align.cols.map(col): _*)
+        sorted.select("v").toLocalIterator().asScala.map(_.getInt(0).toString)
+    }
   }
 
   /** Distinct ids of a position intermediate (delete is idempotent for

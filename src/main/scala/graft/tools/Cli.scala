@@ -32,6 +32,10 @@ object Cli {
         sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", "32"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // results stream partition-at-a-time (Session.emit), so this cap
+      // only needs to cover one partition, not the whole printed result
+      .config("spark.driver.maxResultSize",
+        sys.env.getOrElse("GRAFT_MAX_RESULT_SIZE", "1g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val engine = new Engine(spark, dbDir)

@@ -295,11 +295,64 @@ class EngineSpec extends SparkSpec {
           s"""p=select(rc,1,$i)
              |v=fetch(rd,p)
              |""".stripMargin).toOption.get.foreach(s.eval)
-        s.eval(graft.lang.Parser.parseLine("count(v)").get)
+        s.eval(graft.lang.Parser.parseLine("count(v)").get).toSeq
       }
     }
     val results = futures.map(Await.result(_, Duration.Inf))
     assert(results == (1 to 8).map(i => Seq(i.toString)))
+  }
+
+  test("emission streams results larger than spark.driver.maxResultSize") {
+    // SparkSpec pins maxResultSize=8m. 4M random ints carry ~16MB of
+    // entropy, so a whole-result collect MUST die on the cap, while the
+    // engine's print path (Session.emit -> toLocalIterator, one
+    // partition-sized job at a time) must stream the same result intact.
+    val n = 4000000
+    val dir = tmpDir("csv")
+    val csv = s"$dir/bigv.csv"
+    val w = new java.io.PrintWriter(
+      new java.io.BufferedWriter(new java.io.FileWriter(csv), 1 << 20))
+    w.println("bigv")
+    val rnd = new java.util.Random(42)
+    var i = 0
+    while (i < n) { w.println(rnd.nextInt(Int.MaxValue)); i += 1 }
+    w.close()
+
+    // the cap binds: collecting this result in one job exceeds 8m
+    val raw = spark.read.option("header", "true")
+      .schema("bigv INT").csv(csv)
+    val ex = intercept[Exception](raw.orderBy("bigv").collect())
+    assert(ex.getMessage.contains("maxResultSize"), ex.getMessage)
+
+    val e = new Engine(spark, tmpDir("graftdb"))
+    val s = e.newSession()
+    def ev(line: String) = s.eval(graft.lang.Parser.parseLine(line).get)
+    ev("""create(bigv,"unsorted")""")
+    ev(s"""load("$csv")""")
+    ev("p=select(bigv)")
+    ev("v=fetch(bigv,p)")
+    // keep each emission partition below the cap: at this toy scale AQE
+    // would coalesce the sort output into one oversized partition
+    val conf = spark.conf
+    val oldParts = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.shuffle.partitions", "64")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val rnd2 = new java.util.Random(42)
+      var count = 0L
+      var mismatches = 0
+      ev("print(v)").foreach { line =>
+        // print order = id order = CSV row order; spot-check a prefix
+        if (count < 1000 && line.toInt != rnd2.nextInt(Int.MaxValue))
+          mismatches += 1
+        count += 1
+      }
+      assert(mismatches == 0)
+      assert(count == n)
+    } finally {
+      conf.set("spark.sql.shuffle.partitions", oldParts)
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    }
   }
 
   test("empty columns: select/fetch/aggregate before any load") {

@@ -11,6 +11,10 @@ object SparkSpec {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // deliberately tiny: proves emission streams partition-at-a-time
+    // (EngineSpec "emission streams") — a whole-result collect of a few
+    // MB dies, while every other test's per-job results stay far below
+    .config("spark.driver.maxResultSize", "8m")
     .getOrCreate()
 }
 
