@@ -68,13 +68,31 @@ object Dedup {
     *
     * Scale note: co-occurrence is quadratic in a shingle's document
     * frequency, so a web-scale corpus with stop-phrase shingles ("of the
-    * and" in millions of docs) needs either a document-frequency cap on
-    * join shingles or the [[minhashNearDups]] LSH path — LSH candidate
-    * cost is governed by band-bucket sizes, not shingle hotness. This
-    * exhaustive variant is the oracle-checked exact baseline.
+    * and" in millions of docs) is a single-key join blowup. `maxDocFreq`
+    * caps that: shingles appearing in more than `maxDocFreq` documents
+    * are dropped from BOTH the co-occurrence join and the per-doc set
+    * sizes, so the capped result is the exact Jaccard over the capped
+    * shingle universe (a stop-shingle carries ~zero similarity signal;
+    * pairs whose overlap was only the stop-shingle no longer qualify).
+    * `None` keeps the exhaustive oracle-checked baseline; the
+    * [[minhashNearDups]] LSH path remains the designated web-scale route
+    * (its candidate cost is governed by band-bucket sizes, not shingle
+    * hotness).
     */
-  def ngramJaccardPairs(docs: DataFrame, n: Int, tnum: Long, tden: Long): DataFrame = {
-    val sh = shingles(docs, n).cache()
+  def ngramJaccardPairs(docs: DataFrame, n: Int, tnum: Long, tden: Long,
+                        maxDocFreq: Option[Long] = None): DataFrame = {
+    val all = shingles(docs, n)
+    val sh = (maxDocFreq match {
+      case None      => all
+      case Some(cap) =>
+        require(cap >= 2, s"maxDocFreq must be >= 2 to keep any pair, got $cap")
+        // one extra group-by on the shingle key — the same shuffle the
+        // co-occurrence join pays anyway, and it removes the quadratic
+        // hot keys before they fan out
+        val dfOk = all.groupBy("g").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("g")
+        all.join(dfOk, "g").select("doc_id", "g")
+    }).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.select(col("doc_id").as("da"), col("g"))
       .join(sh.select(col("doc_id").as("db"), col("g")), "g")
