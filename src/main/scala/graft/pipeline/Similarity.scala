@@ -76,15 +76,17 @@ object Similarity {
   }
 
   /** Deterministic +-1 hyperplane weight table `(pl, w)` for `planes`
-    * planes of `dim` dimensions, broadcast-sized at any corpus scale.
+    * planes, dimensioned from `vecCol` of `df` — broadcast-sized at any
+    * corpus scale.
     */
-  private[pipeline] def planeWeights(emb: DataFrame, planes: Int,
-                                     seedBase: Long): DataFrame = {
-    val spark = emb.sparkSession
+  private[pipeline] def planeWeights(df: DataFrame, planes: Int,
+                                     seedBase: Long,
+                                     vecCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
     import spark.implicits._
     // empty table -> dim 0 -> empty weight vectors (results are empty
     // anyway); never .first() on a possibly-empty scan
-    val dim = emb.select(size(col("embedding")).as("d")).limit(1)
+    val dim = df.select(size(col(vecCol)).as("d")).limit(1)
       .collect().headOption.map(_.getInt(0)).getOrElse(0)
     (0 until planes).map { pl =>
       val rnd = new java.util.Random(seedBase + pl)
@@ -92,37 +94,51 @@ object Similarity {
     }.toDF("pl", "w")
   }
 
-  /** `(vec_id, q, n2, sig)`: prepared vectors + a `planes`-bit
-    * random-hyperplane signature. For a handful of planes the weights are
-    * inlined as literal arrays — `planes` codegen'd dot products per row,
-    * zero extra joins or jobs (the broadcast weight-table shape in
-    * [[lshCosinePairs]] is for hundreds of planes). P(two vectors share a
-    * bit) = 1 - angle/pi, so near-identical vectors land in the same
-    * bucket w.h.p. while the expected bucket size for unrelated vectors
-    * is n / 2^planes.
+  /** `(vec_id, band, bh)`: banded random-hyperplane signatures for
+    * prepared vectors — `bands` hashes of `r` sign bits each, computed
+    * with the codegen'd [[LongArrayDot]] against a broadcast weight
+    * table (one narrow broadcast join + a group-by, no interpreted
+    * per-element lambdas). Narrow on purpose: vectors re-attach only
+    * after candidate dedup, so no grouping ever hashes an array.
+    *
+    * P(one bit agrees) = p = 1 - angle/pi; a pair shares a band with
+    * probability p^r, any band with 1-(1-p^r)^bands — `r` controls
+    * background collisions (~bands/2^r of all pairs), `bands` buys
+    * recall.
     */
-  def signed(emb: DataFrame, planes: Int): DataFrame = {
-    val dim = emb.select(size(col("embedding")).as("d")).limit(1)
-      .collect().headOption.map(_.getInt(0)).getOrElse(0)
-    val p = prepared(emb)
-    val sigBits = (0 until planes).map { pl =>
-      val rnd = new java.util.Random(7001L + pl)
-      val w = Array.fill(dim)(if (rnd.nextBoolean()) 1L else -1L)
-      when(intDot(col("q"), typedlit(w)) >= 0, lit(1L << pl)).otherwise(lit(0L))
-    }
-    p.withColumn("sig", sigBits.reduce(_ + _))
+  private def bandedSigs(p: DataFrame, bands: Int, r: Int,
+                         seedBase: Long): DataFrame = {
+    val wdf = planeWeights(p, bands * r, seedBase, vecCol = "q")
+      .select((col("pl") / r).cast("int").as("band"),
+        pmod(col("pl"), lit(r)).as("bit_ix"), col("w"))
+    p.crossJoin(broadcast(wdf))
+      .select(col("vec_id"), col("band"),
+        (when(intDot(col("q"), col("w")) >= 0, lit(1L)).otherwise(lit(0L)) *
+          call_function("shiftleft", lit(1L), col("bit_ix"))).as("bit"))
+      .groupBy("vec_id", "band").agg(sum(col("bit")).as("bh"))
   }
 
-  /** Scale path for top-k: random-hyperplane LSH — candidates share a
-    * signature bucket (bucket equi-join, never all-pairs). Approximate
-    * (bucket boundaries lose some neighbors) — by design; no SQL oracle.
+  /** Scale path for top-k: banded random-hyperplane LSH. Candidates are
+    * the union over bands of bucket equi-joins (never all-pairs), then
+    * scored exactly and ranked. Approximate by design — neighbors
+    * sharing no band are lost, recall = 1-(1-p^r)^bands — so there is
+    * no SQL oracle for the output itself; the driver's `ann_recall`
+    * query pins the measured recall floor against the exact
+    * [[bruteForceTopK]] instead.
     */
-  def lshTopK(emb: DataFrame, k: Int, planes: Int, queryPred: Column): DataFrame = {
-    val sig = signed(emb, planes)
-    val qs = sig.filter(queryPred)
-      .select(col("vec_id").as("qid"), col("q").as("qq"), col("sig"))
-    val cands = sig.select(col("vec_id").as("nid"), col("q").as("nq"), col("sig"))
-    val scored = qs.join(cands, Seq("sig")).filter(col("qid") =!= col("nid"))
+  def lshTopK(emb: DataFrame, k: Int, bands: Int, r: Int,
+              queryPred: Column): DataFrame = {
+    val p = prepared(emb).cache()
+    val banded = bandedSigs(p, bands, r, seedBase = 7001L)
+    val cands = banded.filter(queryPred)
+      .select(col("band"), col("bh"), col("vec_id").as("qid"))
+      .join(banded.select(col("band"), col("bh"), col("vec_id").as("nid")),
+        Seq("band", "bh"))
+      .filter(col("qid") =!= col("nid"))
+      .select("qid", "nid").distinct()
+    val scored = cands
+      .join(p.select(col("vec_id").as("qid"), col("q").as("qq")), "qid")
+      .join(p.select(col("vec_id").as("nid"), col("q").as("nq")), "nid")
       .withColumn("dot", intDot(col("qq"), col("nq")))
     val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -153,17 +169,8 @@ object Similarity {
     */
   def lshCosinePairs(emb: DataFrame, bands: Int, r: Int,
                      tnum: Long, tden: Long): DataFrame = {
-    val wdf = planeWeights(emb, bands * r, seedBase = 1000003L)
-      .select((col("pl") / r).cast("int").as("band"),
-        pmod(col("pl"), lit(r)).as("bit_ix"), col("w"))
     val p = prepared(emb).cache()
-    // narrow signatures (vec_id, band, bh) — vectors re-attach only after
-    // the candidate distinct, so no grouping/dedup ever hashes an array
-    val banded = p.crossJoin(broadcast(wdf))
-      .select(col("vec_id"), col("band"),
-        (when(intDot(col("q"), col("w")) >= 0, lit(1L)).otherwise(lit(0L)) *
-          call_function("shiftleft", lit(1L), col("bit_ix"))).as("bit"))
-      .groupBy("vec_id", "band").agg(sum(col("bit")).as("bh"))
+    val banded = bandedSigs(p, bands, r, seedBase = 1000003L)
     val cands = banded.select(col("band"), col("bh"), col("vec_id").as("da"))
       .join(banded.select(col("band"), col("bh"), col("vec_id").as("db")),
         Seq("band", "bh"))
