@@ -364,6 +364,15 @@ final class Session(val engine: Engine) {
     } finally csvScan.unpersist(false) // release the shared CSV cache
   }
 
+  /** Delta-file count that triggers insert compaction: appends stay O(1)
+    * amortized, but a long insert streak can't leave one tiny parquet
+    * file per row (a million inserts = a million files = a dead
+    * listing). The reference appends into its last page in place
+    * (storage.c:1495-1584); folding deltas into a fresh copy-on-write
+    * version is that page-append's versioned twin.
+    */
+  private val CompactAfterFiles = 64
+
   private def insertOne(c: String, v: Int): Unit = catalog.synchronized {
     val meta = catalog.require(c)
     val row = spark.range(1).select(lit(meta.nextId).as("id"),
@@ -377,8 +386,24 @@ final class Session(val engine: Engine) {
       // (the reference maintains its sorted projection on insert,
       // storage.c:1495-1584 — here clustering is a hint, not correctness)
       row.write.mode("append").parquet(meta.dataPath)
-      catalog.update(c, meta.version, meta.nextId + 1)
+      val updated = catalog.update(c, meta.version, meta.nextId + 1)
+      if (deltaFiles(updated.dataPath) >= CompactAfterFiles) {
+        // fold the deltas into a new version (ids untouched, layout
+        // re-clustered for indexed types), then atomically swap the
+        // catalog — readers of the old version dir are never broken
+        Storage.writeColumn(Storage.readColumn(spark, updated),
+          updated.copy(version = updated.version + 1).dataPath, updated.stype)
+        catalog.update(c, updated.version + 1, updated.nextId)
+      }
     }
+  }
+
+  /** Parquet part-file count of a version dir (local-fs insert path;
+    * compaction is merely skipped if the dir isn't listable).
+    */
+  private def deltaFiles(dir: String): Int = {
+    val ls = new java.io.File(dir).listFiles()
+    if (ls == null) 0 else ls.count(_.getName.endsWith(".parquet"))
   }
 
   /** Copy-on-write rewrite of a column (delete/update): new version dir,

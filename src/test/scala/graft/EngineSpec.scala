@@ -302,6 +302,22 @@ class EngineSpec extends SparkSpec {
     assert(results == (1 to 8).map(i => Seq(i.toString)))
   }
 
+  test("insert compaction bounds delta files; ids and values stable") {
+    val e = new Engine(spark, tmpDir("graftdb"))
+    e.execute("""create(ic,"unsorted")""")
+    e.execute((0 until 150).map(i => s"insert(ic,$i)").mkString("\n"))
+    val meta = e.catalog.require("ic")
+    // 150 one-row appends crossed the 64-file threshold twice; the live
+    // version dir holds only the post-compaction tail, never 150 files
+    val files = new java.io.File(meta.dataPath).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files < 64, s"expected compacted version dir, found $files files")
+    assert(meta.nextId == 150)
+    // ids stayed dense and in insertion order through both compactions
+    val out = e.execute("p=select(ic)\nv=fetch(ic,p)\nprint(v)")
+    assert(out == (0 until 150).map(_.toString))
+  }
+
   test("emission streams results larger than spark.driver.maxResultSize") {
     // SparkSpec pins maxResultSize=8m. 4M random ints carry ~16MB of
     // entropy, so a whole-result collect MUST die on the cap, while the
