@@ -180,7 +180,7 @@ final class Session(val engine: Engine) {
       val in = getVals(input)
       if (atype == AggAvg && in.df.isEmpty) throw DbError.divZero()
       val out = Vals(ColumnOps.aggregate(atype, in.df), hasIds = false,
-        align = Align.singleton)
+        align = Align.singleton, aggSrc = Some((atype, in.df)))
       emitOrBind(assign, out)
 
     case Math(mtype, assign, in1, in2) =>
@@ -225,17 +225,22 @@ final class Session(val engine: Engine) {
       val vals = vars.map(getVals)
       val lengths = vals.map(lengthOf)
       if (lengths.distinct.size > 1) throw DbError.intermDiffLen()
-      // same lineage -> zip on the shared align key; otherwise rank-zip
-      val zipped = vals.map(_.align.tag).distinct match {
-        case Seq(_) =>
-          val cols = vals.head.align.cols
-          ColumnOps.tupleZip(vals.map(_.df), cols).orderBy(cols.map(col): _*)
-        case _ =>
-          val posed = vals.map(v =>
-            ColumnOps.withPos(v.df.select((v.align.cols :+ "v").map(col): _*),
-              v.align.cols.map(col)).select("pos", "v"))
-          ColumnOps.tupleZip(posed, Seq("pos")).orderBy("pos")
-      }
+      // all-aggregate tuples fuse per shared input; same lineage -> zip
+      // on the shared align key; otherwise rank-zip
+      val zipped =
+        if (vals.size > 1 && vals.forall(v =>
+          v.align.tag == Align.SingletonTag && v.aggSrc.isDefined))
+          fusedAggregates(vals)
+        else vals.map(_.align.tag).distinct match {
+          case Seq(_) =>
+            val cols = vals.head.align.cols
+            ColumnOps.tupleZip(vals.map(_.df), cols).orderBy(cols.map(col): _*)
+          case _ =>
+            val posed = vals.map(v =>
+              ColumnOps.withPos(v.df.select((v.align.cols :+ "v").map(col): _*),
+                v.align.cols.map(col)).select("pos", "v"))
+            ColumnOps.tupleZip(posed, Seq("pos")).orderBy("pos")
+        }
       {
         import scala.jdk.CollectionConverters._
         zipped.toLocalIterator().asScala
@@ -270,6 +275,32 @@ final class Session(val engine: Engine) {
       case Some(name) => bind(name, v); Iterator.empty
       case None       => emit(v)
     }
+
+  /** Fuse a tuple of singleton aggregate results: operands whose
+    * aggregates read the SAME input plan (`sameResult` on the analyzed
+    * plans — e.g. `max(v)`, `min(v)`, `count(v)` of one fetch) collapse
+    * into a single multi-expression `agg(...)` — one pass over the
+    * input instead of one plan subtree (and one broadcast job) per
+    * aggregate. Distinct inputs stay separate and cross-join 1x1.
+    * Output columns are `v<k>` for operand position k (order-free — the
+    * tuple formatter reads them by name).
+    */
+  private def fusedAggregates(vals: Seq[Vals]): DataFrame = {
+    val groups = mutable.ArrayBuffer.empty[(DataFrame, mutable.ArrayBuffer[Int])]
+    vals.zipWithIndex.foreach { case (v, i) =>
+      val in = v.aggSrc.get._2
+      groups.find { case (g, _) =>
+        g.queryExecution.analyzed.sameResult(in.queryExecution.analyzed)
+      } match {
+        case Some((_, ix)) => ix += i
+        case None          => groups += ((in, mutable.ArrayBuffer(i)))
+      }
+    }
+    groups.map { case (in, ix) =>
+      def ex(i: Int) = ColumnOps.aggExpr(vals(i).aggSrc.get._1).as(s"v${i + 1}")
+      in.agg(ex(ix.head), ix.tail.toSeq.map(ex): _*)
+    }.reduce(_.crossJoin(_))
+  }
 
   /** Length of a values intermediate for the DBEINTERMDIFFLEN checks.
     * Aggregate results are singletons BY CONSTRUCTION (aggregate.c:26-30)
@@ -338,7 +369,7 @@ final class Session(val engine: Engine) {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val (csvScan, cols) =
+    val (csvScan, rows, cols) =
       try Storage.parseCsv(spark, file)
       catch { case scala.util.control.NonFatal(e) =>
         throw DbError.ioError(s"cannot load $file: ${e.getMessage}")
@@ -351,10 +382,10 @@ final class Session(val engine: Engine) {
       val meta = catalog.require(name)
       if (meta.nextId == 0L) { // double-load ignored (storage.c:1863-1867)
         Some(Future {
-          val rows = df.count()
           val data = df.select(col("ord").as("id"), col("v"))
           Storage.writeColumn(data,
-            meta.copy(version = meta.version + 1).dataPath, meta.stype)
+            meta.copy(version = meta.version + 1).dataPath, meta.stype,
+            rowsHint = Some(rows))
           (name, meta.version + 1, rows)
         })
       } else None
@@ -379,7 +410,7 @@ final class Session(val engine: Engine) {
       lit(v).cast(IntegerType).as("v"))
     if (meta.nextId == 0L) {
       Storage.writeColumn(row, meta.copy(version = meta.version + 1).dataPath,
-        meta.stype)
+        meta.stype, rowsHint = Some(1L))
       catalog.update(c, meta.version + 1, 1L)
     } else {
       // O(1) append of a delta file; indexed layouts degrade gracefully
@@ -392,7 +423,8 @@ final class Session(val engine: Engine) {
         // re-clustered for indexed types), then atomically swap the
         // catalog — readers of the old version dir are never broken
         Storage.writeColumn(Storage.readColumn(spark, updated),
-          updated.copy(version = updated.version + 1).dataPath, updated.stype)
+          updated.copy(version = updated.version + 1).dataPath, updated.stype,
+          rowsHint = Some(updated.nextId))
         catalog.update(c, updated.version + 1, updated.nextId)
       }
     }
@@ -417,8 +449,10 @@ final class Session(val engine: Engine) {
     if (meta.stype != Unsorted)
       throw DbError.unsupported(s"delete/update on ${meta.stype.name} column $c")
     val out = f(engine.column(c))
+    // nextId over-counts tombstoned holes — fine, the hint only sizes
+    // partitioning (and rewrite targets are unsorted: hint unused)
     Storage.writeColumn(out, meta.copy(version = meta.version + 1).dataPath,
-      meta.stype)
+      meta.stype, rowsHint = Some(meta.nextId))
     catalog.update(c, meta.version + 1, meta.nextId,
       stillPristine = keepsPristine)
   }

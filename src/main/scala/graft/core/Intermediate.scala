@@ -74,8 +74,14 @@ object Intermediate {
     * `fetchCol`/`fullBase` record which column a fetch materialized and
     * whether its position set was a full select — the treejoin
     * precondition (DBENOTREE, join.c:171-178) checks both.
+    *
+    * `aggSrc` records an aggregate result's provenance (its type and
+    * input plan): tuple emission fuses sibling aggregates over the same
+    * input into one `agg` pass instead of one plan subtree each.
     */
   final case class Vals(df: DataFrame, hasIds: Boolean, align: Align,
                         fetchCol: Option[String] = None,
-                        fullBase: Boolean = false) extends Intermediate
+                        fullBase: Boolean = false,
+                        aggSrc: Option[(graft.lang.Op.AggType, DataFrame)] = None)
+      extends Intermediate
 }

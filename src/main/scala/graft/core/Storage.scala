@@ -39,15 +39,29 @@ object Storage {
     else spark.read.schema(columnSchema).parquet(meta.dataPath)
       .filter(org.apache.spark.sql.functions.col("id") < meta.nextId)
 
-  /** Layout-aware write: indexed storage types are clustered by value so
-    * range selects prune row groups.
+  /** Rows per value-clustered partition: ~4M ids+ints keep a partition
+    * well under parquet's sweet spot while one partition per ~few dozen
+    * MB still fans a 100 TB load across the cluster.
     */
-  def writeColumn(df: DataFrame, path: String, stype: StorageType): Unit = {
+  private val RowsPerIndexedPartition = 4000000L
+
+  /** Layout-aware write: indexed storage types are clustered by value so
+    * range selects prune row groups. `rowsHint` (when the caller already
+    * knows the count) sizes the clustering: small columns sort in one
+    * partition — same layout, minus repartitionByRange's range-sampling
+    * job, which at interactive scale costs as much as the write itself.
+    */
+  def writeColumn(df: DataFrame, path: String, stype: StorageType,
+                  rowsHint: Option[Long] = None): Unit = {
     val out = stype match {
       case Sorted | BTree =>
         // avoid a degenerate single range-partition on tiny data
-        val parts = math.max(1, df.sparkSession.sparkContext.defaultParallelism / 2)
-        df.repartitionByRange(parts, col("v")).sortWithinPartitions("v")
+        val default = math.max(1, df.sparkSession.sparkContext.defaultParallelism / 2)
+        val parts = rowsHint
+          .map(r => math.min(default.toLong, math.max(1L, r / RowsPerIndexedPartition)).toInt)
+          .getOrElse(default)
+        if (parts == 1) df.repartition(1).sortWithinPartitions("v")
+        else df.repartitionByRange(parts, col("v")).sortWithinPartitions("v")
       case Unsorted => df
     }
     out.write.mode("overwrite").parquet(path)
@@ -61,7 +75,7 @@ object Storage {
     * ordinal, the caller offsets it by each target column's nextId.
     */
   def parseCsv(spark: SparkSession, file: String)
-      : (DataFrame, Seq[(String, DataFrame)]) = {
+      : (DataFrame, Long, Seq[(String, DataFrame)]) = {
     val raw = spark.read.option("header", "true").csv(file)
     val names = raw.columns.toSeq
     // non-numeric/empty cells parse to 0, matching the reference's atoi
@@ -74,7 +88,10 @@ object Storage {
     val withOrd = spark.createDataFrame(
       casted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(i +: r.toSeq) },
       schema).cache()
-    withOrd.count() // materialize once — per-column writers run concurrently
-    (withOrd, names.map(n => n -> withOrd.select(col("ord"), col(n).as("v"))))
+    // materialize once — per-column writers run concurrently; the count
+    // is every target column's row count (rows are aligned), so writers
+    // never re-count
+    val rows = withOrd.count()
+    (withOrd, rows, names.map(n => n -> withOrd.select(col("ord"), col(n).as("v"))))
   }
 }

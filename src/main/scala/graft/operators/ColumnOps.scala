@@ -136,18 +136,23 @@ object ColumnOps {
     * aggregate.c:18-21). sum wraps at 32 bits; avg is truncating integer
     * division. Output schema: `(v)`.
     */
+  /** The aggregate expression alone — exposed so the engine can fuse
+    * several aggregates over one input into a single `agg(...)` pass
+    * (one job instead of one subtree per aggregate at tuple emission).
+    */
+  def aggExpr(atype: AggType): Column = atype match {
+    case AggMin   => coalesce(min(col("v")), lit(Int.MaxValue))
+    case AggMax   => coalesce(max(col("v")), lit(Int.MinValue))
+    case AggSum   => wrapInt(coalesce(sum(col("v")), lit(0L)))
+    case AggCount => count(lit(1)).cast(IntegerType)
+    case AggAvg   =>
+      // sum and count as longs; integer division truncating toward zero;
+      // empty input -> null here -> DBEDIVZERO at the engine layer
+      divTrunc(sum(col("v").cast(LongType)), count(lit(1))).cast(IntegerType)
+  }
+
   def aggregate(atype: AggType, vals: DataFrame): DataFrame = {
-    val agg = atype match {
-      case AggMin   => coalesce(min(col("v")), lit(Int.MaxValue))
-      case AggMax   => coalesce(max(col("v")), lit(Int.MinValue))
-      case AggSum   => wrapInt(coalesce(sum(col("v")), lit(0L)))
-      case AggCount => count(lit(1)).cast(IntegerType)
-      case AggAvg   =>
-        // sum and count as longs; integer division truncating toward zero;
-        // empty input -> null here -> DBEDIVZERO at the engine layer
-        divTrunc(sum(col("v").cast(LongType)), count(lit(1))).cast(IntegerType)
-    }
-    val out = vals.agg(agg.as("v"))
+    val out = vals.agg(aggExpr(atype).as("v"))
     if (atype == AggAvg) out.na.drop(Seq("v")) // empty input -> caller errors
     else out
   }
