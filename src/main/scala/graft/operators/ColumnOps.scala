@@ -123,7 +123,15 @@ object ColumnOps {
       case LoopJoin => rf0
     }
     val outCols = lOut ++ rOut
-    val pairs = lf.join(rf, "v")
+    // session skew knob: spread known-hot value keys over salt buckets
+    // (left side salted, right side replicated; result multiset
+    // identical). Broadcast (treejoin) has no shuffle to salt.
+    val buckets = SkewJoin.bucketsOf(l)
+    val joined =
+      if (buckets > 1 && jtype != TreeJoin)
+        SkewJoin.saltedInnerJoin(lf, rf, "v", buckets)
+      else lf.join(rf, "v")
+    val pairs = joined
       .select(outCols.map(col) ++ Seq(col("lid"), col("rid")): _*)
     (pairs, outCols)
   }

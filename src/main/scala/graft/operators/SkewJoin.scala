@@ -25,6 +25,16 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** Session knob (Spark SQL conf): when set to an int > 1, the engine's
+    * join keywords route through [[saltedInnerJoin]] with that many salt
+    * buckets (treejoin excepted — a broadcast probe has no shuffle to
+    * skew). Read at plan-build time; same result multiset either way.
+    */
+  val BucketsKey = "graft.join.saltBuckets"
+
+  def bucketsOf(df: DataFrame): Int =
+    df.sparkSession.conf.get(BucketsKey, "0").toInt
+
   /** Inner equi-join of `large` and `small` on `key`, salted into
     * `buckets` sub-keys. Column sets must be disjoint apart from `key`.
     *

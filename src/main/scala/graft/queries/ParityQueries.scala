@@ -58,6 +58,18 @@ object ParityQueries {
   def joinLoop: Q = joinQ(LoopJoin)
   def joinTree: Q = joinQ(TreeJoin)
 
+  /** The hashjoin keyword under the session skew knob
+    * ([[graft.operators.SkewJoin.BucketsKey]]): the plan salts the left
+    * side over 8 buckets and replicates the right, the result multiset is
+    * identical — oracle-checked against the same SQL as join_hash. The
+    * knob is read at plan-build time, so it is restored before returning.
+    */
+  def joinSkew: Q = (s, d) => {
+    s.conf.set(graft.operators.SkewJoin.BucketsKey, "8")
+    try joinQ(HashJoin)(s, d)
+    finally s.conf.unset(graft.operators.SkewJoin.BucketsKey)
+  }
+
   // --- aggregates ---
 
   private def aggQ(atype: AggType, v: org.apache.spark.sql.Column)
@@ -191,6 +203,7 @@ object ParityQueries {
     "join_sort" -> joinSort,
     "join_loop" -> joinLoop,
     "join_tree" -> joinTree,
+    "join_skew" -> joinSkew,
     "agg_min" -> aggMin,
     "agg_max" -> aggMax,
     "agg_sum" -> aggSum,
@@ -237,6 +250,7 @@ object ParityQueries {
     "join_sort" -> joinSql,
     "join_loop" -> joinSql,
     "join_tree" -> joinSql,
+    "join_skew" -> joinSql,
     "agg_min" -> aggSql("CAST(MIN(CAST(l_partkey AS INTEGER)) AS INTEGER)"),
     "agg_max" -> aggSql("CAST(MAX(CAST(l_partkey AS INTEGER)) AS INTEGER)"),
     "agg_sum" -> aggSql(wrapSql("SUM(CAST(l_quantity AS INTEGER))")),

@@ -33,6 +33,33 @@ class SkewJoinSpec extends SparkSpec {
     assert(out.count() == 5000)
   }
 
+  test("engine join keywords honor the session salt knob") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.lang.Op.HashJoin
+    import graft.operators.ColumnOps
+    // values intermediates as the engine shapes them: (alignCol, id, v)
+    val l = (0L until 2000L).map(i => (i, i, (i % 7).toInt)).toDF("a", "id", "v")
+    val r = (0L until 300L).map(i => (i, i, (i % 7).toInt)).toDF("a", "id", "v")
+    def pairs(): Seq[(Long, Long)] = {
+      val (p, _) = ColumnOps.join(HashJoin, l, r, Seq("a"), Seq("a"))
+      p.select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1)))
+        .toSeq.sorted
+    }
+    val unsalted = pairs()
+    spark.conf.set(SkewJoin.BucketsKey, "8")
+    try {
+      val (p, _) = ColumnOps.join(HashJoin, l, r, Seq("a"), Seq("a"))
+      // the salted shape is in the plan: join key extended with _salt,
+      // small side exploded over the bucket range
+      val plan = p.queryExecution.optimizedPlan.toString
+      assert(plan.contains("_salt"), plan.take(2000))
+      val salted = p.select("lid", "rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSeq.sorted
+      assert(salted == unsalted)
+    } finally spark.conf.unset(SkewJoin.BucketsKey)
+  }
+
   test("single-column large side salts without error") {
     val spark0 = spark
     import spark0.implicits._
