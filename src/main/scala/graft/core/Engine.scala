@@ -81,19 +81,30 @@ final class Session(val engine: Engine) {
     * (Measured at 75M pairs: caching 62s, shuffle-reuse ~1s/consumer.)
     */
   private def bind(name: String, value: Intermediate): Unit = {
-    env.get(name).foreach {
-      case i: Ids  => i.df.unpersist(false)
-      case v: Vals => v.df.unpersist(false)
+    // Spark's CacheManager matches cache entries by ANALYZED-PLAN
+    // equality, not by DataFrame identity: unpersisting a rebound
+    // variable would also evict any other live binding holding the same
+    // plan (e.g. two variables bound to identical selects). Skip the
+    // unpersist while a plan-equal sibling is still bound.
+    env.get(name).foreach { old =>
+      val odf = dfOf(old)
+      val shared = env.exists { case (n, i) =>
+        n != name &&
+          dfOf(i).queryExecution.analyzed.sameResult(odf.queryExecution.analyzed)
+      }
+      if (!shared) odf.unpersist(false)
     }
     val joinLineage = value match {
       case i: Ids  => i.ordered
       case v: Vals => v.align.cols.size > 1
     }
-    if (!joinLineage) value match {
-      case i: Ids  => i.df.cache()
-      case v: Vals => v.df.cache()
-    }
+    if (!joinLineage) dfOf(value).cache()
     env(name) = value
+  }
+
+  private def dfOf(i: Intermediate): DataFrame = i match {
+    case ids: Ids  => ids.df
+    case vals: Vals => vals.df
   }
 
   /** Evaluate one op; returns client-visible output lines (non-assign
@@ -124,7 +135,10 @@ final class Session(val engine: Engine) {
 
     case Fetch(assign, c, posVar) =>
       val meta = catalog.require(c)
-      val base = engine.column(c)
+      // read from the SAME meta snapshot the checks below use — a second
+      // catalog read could see a concurrent mutation and diverge from
+      // the length/fusion decision
+      val base = Storage.readColumn(spark, meta)
       val ids = getIds(posVar)
       val df = if (ids.ordered) ColumnOps.fetchList(base, ids.df, ids.align.cols)
                else {
@@ -256,7 +270,8 @@ final class Session(val engine: Engine) {
   private def evalSelect(assign: Option[String], c: String,
                          bounds: Option[(Long, Long)]): Iterator[String] = {
     val meta = catalog.require(c)
-    val base = engine.column(c)
+    // one meta snapshot for both the srcLen recorded below and the data
+    val base = Storage.readColumn(spark, meta)
     val df = bounds match {
       case None             => ColumnOps.selectAll(base)
       case Some((lo, hi)) if lo == hi => ColumnOps.selectValue(base, lo)
@@ -448,7 +463,7 @@ final class Session(val engine: Engine) {
     val meta = catalog.require(c)
     if (meta.stype != Unsorted)
       throw DbError.unsupported(s"delete/update on ${meta.stype.name} column $c")
-    val out = f(engine.column(c))
+    val out = f(Storage.readColumn(spark, meta))
     // nextId over-counts tombstoned holes — fine, the hint only sizes
     // partitioning (and rewrite targets are unsorted: hint unused)
     Storage.writeColumn(out, meta.copy(version = meta.version + 1).dataPath,

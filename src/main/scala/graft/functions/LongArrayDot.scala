@@ -20,8 +20,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * allocates nothing.
   *
   * Null elements are not expected (inputs are quantized non-null
-  * embeddings); lengths may differ, the shorter prefix is used (matching
-  * `zip_with` + null-skip on the padded tail).
+  * embeddings). Unequal lengths throw: a dimension mismatch upstream
+  * (truncated quantization, a weight table built for the wrong dim)
+  * would otherwise produce plausible-but-wrong scores and signatures —
+  * fail loud instead of silently dotting the shorter prefix.
   */
 case class LongArrayDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -44,7 +46,9 @@ case class LongArrayDot(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw LongArrayDot.dimMismatch(n, y.numElements())
     var i = 0
     var s = 0L
     while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
@@ -56,8 +60,12 @@ case class LongArrayDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val cls = classOf[LongArrayDot].getName
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw $cls.dimMismatch($n, $b.numElements());
+         |}
          |long $s = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += $a.getLong($i) * $b.getLong($i);
@@ -73,6 +81,14 @@ case class LongArrayDot(left: Expression, right: Expression)
 
 object LongArrayDot {
   val name = "graft_dot"
+
+  /** Shared by interpreted and generated code (codegen calls it
+    * statically — keep the signature stable).
+    */
+  def dimMismatch(a: Int, b: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"$name: vector dimensions differ ($a vs $b) — upstream " +
+        "quantization or weight table built for the wrong dimension")
 
   /** Idempotently register `graft_dot` in the session's function registry
     * so `call_function("graft_dot", a, b)` resolves to this expression.

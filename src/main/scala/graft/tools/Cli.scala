@@ -52,7 +52,14 @@ object Cli {
               case e: DbException =>
                 failed = true; System.err.println(e.getMessage)
               case scala.util.control.NonFatal(e) =>
-                // any engine/Spark failure is per-line too (the reference
+                // a stopped SparkContext is unrecoverable: every further
+                // line would fail with the same misleading per-line code,
+                // so terminate instead of looping on a dead session
+                if (spark.sparkContext.isStopped) {
+                  System.err.println(s"fatal: Spark session stopped: ${e.getMessage}")
+                  sys.exit(1)
+                }
+                // other engine/Spark failures are per-line (the reference
                 // renders RPC_ERROR and keeps the session, client.c:88-104)
                 failed = true; System.err.println(s"DBEIOEARLY: ${e.getMessage}")
             }
