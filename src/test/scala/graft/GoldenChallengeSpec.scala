@@ -1,130 +1,49 @@
 package graft
 
-import java.nio.file.{Files, Paths}
-import scala.collection.mutable.ArrayBuffer
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
 import graft.core.Engine
 
 /** Golden end-to-end runs of the reference's own challenge scripts
   * (/root/reference/p3challenge/p3challenge.txt and
-  * p4challenge/p4challenge.txt, verbatim query text, load paths adapted),
-  * checked against an independent in-memory model of the column-store
-  * semantics (positions with tombstones, value join, truncating int avg).
-  * The reference's CSVs are not vendored (FIXTURES.md §2), so the data is
-  * generated seeded and the expected tuples come from the model rather
-  * than the original .expected files — every operator in the scripts is
-  * still exercised end-to-end through parse -> eval -> storage.
+  * p4challenge/p4challenge.txt, verbatim query text, load paths adapted)
+  * against VENDORED fixtures: seeded CSVs plus literal `.expected` tuple
+  * files under src/test/resources/golden — a byte-diff, like the
+  * reference's own test.sh. The fixtures were produced by
+  * [[GoldenFixtureGen]]'s in-memory model and cross-checked by an
+  * independent Python replay (FIXTURES.md §2); neither is in the test
+  * loop here.
   */
 class GoldenChallengeSpec extends SparkSpec {
 
-  /** In-memory model: per-column value arrays, None = tombstone. */
-  final class Model {
-    val cols = scala.collection.mutable.LinkedHashMap[String, ArrayBuffer[Option[Int]]]()
-    def create(c: String): Unit = cols.getOrElseUpdate(c, ArrayBuffer())
-    def insert(cv: (String, Int)*): Unit = cv.foreach { case (c, v) => cols(c) += Some(v) }
-    def selectRange(c: String, lo: Long, hi: Long): Seq[Int] =
-      cols(c).zipWithIndex.collect { case (Some(v), i) if v >= lo && v <= hi => i }.toSeq
-    def fetch(c: String, ids: Seq[Int]): Seq[(Int, Int)] = // (id, value)
-      ids.map(i => i -> cols(c)(i).get)
-    def delete(ids: Seq[Int], cs: Seq[String]): Unit =
-      for (c <- cs; i <- ids) cols(c)(i) = None
-    def update(ids: Seq[Int], c: String, v: Int): Unit =
-      for (i <- ids) if (cols(c)(i).isDefined) cols(c)(i) = Some(v)
-
-    /** The challenge query: join t and u on (ta, ua) values after the two
-      * selects, then truncating int avg of td / uc over the pair lists.
-      */
-    def challengeQuery(): (Int, Int) = {
-      val tIds = selectRange("tb", 1000, 1000)
-      val taF = fetch("ta", tIds)
-      val uIds = selectRange("ud", 9000, 9000000)
-      val uaF = fetch("ua", uIds)
-      val pairs = for ((ti, tv) <- taF; (ui, uv) <- uaF if tv == uv) yield (ti, ui)
-      require(pairs.nonEmpty, "challenge data must produce join matches")
-      def avg(vals: Seq[Int]): Int =
-        (vals.map(_.toLong).sum / vals.size).toInt
-      (avg(pairs.map { case (ti, _) => cols("td")(ti).get }),
-        avg(pairs.map { case (_, ui) => cols("uc")(ui).get }))
-    }
+  private def golden(name: String): Path = {
+    val url = getClass.getResource(s"/golden/$name")
+    assume(url != null, s"vendored golden fixture $name missing")
+    Paths.get(url.toURI)
   }
 
-  /** Seeded t/u data with the FIXTURES.md §2 value shapes: tb probes at
-    * 1000, ud mostly inside [9000, 9000000], join keys with shared range.
-    */
-  def genData(model: Model, dir: String): (String, String) = {
-    val rnd = new java.util.Random(4242)
-    Seq("ta", "tb", "tc", "td", "ua", "ub", "uc", "ud").foreach(model.create)
-    val t = new StringBuilder("ta,tb,tc,td\n")
-    for (_ <- 1 to 3000) {
-      val ta = rnd.nextInt(400)
-      val tb = if (rnd.nextInt(10) == 0) 1000 else rnd.nextInt(999)
-      val tc = rnd.nextInt(500000)
-      val td = rnd.nextInt(1000000)
-      model.insert("ta" -> ta, "tb" -> tb, "tc" -> tc, "td" -> td)
-      t ++= s"$ta,$tb,$tc,$td\n"
-    }
-    val u = new StringBuilder("ua,ub,uc,ud\n")
-    for (_ <- 1 to 2000) {
-      val ua = rnd.nextInt(400)
-      val ub = rnd.nextInt(Int.MaxValue)
-      val uc = rnd.nextInt(900000)
-      val ud = 9000 + rnd.nextInt(9000000 - 9000)
-      model.insert("ua" -> ua, "ub" -> ub, "uc" -> uc, "ud" -> ud)
-      u ++= s"$ua,$ub,$uc,$ud\n"
-    }
-    val tPath = s"$dir/t.csv"; val uPath = s"$dir/u.csv"
-    Files.writeString(Paths.get(tPath), t.toString)
-    Files.writeString(Paths.get(uPath), u.toString)
-    (tPath, uPath)
-  }
-
-  def referenceScript(name: String, tPath: String, uPath: String): String = {
+  private def referenceScript(name: String): String = {
     assume(Files.exists(Paths.get("/root/reference")),
       "reference checkout required at /root/reference")
     val raw = Files.readString(Paths.get(s"/root/reference/$name"))
-    raw.replace("\"t.csv\"", s""""$tPath"""").replace("\"u.csv\"", s""""$uPath"""")
+    raw.replace("\"t.csv\"", s""""${golden("t.csv")}"""")
+      .replace("\"u.csv\"", s""""${golden("u.csv")}"""")
   }
 
-  test("p3challenge script (sorted columns, join + avg + tuple)") {
-    val model = new Model
-    val dir = tmpDir("golden_p3")
-    val (tPath, uPath) = genData(model, dir)
+  private def expectedLines(name: String): Seq[String] =
+    Files.readAllLines(golden(name)).asScala.filter(_.nonEmpty).toSeq
+
+  test("p3challenge script byte-diffs against vendored .expected") {
     val e = new Engine(spark, tmpDir("golden_p3_db"))
-    e.execute(referenceScript("p3challenge/load.txt", tPath, uPath))
-    val out = e.execute(
-      referenceScript("p3challenge/p3challenge.txt", tPath, uPath))
-    val (a, b) = model.challengeQuery()
-    assert(out == Seq(s"($a,$b)"))
+    e.execute(referenceScript("p3challenge/load.txt"))
+    val out = e.execute(referenceScript("p3challenge/p3challenge.txt"))
+    assert(out == expectedLines("p3.expected"))
   }
 
-  test("p4challenge script (mutation rounds, 6 tuples)") {
-    val model = new Model
-    val dir = tmpDir("golden_p4")
-    val (tPath, uPath) = genData(model, dir)
+  test("p4challenge script byte-diffs against vendored .expected") {
     val e = new Engine(spark, tmpDir("golden_p4_db"))
-    e.execute(referenceScript("p4challenge/load.txt", tPath, uPath))
-    val out = e.execute(
-      referenceScript("p4challenge/p4challenge.txt", tPath, uPath))
-
-    // model replays the same 6 rounds
-    val expected = ArrayBuffer[String]()
-    def round(): Unit = {
-      val (a, b) = model.challengeQuery(); expected += s"($a,$b)"
-    }
-    round() // 1: post-load
-    model.insert("ta" -> 412234, "tb" -> 123231, "tc" -> 54323, "td" -> 764543)
-    model.insert("ta" -> 1312312, "tb" -> 5321234, "tc" -> 3453241, "td" -> 14232342)
-    model.insert("ta" -> 39485394, "tb" -> 123124, "tc" -> 23429, "td" -> 1293)
-    model.insert("ta" -> 234231, "tb" -> 1000, "tc" -> 23425, "td" -> 21234)
-    model.insert("ta" -> 30293, "tb" -> 123901, "tc" -> 23491, "td" -> 12303)
-    round() // 2: post-insert
-    model.delete(model.selectRange("td", 0, 99999), Seq("ta", "tb", "tc", "td"))
-    round() // 3: post t-delete
-    model.update(model.selectRange("ub", 500001, 2147483647L), "uc", 10000)
-    round() // 4: post u-update
-    model.delete(model.selectRange("ua", 100000, 200000), Seq("ua", "ub", "uc", "ud"))
-    round() // 5: post u-delete
-    model.update(model.selectRange("tc", 10000, 200000), "ta", 54321)
-    round() // 6: post t-update
-    assert(out == expected.toSeq)
+    e.execute(referenceScript("p4challenge/load.txt"))
+    val out = e.execute(referenceScript("p4challenge/p4challenge.txt"))
+    assert(out == expectedLines("p4.expected"))
   }
 }
