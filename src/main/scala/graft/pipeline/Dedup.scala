@@ -197,28 +197,29 @@ object Dedup {
     *
     * Token bits come from md5 hex digits (digit j supplies bits 4j..4j+3)
     * rather than an engine-private 64-bit hash, so any SQL engine
-    * reproduces the signature exactly; per-token cost is one md5 plus 15
-    * codegen'd ascii/substring ops.
+    * reproduces the signature exactly. The 15 leading hex digits are
+    * parsed in ONE codegen'd `conv` per token (digit j lands in nibble
+    * 14-j of the long), and the ±1 vote sum per bit is folded to
+    * arithmetic: s_b = 2*c_b - n with c_b = sum of bit b — bit set iff
+    * 2*c_b > n. Equivalent sign, no per-row CASE, one shared count.
     */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(split(trim(col("text")), "\\s+")).as("t"))
       .filter(length(col("t")) > 0) // else blank docs all "share" hash('')
     val hex = md5(to_binary(col("t"), lit("utf-8")))
-    // hex digit j (0-based) as an int: ascii '0'-'9' -> 0-9, 'a'-'f' -> 10-15
-    val digitCols = (0 until SimhashBits / 4).map { j =>
-      val a = ascii(substring(hex, j + 1, 1))
-      when(a <= 57, a - 48).otherwise(a - 87).as(s"v$j")
+    val h = conv(substring(hex, 1, SimhashBits / 4), 16, 10).cast("long")
+    val hashed = toks.select(col("doc_id"), h.as("h"))
+    // c_b: how many tokens have bit b set; bit b of digit j sits at
+    // position 4*(14-j) + (b%4) of the conv'd long
+    val bitSums = (0 until SimhashBits).map { b =>
+      val shift = 4 * (SimhashBits / 4 - 1 - b / 4) + b % 4
+      sum(shiftright(col("h"), shift).bitwiseAND(1L)).as(s"c$b")
     }
-    val hashed = toks.select(col("doc_id") +: digitCols: _*)
-    // vote per bit: +1 if bit set else -1; sum over tokens; sign -> bit
-    val votes = (0 until SimhashBits).map { b =>
-      sum(when(shiftright(col(s"v${b / 4}"), b % 4).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"s$b")
-    }
-    val agg = hashed.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val agg = hashed.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), bitSums: _*)
     val sigExpr = (0 until SimhashBits).map { b =>
-      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+      when(col(s"c$b") * 2L > col("n"), lit(1L << b)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
     agg.select(col("doc_id"), sigExpr.as("simhash"))
   }
