@@ -55,13 +55,13 @@ object Storage {
                   rowsHint: Option[Long] = None): Unit = {
     val out = stype match {
       case Sorted | BTree =>
-        // avoid a degenerate single range-partition on tiny data
         val default = math.max(1, df.sparkSession.sparkContext.defaultParallelism / 2)
-        val parts = rowsHint
-          .map(r => math.min(default.toLong, math.max(1L, r / RowsPerIndexedPartition)).toInt)
-          .getOrElse(default)
-        if (parts == 1) df.repartition(1).sortWithinPartitions("v")
-        else df.repartitionByRange(parts, col("v")).sortWithinPartitions("v")
+        if (rowsHint.exists(_ <= RowsPerIndexedPartition))
+          // small column: a one-partition sort gives the same clustered
+          // layout without repartitionByRange's sampling job
+          df.repartition(1).sortWithinPartitions("v")
+        else
+          df.repartitionByRange(default, col("v")).sortWithinPartitions("v")
       case Unsorted => df
     }
     out.write.mode("overwrite").parquet(path)
