@@ -58,15 +58,20 @@ object Ivf {
   }
 
   /** Nearest-centroid assignment: broadcast the codebook, argmin integer
-    * L2 over cells. Returns p's columns + `cid`.
+    * L2 over cells. Returns `(vec_id, q, n2, cid)`.
+    *
+    * Formulated as `min_by` over the k-way expansion rather than a
+    * window `row_number`: an aggregate gets map-side partial
+    * aggregation, so only one row per vector crosses the shuffle — a
+    * window would shuffle all n*k expanded rows to rank them. Tie-break
+    * matches the window form exactly (min by (d2, cid)).
     */
   def assign(p: DataFrame, centroids: DataFrame): DataFrame = {
     val d2 = col("n2") + col("cn2") - lit(2L) * Similarity.intDot(col("q"), col("c"))
-    val w = Window.partitionBy("vec_id").orderBy(d2.asc, col("cid").asc)
     p.crossJoin(broadcast(centroids))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .drop("rk", "c", "cn2")
+      .groupBy("vec_id")
+      .agg(first(col("q")).as("q"), first(col("n2")).as("n2"),
+        min_by(col("cid"), struct(d2, col("cid"))).as("cid"))
   }
 
   /** IVF top-k: score each query against the vectors in its nprobe
