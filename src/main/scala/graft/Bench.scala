@@ -20,8 +20,21 @@ object Bench {
       SparkEntry.queries.filter { case (k, _) => names(k) })
 
     // Warmup: absorb one-time scheduler/codegen startup cost so the first
-    // measured query isn't charged ~2.5s of session bring-up.
-    spark.range(1000000).selectExpr("sum(id)").collect()
+    // measured query isn't charged ~2.5s of session bring-up. Touches the
+    // machinery real queries use — parquet scan, broadcast join, window,
+    // aggregate — on the two KB-sized tables, then clears any cache.
+    {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      val n = spark.read.parquet(s"$sfDir/nation.parquet")
+      n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("n_regionkey").orderBy("n_nationkey")))
+        .groupBy("r_name").agg(sum("rk")).collect()
+      spark.catalog.clearCache()
+    }
 
     // Deterministic sorted order with a cache flush per query: pipeline
     // operators intentionally cache shared sub-plans, and letting those
