@@ -154,12 +154,15 @@ object TextAnalysis {
       .select("doc_id", "fp").distinct()
   }
 
-  /** Content fingerprint: md5 of the whitespace-normalized lowercase text
-    * — a deterministic, engine-portable document identity for dedup joins.
+  /** Content-fingerprint expression: md5 of the whitespace-normalized
+    * lowercase text — a deterministic, engine-portable document identity
+    * for dedup joins. Shared with the streaming ingestion dedup
+    * ([[graft.streaming.DocStreams]]).
     */
+  def fingerprintExpr(text: Column): Column =
+    md5(to_binary(regexp_replace(trim(lower(text)), "\\s+", " "), lit("utf-8")))
+
   def fingerprint(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      md5(to_binary(regexp_replace(trim(lower(col("text"))), "\\s+", " "), lit("utf-8")))
-        .as("fp"))
+    docs.select(col("doc_id"), fingerprintExpr(col("text")).as("fp"))
       .orderBy("doc_id")
 }
