@@ -29,17 +29,21 @@ final class BottomK(val k: Int) {
 }
 
 /** Deterministic uniform k-sample of a bigint column via bottom-k
-  * priorities ("consistent sampling"): each value's priority is a
-  * mixed hash of (seed, value); the sample is the k smallest
-  * priorities. A [[TypedImperativeAggregate]] — the extension point for
-  * aggregates whose state is an arbitrary object rather than a
-  * fixed-width row, and the representative of the sketch family: state
-  * is O(k) whatever the input size, partial states merge exactly
-  * (bottom-k of a union is the bottom-k of bottom-ks), so a 100 TB
-  * column samples in one map-side pass plus k-sized merges.
+  * priorities ("consistent sampling"): each value's priority is a hash
+  * of (seed, value); the sample is the k smallest priorities. A
+  * [[TypedImperativeAggregate]] — the extension point for aggregates
+  * whose state is an arbitrary object rather than a fixed-width row,
+  * and the representative of the sketch family: state is O(k) whatever
+  * the input size, partial states merge exactly (bottom-k of a union is
+  * the bottom-k of bottom-ks), so a 100 TB column samples in one
+  * map-side pass plus k-sized merges.
   *
   * Hash-priority sampling is uniform over DISTINCT values and fully
   * deterministic — independent of partitioning, retries, and row order.
+  * The priority is the 60-bit value of the leading 15 hex digits of
+  * `md5("<seed>:<value>")` — engine-portable (any SQL engine
+  * reproduces it), which is what makes the `sample_reservoir` driver
+  * query oracle-exact rather than spec-only.
   *
   * Registered as `graft_reservoir(col, k, seed)`.
   */
@@ -63,12 +67,16 @@ case class ReservoirSample(child: Expression, k: Int, seed: Long,
       s"$prettyName requires a bigint column, got ${child.dataType.sql}")
   }
 
-  /** splitmix64 finalizer — a well-mixed deterministic priority. */
-  private def mix(x0: Long): Long = {
-    var x = x0 + 0x9E3779B97F4A7C15L
-    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-    x ^ (x >>> 31)
+  /** md5-derived 60-bit priority: top 60 bits of the digest's first 8
+    * bytes = the integer value of the leading 15 hex digits — exactly
+    * what SQL `md5(concat(seed, ':', v))` digit-parsing reproduces.
+    */
+  private def priority(x: Long): Long = {
+    val md = ReservoirSample.md5Local.get()
+    md.reset()
+    val d = md.digest(
+      s"$seed:$x".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.ByteBuffer.wrap(d).getLong() >>> 4
   }
 
   override def createAggregationBuffer(): BottomK = new BottomK(k)
@@ -77,7 +85,7 @@ case class ReservoirSample(child: Expression, k: Int, seed: Long,
     val v = child.eval(input)
     if (v != null) {
       val x = v.asInstanceOf[Long]
-      b.offer(mix(seed ^ x), x)
+      b.offer(priority(x), x)
     }
     b
   }
@@ -87,8 +95,11 @@ case class ReservoirSample(child: Expression, k: Int, seed: Long,
     b
   }
 
+  /** Sample ordered by (priority, value) — a total deterministic order
+    * shared with the SQL oracle's ORDER BY.
+    */
   override def eval(b: BottomK): Any =
-    new GenericArrayData(b.heap.toArray.sortBy(_._1).map(_._2))
+    new GenericArrayData(b.heap.toArray.sorted.map(_._2))
 
   override def serialize(b: BottomK): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
@@ -118,6 +129,9 @@ case class ReservoirSample(child: Expression, k: Int, seed: Long,
 
 object ReservoirSample {
   val name = "graft_reservoir"
+
+  private[functions] val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -97,6 +97,25 @@ object PipelineQueries {
       (col("ivf_hits") * 100L >= col("n_exact") * 55L).as("ivf_recall_ok"))
   }
 
+  /** The sketch-family representative in the hard driver signal: a
+    * deterministic bottom-k sample of lineitem order keys via the
+    * [[graft.functions.ReservoirSample]] TypedImperativeAggregate.
+    * Priorities are md5-derived (60-bit), so the DuckDB oracle computes
+    * the identical sample with plain SQL — O(k) state, exact partial
+    * merges, partitioning-independent, and oracle-exact.
+    */
+  def sampleReservoir(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.ReservoirSample
+    ReservoirSample.register(s)
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey").cast("long").as("x"))
+      .agg(call_function(ReservoirSample.name,
+        col("x"), lit(16), lit(42L)).as("sample"))
+      .select(posexplode(col("sample")))
+      .select(col("pos").cast("int").as("pos"), col("col").cast("long").as("v"))
+      .orderBy("pos")
+  }
+
   // --- text analysis ---
 
   def textTokens(s: SparkSession, d: String): DataFrame =
@@ -204,6 +223,7 @@ object PipelineQueries {
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
     "ann_recall" -> annRecall,
+    "sample_reservoir" -> sampleReservoir,
     "text_tokens" -> textTokens,
     "text_tokens_bpe" -> textTokensBpe,
     "text_quality" -> textQuality,
@@ -299,7 +319,28 @@ object PipelineQueries {
        |SELECT DISTINCT doc_id, fp FROM winnow WHERE span = $w ORDER BY doc_id, fp""".stripMargin
   }
 
+  /** DuckDB twin of [[sampleReservoir]]: distinct values, md5-derived
+    * 60-bit priority (leading 15 hex digits, parsed with the same
+    * ascii-digit pattern as [[simhashSql]]), bottom-k by (priority,
+    * value).
+    */
+  private def reservoirSql(k: Int, seed: Long): String = {
+    def digit(j: Int) = {
+      val a = s"ascii(substr(h, ${j + 1}, 1))"
+      s"(CASE WHEN $a <= 57 THEN $a - 48 ELSE $a - 87 END)"
+    }
+    val pExpr = (0 until 15)
+      .map(j => s"(CAST(${digit(j)} AS BIGINT) << ${4 * (14 - j)})")
+      .mkString(" + ")
+    s"""WITH vals AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS v FROM lineitem),
+       |pri AS (SELECT v, md5(concat('$seed:', CAST(v AS VARCHAR))) AS h FROM vals),
+       |p AS (SELECT v, $pExpr AS p FROM pri),
+       |ranked AS (SELECT v, row_number() OVER (ORDER BY p, v) - 1 AS pos FROM p)
+       |SELECT CAST(pos AS INTEGER) AS pos, v FROM ranked WHERE pos < $k ORDER BY pos""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "sample_reservoir" -> reservoirSql(k = 16, seed = 42L),
     "dedup_exact" ->
       """SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
