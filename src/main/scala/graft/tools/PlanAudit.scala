@@ -1,0 +1,22 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev aid: dump formatted physical plans of named driver queries
+  * (`runMain graft.tools.PlanAudit <sfDir> q1 q2 ...`) for the
+  * SCALE.md-style plan audits.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.drop(1).foreach { q =>
+      println(s"===== $q =====")
+      graft.SparkEntry.queries(q)(spark, sfDir).explain("formatted")
+    }
+  }
+}
