@@ -105,6 +105,39 @@ object Dedup {
       .select(col("da").cast("long"), col("db").cast("long"))
   }
 
+  /** Benchmark decontamination: training documents sharing at least
+    * `minShared` distinct word n-gram shingles with any eval document
+    * (`evalPred` over doc_id splits the corpus). Returns
+    * `(train_id, eval_id, shared)` — the standard pre-training hygiene
+    * pass that finds eval-set leakage in a crawl.
+    *
+    * Scale shape: shingle co-occurrence restricted to train x eval (the
+    * eval side is the benchmark — small, so its shingle table broadcasts
+    * or hashes cheaply; pairs only materialize for docs sharing a
+    * shingle). `maxDocFreq` caps stop-shingle fan-out exactly as in
+    * [[ngramJaccardPairs]].
+    */
+  def contamination(docs: DataFrame, evalPred: Column, n: Int,
+                    minShared: Long,
+                    maxDocFreq: Option[Long] = None): DataFrame = {
+    val all = shingles(docs, n)
+    val sh = maxDocFreq match {
+      case None      => all
+      case Some(cap) =>
+        require(cap >= 2, s"maxDocFreq must be >= 2 to keep any pair, got $cap")
+        val dfOk = all.groupBy("g").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("g")
+        all.join(dfOk, "g").select("doc_id", "g")
+    }
+    val train = sh.filter(!evalPred).select(col("doc_id").as("train_id"), col("g"))
+    val ev = sh.filter(evalPred).select(col("doc_id").as("eval_id"), col("g"))
+    train.join(ev, "g")
+      .groupBy("train_id", "eval_id").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select(col("train_id").cast("long"), col("eval_id").cast("long"),
+        col("shared").cast("long"))
+  }
+
   /** Exact Jaccard check of candidate pairs against their shingle sets:
     * cost |candidates| x shingles-per-doc, never a full co-occurrence.
     */

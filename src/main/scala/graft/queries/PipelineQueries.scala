@@ -48,6 +48,32 @@ object PipelineQueries {
     Similarity.lshCosinePairs(Tables.embeddings(s, d),
       bands = 64, r = 8, tnum = 9, tden = 20).orderBy("da", "db")
 
+  /** Benchmark decontamination over the documents table: docs 0-49 play
+    * the eval set, the rest the training crawl; flag any training doc
+    * sharing >= 5 distinct word-trigram shingles with an eval doc.
+    */
+  def textContamination(s: SparkSession, d: String): DataFrame =
+    Dedup.contamination(Tables.documents(s, d), col("doc_id") < 50,
+      n = 3, minShared = 5L).orderBy("train_id", "eval_id")
+
+  /** The composed pre-training prep DAG as ONE declarative plan: exact
+    * dedup keepers -> quality keep flag -> English only -> corpus stats
+    * (surviving doc count + total whitespace tokens). Every stage is an
+    * already-oracle-checked operator; Catalyst fuses the per-row stages
+    * into the scans and the dedup group-by is the only wide stage. The
+    * oracle recomputes the same composition in SQL.
+    */
+  def pipelinePrep(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val keepers = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
+    val good = TextAnalysis.quality(docs).filter(col("keep") === 1).select("doc_id")
+    val en = TextAnalysis.langId(docs).filter(col("lang_pred") === "en").select("doc_id")
+    TextAnalysis.tokens(docs)
+      .join(keepers, "doc_id").join(good, "doc_id").join(en, "doc_id")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        coalesce(sum(col("n_tokens").cast("long")), lit(0L)).as("total_tokens"))
+  }
+
   // --- similarity search ---
 
   def annTopk(s: SparkSession, d: String): DataFrame =
@@ -224,6 +250,8 @@ object PipelineQueries {
     "ann_ivf" -> annIvf,
     "ann_recall" -> annRecall,
     "sample_reservoir" -> sampleReservoir,
+    "text_contamination" -> textContamination,
+    "pipeline_prep" -> pipelinePrep,
     "text_tokens" -> textTokens,
     "text_tokens_bpe" -> textTokensBpe,
     "text_quality" -> textQuality,
@@ -341,6 +369,51 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "sample_reservoir" -> reservoirSql(k = 16, seed = 42L),
+    "text_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |nums AS (SELECT i FROM range(1, 100000) t(i)),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM toks JOIN nums ON i <= len(w)-2)
+        |SELECT CAST(a.doc_id AS BIGINT) AS train_id,
+        |       CAST(b.doc_id AS BIGINT) AS eval_id,
+        |       CAST(count(*) AS BIGINT) AS shared
+        |FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id >= 50 AND b.doc_id < 50
+        |GROUP BY 1, 2 HAVING count(*) >= 5
+        |ORDER BY train_id, eval_id""".stripMargin,
+    "pipeline_prep" ->
+      """WITH keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+        |q AS (SELECT doc_id, text,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE length(string_split_regex(trim(text), '\s+')) END AS nt FROM documents),
+        |good AS (SELECT doc_id FROM q
+        |  WHERE nt BETWEEN 5 AND 100000
+        |    AND CASE WHEN nt = 0 THEN 0
+        |      ELSE CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) * 100 // nt
+        |      END BETWEEN 200 AND 1200
+        |    AND length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 2 >= length(text)),
+        |p AS (SELECT doc_id,
+        |  ' ' || regexp_replace(lower(text), '\s+', '  ', 'g') || ' ' AS t FROM documents),
+        |sc AS (SELECT doc_id,
+        |  (length(t)-length(replace(t,' the ','')))//5 + (length(t)-length(replace(t,' and ','')))//5
+        |    + (length(t)-length(replace(t,' a ','')))//3 + (length(t)-length(replace(t,' of ','')))//4
+        |    + (length(t)-length(replace(t,' to ','')))//4 AS s_en,
+        |  (length(t)-length(replace(t,' el ','')))//4 + (length(t)-length(replace(t,' la ','')))//4
+        |    + (length(t)-length(replace(t,' de ','')))//4 + (length(t)-length(replace(t,' que ','')))//5
+        |    + (length(t)-length(replace(t,' y ','')))//3 AS s_es,
+        |  (length(t)-length(replace(t,' der ','')))//5 + (length(t)-length(replace(t,' die ','')))//5
+        |    + (length(t)-length(replace(t,' und ','')))//5 + (length(t)-length(replace(t,' das ','')))//5
+        |    + (length(t)-length(replace(t,' ist ','')))//5 AS s_de,
+        |  (length(t)-length(replace(t,' le ','')))//4 + (length(t)-length(replace(t,' la ','')))//4
+        |    + (length(t)-length(replace(t,' et ','')))//4 + (length(t)-length(replace(t,' les ','')))//5
+        |    + (length(t)-length(replace(t,' des ','')))//5 AS s_fr
+        |FROM p),
+        |en AS (SELECT doc_id FROM sc
+        |  WHERE greatest(s_en, s_es, s_de, s_fr) > 0 AND s_en = greatest(s_en, s_es, s_de, s_fr))
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(coalesce(sum(nt), 0) AS BIGINT) AS total_tokens
+        |FROM q JOIN keepers USING (doc_id) JOIN good USING (doc_id) JOIN en USING (doc_id)""".stripMargin,
     "dedup_exact" ->
       """SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import graft.pipeline.Dedup
 
 /** Unit coverage for the dedup family's scale guard: the optional
@@ -33,6 +34,23 @@ class DedupSpec extends SparkSpec {
     // cap filters the df=8 shingle out of join AND sizes: the stop-only
     // pairs vanish, the genuine duplicate pair is untouched
     assert(capped == Set((1L, 2L)))
+  }
+
+  test("contamination flags train docs overlapping the eval split") {
+    import spark.implicits._
+    // eval doc 1; train doc 10 leaks a 4-trigram run of it, train doc 11
+    // shares only 1 trigram, train doc 12 shares nothing
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (10L, "noise alpha beta gamma delta epsilon tail"),
+      (11L, "alpha beta gamma unrelated words here"),
+      (12L, "completely different text body now")).toDF("doc_id", "text")
+    val out = Dedup.contamination(docs, col("doc_id") < 10, n = 3,
+      minShared = 3L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 10 shares trigrams: "alpha beta gamma","beta gamma delta",
+    // "gamma delta epsilon" -> 3; doc 11 shares 1 (below threshold)
+    assert(out == Set((10L, 1L, 3L)))
   }
 
   test("ngram Jaccard DF cap rejects degenerate caps") {
