@@ -48,4 +48,21 @@ object JoinProps extends Properties("Joins") {
         .collect { case (kw, got) if got != expected => s"$kw mismatched" }
         .mkString(",")
     }
+
+  property("salted join (session knob) preserves the pair multiset") =
+    Prop.forAll(valuesGen, valuesGen) { (ls, rs) =>
+      val l = vals(ls)
+      val r = vals(rs)
+      val expected = (for {
+        (lv, li) <- ls.zipWithIndex; (rv, ri) <- rs.zipWithIndex if lv == rv
+      } yield (li.toLong, ri.toLong)).groupBy(identity).view.mapValues(_.size).toMap
+      spark.conf.set(graft.operators.SkewJoin.BucketsKey, "4")
+      try {
+        val (pairs, _) = ColumnOps.join(HashJoin, l, r, Seq("id"), Seq("id"))
+        val got = pairs.select("lid", "rid").collect()
+          .map(row => (row.getLong(0), row.getLong(1)))
+          .groupBy(identity).view.mapValues(_.length).toMap
+        (got == expected) :| s"salted multiset diverged: $got vs $expected"
+      } finally spark.conf.unset(graft.operators.SkewJoin.BucketsKey)
+    }
 }
