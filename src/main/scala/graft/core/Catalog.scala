@@ -19,9 +19,15 @@ import graft.lang.Op.StorageType
   * positions are dense at load, stable under delete (tombstoned ids are
   * never reused), and independent per column.
   */
+/** `baseFiles` — parquet part-file count right after the version's full
+  * write; insert compaction triggers on the DELTA beyond it (a large
+  * column legitimately writes many base part files, and counting them
+  * against the threshold would re-compact on every insert).
+  */
 final case class ColumnMeta(dbDir: String, name: String, stype: StorageType,
                             version: Long, nextId: Long,
-                            pristine: Boolean = true) {
+                            pristine: Boolean = true,
+                            baseFiles: Long = 1L) {
   def dataPath: String = s"$dbDir/cols/$name/v$version"
 }
 
@@ -39,16 +45,19 @@ final class Catalog(val dbDir: String) {
       val fields = line.split("\t")
       val Array(n, st, ver, nid) = fields.take(4)
       val pristine = fields.length > 4 && fields(4) == "1"
+      // 5-field records predate baseFiles; 1 (the minimum full write) is
+      // the conservative default — compaction may fire one insert early
+      val baseFiles = fields.lift(5).flatMap(_.toLongOption).getOrElse(1L)
       val stype = StorageType.fromString(st).getOrElse(
         throw DbError.ioError(s"bad storage type $st in catalog"))
-      n -> ColumnMeta(dbDir, n, stype, ver.toLong, nid.toLong, pristine)
+      n -> ColumnMeta(dbDir, n, stype, ver.toLong, nid.toLong, pristine, baseFiles)
     }.toMap
   }
 
   private def persist(): Unit = {
     val tmp = Paths.get(dbDir, "catalog.txt.tmp")
     val body = cols.values.toSeq.sortBy(_.name)
-      .map(c => s"${c.name}\t${c.stype.name}\t${c.version}\t${c.nextId}\t${if (c.pristine) "1" else "0"}")
+      .map(c => s"${c.name}\t${c.stype.name}\t${c.version}\t${c.nextId}\t${if (c.pristine) "1" else "0"}\t${c.baseFiles}")
       .mkString("", "\n", "\n")
     Files.writeString(tmp, body)
     Files.move(tmp, catalogFile, StandardCopyOption.ATOMIC_MOVE,
@@ -84,10 +93,12 @@ final class Catalog(val dbDir: String) {
     * keep the flag.
     */
   def update(name: String, version: Long, nextId: Long,
-             stillPristine: Boolean = true): ColumnMeta = synchronized {
+             stillPristine: Boolean = true,
+             baseFiles: Option[Long] = None): ColumnMeta = synchronized {
     val prev = cols.getOrElse(name, throw DbError.colSelect(name))
     val m = prev.copy(version = version, nextId = nextId,
-      pristine = prev.pristine && stillPristine)
+      pristine = prev.pristine && stillPristine,
+      baseFiles = baseFiles.getOrElse(prev.baseFiles))
     cols += name -> m
     persist()
     m

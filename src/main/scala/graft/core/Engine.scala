@@ -398,15 +398,15 @@ final class Session(val engine: Engine) {
       if (meta.nextId == 0L) { // double-load ignored (storage.c:1863-1867)
         Some(Future {
           val data = df.select(col("ord").as("id"), col("v"))
-          Storage.writeColumn(data,
-            meta.copy(version = meta.version + 1).dataPath, meta.stype,
-            rowsHint = Some(rows))
-          (name, meta.version + 1, rows)
+          val path = meta.copy(version = meta.version + 1).dataPath
+          Storage.writeColumn(data, path, meta.stype, rowsHint = Some(rows))
+          (name, meta.version + 1, rows, Storage.partFileCount(spark, path))
         })
       } else None
     }
     try written.flatten.map(Await.result(_, Duration.Inf)).foreach {
-      case (name, version, rows) => catalog.update(name, version, rows)
+      case (name, version, rows, base) =>
+        catalog.update(name, version, rows, baseFiles = Some(base))
     } finally csvScan.unpersist(false) // release the shared CSV cache
   }
 
@@ -424,33 +424,31 @@ final class Session(val engine: Engine) {
     val row = spark.range(1).select(lit(meta.nextId).as("id"),
       lit(v).cast(IntegerType).as("v"))
     if (meta.nextId == 0L) {
-      Storage.writeColumn(row, meta.copy(version = meta.version + 1).dataPath,
-        meta.stype, rowsHint = Some(1L))
-      catalog.update(c, meta.version + 1, 1L)
+      val path = meta.copy(version = meta.version + 1).dataPath
+      Storage.writeColumn(row, path, meta.stype, rowsHint = Some(1L))
+      catalog.update(c, meta.version + 1, 1L,
+        baseFiles = Some(Storage.partFileCount(spark, path)))
     } else {
       // O(1) append of a delta file; indexed layouts degrade gracefully
       // (the reference maintains its sorted projection on insert,
       // storage.c:1495-1584 — here clustering is a hint, not correctness)
       row.write.mode("append").parquet(meta.dataPath)
       val updated = catalog.update(c, meta.version, meta.nextId + 1)
-      if (deltaFiles(updated.dataPath) >= CompactAfterFiles) {
+      // threshold counts only the DELTA beyond the version's own base
+      // write — a big column's many base part files must not re-trigger
+      // a full rewrite per insert
+      val files = Storage.partFileCount(spark, updated.dataPath)
+      if (files - updated.baseFiles >= CompactAfterFiles) {
         // fold the deltas into a new version (ids untouched, layout
         // re-clustered for indexed types), then atomically swap the
         // catalog — readers of the old version dir are never broken
-        Storage.writeColumn(Storage.readColumn(spark, updated),
-          updated.copy(version = updated.version + 1).dataPath, updated.stype,
-          rowsHint = Some(updated.nextId))
-        catalog.update(c, updated.version + 1, updated.nextId)
+        val path = updated.copy(version = updated.version + 1).dataPath
+        Storage.writeColumn(Storage.readColumn(spark, updated), path,
+          updated.stype, rowsHint = Some(updated.nextId))
+        catalog.update(c, updated.version + 1, updated.nextId,
+          baseFiles = Some(Storage.partFileCount(spark, path)))
       }
     }
-  }
-
-  /** Parquet part-file count of a version dir (local-fs insert path;
-    * compaction is merely skipped if the dir isn't listable).
-    */
-  private def deltaFiles(dir: String): Int = {
-    val ls = new java.io.File(dir).listFiles()
-    if (ls == null) 0 else ls.count(_.getName.endsWith(".parquet"))
   }
 
   /** Copy-on-write rewrite of a column (delete/update): new version dir,
@@ -466,9 +464,10 @@ final class Session(val engine: Engine) {
     val out = f(Storage.readColumn(spark, meta))
     // nextId over-counts tombstoned holes — fine, the hint only sizes
     // partitioning (and rewrite targets are unsorted: hint unused)
-    Storage.writeColumn(out, meta.copy(version = meta.version + 1).dataPath,
-      meta.stype, rowsHint = Some(meta.nextId))
+    val path = meta.copy(version = meta.version + 1).dataPath
+    Storage.writeColumn(out, path, meta.stype, rowsHint = Some(meta.nextId))
     catalog.update(c, meta.version + 1, meta.nextId,
-      stillPristine = keepsPristine)
+      stillPristine = keepsPristine,
+      baseFiles = Some(Storage.partFileCount(spark, path)))
   }
 }

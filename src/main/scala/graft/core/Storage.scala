@@ -67,6 +67,17 @@ object Storage {
     out.write.mode("overwrite").parquet(path)
   }
 
+  /** Parquet part-file count of a version dir, via the path's Hadoop
+    * FileSystem — correct for local paths AND remote dbDirs (hdfs://,
+    * s3a://); 0 for a missing dir.
+    */
+  def partFileCount(spark: SparkSession, dir: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) 0L
+    else fs.listStatus(path).count(_.getPath.getName.endsWith(".parquet")).toLong
+  }
+
   /** Parse a headered CSV of ints into per-column DataFrames with dense,
     * row-aligned ordinals (reference csv.c:33-105: header names target
     * columns, one int per column per row). Returns the cached shared scan

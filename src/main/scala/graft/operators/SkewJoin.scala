@@ -32,8 +32,11 @@ object SkewJoin {
     */
   val BucketsKey = "graft.join.saltBuckets"
 
-  def bucketsOf(df: DataFrame): Int =
-    df.sparkSession.conf.get(BucketsKey, "0").toInt
+  def bucketsOf(df: DataFrame): Int = {
+    val raw = df.sparkSession.conf.get(BucketsKey, "0")
+    raw.toIntOption.getOrElse(throw new IllegalArgumentException(
+      s"$BucketsKey must be an integer, got '$raw'"))
+  }
 
   /** Inner equi-join of `large` and `small` on `key`, salted into
     * `buckets` sub-keys. Column sets must be disjoint apart from `key`.

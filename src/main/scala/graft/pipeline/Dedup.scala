@@ -79,20 +79,25 @@ object Dedup {
     * (its candidate cost is governed by band-bucket sizes, not shingle
     * hotness).
     */
-  def ngramJaccardPairs(docs: DataFrame, n: Int, tnum: Long, tden: Long,
-                        maxDocFreq: Option[Long] = None): DataFrame = {
-    val all = shingles(docs, n)
-    val sh = (maxDocFreq match {
+  /** Drop shingles whose document frequency exceeds `cap` — the shared
+    * scale guard of [[ngramJaccardPairs]] and [[contamination]]. One
+    * extra group-by on the shingle key (the same shuffle the
+    * co-occurrence join pays anyway), removing the quadratic hot keys
+    * before they fan out.
+    */
+  private def capShingles(all: DataFrame, maxDocFreq: Option[Long]): DataFrame =
+    maxDocFreq match {
       case None      => all
       case Some(cap) =>
         require(cap >= 2, s"maxDocFreq must be >= 2 to keep any pair, got $cap")
-        // one extra group-by on the shingle key — the same shuffle the
-        // co-occurrence join pays anyway, and it removes the quadratic
-        // hot keys before they fan out
         val dfOk = all.groupBy("g").agg(count(lit(1)).as("df"))
           .filter(col("df") <= cap).select("g")
         all.join(dfOk, "g").select("doc_id", "g")
-    }).cache()
+    }
+
+  def ngramJaccardPairs(docs: DataFrame, n: Int, tnum: Long, tden: Long,
+                        maxDocFreq: Option[Long] = None): DataFrame = {
+    val sh = capShingles(shingles(docs, n), maxDocFreq).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.select(col("doc_id").as("da"), col("g"))
       .join(sh.select(col("doc_id").as("db"), col("g")), "g")
@@ -120,15 +125,7 @@ object Dedup {
   def contamination(docs: DataFrame, evalPred: Column, n: Int,
                     minShared: Long,
                     maxDocFreq: Option[Long] = None): DataFrame = {
-    val all = shingles(docs, n)
-    val sh = maxDocFreq match {
-      case None      => all
-      case Some(cap) =>
-        require(cap >= 2, s"maxDocFreq must be >= 2 to keep any pair, got $cap")
-        val dfOk = all.groupBy("g").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap).select("g")
-        all.join(dfOk, "g").select("doc_id", "g")
-    }
+    val sh = capShingles(shingles(docs, n), maxDocFreq).cache()
     val train = sh.filter(!evalPred).select(col("doc_id").as("train_id"), col("g"))
     val ev = sh.filter(evalPred).select(col("doc_id").as("eval_id"), col("g"))
     train.join(ev, "g")

@@ -65,9 +65,14 @@ object ParityQueries {
     * knob is read at plan-build time, so it is restored before returning.
     */
   def joinSkew: Q = (s, d) => {
-    s.conf.set(graft.operators.SkewJoin.BucketsKey, "8")
+    val key = graft.operators.SkewJoin.BucketsKey
+    val prior = s.conf.getOption(key) // user knob — restore, don't clobber
+    s.conf.set(key, "8")
     try joinQ(HashJoin)(s, d)
-    finally s.conf.unset(graft.operators.SkewJoin.BucketsKey)
+    finally prior match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
   }
 
   // --- aggregates ---
