@@ -20,15 +20,22 @@ import graft.lang.Op.StorageType
   * never reused), and independent per column.
   */
 /** `baseFiles` — parquet part-file count right after the version's full
-  * write; insert compaction triggers on the DELTA beyond it (a large
-  * column legitimately writes many base part files, and counting them
-  * against the threshold would re-compact on every insert).
+  * write; `rowsAtVersion` — nextId at that write. Together they give the
+  * EXPECTED file count of the live version dir
+  * (baseFiles + one delta file per insert since), which the insert path
+  * checks to (a) trigger compaction on the delta count without listing
+  * games and (b) detect a crash-orphaned delta row (appended but never
+  * committed to the catalog) before it could collide with a re-issued id.
   */
 final case class ColumnMeta(dbDir: String, name: String, stype: StorageType,
                             version: Long, nextId: Long,
                             pristine: Boolean = true,
-                            baseFiles: Long = 1L) {
+                            baseFiles: Long = 1L,
+                            rowsAtVersion: Long = 0L) {
   def dataPath: String = s"$dbDir/cols/$name/v$version"
+  /** Inserts appended onto this version (one delta file each). */
+  def deltaRows: Long = nextId - rowsAtVersion
+  def expectedFiles: Long = baseFiles + deltaRows
 }
 
 final class Catalog(val dbDir: String) {
@@ -43,21 +50,30 @@ final class Catalog(val dbDir: String) {
       // 4-field records predate the pristine flag; they may have seen
       // deletes, so read them conservatively as non-pristine
       val fields = line.split("\t")
+      if (fields.length < 4)
+        throw DbError.ioError(s"malformed catalog record: $line")
       val Array(n, st, ver, nid) = fields.take(4)
       val pristine = fields.length > 4 && fields(4) == "1"
-      // 5-field records predate baseFiles; 1 (the minimum full write) is
-      // the conservative default — compaction may fire one insert early
+      // shorter records predate baseFiles/rowsAtVersion; the defaults
+      // (1 file, all rows at version) make the next insert's
+      // expected-file check fire one conservative repair at worst
       val baseFiles = fields.lift(5).flatMap(_.toLongOption).getOrElse(1L)
       val stype = StorageType.fromString(st).getOrElse(
         throw DbError.ioError(s"bad storage type $st in catalog"))
-      n -> ColumnMeta(dbDir, n, stype, ver.toLong, nid.toLong, pristine, baseFiles)
+      val (version, nextId) = (ver.toLongOption, nid.toLongOption) match {
+        case (Some(v), Some(x)) => (v, x)
+        case _ => throw DbError.ioError(s"malformed catalog record: $line")
+      }
+      val rowsAtVersion = fields.lift(6).flatMap(_.toLongOption).getOrElse(nextId)
+      n -> ColumnMeta(dbDir, n, stype, version, nextId, pristine,
+        baseFiles, rowsAtVersion)
     }.toMap
   }
 
   private def persist(): Unit = {
     val tmp = Paths.get(dbDir, "catalog.txt.tmp")
     val body = cols.values.toSeq.sortBy(_.name)
-      .map(c => s"${c.name}\t${c.stype.name}\t${c.version}\t${c.nextId}\t${if (c.pristine) "1" else "0"}\t${c.baseFiles}")
+      .map(c => s"${c.name}\t${c.stype.name}\t${c.version}\t${c.nextId}\t${if (c.pristine) "1" else "0"}\t${c.baseFiles}\t${c.rowsAtVersion}")
       .mkString("", "\n", "\n")
     Files.writeString(tmp, body)
     Files.move(tmp, catalogFile, StandardCopyOption.ATOMIC_MOVE,
@@ -73,12 +89,16 @@ final class Catalog(val dbDir: String) {
 
   def all: Seq[ColumnMeta] = synchronized { cols.values.toSeq.sortBy(_.name) }
 
-  /** Register a new empty column; idempotent if it already exists
-    * (reference tolerates re-create of a loaded column).
+  /** Register a new empty column; idempotent if it already exists with
+    * the SAME storage type (reference tolerates re-create of a loaded
+    * column). A conflicting storage type errors (DBECOLEXISTS) — silently
+    * keeping the old layout would misdirect later treejoin/delete errors.
     */
   def create(name: String, stype: StorageType): ColumnMeta = synchronized {
     cols.get(name) match {
-      case Some(m) => m
+      case Some(m) if m.stype == stype => m
+      case Some(m) => throw DbError.colExists(
+        s"$name (as ${m.stype.name}; re-create requested ${stype.name})")
       case None =>
         val m = ColumnMeta(dbDir, name, stype, 0L, 0L)
         cols += name -> m
@@ -94,11 +114,13 @@ final class Catalog(val dbDir: String) {
     */
   def update(name: String, version: Long, nextId: Long,
              stillPristine: Boolean = true,
-             baseFiles: Option[Long] = None): ColumnMeta = synchronized {
+             baseFiles: Option[Long] = None,
+             rowsAtVersion: Option[Long] = None): ColumnMeta = synchronized {
     val prev = cols.getOrElse(name, throw DbError.colSelect(name))
     val m = prev.copy(version = version, nextId = nextId,
       pristine = prev.pristine && stillPristine,
-      baseFiles = baseFiles.getOrElse(prev.baseFiles))
+      baseFiles = baseFiles.getOrElse(prev.baseFiles),
+      rowsAtVersion = rowsAtVersion.getOrElse(prev.rowsAtVersion))
     cols += name -> m
     persist()
     m

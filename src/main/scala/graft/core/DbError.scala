@@ -10,14 +10,14 @@ final case class DbException(code: String, detail: String)
 object DbError {
   def colExists(c: String)      = DbException("DBECOLEXISTS", s"column $c already exists")
   def colSelect(c: String)      = DbException("DBECOLSELECT", s"no such column $c")
-  def varNotFound(v: String)    = DbException("DBEVARNOTFOUND", s"no such variable $v")
+  def varNotFound(v: String)    = DbException("DBENOVAR", s"no such variable $v")
   def colDiffLen(c: String)     = DbException("DBECOLDIFFLEN", s"position set length does not match column $c")
   def intermDiffLen()           = DbException("DBEINTERMDIFFLEN", "intermediates have different lengths")
   def divZero()                 = DbException("DBEDIVZERO", "division by zero")
   def dupCol(c: String)         = DbException("DBEDUPCOL", s"duplicate column $c in insert")
   def unsupported(what: String) = DbException("DBEUNSUPPORTED", what)
   def noTree(v: String)         = DbException("DBENOTREE", s"treejoin right input $v must be a full select of a b+tree column")
-  def noIds(v: String)          = DbException("DBENOIDS", s"input $v carries no positions (math/agg results cannot feed joins or fetch)")
+  def varType(what: String)     = DbException("DBEVARTYPE", what)
   def parse(line: String)       = DbException("DBEPARSE", s"cannot parse: $line")
-  def ioError(what: String)     = DbException("DBEIOEARLY", what)
+  def ioError(what: String)     = DbException("DBEFILE", what)
 }

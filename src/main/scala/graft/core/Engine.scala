@@ -30,6 +30,36 @@ final class Engine(val spark: SparkSession, val dbDir: String) {
   def column(name: String): DataFrame =
     Storage.readColumn(spark, catalog.require(name))
 
+  /** Engine-wide refcounts of cached plans. Spark's CacheManager keys
+    * cache entries by ANALYZED-PLAN equality across the whole
+    * SparkSession, so unpersist decisions must be engine-scoped: a
+    * per-session check would evict a plan-equal binding cached by a
+    * DIFFERENT session. Linear sameResult scan — bindings are few.
+    */
+  private val cachedPlans =
+    scala.collection.mutable.ListBuffer.empty[(DataFrame, Int)]
+
+  private[core] def registerCache(df: DataFrame): Unit = synchronized {
+    val plan = df.queryExecution.analyzed
+    val idx = cachedPlans.indexWhere(_._1.queryExecution.analyzed.sameResult(plan))
+    if (idx >= 0) {
+      val (d, n) = cachedPlans(idx); cachedPlans(idx) = (d, n + 1)
+    } else {
+      df.cache()
+      cachedPlans += ((df, 1))
+    }
+  }
+
+  private[core] def releaseCache(df: DataFrame): Unit = synchronized {
+    val plan = df.queryExecution.analyzed
+    val idx = cachedPlans.indexWhere(_._1.queryExecution.analyzed.sameResult(plan))
+    if (idx >= 0) {
+      val (d, n) = cachedPlans(idx)
+      if (n <= 1) { cachedPlans.remove(idx); d.unpersist(false) }
+      else cachedPlans(idx) = (d, n - 1)
+    }
+  }
+
   def newSession(): Session = new Session(this)
 
   /** One-shot: run a whole script in a fresh session, return output lines
@@ -57,12 +87,12 @@ final class Session(val engine: Engine) {
 
   def getIds(name: String): Ids = get(name) match {
     case i: Ids  => i
-    case _: Vals => throw DbError.unsupported(s"$name is a values intermediate, need positions")
+    case _: Vals => throw DbError.varType(s"$name is a values intermediate, need positions")
   }
 
   def getVals(name: String): Vals = get(name) match {
     case v: Vals => v
-    case _: Ids  => throw DbError.unsupported(s"$name is a position intermediate, need values")
+    case _: Ids  => throw DbError.varType(s"$name is a position intermediate, need values")
   }
 
   /** Rebinding destroys the old value (server.c:197-268).
@@ -81,25 +111,26 @@ final class Session(val engine: Engine) {
     * (Measured at 75M pairs: caching 62s, shuffle-reuse ~1s/consumer.)
     */
   private def bind(name: String, value: Intermediate): Unit = {
-    // Spark's CacheManager matches cache entries by ANALYZED-PLAN
-    // equality, not by DataFrame identity: unpersisting a rebound
-    // variable would also evict any other live binding holding the same
-    // plan (e.g. two variables bound to identical selects). Skip the
-    // unpersist while a plan-equal sibling is still bound.
+    // cache/unpersist through the engine-wide registry: rebinding must
+    // not evict a plan-equal binding held by this OR another session
+    // (CacheManager keys by analyzed plan across the SparkSession)
     env.get(name).foreach { old =>
-      val odf = dfOf(old)
-      val shared = env.exists { case (n, i) =>
-        n != name &&
-          dfOf(i).queryExecution.analyzed.sameResult(odf.queryExecution.analyzed)
-      }
-      if (!shared) odf.unpersist(false)
+      if (!joinLineage(old)) engine.releaseCache(dfOf(old))
     }
-    val joinLineage = value match {
-      case i: Ids  => i.ordered
-      case v: Vals => v.align.cols.size > 1
-    }
-    if (!joinLineage) dfOf(value).cache()
+    if (!joinLineage(value)) engine.registerCache(dfOf(value))
     env(name) = value
+  }
+
+  /** Join-bounded intermediates are never cached (their size can be
+    * quadratic in the inputs — see the policy above). That is: join
+    * output lists (`ordered`), anything aligned by a join's pair order
+    * (multi-column align), and rank-zip results (`pos` align) — the
+    * ranks were materialized FROM the operands, so their row count is
+    * the operands', which may itself be a join's pair list.
+    */
+  private def joinLineage(i: Intermediate): Boolean = i match {
+    case ids: Ids => ids.ordered
+    case v: Vals  => v.align.cols.size > 1 || v.align.cols == Seq("pos")
   }
 
   private def dfOf(i: Intermediate): DataFrame = i match {
@@ -171,8 +202,8 @@ final class Session(val engine: Engine) {
     case Join(jtype, varL, varR, inL, inR) =>
       val l = getVals(inL)
       val r = getVals(inR)
-      if (!l.hasIds) throw DbError.noIds(inL)
-      if (!r.hasIds) throw DbError.noIds(inR)
+      if (!l.hasIds) throw DbError.varType(s"join input $inL carries no positions")
+      if (!r.hasIds) throw DbError.varType(s"join input $inR carries no positions")
       if (jtype == TreeJoin) {
         val ok = r.fullBase && r.fetchCol.exists(c =>
           catalog.require(c).stype == BTree)
@@ -392,21 +423,26 @@ final class Session(val engine: Engine) {
     // per-column writes are independent Spark jobs — run them concurrently
     // (the scheduler interleaves their stages across executor cores; the
     // shared cached CSV scan is computed once). Catalog updates stay on
-    // this thread, after all writes land.
-    val written = cols.map { case (name, df) =>
-      val meta = catalog.require(name)
-      if (meta.nextId == 0L) { // double-load ignored (storage.c:1863-1867)
-        Some(Future {
-          val data = df.select(col("ord").as("id"), col("v"))
-          val path = meta.copy(version = meta.version + 1).dataPath
-          Storage.writeColumn(data, path, meta.stype, rowsHint = Some(rows))
-          (name, meta.version + 1, rows, Storage.partFileCount(spark, path))
-        })
-      } else None
-    }
-    try written.flatten.map(Await.result(_, Duration.Inf)).foreach {
-      case (name, version, rows, base) =>
-        catalog.update(name, version, rows, baseFiles = Some(base))
+    // this thread, after all writes land. EVERYTHING after the cache
+    // materialized sits inside the try: an unknown header column (or any
+    // write failure) must still release the shared scan.
+    try {
+      val written = cols.map { case (name, df) =>
+        val meta = catalog.require(name)
+        if (meta.nextId == 0L) { // double-load ignored (storage.c:1863-1867)
+          Some(Future {
+            val data = df.select(col("ord").as("id"), col("v"))
+            val path = meta.copy(version = meta.version + 1).dataPath
+            Storage.writeColumn(data, path, meta.stype, rowsHint = Some(rows))
+            (name, meta.version + 1, rows, Storage.partFileCount(spark, path))
+          })
+        } else None
+      }
+      written.flatten.map(Await.result(_, Duration.Inf)).foreach {
+        case (name, version, rows, base) =>
+          catalog.update(name, version, rows,
+            baseFiles = Some(base), rowsAtVersion = Some(rows))
+      }
     } finally csvScan.unpersist(false) // release the shared CSV cache
   }
 
@@ -420,35 +456,52 @@ final class Session(val engine: Engine) {
   private val CompactAfterFiles = 64
 
   private def insertOne(c: String, v: Int): Unit = catalog.synchronized {
-    val meta = catalog.require(c)
-    val row = spark.range(1).select(lit(meta.nextId).as("id"),
-      lit(v).cast(IntegerType).as("v"))
-    if (meta.nextId == 0L) {
-      val path = meta.copy(version = meta.version + 1).dataPath
-      Storage.writeColumn(row, path, meta.stype, rowsHint = Some(1L))
-      catalog.update(c, meta.version + 1, 1L,
-        baseFiles = Some(Storage.partFileCount(spark, path)))
+    val meta0 = catalog.require(c)
+    if (meta0.nextId == 0L) {
+      val row = spark.range(1).select(lit(0L).as("id"),
+        lit(v).cast(IntegerType).as("v"))
+      val path = meta0.copy(version = meta0.version + 1).dataPath
+      Storage.writeColumn(row, path, meta0.stype, rowsHint = Some(1L))
+      catalog.update(c, meta0.version + 1, 1L,
+        baseFiles = Some(Storage.partFileCount(spark, path)),
+        rowsAtVersion = Some(1L))
     } else {
+      // Crash-orphan guard: an append that died before its catalog
+      // advance left an uncommitted row with id == nextId in the live
+      // dir. Appending another id == nextId would DUPLICATE it once
+      // nextId advances, so when the dir holds more part files than the
+      // catalog accounts for, fold to a fresh version first — the
+      // rewrite reads only committed rows (id < nextId), dropping the
+      // orphan.
+      val meta =
+        if (Storage.partFileCount(spark, meta0.dataPath) != meta0.expectedFiles)
+          compact(c, meta0)
+        else meta0
+      val row = spark.range(1).select(lit(meta.nextId).as("id"),
+        lit(v).cast(IntegerType).as("v"))
       // O(1) append of a delta file; indexed layouts degrade gracefully
       // (the reference maintains its sorted projection on insert,
       // storage.c:1495-1584 — here clustering is a hint, not correctness)
       row.write.mode("append").parquet(meta.dataPath)
       val updated = catalog.update(c, meta.version, meta.nextId + 1)
-      // threshold counts only the DELTA beyond the version's own base
-      // write — a big column's many base part files must not re-trigger
-      // a full rewrite per insert
-      val files = Storage.partFileCount(spark, updated.dataPath)
-      if (files - updated.baseFiles >= CompactAfterFiles) {
-        // fold the deltas into a new version (ids untouched, layout
-        // re-clustered for indexed types), then atomically swap the
-        // catalog — readers of the old version dir are never broken
-        val path = updated.copy(version = updated.version + 1).dataPath
-        Storage.writeColumn(Storage.readColumn(spark, updated), path,
-          updated.stype, rowsHint = Some(updated.nextId))
-        catalog.update(c, updated.version + 1, updated.nextId,
-          baseFiles = Some(Storage.partFileCount(spark, path)))
-      }
+      // delta count is pure row arithmetic — no listing needed
+      if (updated.deltaRows >= CompactAfterFiles) compact(c, updated)
     }
+  }
+
+  /** Fold a version's deltas into a fresh copy-on-write version: ids
+    * untouched, layout re-clustered for indexed types, atomic catalog
+    * swap — readers of the old version dir are never broken. Reads only
+    * catalog-committed rows (id < nextId), so crash-orphaned appends are
+    * dropped.
+    */
+  private def compact(c: String, meta: ColumnMeta): ColumnMeta = {
+    val path = meta.copy(version = meta.version + 1).dataPath
+    Storage.writeColumn(Storage.readColumn(spark, meta), path,
+      meta.stype, rowsHint = Some(meta.nextId))
+    catalog.update(c, meta.version + 1, meta.nextId,
+      baseFiles = Some(Storage.partFileCount(spark, path)),
+      rowsAtVersion = Some(meta.nextId))
   }
 
   /** Copy-on-write rewrite of a column (delete/update): new version dir,
@@ -468,6 +521,7 @@ final class Session(val engine: Engine) {
     Storage.writeColumn(out, path, meta.stype, rowsHint = Some(meta.nextId))
     catalog.update(c, meta.version + 1, meta.nextId,
       stillPristine = keepsPristine,
-      baseFiles = Some(Storage.partFileCount(spark, path)))
+      baseFiles = Some(Storage.partFileCount(spark, path)),
+      rowsAtVersion = Some(meta.nextId))
   }
 }

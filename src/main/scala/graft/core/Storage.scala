@@ -81,9 +81,12 @@ object Storage {
   /** Parse a headered CSV of ints into per-column DataFrames with dense,
     * row-aligned ordinals (reference csv.c:33-105: header names target
     * columns, one int per column per row). Returns the cached shared scan
-    * (caller unpersists it once the per-column writes land) and
-    * (columnName -> df(ord, v)) in header order; `ord` is the 0-based row
-    * ordinal, the caller offsets it by each target column's nextId.
+    * (caller unpersists it once the per-column writes land), the row
+    * count, and (columnName -> df(ord, v)) in header order. `ord` is the
+    * 0-based row ordinal; loads go only into EMPTY columns (double-load
+    * ignored, storage.c:1863-1867), so the caller uses it as the dense id
+    * directly — a future load-append would have to offset by nextId AND
+    * lift the evalLoad double-load guard together.
     */
   def parseCsv(spark: SparkSession, file: String)
       : (DataFrame, Long, Seq[(String, DataFrame)]) = {

@@ -61,7 +61,7 @@ object Cli {
                 }
                 // other engine/Spark failures are per-line (the reference
                 // renders RPC_ERROR and keeps the session, client.c:88-104)
-                failed = true; System.err.println(s"DBEIOEARLY: ${e.getMessage}")
+                failed = true; System.err.println(s"DBEFILE: ${e.getMessage}")
             }
           case None =>
             failed = true; System.err.println(s"DBEPARSE: cannot parse: $t")

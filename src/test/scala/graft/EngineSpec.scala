@@ -328,6 +328,23 @@ class EngineSpec extends SparkSpec {
     assert(e.execute("select(ma)") == (0 until 48).map(_.toString))
   }
 
+  test("crash-orphaned delta append is repaired before id reuse") {
+    val e = new Engine(spark, tmpDir("graftdb"))
+    e.execute("""create(oa,"unsorted")""")
+    e.execute("insert(oa,1)\ninsert(oa,2)")
+    val meta = e.catalog.require("oa") // nextId = 2
+    // simulate a crash between delta append and catalog advance: a row
+    // with id == nextId sits in the live dir but was never committed
+    spark.range(1).selectExpr("CAST(2 AS LONG) AS id", "CAST(99 AS INT) AS v")
+      .write.mode("append").parquet(meta.dataPath)
+    // the next insert must fold the dir first (dropping the orphan), not
+    // append a second id=2 that becomes a visible duplicate
+    e.execute("insert(oa,3)")
+    assert(e.execute("select(oa)") == Seq("0", "1", "2"))
+    assert(e.execute("p=select(oa)\nv=fetch(oa,p)\nprint(v)") ==
+      Seq("1", "2", "3"))
+  }
+
   test("crash debris is ignored: orphan version dir + catalog tmp") {
     val (e, _, _) = freshEngine()
     val before = e.execute("p=select(rc,1,8)\nv=fetch(rd,p)\nsum(v)")
@@ -437,7 +454,11 @@ class EngineSpec extends SparkSpec {
   test("error vocabulary") {
     val (e, _, _) = freshEngine()
     assert(intercept[DbException](e.execute("select(nope)")).code == "DBECOLSELECT")
-    assert(intercept[DbException](e.execute("print(nope)")).code == "DBEVARNOTFOUND")
+    assert(intercept[DbException](e.execute("print(nope)")).code == "DBENOVAR")
+    // wrong intermediate type -> DBEVARTYPE (dberror.h: type errors are
+    // distinct from unsupported operations)
+    assert(intercept[DbException](
+      e.execute("p=select(ra)\nx,y=hashjoin(p,p)")).code == "DBEVARTYPE")
     assert(intercept[DbException](e.execute("insert(ra,1,ra,2)")).code == "DBEDUPCOL")
     assert(intercept[DbException](e.execute("bogus(1)")).code == "DBEPARSE")
   }
