@@ -9,19 +9,21 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
-/** Buffer: the k DISTINCT values with the smallest priorities seen so
-  * far — max-heap on priority for O(log k) eviction, plus a membership
-  * set so repeated occurrences of a value (same hash priority) never
-  * enter twice and flood the sample on skewed data.
+/** Buffer: the k DISTINCT values with the smallest (priority, value)
+  * pairs seen so far — max-heap on the PAIR for O(log k) eviction (the
+  * lexicographic tie-break keeps the sample independent of arrival
+  * order even under a priority collision, matching the SQL oracle's
+  * ORDER BY p, v), plus a membership set so repeated occurrences of a
+  * value never enter twice and flood the sample on skewed data.
   */
 final class BottomK(val k: Int) {
   val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Long)](
-    Ordering.by(_._1)) // max-priority on top
+    Ordering.Tuple2[Long, Long]) // max (priority, value) on top
   private val present = scala.collection.mutable.HashSet.empty[Long]
   def offer(p: Long, v: Long): Unit =
     if (!present(v)) {
       if (heap.size < k) { heap.enqueue((p, v)); present += v }
-      else if (p < heap.head._1) {
+      else if (Ordering.Tuple2[Long, Long].lt((p, v), heap.head)) {
         present -= heap.dequeue()._2
         heap.enqueue((p, v)); present += v
       }

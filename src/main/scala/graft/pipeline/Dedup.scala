@@ -32,33 +32,41 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
       .select(col("keep_id").cast("long").as("keep_id"), col("n").cast("long").as("n"))
 
-  /** `(doc_id, g)`: distinct word n-gram shingles per document.
+  /** `(doc_id, idx, g)`: every complete word n-gram with its starting
+    * token position — the ONE tokenize/lead pipeline behind [[shingles]]
+    * and [[TextAnalysis.winnowedFingerprints]], so the tokenization
+    * contract (whitespace split, blank-token drop, incomplete-gram
+    * filter) cannot drift between the dedup and winnow families.
     *
     * Formulated as token explode + window `lead` (one shuffle on doc_id,
     * codegen'd window) rather than a per-document
     * `transform(sequence(...))` lambda — higher-order functions are
     * interpreted per element and dominated the whole dedup family
     * (16s -> ~2s for 5k docs at sf0.1). Documents shorter than n tokens
-    * produce no shingles.
+    * produce no grams.
     */
-  def shingles(docs: DataFrame, n: Int): DataFrame = {
+  private[pipeline] def gramTable(docs: DataFrame, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(n >= 1, s"shingle width must be positive, got $n")
+    require(n >= 1, s"gram width must be positive, got $n")
     val toks = docs
       .select(col("doc_id"), posexplode(split(trim(col("text")), "\\s+")))
       .select(col("doc_id"), col("pos").as("idx"), col("col").as("w"))
       .filter(length(col("w")) > 0) // blank text tokenizes to one "" token
-    if (n == 1) toks.select(col("doc_id"), col("w").as("g")).distinct()
+    if (n == 1) toks.select(col("doc_id"), col("idx"), col("w").as("g"))
     else {
       val win = Window.partitionBy("doc_id").orderBy("idx")
       val leads = (1 until n).map(o => lead(col("w"), o).over(win))
       toks
-        .select(col("doc_id"), concat_ws(" ", col("w") +: leads: _*).as("g"),
-          leads.last.as("tail"))
-        .filter(col("tail").isNotNull) // incomplete shingles at doc end
-        .select("doc_id", "g").distinct()
+        .select(col("doc_id"), col("idx"),
+          concat_ws(" ", col("w") +: leads: _*).as("g"), leads.last.as("tail"))
+        .filter(col("tail").isNotNull) // incomplete grams at doc end
+        .select("doc_id", "idx", "g")
     }
   }
+
+  /** `(doc_id, g)`: distinct word n-gram shingles per document. */
+  def shingles(docs: DataFrame, n: Int): DataFrame =
+    gramTable(docs, n).select("doc_id", "g").distinct()
 
   /** Exact n-gram Jaccard near-dup pairs `(da, db)` with
     * J(A,B) = |A∩B| / (|A|+|B|-|A∩B|) >= tnum/tden, via shingle
@@ -95,6 +103,20 @@ object Dedup {
         all.join(dfOk, "g").select("doc_id", "g")
     }
 
+  /** Integer cross-multiplied Jaccard threshold over intersection counts
+    * `(da, db, i)` and per-doc set sizes `(doc_id, sz)` — the ONE
+    * qualifying predicate of the exact and LSH-verified paths (they must
+    * never drift: the LSH output's correctness claim is "equals the
+    * exact path on candidates").
+    */
+  private def jaccardThreshold(inter: DataFrame, sizes: DataFrame,
+                               tnum: Long, tden: Long): DataFrame =
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("sz").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("sz").as("nb")), "db")
+      .filter(col("i") * tden >= (col("na") + col("nb") - col("i")) * tnum)
+      .select(col("da").cast("long"), col("db").cast("long"))
+
   def ngramJaccardPairs(docs: DataFrame, n: Int, tnum: Long, tden: Long,
                         maxDocFreq: Option[Long] = None): DataFrame = {
     val sh = capShingles(shingles(docs, n), maxDocFreq).cache()
@@ -103,11 +125,7 @@ object Dedup {
       .join(sh.select(col("doc_id").as("db"), col("g")), "g")
       .filter(col("da") < col("db"))
       .groupBy("da", "db").agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.select(col("doc_id").as("da"), col("sz").as("na")), "da")
-      .join(sizes.select(col("doc_id").as("db"), col("sz").as("nb")), "db")
-      .filter(col("i") * tden >= (col("na") + col("nb") - col("i")) * tnum)
-      .select(col("da").cast("long"), col("db").cast("long"))
+    jaccardThreshold(inter, sizes, tnum, tden)
   }
 
   /** Benchmark decontamination: training documents sharing at least
@@ -144,11 +162,7 @@ object Dedup {
       .join(sh.select(col("doc_id").as("da"), col("g")), "da")
       .join(sh.select(col("doc_id").as("db"), col("g")), Seq("db", "g"))
       .groupBy("da", "db").agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.select(col("doc_id").as("da"), col("sz").as("na")), "da")
-      .join(sizes.select(col("doc_id").as("db"), col("sz").as("nb")), "db")
-      .filter(col("i") * tden >= (col("na") + col("nb") - col("i")) * tnum)
-      .select(col("da").cast("long"), col("db").cast("long"))
+    jaccardThreshold(inter, sizes, tnum, tden)
   }
 
   /** MinHash signatures: k permutations h_i(x) = (a_i * x + b_i) mod p

@@ -133,17 +133,11 @@ object TextAnalysis {
   def winnowedFingerprints(docs: DataFrame, k: Int, w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1 && w >= 1)
-    val toks = docs
-      .select(col("doc_id"), posexplode(split(trim(col("text")), "\\s+")))
-      .select(col("doc_id"), col("pos").as("idx"), col("col").as("t"))
-      .filter(length(col("t")) > 0) // blank text tokenizes to one "" token
-    val seq = Window.partitionBy("doc_id").orderBy("idx")
-    val gramCols = col("t") +: (1 until k).map(o => lead(col("t"), o).over(seq))
-    val grams = toks
+    // gram construction shared with the dedup family (Dedup.gramTable):
+    // one tokenization contract for shingles and winnow alike
+    val grams = Dedup.gramTable(docs, k)
       .select(col("doc_id"), col("idx"),
-        md5(to_binary(concat_ws(" ", gramCols: _*), lit("utf-8"))).as("h"),
-        gramCols.last.as("tail"))
-      .filter(col("tail").isNotNull) // incomplete k-grams at doc end
+        md5(to_binary(col("g"), lit("utf-8"))).as("h"))
     // winnow: min hash over each w-window of consecutive k-gram positions
     val frame = Window.partitionBy("doc_id").orderBy("idx")
       .rowsBetween(Window.currentRow, w - 1)

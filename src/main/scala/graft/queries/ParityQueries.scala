@@ -163,6 +163,16 @@ object ParityQueries {
         |c=fetch(rc,p)
         |""".stripMargin).toOption.get.foreach(session.eval)
     val vals = Seq("a", "b", "c").map(v => session.getVals(v).df)
+    // the returned plan lazily reads the temp db, so the tree can only
+    // go at JVM exit — register it now (dirs first: deleteOnExit deletes
+    // in reverse registration order) so repeated bench/verify runs don't
+    // accumulate lineitem-sized CSVs under /tmp
+    def registerCleanup(f: java.io.File): Unit = {
+      f.deleteOnExit()
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(registerCleanup)
+    }
+    registerCleanup(new java.io.File(tmp))
     ColumnOps.tupleZip(vals, Seq("id"))
       .select("v1", "v2", "v3").orderBy("v1", "v2", "v3")
   }
@@ -196,7 +206,7 @@ object ParityQueries {
     s"CAST(((($x) + 2147483648) % 4294967296 + 4294967296) % 4294967296 - 2147483648 AS INTEGER)"
 
   private def liIdSqlFor(p: String) =
-    s"((($p.l_orderkey*10 + $p.l_linenumber)*1000000 + $p.l_partkey)*10000 + $p.l_suppkey)*100 + CAST($p.l_quantity AS INTEGER)"
+    s"((($p.l_orderkey*10 + $p.l_linenumber)*1000000 + $p.l_partkey)*10000 + $p.l_suppkey)*100 + CAST(trunc($p.l_quantity) AS INTEGER)"
   private val liIdSql = liIdSqlFor("lineitem")
 
   val queries: Map[String, Q] = Map(
@@ -229,13 +239,13 @@ object ParityQueries {
     s"""SELECT CAST(${liIdSqlFor("l")} AS BIGINT) AS lid, CAST(o.o_orderkey AS BIGINT) AS rid
        |FROM lineitem l JOIN orders o
        |  ON CAST(l.l_orderkey AS INTEGER) = CAST(o.o_orderkey AS INTEGER)
-       |WHERE CAST(l.l_quantity AS INTEGER) BETWEEN 10 AND 20
-       |  AND CAST(o.o_totalprice AS INTEGER) BETWEEN 50000 AND 150000
+       |WHERE CAST(trunc(l.l_quantity) AS INTEGER) BETWEEN 10 AND 20
+       |  AND CAST(trunc(o.o_totalprice) AS INTEGER) BETWEEN 50000 AND 150000
        |ORDER BY lid, rid""".stripMargin
 
   private def aggSql(expr: String): String =
     s"""SELECT $expr AS v FROM lineitem
-       |WHERE CAST(l_quantity AS INTEGER) BETWEEN 5 AND 45""".stripMargin
+       |WHERE CAST(trunc(l_quantity) AS INTEGER) BETWEEN 5 AND 45""".stripMargin
 
   private def mathSql(expr: String): String =
     s"""SELECT CAST($liIdSql AS BIGINT) AS id,
@@ -247,10 +257,10 @@ object ParityQueries {
     "select_value" ->
       s"SELECT CAST($liIdSql AS BIGINT) AS id FROM lineitem WHERE l_linenumber = 3 ORDER BY id",
     "select_range" ->
-      s"SELECT CAST($liIdSql AS BIGINT) AS id FROM lineitem WHERE CAST(l_quantity AS INTEGER) BETWEEN 10 AND 20 ORDER BY id",
+      s"SELECT CAST($liIdSql AS BIGINT) AS id FROM lineitem WHERE CAST(trunc(l_quantity) AS INTEGER) BETWEEN 10 AND 20 ORDER BY id",
     "fetch_vals" ->
       s"""SELECT CAST($liIdSql AS BIGINT) AS id, CAST(l_partkey AS INTEGER) AS v
-         |FROM lineitem WHERE CAST(l_quantity AS INTEGER) BETWEEN 10 AND 20 ORDER BY id""".stripMargin,
+         |FROM lineitem WHERE CAST(trunc(l_quantity) AS INTEGER) BETWEEN 10 AND 20 ORDER BY id""".stripMargin,
     "join_hash" -> joinSql,
     "join_sort" -> joinSql,
     "join_loop" -> joinSql,
@@ -258,16 +268,16 @@ object ParityQueries {
     "join_skew" -> joinSql,
     "agg_min" -> aggSql("CAST(MIN(CAST(l_partkey AS INTEGER)) AS INTEGER)"),
     "agg_max" -> aggSql("CAST(MAX(CAST(l_partkey AS INTEGER)) AS INTEGER)"),
-    "agg_sum" -> aggSql(wrapSql("SUM(CAST(l_quantity AS INTEGER))")),
+    "agg_sum" -> aggSql(wrapSql("SUM(CAST(trunc(l_quantity) AS INTEGER))")),
     "agg_count" -> aggSql("CAST(COUNT(*) AS INTEGER)"),
     "agg_avg" -> aggSql("CAST(SUM(CAST(l_partkey AS BIGINT)) // COUNT(*) AS INTEGER)"),
-    "math_add" -> mathSql("CAST(l_quantity AS INTEGER) + l_linenumber"),
-    "math_sub" -> mathSql("CAST(l_quantity AS INTEGER) - l_linenumber"),
-    "math_mul" -> mathSql("CAST(l_quantity AS INTEGER) * l_linenumber"),
-    "math_div" -> mathSql("CAST(l_quantity AS INTEGER) // l_linenumber"),
+    "math_add" -> mathSql("CAST(trunc(l_quantity) AS INTEGER) + l_linenumber"),
+    "math_sub" -> mathSql("CAST(trunc(l_quantity) AS INTEGER) - l_linenumber"),
+    "math_mul" -> mathSql("CAST(trunc(l_quantity) AS INTEGER) * l_linenumber"),
+    "math_div" -> mathSql("CAST(trunc(l_quantity) AS INTEGER) // l_linenumber"),
     "tuple_emit" ->
       s"""SELECT CAST($liIdSql AS BIGINT) AS id,
-         |  CAST(l_quantity AS INTEGER) AS v1, CAST(l_linenumber AS INTEGER) AS v2,
+         |  CAST(trunc(l_quantity) AS INTEGER) AS v1, CAST(l_linenumber AS INTEGER) AS v2,
          |  CAST(l_partkey AS INTEGER) AS v3 FROM lineitem ORDER BY id""".stripMargin,
     "insert_op" ->
       s"""SELECT CAST($liIdSql AS BIGINT) AS id, CAST(l_partkey AS INTEGER) AS v FROM lineitem
@@ -282,6 +292,6 @@ object ParityQueries {
          |FROM lineitem ORDER BY id""".stripMargin,
     "create_load" ->
       """SELECT CAST(l_orderkey AS INTEGER) AS v1, CAST(l_linenumber AS INTEGER) AS v2,
-        |  CAST(l_quantity AS INTEGER) AS v3 FROM lineitem ORDER BY v1, v2, v3""".stripMargin,
+        |  CAST(trunc(l_quantity) AS INTEGER) AS v3 FROM lineitem ORDER BY v1, v2, v3""".stripMargin,
   )
 }

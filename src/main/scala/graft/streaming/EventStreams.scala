@@ -82,8 +82,18 @@ object EventStreams {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+                // within gap of the session INTERVAL — including a
+                // watermark-admitted straggler just before its start,
+                // which extends the session backward (session_window
+                // merges the same way)
+                case Some(s) if t >= s.start - gapMs && t - s.last <= gapMs =>
+                  cur = Some(SessionState(math.min(s.start, t),
+                    math.max(s.last, t), s.n + 1))
+                case Some(s) if t < s.start - gapMs =>
+                  // stale straggler predating the open session by more
+                  // than the gap: its own (already-over) session — NOT
+                  // silently folded into the current one
+                  closed ::= Session(uid, new Timestamp(t), new Timestamp(t), 1)
                 case Some(s) =>
                   closed ::= Session(uid, new Timestamp(s.start), new Timestamp(s.last), s.n)
                   cur = Some(SessionState(t, t, 1))

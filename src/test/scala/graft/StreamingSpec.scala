@@ -91,6 +91,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeCustom: stale straggler is its own session, not merged") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionizeCustom(in.toDS(), gapMs = 60000L,
+        lateness = "30 minutes")
+      .writeStream.format("memory").queryName("straggler")
+      .outputMode("append").start()
+    try {
+      in.addData(ev(1, 1, 40)) // open session [40,40]
+      q.processAllAvailable()
+      // minute 20: watermark-admitted (wm=10) but 20 minutes BEFORE the
+      // open session with gap 1m — must close as its own session, not
+      // fold into [40,40]
+      in.addData(ev(1, 2, 20))
+      q.processAllAvailable()
+      in.addData(ev(1, 3, 500)) // advance watermark, close [40,40]
+      q.processAllAvailable()
+      val rows = spark.table("straggler")
+        .select("s_start", "s_end", "n_events").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000,
+          r.getTimestamp(1).getTime / 60000, r.getLong(2))).toSet
+      assert(rows.contains((20L, 20L, 1L)), s"straggler session: $rows")
+      assert(rows.contains((40L, 40L, 1L)), s"unpolluted session: $rows")
+    } finally q.stop()
+  }
+
   test("sessionizeCustom: flatMapGroupsWithState closes sessions on gap") {
     val spark0 = spark
     import spark0.implicits._
