@@ -45,16 +45,29 @@ object Bench {
     // accumulate across 43 queries thrashes the in-memory store and makes
     // timings order-dependent (dedup_minhash measured 33.9s dirty vs 5.1s
     // isolated). Each query is timed cold and standalone.
+    //
+    // Min-of-N: single-shot wall-clock on a shared box swings up to 6x
+    // with background load, so each query runs `reps` times (cache flushed
+    // before every rep — reps differ only by transient machine load, not
+    // by cache warmth) and the MINIMUM is reported as the query's cost.
+    // The max is emitted alongside so run-to-run variance stays visible.
+    val reps = sys.env.get("SPARK_GRAFT_REPS").flatMap(_.toIntOption)
+      .filter(_ > 0).getOrElse(3)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      (name, times.min, times.max)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, mn, _) => s"\"" + k + "\":" + mn }
+      .mkString("{", ",", "}")
+    val qsMax = results.map { case (k, _, mx) => s"\"" + k + "\":" + mx }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -39,6 +39,19 @@ final class Engine(val spark: SparkSession, val dbDir: String) {
   private val cachedPlans =
     scala.collection.mutable.ListBuffer.empty[(DataFrame, Int)]
 
+  /** Columns whose live data dir is known consistent with the catalog's
+    * file accounting. A crash-orphaned append (see [[Session.insertOne]])
+    * can only PREDATE this process — the engine serializes its own
+    * writes under `catalog.synchronized` and parquet job commits are
+    * atomic — so the listing that detects one needs to run at most once
+    * per column per Engine lifetime, not per append (on hdfs://-/s3a://
+    * dbDirs a per-append listStatus RPC would make appends O(listing)).
+    * Any fresh-version write this process performs re-establishes the
+    * accounting and marks the column checked.
+    */
+  private[core] val orphanChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private[core] def registerCache(df: DataFrame): Unit = synchronized {
     val plan = df.queryExecution.analyzed
     val idx = cachedPlans.indexWhere(_._1.queryExecution.analyzed.sameResult(plan))
@@ -223,7 +236,11 @@ final class Session(val engine: Engine) {
 
     case Agg(atype, assign, input) =>
       val in = getVals(input)
-      if (atype == AggAvg && in.df.isEmpty) throw DbError.divZero()
+      // avg empty pre-check: a memoized length answers without an action;
+      // otherwise isEmpty (limit-1 job, cheaper than a count)
+      if (atype == AggAvg &&
+          tagLen.get(in.align.tag).fold(in.df.isEmpty)(_ == 0L))
+        throw DbError.divZero()
       val out = Vals(ColumnOps.aggregate(atype, in.df), hasIds = false,
         align = Align.singleton, aggSrc = Some((atype, in.df)))
       emitOrBind(assign, out)
@@ -231,14 +248,7 @@ final class Session(val engine: Engine) {
     case Math(mtype, assign, in1, in2) =>
       val l = getVals(in1)
       val r = getVals(in2)
-      // equal-length requirement (DBEINTERMDIFFLEN, aggregate.c:112-116)
-      if (mtype == MathDiv) {
-        // one job answers both pre-checks (length + zero divisor)
-        val row = r.df.agg(count(lit(1)),
-          coalesce(sum(when(col("v") === 0, 1).otherwise(0)), lit(0))).head()
-        if (lengthOf(l) != row.getLong(0)) throw DbError.intermDiffLen()
-        if (row.getLong(1) != 0L) throw DbError.divZero()
-      } else if (lengthOf(l) != lengthOf(r)) throw DbError.intermDiffLen()
+      mathPreCheck(l, r, checkZeros = mtype == MathDiv)
       val (lAligned, rAligned) = aligned(l, r)
       val out = ColumnOps.math(mtype, lAligned.df, rAligned.df,
         lAligned.align.cols)
@@ -348,14 +358,53 @@ final class Session(val engine: Engine) {
     }.reduce(_.crossJoin(_))
   }
 
-  /** Length of a values intermediate for the DBEINTERMDIFFLEN checks.
-    * Aggregate results are singletons BY CONSTRUCTION (aggregate.c:26-30)
-    * — counting them would replay their whole input lineage (at 10^8 join
-    * pairs, one wasted pair-production pass per aggregate operand), so
-    * they answer 1 without an action. Everything else counts.
+  /** Row counts memoized by alignment lineage: two intermediates sharing
+    * a tag have the same length by construction (see [[Align]]), and an
+    * intermediate reads an immutable column-version snapshot, so a count
+    * computed once serves every later length check in this session — a
+    * tuple of a join's two fetches pays ONE pair-production pass for its
+    * length check, not one per operand. Aggregate results are singletons
+    * by construction (aggregate.c:26-30): pre-seeded, never counted
+    * (counting one would replay its whole input lineage).
     */
+  private val tagLen = mutable.Map[Long, Long](Align.SingletonTag -> 1L)
+
+  /** Length of a values intermediate for the DBEINTERMDIFFLEN checks. */
   private def lengthOf(v: Vals): Long =
-    if (v.align.tag == Align.SingletonTag) 1L else v.df.count()
+    tagLen.getOrElseUpdate(v.align.tag, v.df.count())
+
+  /** Math pre-checks — equal length (DBEINTERMDIFFLEN,
+    * aggregate.c:112-116) and, for div, zero divisors (DBEDIVZERO) — in
+    * at most ONE Spark job: the operands that genuinely need an action
+    * union into a single count-by-side (+ zero-divisor sum) aggregate,
+    * instead of one count job per operand. Lengths come free for
+    * same-lineage operands (equal tags -> equal length) and from the
+    * [[tagLen]] memo; a divisor scan memoizes its count as a side effect.
+    * Length errors beat divide-by-zero, preserving the reference's check
+    * order.
+    */
+  private def mathPreCheck(l: Vals, r: Vals, checkZeros: Boolean): Unit = {
+    val sameTag = l.align.tag == r.align.tag
+    val needL = !sameTag && !tagLen.contains(l.align.tag)
+    val needR = (!sameTag && !tagLen.contains(r.align.tag)) || checkZeros
+    var zeros = 0L
+    if (needL || needR) {
+      val zExpr = if (checkZeros) when(col("v") === 0, 1).otherwise(0) else lit(0)
+      val sides =
+        (if (needL) Seq(l.df.select(lit(0).as("side"), lit(0).as("z"))) else Nil) ++
+        (if (needR) Seq(r.df.select(lit(1).as("side"), zExpr.as("z"))) else Nil)
+      val row = sides.reduce(_.unionAll(_)).agg(
+        coalesce(sum(when(col("side") === 0, 1L)), lit(0L)),
+        coalesce(sum(when(col("side") === 1, 1L)), lit(0L)),
+        coalesce(sum(col("z")), lit(0L))).head()
+      if (needL) tagLen.update(l.align.tag, row.getLong(0))
+      if (needR) tagLen.update(r.align.tag, row.getLong(1))
+      zeros = row.getLong(2)
+    }
+    if (!sameTag && tagLen(l.align.tag) != tagLen(r.align.tag))
+      throw DbError.intermDiffLen()
+    if (zeros != 0L) throw DbError.divZero()
+  }
 
   /** Two values intermediates, made zippable: same lineage -> as-is (the
     * align-column equi-join IS the ordinal zip); different lineages ->
@@ -442,6 +491,7 @@ final class Session(val engine: Engine) {
         case (name, version, rows, base) =>
           catalog.update(name, version, rows,
             baseFiles = Some(base), rowsAtVersion = Some(rows))
+          engine.orphanChecked.add(name) // fresh version dir, accounted
       }
     } finally csvScan.unpersist(false) // release the shared CSV cache
   }
@@ -465,6 +515,7 @@ final class Session(val engine: Engine) {
       catalog.update(c, meta0.version + 1, 1L,
         baseFiles = Some(Storage.partFileCount(spark, path)),
         rowsAtVersion = Some(1L))
+      engine.orphanChecked.add(c)
     } else {
       // Crash-orphan guard: an append that died before its catalog
       // advance left an uncommitted row with id == nextId in the live
@@ -472,11 +523,14 @@ final class Session(val engine: Engine) {
       // nextId advances, so when the dir holds more part files than the
       // catalog accounts for, fold to a fresh version first — the
       // rewrite reads only committed rows (id < nextId), dropping the
-      // orphan.
+      // orphan. The listing runs once per column per Engine lifetime
+      // (orphans only predate this process — see [[Engine.orphanChecked]]).
       val meta =
-        if (Storage.partFileCount(spark, meta0.dataPath) != meta0.expectedFiles)
+        if (!engine.orphanChecked.contains(c) &&
+            Storage.partFileCount(spark, meta0.dataPath) != meta0.expectedFiles)
           compact(c, meta0)
         else meta0
+      engine.orphanChecked.add(c)
       val row = spark.range(1).select(lit(meta.nextId).as("id"),
         lit(v).cast(IntegerType).as("v"))
       // O(1) append of a delta file; indexed layouts degrade gracefully
@@ -499,9 +553,11 @@ final class Session(val engine: Engine) {
     val path = meta.copy(version = meta.version + 1).dataPath
     Storage.writeColumn(Storage.readColumn(spark, meta), path,
       meta.stype, rowsHint = Some(meta.nextId))
-    catalog.update(c, meta.version + 1, meta.nextId,
+    val updated = catalog.update(c, meta.version + 1, meta.nextId,
       baseFiles = Some(Storage.partFileCount(spark, path)),
       rowsAtVersion = Some(meta.nextId))
+    engine.orphanChecked.add(c) // fresh version: accounting re-established
+    updated
   }
 
   /** Copy-on-write rewrite of a column (delete/update): new version dir,
@@ -523,5 +579,6 @@ final class Session(val engine: Engine) {
       stillPristine = keepsPristine,
       baseFiles = Some(Storage.partFileCount(spark, path)),
       rowsAtVersion = Some(meta.nextId))
+    engine.orphanChecked.add(c) // fresh version dir, accounted
   }
 }

@@ -46,9 +46,30 @@ object TextAnalysis {
     ((length(t) - length(regexp_replace(t, java.util.regex.Pattern.quote(kw), "")))
       / kw.length).cast("int")
 
+  /** Mean token length in hundredths, integer-exact; 0 for blank docs. */
+  private def meanTokLen100Expr(t: Column): Column = {
+    val nToks = tokenCount(t)
+    when(nToks === 0, lit(0)).otherwise(
+      (length(regexp_replace(t, "\\s", "")).cast("long") * 100L / nToks)).cast("int")
+  }
+
+  /** The quality keep/drop flag as ONE per-row expression — the same
+    * thresholds [[quality]] reports, exposed at expression level so a
+    * composed pipeline (e.g. [[graft.queries.PipelineQueries.pipelinePrep]])
+    * can evaluate it inside a single scan projection instead of joining
+    * against a second pass over the corpus.
+    */
+  def keepExpr(t: Column): Column = {
+    val nToks = tokenCount(t)
+    val nAlpha = length(regexp_replace(lower(t), "[^a-z]", "")).cast("int")
+    (nToks >= 5 && nToks <= 100000 &&
+      meanTokLen100Expr(t) >= 200 && meanTokLen100Expr(t) <= 1200 &&
+      nAlpha * 2 >= length(t).cast("int")).cast("int")
+  }
+
   /** Quality metrics, all integers: char count, token count, alpha-char
     * count, digit count, mean token length (x100, integer division), and
-    * a keep/drop flag from simple thresholds.
+    * a keep/drop flag from simple thresholds (the [[keepExpr]] predicate).
     */
   def quality(docs: DataFrame): DataFrame = {
     val t = col("text")
@@ -56,16 +77,9 @@ object TextAnalysis {
     val nToks = tokenCount(t)
     val nAlpha = length(regexp_replace(lower(t), "[^a-z]", "")).cast("int")
     val nDigit = length(regexp_replace(t, "[^0-9]", "")).cast("int")
-    // mean token length in hundredths, integer-exact; 0 for blank docs
-    val meanTokLen100 = when(nToks === 0, lit(0)).otherwise(
-      (length(regexp_replace(t, "\\s", "")).cast("long") * 100L / nToks)).cast("int")
     docs.select(col("doc_id"), nChars.as("n_chars"), nToks.as("n_tokens"),
         nAlpha.as("n_alpha"), nDigit.as("n_digit"),
-        meanTokLen100.as("mean_tok_len_100"))
-      .withColumn("keep",
-        (col("n_tokens") >= 5 && col("n_tokens") <= 100000 &&
-          col("mean_tok_len_100") >= 200 && col("mean_tok_len_100") <= 1200 &&
-          col("n_alpha") * 2 >= col("n_chars")).cast("int"))
+        meanTokLen100Expr(t).as("mean_tok_len_100"), keepExpr(t).as("keep"))
       .orderBy("doc_id")
   }
 
@@ -77,27 +91,34 @@ object TextAnalysis {
     "fr" -> Seq(" le ", " la ", " et ", " les ", " des "),
   )
 
-  /** Language ID: integer stopword-occurrence score per language over the
-    * space-padded lowercased text; argmax with deterministic tie order
-    * (en > es > de > fr > unknown at score 0).
+  /** The language-ID argmax as ONE per-row expression (same scores and
+    * tie order as [[langId]]); expression-level so composed pipelines can
+    * fold it into a single scan projection. Catalyst's common-subexpression
+    * elimination shares the repeated score sub-trees in codegen.
     */
-  def langId(docs: DataFrame): DataFrame = {
+  def langPredExpr(text: Column): Column = {
     // double every whitespace run so adjacent stopwords don't share a
     // delimiter space: non-overlap counting of ' the the ' would see one
     // match because the first consumed the middle space
     val padded = concat(lit(" "),
-      regexp_replace(lower(col("text")), "\\s+", "  "), lit(" "))
-    val scores = stopwords.toSeq.sortBy(_._1).map { case (lang, kws) =>
+      regexp_replace(lower(text), "\\s+", "  "), lit(" "))
+    val score = stopwords.map { case (lang, kws) =>
       lang -> kws.map(k => occurrences(padded, k)).reduce(_ + _)
     }
-    val scored = docs.select(col("doc_id") +: scores.map { case (l, c) => c.as(s"s_$l") }: _*)
-    val best = Seq("en", "es", "de", "fr").map(l => col(s"s_$l"))
+    val best = Seq("en", "es", "de", "fr").map(score)
       .reduce((a, b) => greatest(a, b))
-    val pred = when(best === 0, lit("unknown"))
-      .when(col("s_en") === best, "en").when(col("s_es") === best, "es")
-      .when(col("s_de") === best, "de").otherwise("fr")
-    scored.select(col("doc_id"), pred.as("lang_pred")).orderBy("doc_id")
+    when(best === 0, lit("unknown"))
+      .when(score("en") === best, "en").when(score("es") === best, "es")
+      .when(score("de") === best, "de").otherwise("fr")
   }
+
+  /** Language ID: integer stopword-occurrence score per language over the
+    * space-padded lowercased text; argmax with deterministic tie order
+    * (en > es > de > fr > unknown at score 0).
+    */
+  def langId(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), langPredExpr(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
 
   /** Corpus vocabulary: the `k` most frequent whitespace tokens with
     * exact counts (deterministic tie-break by token). The standard

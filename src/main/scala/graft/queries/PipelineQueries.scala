@@ -58,21 +58,31 @@ object PipelineQueries {
 
   /** The composed pre-training prep DAG as ONE declarative plan: exact
     * dedup keepers -> quality keep flag -> English only -> corpus stats
-    * (surviving doc count + total whitespace tokens). Every stage is an
-    * already-oracle-checked operator; Catalyst fuses the per-row stages
-    * into the scans and the dedup group-by is the only wide stage. The
-    * oracle recomputes the same composition in SQL.
+    * (surviving doc count + total whitespace tokens).
+    *
+    * Fused to ONE corpus scan: `n_tokens`, the quality keep flag, and the
+    * language prediction are all pure per-row functions of `text`
+    * (expression-level variants from [[TextAnalysis]]), so they evaluate
+    * in a single projection and the filter pushes into the scan. The
+    * dedup-keeper join folds into the group-by as well: every member of a
+    * text group carries identical flags, so a group survives the filter
+    * atomically and "count/sum over keeper rows" equals "count/sum over
+    * surviving text groups" — no second pass over the corpus, no join.
+    * One scan + one hash shuffle (the dedup group-by, keyed on text; at
+    * 100 TB key on a 128-bit text hash — same note as [[Dedup.exact]]).
+    * The oracle recomputes the original keeper-join composition in SQL,
+    * so the equivalence itself is oracle-checked.
     */
-  def pipelinePrep(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val keepers = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
-    val good = TextAnalysis.quality(docs).filter(col("keep") === 1).select("doc_id")
-    val en = TextAnalysis.langId(docs).filter(col("lang_pred") === "en").select("doc_id")
-    TextAnalysis.tokens(docs)
-      .join(keepers, "doc_id").join(good, "doc_id").join(en, "doc_id")
+  def pipelinePrep(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("text"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.keepExpr(col("text")).as("keep"),
+        TextAnalysis.langPredExpr(col("text")).as("lang_pred"))
+      .filter(col("keep") === 1 && col("lang_pred") === "en")
+      .groupBy("text").agg(first(col("n_tokens")).as("n_tokens"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
         coalesce(sum(col("n_tokens").cast("long")), lit(0L)).as("total_tokens"))
-  }
 
   // --- similarity search ---
 
@@ -273,10 +283,10 @@ object PipelineQueries {
   private def jaccardSql(tnum: Int, tden: Int): String =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
-       |nums AS (SELECT i FROM range(1, 100000) t(i)),
+       |pos AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks),
        |sh AS (
        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
-       |  FROM toks JOIN nums ON i <= len(w)-2),
+       |  FROM pos),
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
        |inter AS (
        |  SELECT a.doc_id AS xa, b.doc_id AS xb, count(*) AS i
@@ -372,10 +382,10 @@ object PipelineQueries {
     "text_contamination" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-        |nums AS (SELECT i FROM range(1, 100000) t(i)),
+        |pos AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks),
         |sh AS (
         |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
-        |  FROM toks JOIN nums ON i <= len(w)-2)
+        |  FROM pos)
         |SELECT CAST(a.doc_id AS BIGINT) AS train_id,
         |       CAST(b.doc_id AS BIGINT) AS eval_id,
         |       CAST(count(*) AS BIGINT) AS shared

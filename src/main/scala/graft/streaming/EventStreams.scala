@@ -76,37 +76,33 @@ object EventStreams {
             state.remove()
             Iterator(Session(uid, new Timestamp(s.start), new Timestamp(s.last), s.n))
           } else {
-            val sorted = it.toSeq.sortBy(_.ts.getTime)
-            var closed = List.empty[Session]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                // within gap of the session INTERVAL — including a
-                // watermark-admitted straggler just before its start,
-                // which extends the session backward (session_window
-                // merges the same way)
-                case Some(s) if t >= s.start - gapMs && t - s.last <= gapMs =>
-                  cur = Some(SessionState(math.min(s.start, t),
-                    math.max(s.last, t), s.n + 1))
-                case Some(s) if t < s.start - gapMs =>
-                  // stale straggler predating the open session by more
-                  // than the gap: its own (already-over) session — NOT
-                  // silently folded into the current one
-                  closed ::= Session(uid, new Timestamp(t), new Timestamp(t), 1)
-                case Some(s) =>
-                  closed ::= Session(uid, new Timestamp(s.start), new Timestamp(s.last), s.n)
-                  cur = Some(SessionState(t, t, 1))
-                case None =>
-                  cur = Some(SessionState(t, t, 1))
-              }
-            }
-            cur.foreach { s =>
+            // The session_window model, verbatim: every event is a point
+            // interval, the open session (if any) an interval, and
+            // sessions are the transitive gap-merge closure — sort by
+            // start, fold intervals within gapMs of the running one.
+            // This merges watermark-admitted stragglers with EACH OTHER
+            // too (two old events within gapMs form ONE stale session,
+            // not two singletons) and extends the open session backward
+            // through a straggler chain, exactly as session_window would.
+            val ivs = (state.getOption.toSeq ++
+                it.map(e => SessionState(e.ts.getTime, e.ts.getTime, 1)))
+              .sortBy(s => (s.start, s.last))
+            val merged = ivs.foldLeft(List.empty[SessionState]) {
+              case (h :: t, iv) if iv.start - h.last <= gapMs =>
+                SessionState(h.start, math.max(h.last, iv.last), h.n + iv.n) :: t
+              case (acc, iv) => iv :: acc
+            } // reversed: head is the latest interval
+            // all but the latest close now (append-mode emission is
+            // final; a straggler in a LATER batch that lands within gap
+            // of one starts its own session — only the open session can
+            // still be extended); the latest stays open until its gap
+            // times out
+            merged.headOption.foreach { s =>
               state.update(s)
-              // close when event time passes last + gap
               state.setTimeoutTimestamp(s.last + gapMs)
             }
-            closed.reverseIterator
+            merged.drop(1).reverseIterator.map(s =>
+              Session(uid, new Timestamp(s.start), new Timestamp(s.last), s.n))
           }
       }
   }

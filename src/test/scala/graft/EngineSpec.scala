@@ -71,6 +71,51 @@ class EngineSpec extends SparkSpec {
     assert(intercept[DbException](e.execute(empty + "avg(v)")).code == "DBEDIVZERO")
   }
 
+  test("math pre-checks run at most one job (none for shared lineage)") {
+    val (e, _, _) = freshEngine()
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    def jobsDuring(f: => Unit): Int = {
+      // listener delivery is async: settle the bus with a short sleep
+      // before and after (jobs here are sub-second; 500ms is generous)
+      Thread.sleep(500)
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        jobs = 0
+        f
+        Thread.sleep(500)
+        jobs
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val s = e.newSession()
+    def run(script: String): Unit =
+      graft.lang.Parser.parseScript(script).toOption.get
+        .foreach(op => s.eval(op).foreach(_ => ()))
+    run("p=select(ra)\na=fetch(ra,p)\nb=fetch(rd,p)")
+    // same align lineage (both fetches ride p's id order): equal length
+    // is structural — the bind itself must launch NO job
+    assert(jobsDuring(run("m=add(a,b)")) == 0, "same-lineage add")
+    // distinct lineages: the fused check is one ACTION (Spark decomposes
+    // it into several scheduler jobs under AQE/broadcast, and the
+    // rank-zip fallback's zipWithIndex is eagerly paid on EVERY bind, so
+    // absolute counts are meaningless) — assert the memo instead: an
+    // identical second sub launches strictly fewer jobs, the length
+    // pre-check's share having been memoized away
+    run("p2=select(rc,1,8)\nc=fetch(rd,p2)")
+    val first = jobsDuring(run("m2=sub(a,c)"))
+    val second = jobsDuring(run("m3=sub(a,c)"))
+    assert(first > 0, "first cross-lineage sub runs the fused check")
+    assert(second < first, s"memoized lengths skip the check ($second vs $first)")
+    // correctness unchanged: results still emit
+    assert(e.execute(
+      "p=select(rc,1,3)\nx=fetch(rd,p)\ny=fetch(rd,p)\nm=add(x,y)\nprint(m)")
+      == Seq("20", "40", "60"))
+  }
+
   test("32-bit wrapping sum") {
     val db = tmpDir("graftdb")
     val dir = tmpDir("csv")
@@ -329,20 +374,29 @@ class EngineSpec extends SparkSpec {
   }
 
   test("crash-orphaned delta append is repaired before id reuse") {
-    val e = new Engine(spark, tmpDir("graftdb"))
+    val db = tmpDir("graftdb")
+    val e = new Engine(spark, db)
     e.execute("""create(oa,"unsorted")""")
     e.execute("insert(oa,1)\ninsert(oa,2)")
     val meta = e.catalog.require("oa") // nextId = 2
     // simulate a crash between delta append and catalog advance: a row
-    // with id == nextId sits in the live dir but was never committed
+    // with id == nextId sits in the live dir but was never committed.
+    // The crash killed that process, so the repair path runs in a FRESH
+    // engine over the same dbDir — within one engine appends serialize
+    // and job commits are atomic, which is why the orphan listing runs
+    // once per column per engine lifetime (Engine.orphanChecked).
     spark.range(1).selectExpr("CAST(2 AS LONG) AS id", "CAST(99 AS INT) AS v")
       .write.mode("append").parquet(meta.dataPath)
     // the next insert must fold the dir first (dropping the orphan), not
     // append a second id=2 that becomes a visible duplicate
-    e.execute("insert(oa,3)")
-    assert(e.execute("select(oa)") == Seq("0", "1", "2"))
-    assert(e.execute("p=select(oa)\nv=fetch(oa,p)\nprint(v)") ==
+    val e2 = new Engine(spark, db)
+    e2.execute("insert(oa,3)")
+    assert(e2.execute("select(oa)") == Seq("0", "1", "2"))
+    assert(e2.execute("p=select(oa)\nv=fetch(oa,p)\nprint(v)") ==
       Seq("1", "2", "3"))
+    // and the listing ran once: a further insert in e2 skips it entirely
+    e2.execute("insert(oa,4)")
+    assert(e2.execute("select(oa)") == Seq("0", "1", "2", "3"))
   }
 
   test("crash debris is ignored: orphan version dir + catalog tmp") {

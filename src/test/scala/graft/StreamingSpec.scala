@@ -119,6 +119,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeCustom: stragglers within gap merge into ONE stale session") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionizeCustom(in.toDS(), gapMs = 10 * 60000L,
+        lateness = "90 minutes")
+      .writeStream.format("memory").queryName("stalemerge")
+      .outputMode("append").start()
+    try {
+      in.addData(ev(1, 1, 100)) // open session [100,100]; wm -> 10
+      q.processAllAvailable()
+      // two watermark-admitted stragglers 5m apart (within the 10m gap),
+      // both >10m before the open session: session_window semantics merge
+      // them into ONE stale session [20,25], not two singletons
+      in.addData(ev(1, 2, 20), ev(1, 3, 25))
+      q.processAllAvailable()
+      in.addData(ev(1, 4, 500)) // advance watermark, close [100,100]
+      q.processAllAvailable()
+      val rows = spark.table("stalemerge")
+        .select("s_start", "s_end", "n_events").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000,
+          r.getTimestamp(1).getTime / 60000, r.getLong(2))).toSet
+      assert(rows.contains((20L, 25L, 2L)), s"merged stale session: $rows")
+      assert(rows.contains((100L, 100L, 1L)), s"unpolluted session: $rows")
+      assert(!rows.contains((20L, 20L, 1L)), s"singleton leak: $rows")
+    } finally q.stop()
+  }
+
   test("sessionizeCustom: flatMapGroupsWithState closes sessions on gap") {
     val spark0 = spark
     import spark0.implicits._
