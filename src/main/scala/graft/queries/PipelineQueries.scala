@@ -112,11 +112,14 @@ object PipelineQueries {
   /** Oracle-exact recall gate for the approximate ANN paths: top-3
     * overlap of [[annLsh]] and [[annIvf]] against the exact
     * [[annTopk]], aggregated and held to floors the deterministic seeds
-    * guarantee at every driver SF (measured: LSH 56-63%, IVF 62-66%;
-    * floors 50% / 55%). The oracle derives `n_queries` and the expected
-    * all-pass booleans in plain SQL, so a recall regression in either
-    * approximate path flips a boolean and fails the hash compare —
-    * recall is part of the hard driver signal, not just a spec.
+    * guarantee at every driver SF (measured: LSH 56.0/58.0/63.0% and
+    * IVF 66.0/62.3/62.7% at sf0.001/0.01/0.1; floors 52% / 58% sit
+    * within ~5 points of the per-SF minimum, so a 10-point recall
+    * regression in either path actually trips). The oracle derives
+    * `n_queries` and the expected all-pass booleans in plain SQL, so a
+    * recall regression in either approximate path flips a boolean and
+    * fails the hash compare — recall is part of the hard driver signal,
+    * not just a spec.
     */
   def annRecall(s: SparkSession, d: String): DataFrame = {
     val exact = annTopk(s, d).select("qid", "nid")
@@ -129,8 +132,8 @@ object PipelineQueries {
     // 1x1 cross joins of singleton aggregates (the flagship pattern)
     tot.crossJoin(lh).crossJoin(ih).select(
       col("n_queries").cast("long").as("n_queries"),
-      (col("lsh_hits") * 100L >= col("n_exact") * 50L).as("lsh_recall_ok"),
-      (col("ivf_hits") * 100L >= col("n_exact") * 55L).as("ivf_recall_ok"))
+      (col("lsh_hits") * 100L >= col("n_exact") * 52L).as("lsh_recall_ok"),
+      (col("ivf_hits") * 100L >= col("n_exact") * 58L).as("ivf_recall_ok"))
   }
 
   /** The sketch-family representative in the hard driver signal: a

@@ -204,6 +204,45 @@ class EngineSpec extends SparkSpec {
       Seq("40"))
   }
 
+  test("salt knob composes with every join keyword and fetch fusion") {
+    import graft.operators.SkewJoin
+    val (e, _, _) = freshEngine()
+    // the canonical join script; BOTH inputs ride the select-all -> fetch
+    // fusion path (ra and ua are pristine, their selects full), so the
+    // salted join consumes fused base columns directly
+    def run(j: String): Seq[String] = e.execute(
+      s"""pr=select(ra)
+         |pu=select(ua)
+         |va=fetch(ra,pr)
+         |vu=fetch(ua,pu)
+         |l,r=$j(va,vu)
+         |bl=fetch(rd,l)
+         |bu=fetch(ub,r)
+         |tuple(bl,bu)
+         |""".stripMargin)
+    val keywords = Seq("hashjoin", "sortjoin", "loopjoin", "treejoin")
+    val unsalted = keywords.map(j => j -> run(j).sorted).toMap
+    spark.conf.set(SkewJoin.BucketsKey, "4")
+    try keywords.foreach { j =>
+      assert(run(j).sorted == unsalted(j), s"salted $j diverges")
+    } finally spark.conf.unset(SkewJoin.BucketsKey)
+    // and a non-full (unfused) select path under the knob as well
+    val subset =
+      """pr=select(ra,1,4)
+        |pu=select(ua)
+        |va=fetch(ra,pr)
+        |vu=fetch(ua,pu)
+        |l,r=hashjoin(va,vu)
+        |bl=fetch(rd,l)
+        |bu=fetch(ub,r)
+        |tuple(bl,bu)
+        |""".stripMargin
+    val plain = e.execute(subset).sorted
+    spark.conf.set(SkewJoin.BucketsKey, "4")
+    try assert(e.execute(subset).sorted == plain, "salted subset diverges")
+    finally spark.conf.unset(SkewJoin.BucketsKey)
+  }
+
   test("all four join keywords produce identical multisets") {
     val (e, _, _) = freshEngine()
     // ra values {1,2,3,4,5,1,2,9}, ua values {1,2,7,2}

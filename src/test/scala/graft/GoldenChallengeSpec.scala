@@ -46,4 +46,25 @@ class GoldenChallengeSpec extends SparkSpec {
     val out = e.execute(referenceScript("p4challenge/p4challenge.txt"))
     assert(out == expectedLines("p4.expected"))
   }
+
+  /** The reference ships p4 as per-statement splits too
+    * (p4challenge/individual/p4c-{0-load,1..6}.txt) whose expecteds are
+    * exactly the 6 lines of p4challenge.expected (its harness runs each
+    * split through a FRESH client against the same persistent db). The
+    * twin here is stronger than a fresh session: a fresh Engine per
+    * split, so every mutation interleaving is pinned across a full
+    * catalog reload — state wrongly held in a session or engine (caches,
+    * memos, orphan flags) would shift a later split's tuple.
+    */
+  test("p4 individual splits: fresh engine per split, byte-diff each") {
+    val db = tmpDir("golden_p4ind_db")
+    new Engine(spark, db)
+      .execute(referenceScript("p4challenge/individual/p4c-0-load.txt"))
+    val expected = expectedLines("p4.expected")
+    (1 to 6).foreach { k =>
+      val out = new Engine(spark, db)
+        .execute(referenceScript(s"p4challenge/individual/p4c-$k.txt"))
+      assert(out == Seq(expected(k - 1)), s"split p4c-$k")
+    }
+  }
 }
