@@ -22,15 +22,24 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact duplicate groups by full text: `(keep_id, n)` — the surviving
-    * (minimum) doc id and the group size. One hash-shuffle; at 100 TB,
-    * group by a 128-bit text hash instead of the full text to shrink the
-    * shuffle key (same result for non-colliding hashes).
+  /** Exact duplicate groups: `(keep_id, n)` — the surviving (minimum)
+    * doc id and the group size. One hash-shuffle.
+    *
+    * `byHash = true` is the 100 TB shape: group by the 128-bit md5 of
+    * the raw text instead of the text itself, so the group-by shuffle
+    * moves 16 bytes per row where the default moves every document
+    * body. Output is identical unless two distinct documents collide in
+    * md5 (~2^-128 for organic data; a corpus containing DELIBERATE md5
+    * collision pairs would merge them — keep the default where that
+    * matters, or re-verify groups by text afterwards).
     */
-  def exact(docs: DataFrame): DataFrame =
-    docs.groupBy("text")
+  def exact(docs: DataFrame, byHash: Boolean = false): DataFrame = {
+    val key =
+      if (byHash) md5(to_binary(col("text"), lit("utf-8"))) else col("text")
+    docs.groupBy(key.as("k"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
       .select(col("keep_id").cast("long").as("keep_id"), col("n").cast("long").as("n"))
+  }
 
   /** `(doc_id, idx, g)`: every complete word n-gram with its starting
     * token position — the ONE tokenize/lead pipeline behind [[shingles]]

@@ -22,6 +22,14 @@ object PipelineQueries {
   def dedupExact(s: SparkSession, d: String): DataFrame =
     Dedup.exact(Tables.documents(s, d)).orderBy("keep_id")
 
+  /** The hash-keyed scale variant of [[dedupExact]] (16-byte shuffle key
+    * vs full document bodies), held to the SAME by-text oracle — the
+    * "identical for non-colliding hashes" claim is itself in the hard
+    * driver signal.
+    */
+  def dedupExactHash(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(Tables.documents(s, d), byHash = true).orderBy("keep_id")
+
   def dedupMinhash(s: SparkSession, d: String): DataFrame =
     Dedup.minhashNearDups(Tables.documents(s, d), n = 3, k = 64, bands = 32,
       tnum = 3, tden = 5).orderBy("da", "db")
@@ -122,7 +130,11 @@ object PipelineQueries {
     * not just a spec.
     */
   def annRecall(s: SparkSession, d: String): DataFrame = {
-    val exact = annTopk(s, d).select("qid", "nid")
+    // the exact list feeds THREE consumers (the totals row and both
+    // intersects); uncached, each would replay the all-pairs brute-force
+    // scoring — cache the k*|queries| rows instead (same caching
+    // contract as the dedup family: caller clearCaches when done)
+    val exact = annTopk(s, d).select("qid", "nid").cache()
     val lsh = annLsh(s, d).select("qid", "nid")
     val ivf = annIvf(s, d).select("qid", "nid")
     val tot = exact.agg(count(lit(1)).as("n_exact"),
@@ -253,6 +265,7 @@ object PipelineQueries {
 
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> dedupExact,
+    "dedup_exact_hash" -> dedupExactHash,
     "dedup_minhash" -> dedupMinhash,
     "dedup_ngram" -> dedupNgram,
     "dedup_simhash" -> dedupSimhash,
@@ -428,6 +441,10 @@ object PipelineQueries {
         |       CAST(coalesce(sum(nt), 0) AS BIGINT) AS total_tokens
         |FROM q JOIN keepers USING (doc_id) JOIN good USING (doc_id) JOIN en USING (doc_id)""".stripMargin,
     "dedup_exact" ->
+      """SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    // the hash-keyed variant answers to the SAME by-text grouping
+    "dedup_exact_hash" ->
       """SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
     "dedup_minhash" -> jaccardSql(3, 5),

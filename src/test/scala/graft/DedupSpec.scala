@@ -36,6 +36,21 @@ class DedupSpec extends SparkSpec {
     assert(capped == Set((1L, 2L)))
   }
 
+  test("hash-keyed exact dedup equals by-text exact dedup") {
+    import spark.implicits._
+    // duplicates, a near-miss (one char off), and empty/whitespace texts
+    val docs = Seq(
+      (1L, "same text body"), (5L, "same text body"), (3L, "same text body"),
+      (2L, "same text bodY"), (4L, ""), (6L, ""), (7L, " "),
+      (8L, "unique document")).toDF("doc_id", "text")
+    def groups(byHash: Boolean): Set[(Long, Long)] =
+      Dedup.exact(docs, byHash).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Set((1L, 3L), (2L, 1L), (4L, 2L), (7L, 1L), (8L, 1L))
+    assert(groups(byHash = false) == expected)
+    assert(groups(byHash = true) == expected)
+  }
+
   test("contamination flags train docs overlapping the eval split") {
     import spark.implicits._
     // eval doc 1; train doc 10 leaks a 4-trigram run of it, train doc 11
