@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{ParityQueries, PipelineQueries}
+import graft.queries.{AnalyticsQueries, ParityQueries, PipelineQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,10 +21,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParityQueries.queries ++ PipelineQueries.queries
+    ParityQueries.queries ++ PipelineQueries.queries ++
+      AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ParityQueries.oracles ++ PipelineQueries.oracles
+    ParityQueries.oracles ++ PipelineQueries.oracles ++
+      AnalyticsQueries.oracles
 }

@@ -226,7 +226,7 @@ object PipelineQueries {
     * or TimestampType. Integral division keeps full precision (a double
     * division would lose bits above 2^53).
     */
-  private def eventMs(e: DataFrame): org.apache.spark.sql.Column =
+  private[queries] def eventMs(e: DataFrame): org.apache.spark.sql.Column =
     e.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         call_function("div", col("ts"), lit(1000000L))
@@ -378,14 +378,22 @@ object PipelineQueries {
     * ascii-digit pattern as [[simhashSql]]), bottom-k by (priority,
     * value).
     */
-  private def reservoirSql(k: Int, seed: Long): String = {
+  /** SQL for the [[graft.functions.ReservoirSample]] 60-bit priority:
+    * the integer value of the leading 15 hex digits of column `h`
+    * (an md5 hex string) — shared by every sampling oracle.
+    */
+  private[queries] def md5Priority60Sql: String = {
     def digit(j: Int) = {
       val a = s"ascii(substr(h, ${j + 1}, 1))"
       s"(CASE WHEN $a <= 57 THEN $a - 48 ELSE $a - 87 END)"
     }
-    val pExpr = (0 until 15)
+    (0 until 15)
       .map(j => s"(CAST(${digit(j)} AS BIGINT) << ${4 * (14 - j)})")
       .mkString(" + ")
+  }
+
+  private def reservoirSql(k: Int, seed: Long): String = {
+    val pExpr = md5Priority60Sql
     s"""WITH vals AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS v FROM lineitem),
        |pri AS (SELECT v, md5(concat('$seed:', CAST(v AS VARCHAR))) AS h FROM vals),
        |p AS (SELECT v, $pExpr AS p FROM pri),

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Layout
+import graft.queries.AnalyticsQueries
+
+/** The analytics driver queries at sf0.001 plus the operator properties
+  * the oracles can't see: partitioning-independence of the stratified
+  * sample, the approx gates actually holding, and the bucketed layout's
+  * shuffle-free join plan.
+  */
+class AnalyticsSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("stratified sample is k per stratum and partitioning-independent") {
+    import graft.functions.ReservoirSample
+    val spark0 = spark
+    import spark0.implicits._
+    ReservoirSample.register(spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def sample(parts: Int): Seq[(String, Int, Long)] =
+      docs.repartition(parts)
+        .groupBy("source")
+        .agg(call_function(ReservoirSample.name,
+          col("doc_id"), lit(4), lit(7L)).as("sample"))
+        .select(col("source"), posexplode(col("sample")))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+        .toSeq.sorted
+    val one = sample(1)
+    assert(one == sample(13), "sample must not depend on partitioning")
+    val bySource = one.groupBy(_._1)
+    assert(bySource.nonEmpty && bySource.values.forall(_.size == 4))
+    // each stratum's sample is drawn from that stratum only
+    val membership = docs.select("source", "doc_id").collect()
+      .map(r => r.getLong(1) -> r.getString(0)).toMap
+    assert(one.forall { case (src, _, id) => membership(id) == src })
+  }
+
+  test("approx gates hold at sf0.001 (HLL within 5%, median rank within 1%)") {
+    val row = AnalyticsQueries.aggApproxGate(spark, sf).collect().head
+    assert(row.getLong(0) > 0)
+    assert(row.getBoolean(1), "HLL estimate outside the 5% gate")
+    assert(row.getBoolean(2), "approx median rank outside the 1% gate")
+  }
+
+  test("per-type top-k matches a brute-force ranking") {
+    val got = AnalyticsQueries.eventsTopk(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val events = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_type"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = events.groupBy(_._1).toSeq.flatMap { case (tpe, rows) =>
+      rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toSeq
+        .sortBy { case (uid, cents) => (-cents, uid) }.take(3).zipWithIndex
+        .map { case ((uid, cents), i) => (tpe, i + 1, uid, cents) }
+    }.sorted
+    assert(got.toSeq.sorted == expected)
+  }
+
+  test("bucketed layout join is exchange-free on the join key") {
+    val spark0 = spark
+    import spark0.implicits._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val wh = tmpDir("layoutspec")
+      val l = Layout.writeBucketed(spark,
+        (1 to 8000).map(i => (i.toLong % 211, i.toLong)).toDF("k", "a"),
+        "graft_spec_l", s"$wh/l", "k", 8)
+      val r = Layout.writeBucketed(spark,
+        (1 to 2000).map(i => (i.toLong % 211, i.toLong * 10)).toDF("k", "b"),
+        "graft_spec_r", s"$wh/r", "k", 8)
+      val joined = l.join(r, "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      // layout never changes semantics
+      val expected = {
+        val lc = (1 to 8000).groupBy(_ % 211).view.mapValues(_.size)
+        val rc = (1 to 2000).groupBy(_ % 211).view.mapValues(_.size)
+        lc.map { case (k, n) => n.toLong * rc.getOrElse(k, 0) }.sum
+      }
+      assert(joined.count() == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}

@@ -10,6 +10,9 @@ object SparkSpec {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // events.parquet carries TIMESTAMP(NANOS); surface as long nanos
+    // (same conf as Verify/Bench — PipelineQueries.eventMs handles both)
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     // deliberately tiny: proves emission streams partition-at-a-time
     // (EngineSpec "emission streams") — a whole-result collect of a few
