@@ -53,21 +53,42 @@ object Bench {
     // The max is emitted alongside so run-to-run variance stays visible.
     val reps = sys.env.get("SPARK_GRAFT_REPS").flatMap(_.toIntOption)
       .filter(_ > 0).getOrElse(3)
+    // Failure-honest timing: only SUCCESSFUL reps produce times — a query
+    // that throws must surface as an "errors" entry, never as a
+    // fast-looking min. (CORRECTNESS is the semantic gate; this keeps the
+    // perf artifact from misreporting a crash as a win.)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      val attempts = (1 to reps).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val err = try { fn(spark, sfDir).count(); None } catch {
+          case e: Throwable => Some(
+            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(160))
+        }
+        ((System.nanoTime() - t0) / 1e9, err)
       }
-      (name, times.min, times.max)
+      val okTimes = attempts.collect { case (t, None) => t }
+      val firstErr = attempts.collectFirst { case (_, Some(m)) => m }
+      (name, okTimes, firstErr)
     }
-    val qs = results.map { case (k, mn, _) => s"\"" + k + "\":" + mn }
+    def jsonStr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qsMax = results.collect { case (k, ts, _) if ts.nonEmpty =>
+      s"\"" + k + "\":" + ts.max }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(m)) =>
+      s"\"" + k + "\":" + jsonStr(m) }.mkString("{", ",", "}")
+    val mins = results.collect { case (k, ts, _) if ts.nonEmpty => (k, ts.min) }
+    val total = mins.map(_._2).sum
+    val nFailed = results.count(_._2.isEmpty)
+    // the min map — the judged signal — goes LAST on the line: the driver
+    // keeps the output TAIL, so truncation must eat the noise, not the mins
+    val qs = mins.map { case (k, mn) => s"\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
-    val qsMax = results.map { case (k, _, mx) => s"\"" + k + "\":" + mx }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"reps":$reps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"sf":"$sfDir","failed":$nFailed,"errors":$errs,"queries_max":$qsMax,"queries":$qs}""")
     spark.stop()
   }
 }

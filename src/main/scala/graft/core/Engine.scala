@@ -48,6 +48,14 @@ final class Engine(val spark: SparkSession, val dbDir: String) {
     * dbDirs a per-append listStatus RPC would make appends O(listing)).
     * Any fresh-version write this process performs re-establishes the
     * accounting and marks the column checked.
+    *
+    * This assumes ONE live writer Engine per dbDir (the reference's
+    * topology too — one server process owns the store, server.c:967-1006).
+    * A second concurrent Engine appending to the same dbDir could crash
+    * mid-append AFTER this engine's once-per-lifetime check, leaving an
+    * orphan this engine would no longer detect; interleave engines only
+    * sequentially (fresh Engine per script, as GoldenChallengeSpec does),
+    * never as concurrent writers.
     */
   private[core] val orphanChecked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()

@@ -13,6 +13,19 @@ import org.apache.spark.sql.functions._
   */
 object TemporalJoin {
 
+  /** A time column as an exact integral epoch: `TimestampType` converts
+    * to epoch-MILLIS explicitly (a plain `cast("long")` would truncate
+    * to whole seconds — a right row up to 0.999s in the future would tie
+    * with, and be attached to, an earlier left row); integral columns
+    * pass through unchanged (callers' units are preserved — this repo's
+    * events surface as epoch-ms longs).
+    */
+  private def epochLong(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_millis(col(c))
+      case _ => col(c).cast("long")
+    }
+
   /** As-of join: for every left row, attach the single most recent right
     * row with `right.ts <= left.ts` in the same `key` group (inclusive —
     * a right row at exactly `left.ts` matches).
@@ -39,10 +52,10 @@ object TemporalJoin {
     val payCols = payload.map(col)
     val payType = right.select(payCols: _*).schema
     val rowType = left.schema
-    val r = right.select(col(key).as("__k"), col(ts).cast("long").as("__t"),
+    val r = right.select(col(key).as("__k"), epochLong(right, ts).as("__t"),
       lit(0).as("__side"), struct(payCols: _*).as("__pay"),
       lit(null).cast(rowType).as("__row"))
-    val l = left.select(col(key).as("__k"), col(ts).cast("long").as("__t"),
+    val l = left.select(col(key).as("__k"), epochLong(left, ts).as("__t"),
       lit(1).as("__side"), lit(null).cast(payType).as("__pay"),
       struct(left.columns.toIndexedSeq.map(col): _*).as("__row"))
     val w = Window.partitionBy("__k").orderBy("__t", "__side")
@@ -70,12 +83,23 @@ object TemporalJoin {
   def range(intervals: DataFrame, points: DataFrame, key: String,
             lo: String, hi: String, t: String, bucketMs: Long): DataFrame = {
     require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
-    def bucketOf(c: Column): Column = floor(c / bucketMs).cast("long")
+    // Bucket ids in pure long arithmetic: x - pmod(x, m) is an exact
+    // multiple of m, so the integral `div` is exact floor-division for
+    // any sign. The naive double `floor(x / m)` loses bits above 2^53
+    // (e.g. nanosecond epochs) and can round interval and point buckets
+    // to DIFFERENT ids near a boundary — silently dropping true pairs,
+    // which the residual filter cannot restore. TimestampType bounds
+    // convert to epoch-ms (see [[epochLong]]); integral bounds keep the
+    // caller's units, which must agree across both inputs.
+    def bucketOf(x: Column): Column =
+      call_function("div", x - pmod(x, lit(bucketMs)), lit(bucketMs))
     val iv = intervals.withColumn("__b",
-      explode(sequence(bucketOf(col(lo)), bucketOf(col(hi)))))
+      explode(sequence(bucketOf(epochLong(intervals, lo)),
+        bucketOf(epochLong(intervals, hi)))))
     val pt = points
+      .withColumn("__bt", epochLong(points, t))
       .withColumnsRenamed(Map(key -> "__pk", t -> "__pt"))
-      .withColumn("__b", bucketOf(col("__pt")))
+      .withColumn("__b", bucketOf(col("__bt"))).drop("__bt")
     iv.join(pt, iv(key) === pt("__pk") && iv("__b") === pt("__b") &&
         col("__pt") >= iv(lo) && col("__pt") <= iv(hi))
       .drop("__b", "__pk")

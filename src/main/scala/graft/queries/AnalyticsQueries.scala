@@ -148,7 +148,13 @@ object AnalyticsQueries {
   def profileHistogram(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
-      .withColumn("bucket", call_function("div", col("cents"), lit(500000L)))
+      // floor-division via exact long arithmetic (x - pmod(x, m) is an
+      // exact multiple of m): matches DuckDB's flooring `//` on NEGATIVE
+      // values too, where Spark's bare `div` truncates toward zero —
+      // prices happen to be positive, but the bucket function shouldn't
+      // depend on that
+      .withColumn("bucket", call_function("div",
+        col("cents") - pmod(col("cents"), lit(500000L)), lit(500000L)))
       .groupBy("bucket")
       .agg(count(lit(1)).cast("long").as("n"),
         sum(col("cents")).cast("long").as("sum_cents"),
@@ -162,16 +168,25 @@ object AnalyticsQueries {
     * write-once shuffle is the point at 100 TB), and the result answers
     * to the plain SQL join — layout must never change semantics.
     */
+  /** Catalog names and tmp path carry a per-JVM nonce: the session
+    * catalog and java.io.tmpdir are process/box-global, so two
+    * concurrent benches (or a bench racing a verify run) with fixed
+    * names would clobber each other's table registrations mid-query.
+    * Per-JVM (not per-call) so repeated reps in one process reuse the
+    * same path instead of accumulating tmp directories.
+    */
+  private lazy val runNonce = f"${scala.util.Random.nextLong()}%016x"
+
   def layoutBucketedJoin(s: SparkSession, d: String): DataFrame = {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_layout_" +
-      java.lang.Integer.toHexString(d.hashCode)
+      java.lang.Integer.toHexString(d.hashCode) + s"_$runNonce"
     val o = Layout.writeBucketed(s,
       Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-      "graft_ord_bucketed", s"$dir/ord", "o_orderkey", 8)
+      s"graft_ord_bucketed_$runNonce", s"$dir/ord", "o_orderkey", 8)
     val l = Layout.writeBucketed(s,
       Tables.lineitem(s, d).select(col("l_orderkey"),
         round(col("l_extendedprice") * 100).cast("long").as("cents")),
-      "graft_li_bucketed", s"$dir/li", "l_orderkey", 8)
+      s"graft_li_bucketed_$runNonce", s"$dir/li", "l_orderkey", 8)
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).cast("long").as("n_items"),

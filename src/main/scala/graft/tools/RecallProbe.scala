@@ -1,0 +1,55 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Ivf, Similarity}
+import graft.queries.Tables
+
+/** Measures the raw recall of every approximate path against its exact
+  * twin, per SF dir — the numbers the driver-facing gates' floors
+  * (`ann_recall`, `embedding_lsh_recall`) are calibrated from. Re-run
+  * this whenever bands/r/nprobe or the seeds change, then keep each
+  * floor ~5 points under the per-SF minimum so a genuine regression
+  * trips the gate but deterministic-seed variance never does.
+  *
+  * Usage: runMain graft.tools.RecallProbe [sfDir ...]
+  * (default: /root/testdata/sf0.001 sf0.01 sf0.1)
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (d <- dirs) {
+      val emb = Tables.embeddings(spark, d)
+      val exactTopk = Similarity.bruteForceTopK(emb, k = 3,
+        queryPred = col("vec_id") < 100).select("qid", "nid").cache()
+      val nExact = exactTopk.count()
+      val lshHits = exactTopk.intersect(
+        Similarity.lshTopK(emb, k = 3, bands = 16, r = 6,
+          queryPred = col("vec_id") < 100).select("qid", "nid")).count()
+      val ivfHits = exactTopk.intersect(
+        Ivf.topK(emb, k = 3, nCells = 16, iters = 2, nprobe = 4,
+          queryPred = col("vec_id") < 100).select("qid", "nid")).count()
+      exactTopk.unpersist()
+      val exactPairs = Similarity.cosinePairs(emb, tnum = 9, tden = 20).cache()
+      val nPairs = exactPairs.count()
+      val pairHits = exactPairs.intersect(
+        Similarity.lshCosinePairs(emb, bands = 64, r = 8,
+          tnum = 9, tden = 20)).count()
+      exactPairs.unpersist()
+      def pct(h: Long, n: Long) = if (n == 0) 100.0 else h * 100.0 / n
+      println(f"""{"probe":"recall","sf":"$d","ann_lsh":${pct(lshHits, nExact)}%.1f,"ann_ivf":${pct(ivfHits, nExact)}%.1f,"embedding_lsh":${pct(pairHits, nPairs)}%.1f,"n_exact_topk":$nExact,"n_exact_pairs":$nPairs}""")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}
