@@ -66,6 +66,15 @@ object TemporalJoin {
       .select(col("__row.*"), col("__asof").as("asof"))
   }
 
+  /** Exact floor-division bucket id in pure long arithmetic:
+    * `x - pmod(x, m)` is an exact multiple of `m`, so the integral `div`
+    * is exact floor-division for any sign. The naive double
+    * `floor(x / m)` loses bits above 2^53 (e.g. nanosecond epochs) near
+    * bucket boundaries.
+    */
+  private def bucketOf(x: Column, width: Long): Column =
+    call_function("div", x - pmod(x, lit(width)), lit(width))
+
   /** Range (point-in-interval) join: `intervals(key, lo, hi)` ×
     * `points(key, t)`, emitting every pair with `lo <= t <= hi` in the
     * same key group.
@@ -79,30 +88,101 @@ object TemporalJoin {
     * explode into O(1) buckets. Spark's own plan for the inequality
     * predicate would be a broadcast-nested-loop (all pairs per key);
     * this shape keeps it a hash join at any scale.
+    *
+    * Bucket ids AND the residual filter both run on [[epochLong]]-
+    * normalized values, so a TimestampType side and an epoch-ms long
+    * side pair correctly — the residual never compares a raw long to a
+    * raw timestamp (which Spark would implicitly cast as SECONDS,
+    * silently dropping every true pair). Integral inputs keep the
+    * caller's units, which must agree across both inputs.
     */
   def range(intervals: DataFrame, points: DataFrame, key: String,
             lo: String, hi: String, t: String, bucketMs: Long): DataFrame = {
     require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
-    // Bucket ids in pure long arithmetic: x - pmod(x, m) is an exact
-    // multiple of m, so the integral `div` is exact floor-division for
-    // any sign. The naive double `floor(x / m)` loses bits above 2^53
-    // (e.g. nanosecond epochs) and can round interval and point buckets
-    // to DIFFERENT ids near a boundary — silently dropping true pairs,
-    // which the residual filter cannot restore. TimestampType bounds
-    // convert to epoch-ms (see [[epochLong]]); integral bounds keep the
-    // caller's units, which must agree across both inputs.
-    def bucketOf(x: Column): Column =
-      call_function("div", x - pmod(x, lit(bucketMs)), lit(bucketMs))
-    val iv = intervals.withColumn("__b",
-      explode(sequence(bucketOf(epochLong(intervals, lo)),
-        bucketOf(epochLong(intervals, hi)))))
+    val iv = intervals
+      .withColumn("__lo", epochLong(intervals, lo))
+      .withColumn("__hi", epochLong(intervals, hi))
+      .withColumn("__b", explode(sequence(bucketOf(col("__lo"), bucketMs),
+        bucketOf(col("__hi"), bucketMs))))
     val pt = points
-      .withColumn("__bt", epochLong(points, t))
       .withColumnsRenamed(Map(key -> "__pk", t -> "__pt"))
-      .withColumn("__b", bucketOf(col("__bt"))).drop("__bt")
-    iv.join(pt, iv(key) === pt("__pk") && iv("__b") === pt("__b") &&
-        col("__pt") >= iv(lo) && col("__pt") <= iv(hi))
-      .drop("__b", "__pk")
+    val ptb = pt
+      .withColumn("__bt", epochLong(pt, "__pt"))
+      .withColumn("__b", bucketOf(col("__bt"), bucketMs))
+    iv.join(ptb, iv(key) === ptb("__pk") && iv("__b") === ptb("__b") &&
+        col("__bt") >= col("__lo") && col("__bt") <= col("__hi"))
+      .drop("__b", "__pk", "__bt", "__lo", "__hi")
       .withColumnRenamed("__pt", t)
+  }
+
+  /** [[asOf]] for hot-key distributions: identical semantics, but the
+    * running window partitions by `(key, shard)` where
+    * `shard = floorDiv(ts, shardWidth)`, so one dominant key no longer
+    * funnels its entire history through a single window partition — the
+    * documented skew limit of [[asOf]] (salting can't help a window that
+    * needs the whole key group ordered, but coarse TIME ranges can,
+    * because as-of state is summarizable at a boundary).
+    *
+    * Boundary carry: a left row early in its shard must still see the
+    * latest right row from EARLIER shards. Per `(key, shard)` the right
+    * side reduces to its latest payload (one `max_by` aggregate), a
+    * tiny per-key window (O(shards-per-key) rows, not O(rows)) runs the
+    * carry forward, and each left shard receives one synthetic carry row
+    * that sorts before everything in the shard (`__side = -1` at the
+    * shard's own first position). A real right row at the same instant
+    * still wins (side 0 sorts after -1), preserving [[asOf]]'s
+    * inclusive-bound tie rule. No join appears anywhere — the plan is
+    * two aggregates, two windows, and a union, all hash-partitioned.
+    *
+    * `shardWidth` is in the caller's [[epochLong]] units (ms for
+    * TimestampType inputs); pick it so a hot key's rows spread across
+    * many shards while normal keys stay in O(1) shards.
+    */
+  def asOfSharded(left: DataFrame, right: DataFrame, key: String,
+                  ts: String, payload: Seq[String],
+                  shardWidth: Long): DataFrame = {
+    require(shardWidth > 0, s"shardWidth must be positive, got $shardWidth")
+    val payCols = payload.map(col)
+    val payType = right.select(payCols: _*).schema
+    val rowType = left.schema
+    val r = right.select(col(key).as("__k"), epochLong(right, ts).as("__t"),
+      lit(0).as("__side"), struct(payCols: _*).as("__pay"),
+      lit(null).cast(rowType).as("__row"))
+      .withColumn("__shard", bucketOf(col("__t"), shardWidth))
+    val l = left.select(col(key).as("__k"), epochLong(left, ts).as("__t"),
+      lit(1).as("__side"), lit(null).cast(payType).as("__pay"),
+      struct(left.columns.toIndexedSeq.map(col): _*).as("__row"))
+      .withColumn("__shard", bucketOf(col("__t"), shardWidth))
+
+    // Latest right payload per (key, shard): one partial-then-final
+    // aggregate, the only full pass over the right side outside the
+    // sharded window itself.
+    val rLatest = r.groupBy("__k", "__shard")
+      .agg(max_by(col("__pay"), col("__t")).as("__pay"))
+      .withColumn("__tag", lit(1))
+    // Shards that need a carry row = shards with at least one left row.
+    val lShards = l.select("__k", "__shard").distinct()
+      .withColumn("__pay", lit(null).cast(payType))
+      .withColumn("__tag", lit(0))
+    // Running carry over the per-key shard timeline. Ordering (__shard,
+    // __tag) puts a left shard's marker BEFORE the same shard's right
+    // summary, so the carry a shard receives covers strictly-earlier
+    // shards only — in-shard rights are already inside the window below.
+    val wCarry = Window.partitionBy("__k").orderBy("__shard", "__tag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carries = rLatest.unionByName(lShards)
+      .withColumn("__carry", last(
+        when(col("__tag") === 1, col("__pay")), ignoreNulls = true).over(wCarry))
+      .filter(col("__tag") === 0)
+      .select(col("__k"), (col("__shard") * shardWidth).as("__t"),
+        lit(-1).as("__side"), col("__carry").as("__pay"),
+        lit(null).cast(rowType).as("__row"), col("__shard"))
+
+    val w = Window.partitionBy("__k", "__shard").orderBy("__t", "__side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r).unionByName(carries)
+      .withColumn("__asof", last(col("__pay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__row.*"), col("__asof").as("asof"))
   }
 }
