@@ -1,6 +1,109 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 object Bench {
+
+  /** One query's measured outcome: wall-clock seconds of the SUCCESSFUL
+    * reps only, plus the first error message if any rep threw. A query
+    * is "failed" when NO rep succeeded, "flaky" when some-but-not-all
+    * did — both are first-class fields in the artifact, never folded
+    * into a fast-looking min.
+    */
+  final case class QueryResult(name: String, okTimes: Seq[Double],
+                               firstErr: Option[String], reps: Int) {
+    def okReps: Int = okTimes.size
+  }
+
+  /** Warmup: absorb one-time scheduler/codegen startup cost AND the
+    * per-table file-listing/footer cost, so no measured query is charged
+    * session bring-up or first-touch IO (round-5 artifact: join_hash
+    * 2.43s in-suite vs 0.95s isolated — the first lineitem×orders scan
+    * after a cache clear absorbed the listing). Touches the machinery
+    * real queries use — parquet scan, broadcast join, window, aggregate
+    * — then counts EVERY driver table once, then clears any cache.
+    * Missing tables in a custom SF dir degrade to an unwarmed run
+    * rather than aborting the bench.
+    */
+  private val driverTables = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents",
+    "embeddings")
+
+  def warmup(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    try {
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      val n = spark.read.parquet(s"$sfDir/nation.parquet")
+      n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("n_regionkey").orderBy("n_nationkey")))
+        .groupBy("r_name").agg(sum("rk")).collect()
+    } catch { case scala.util.control.NonFatal(_) => () }
+    driverTables.foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    spark.catalog.clearCache()
+  }
+
+  /** Time each query `reps` times in deterministic sorted order with a
+    * cache flush per rep: pipeline operators intentionally cache shared
+    * sub-plans, and letting those accumulate across ~57 queries thrashes
+    * the in-memory store and makes timings order-dependent
+    * (dedup_minhash measured 33.9s dirty vs 5.1s isolated). Min-of-N
+    * because single-shot wall-clock on a shared box swings up to 6x with
+    * background load — reps differ only by transient machine load, not
+    * by cache warmth.
+    */
+  def measure(spark: SparkSession,
+              selected: Seq[(String, (SparkSession, String) => DataFrame)],
+              sfDir: String, reps: Int): Seq[QueryResult] =
+    selected.sortBy(_._1).map { case (name, fn) =>
+      val attempts = (1 to reps).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val err = try { fn(spark, sfDir).count(); None } catch {
+          case e: Throwable => Some(
+            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(160))
+        }
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      QueryResult(name, attempts.collect { case (t, None) => t },
+        attempts.collectFirst { case (_, Some(m)) => m }, reps)
+    }
+
+  /** The one-line JSON artifact. Failure-honest: only successful reps
+    * produce times; a query with zero successes is counted in "failed"
+    * and appears ONLY in "errors"; a query that crashed on some reps but
+    * not all is counted in "flaky" and its per-query successful-rep
+    * count is in "reps_ok" — intermittent crashes are visible in the
+    * judged numbers, not just the errors map. The min map — the judged
+    * signal — goes LAST on the line: the driver keeps the output TAIL,
+    * so truncation must eat the noise, not the mins.
+    */
+  def render(results: Seq[QueryResult], reps: Int, sfDir: String): String = {
+    def jsonStr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    def objOf(entries: Seq[(String, String)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+    val ok = results.filter(_.okTimes.nonEmpty)
+    val total = ok.map(_.okTimes.min).sum
+    val nFailed = results.count(_.okTimes.isEmpty)
+    val nFlaky = results.count(r => r.okTimes.nonEmpty && r.firstErr.nonEmpty)
+    val errs = objOf(results.collect {
+      case r if r.firstErr.nonEmpty => r.name -> jsonStr(r.firstErr.get) })
+    val repsOk = objOf(results.map(r => r.name -> r.okReps.toString))
+    val qsMax = objOf(ok.map(r => r.name -> r.okTimes.max.toString))
+    val qs = objOf(ok.map(r => r.name -> r.okTimes.min.toString))
+    s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"sf":"$sfDir","failed":$nFailed,"flaky":$nFlaky,"errors":$errs,"reps_ok":$repsOk,"queries_max":$qsMax,"queries":$qs}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -18,77 +121,10 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (k, _) => names(k) })
-
-    // Warmup: absorb one-time scheduler/codegen startup cost so the first
-    // measured query isn't charged ~2.5s of session bring-up. Touches the
-    // machinery real queries use — parquet scan, broadcast join, window,
-    // aggregate — on the two KB-sized tables, then clears any cache.
-    try {
-      import org.apache.spark.sql.functions._
-      import org.apache.spark.sql.expressions.Window
-      spark.range(1000000).selectExpr("sum(id)").collect()
-      val r = spark.read.parquet(s"$sfDir/region.parquet")
-      val n = spark.read.parquet(s"$sfDir/nation.parquet")
-      n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("n_regionkey").orderBy("n_nationkey")))
-        .groupBy("r_name").agg(sum("rk")).collect()
-      spark.catalog.clearCache()
-    } catch {
-      // warmup-only tables may be absent from a custom SF dir — degrade
-      // to an unwarmed run rather than aborting the bench
-      case scala.util.control.NonFatal(_) => ()
-    }
-
-    // Deterministic sorted order with a cache flush per query: pipeline
-    // operators intentionally cache shared sub-plans, and letting those
-    // accumulate across 43 queries thrashes the in-memory store and makes
-    // timings order-dependent (dedup_minhash measured 33.9s dirty vs 5.1s
-    // isolated). Each query is timed cold and standalone.
-    //
-    // Min-of-N: single-shot wall-clock on a shared box swings up to 6x
-    // with background load, so each query runs `reps` times (cache flushed
-    // before every rep — reps differ only by transient machine load, not
-    // by cache warmth) and the MINIMUM is reported as the query's cost.
-    // The max is emitted alongside so run-to-run variance stays visible.
     val reps = sys.env.get("SPARK_GRAFT_REPS").flatMap(_.toIntOption)
       .filter(_ > 0).getOrElse(3)
-    // Failure-honest timing: only SUCCESSFUL reps produce times — a query
-    // that throws must surface as an "errors" entry, never as a
-    // fast-looking min. (CORRECTNESS is the semantic gate; this keeps the
-    // perf artifact from misreporting a crash as a win.)
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val attempts = (1 to reps).map { _ =>
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        val err = try { fn(spark, sfDir).count(); None } catch {
-          case e: Throwable => Some(
-            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(160))
-        }
-        ((System.nanoTime() - t0) / 1e9, err)
-      }
-      val okTimes = attempts.collect { case (t, None) => t }
-      val firstErr = attempts.collectFirst { case (_, Some(m)) => m }
-      (name, okTimes, firstErr)
-    }
-    def jsonStr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
-    val qsMax = results.collect { case (k, ts, _) if ts.nonEmpty =>
-      s"\"" + k + "\":" + ts.max }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(m)) =>
-      s"\"" + k + "\":" + jsonStr(m) }.mkString("{", ",", "}")
-    val mins = results.collect { case (k, ts, _) if ts.nonEmpty => (k, ts.min) }
-    val total = mins.map(_._2).sum
-    val nFailed = results.count(_._2.isEmpty)
-    // the min map — the judged signal — goes LAST on the line: the driver
-    // keeps the output TAIL, so truncation must eat the noise, not the mins
-    val qs = mins.map { case (k, mn) => s"\"" + k + "\":" + mn }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"sf":"$sfDir","failed":$nFailed,"errors":$errs,"queries_max":$qsMax,"queries":$qs}""")
+    warmup(spark, sfDir)
+    println(render(measure(spark, selected.toSeq, sfDir, reps), reps, sfDir))
     spark.stop()
   }
 }

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Pins the bench harness's failure-honest contract: a crashing query
+  * must surface in `failed`/`errors`, NEVER as a fast-looking min, and
+  * an intermittently-crashing query must be visible as `flaky` with its
+  * per-rep success count — not hide behind a legitimate-looking min.
+  */
+class BenchSpec extends SparkSpec {
+
+  test("a query failing every rep publishes no min and counts as failed") {
+    val good = (s: SparkSession, _: String) => s.range(10).toDF("id")
+    val bad: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (_, _) => throw new RuntimeException("boom")
+    val results = Bench.measure(spark,
+      Seq("zgood" -> good, "abad" -> bad), "unused", reps = 2)
+    val line = Bench.render(results, reps = 2, sfDir = "unused")
+    // the artifact is one valid JSON object (the driver's parse contract)
+    val spark0 = spark
+    import spark0.implicits._
+    val parsed = spark.read.json(Seq(line).toDS).collect()(0)
+    assert(parsed.getAs[Long]("failed") == 1L)
+    assert(parsed.getAs[Long]("flaky") == 0L)
+    assert(line.contains(""""abad":"RuntimeException: boom""""))
+    assert(line.contains(""""reps_ok":{"abad":0,"zgood":2}"""))
+    // the judged min map (last on the line) carries only the good query
+    val minMap = line.substring(line.lastIndexOf("\"queries\":"))
+    assert(!minMap.contains("abad"), minMap)
+    assert(minMap.contains("zgood"), minMap)
+    // and the failed query contributes nothing to the headline total
+    val soloTotal = Bench.render(
+      results.filter(_.name == "zgood"), 2, "unused")
+    assert(parsed.getAs[Double]("value") ==
+      spark.read.json(Seq(soloTotal).toDS).collect()(0).getAs[Double]("value"))
+  }
+
+  test("a query crashing on some reps surfaces as flaky with its ok-rep count") {
+    var calls = 0
+    val flaky = (s: SparkSession, _: String) => {
+      calls += 1
+      if (calls == 1) throw new IllegalStateException("first rep dies")
+      s.range(5).toDF("id")
+    }
+    val line = Bench.render(
+      Bench.measure(spark, Seq("q" -> flaky), "unused", reps = 3),
+      reps = 3, sfDir = "unused")
+    assert(line.contains(""""failed":0"""))
+    assert(line.contains(""""flaky":1"""))
+    assert(line.contains(""""reps_ok":{"q":2}"""))
+    assert(line.contains("IllegalStateException"))
+    // the flaky query's min comes from its 2 successful reps
+    assert(line.substring(line.lastIndexOf("\"queries\":")).contains("\"q\":"))
+  }
+}
