@@ -1,7 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import graft.core.{DbException, Engine}
+import graft.core.{DbException, Engine, Session}
 import graft.lang.Parser
 
 /** Script-runner CLI — the engine's user surface, playing the role of the
@@ -11,13 +11,57 @@ import graft.lang.Parser
   *
   * Like the reference client, errors are per-line and non-fatal: a failed
   * op prints its DBE* message to stderr and the session continues
-  * (client.c:88-104 renders RPC_ERROR and keeps going); the exit code is
-  * 1 if any line failed. `--interactive` gives the reference's REPL mode
+  * (client.c:88-104 renders RPC_ERROR and keeps going; server.c:856-859
+  * sends the error and stays in its request loop); the exit code is 1 if
+  * any line failed. `--interactive` gives the reference's REPL mode
   * (client.c:237-262): a prompt, one op per line, same session throughout.
   *
   * Usage: Cli <dbDir> [scriptFile | --interactive]   (neither -> stdin)
   */
 object Cli {
+
+  /** The Spark session died mid-script: every further line would fail
+    * with the same misleading per-line code, so evaluation terminates
+    * instead of looping on a dead session (main exits 1).
+    */
+  final class FatalSessionError(cause: Throwable)
+    extends RuntimeException(s"fatal: Spark session stopped: ${cause.getMessage}", cause)
+
+  /** Evaluate operator-language lines against a session with the
+    * reference client's error contract: each failed line emits exactly
+    * one `DBE*: detail` message via `err` and evaluation CONTINUES —
+    * errors are per-line state, not session state. Blank lines and
+    * `#` comments are skipped. Returns true iff any line failed.
+    * (Extracted from main so CliSpec can pin the error text and the
+    * error-then-continue semantics without forking a JVM.)
+    */
+  def runScript(session: Session, lines: Iterator[String],
+                out: String => Unit, err: String => Unit): Boolean = {
+    var failed = false
+    lines.foreach { line =>
+      val t = line.trim
+      if (t.nonEmpty && !t.startsWith("#")) {
+        Parser.parseLine(t) match {
+          case Some(op) =>
+            try session.eval(op).foreach(out)
+            catch {
+              case e: DbException =>
+                failed = true; err(e.getMessage)
+              case scala.util.control.NonFatal(e) =>
+                if (session.engine.spark.sparkContext.isStopped)
+                  throw new FatalSessionError(e)
+                // other engine/Spark failures are per-line (the reference
+                // renders RPC_ERROR and keeps the session, client.c:88-104)
+                failed = true; err(s"DBEFILE: ${e.getMessage}")
+            }
+          case None =>
+            failed = true; err(s"DBEPARSE: cannot parse: $t")
+        }
+      }
+    }
+    failed
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
       System.err.println("usage: Cli <dbDir> [scriptFile | --interactive]")
@@ -42,38 +86,12 @@ object Cli {
     val session = engine.newSession()
     var failed = false
 
-    def evalLine(line: String): Unit = {
-      val t = line.trim
-      if (t.nonEmpty && !t.startsWith("#")) {
-        Parser.parseLine(t) match {
-          case Some(op) =>
-            try session.eval(op).foreach(println)
-            catch {
-              case e: DbException =>
-                failed = true; System.err.println(e.getMessage)
-              case scala.util.control.NonFatal(e) =>
-                // a stopped SparkContext is unrecoverable: every further
-                // line would fail with the same misleading per-line code,
-                // so terminate instead of looping on a dead session
-                if (spark.sparkContext.isStopped) {
-                  System.err.println(s"fatal: Spark session stopped: ${e.getMessage}")
-                  sys.exit(1)
-                }
-                // other engine/Spark failures are per-line (the reference
-                // renders RPC_ERROR and keeps the session, client.c:88-104)
-                failed = true; System.err.println(s"DBEFILE: ${e.getMessage}")
-            }
-          case None =>
-            failed = true; System.err.println(s"DBEPARSE: cannot parse: $t")
-        }
-      }
-    }
-
     try {
       if (interactive) {
         print("graft> "); Console.flush()
         scala.io.Source.stdin.getLines().foreach { line =>
-          evalLine(line)
+          failed |= runScript(session, Iterator.single(line),
+            println, System.err.println)
           print("graft> "); Console.flush()
         }
         println()
@@ -82,8 +100,13 @@ object Cli {
           if (args.length > 1) new String(java.nio.file.Files.readAllBytes(
             java.nio.file.Paths.get(args(1))))
           else scala.io.Source.stdin.mkString
-        script.linesIterator.foreach(evalLine)
+        failed = runScript(session, script.linesIterator,
+          println, System.err.println)
       }
+    } catch {
+      case e: FatalSessionError =>
+        System.err.println(e.getMessage)
+        failed = true
     } finally spark.stop()
     if (failed) sys.exit(1)
   }
