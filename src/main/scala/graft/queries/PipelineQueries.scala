@@ -155,12 +155,23 @@ object PipelineQueries {
     * harness, ad-hoc sessions) must not accumulate one cached RDD per
     * gate invocation. The approximate paths' own internal caches stay
     * under the session clearCache contract; this releases only the
-    * cache the gate itself created.
+    * cache the gate itself created. The singleton require is load-
+    * bearing: this collects to the driver, so a future non-singleton
+    * caller must fail loudly rather than silently materialize a big
+    * result.
+    *
+    * Plan inspection escape: with system property `graft.plan.only`
+    * set (graft.tools.PlanAudit does), the plan is returned UNRUN —
+    * otherwise an `.explain` of a gate query would execute the full
+    * recall computation and then dump only a trivial parallelize scan.
     */
-  private def materializedAndReleased(s: SparkSession, out: DataFrame,
-                                      cached: DataFrame*): DataFrame = {
+  private[graft] def materializedAndReleased(s: SparkSession, out: DataFrame,
+                                             cached: DataFrame*): DataFrame = {
+    if (sys.props.contains("graft.plan.only")) return out
     val rows = out.collect()
     cached.foreach(_.unpersist())
+    require(rows.length == 1,
+      s"gate result must be a singleton, got ${rows.length} rows")
     s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
   }
 

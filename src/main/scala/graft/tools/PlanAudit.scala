@@ -8,6 +8,10 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
+    // recall gates materialize eagerly at construction time (cache
+    // hygiene); this flag makes them return their REAL plan unrun so the
+    // audit dumps the gate computation, not a trivial parallelize scan
+    sys.props("graft.plan.only") = "true"
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -84,4 +84,26 @@ class AnalyticsSpec extends SparkSpec {
       assert(joined.count() == expected)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("gate materialization refuses a non-singleton result") {
+    // materializedAndReleased collects to the driver — by construction
+    // gates are 1 row, and a future caller passing anything bigger must
+    // fail loudly rather than silently materialize a large result
+    import graft.queries.PipelineQueries
+    val spark0 = spark
+    import spark0.implicits._
+    val two = Seq(1, 2).toDF("x")
+    val ex = intercept[IllegalArgumentException] {
+      PipelineQueries.materializedAndReleased(spark, two)
+    }
+    assert(ex.getMessage.contains("singleton"))
+    // the singleton path still round-trips value and schema
+    val one = Seq(41).toDF("x")
+    val back = PipelineQueries.materializedAndReleased(spark, one)
+    assert(back.schema == one.schema && back.collect().map(_.getInt(0)).toSeq == Seq(41))
+    // and the plan-audit escape returns the plan unrun (same object)
+    sys.props("graft.plan.only") = "true"
+    try assert(PipelineQueries.materializedAndReleased(spark, two) eq two)
+    finally sys.props -= "graft.plan.only"
+  }
 }
