@@ -36,15 +36,32 @@ object AnalyticsQueries {
     * misses surface as (-1, 0) rather than nulls to keep the hash
     * compare null-free.
     */
-  def joinAsof(s: SparkSession, d: String): DataFrame = {
+  def joinAsof(s: SparkSession, d: String): DataFrame =
+    asofPipeline(s, d)((l, r) =>
+      TemporalJoin.asOf(l, r, key = "user_id", ts = "ms",
+        payload = Seq("ms", "cents")))
+
+  /** [[joinAsof]] through [[TemporalJoin.asOfSharded]] — identical
+    * semantics held to the SAME DuckDB ASOF oracle, so the driver's
+    * hash compare pins sharded/unsharded equivalence on real data (the
+    * hot-key scale path must never drift from the canonical operator).
+    * 6h shards: a user's clicks spread over many shards, exercising the
+    * boundary carry on every purchase that follows a quiet period.
+    */
+  def joinAsofSharded(s: SparkSession, d: String): DataFrame =
+    asofPipeline(s, d)((l, r) =>
+      TemporalJoin.asOfSharded(l, r, key = "user_id", ts = "ms",
+        payload = Seq("ms", "cents"), shardWidth = 6L * 3600000L))
+
+  private def asofPipeline(s: SparkSession, d: String)(
+      join: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val base = eventsBase(s, d)
     val lefts = base.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ms"))
     val rights = base.filter(col("event_type") === "click")
       .groupBy("user_id", "ms")
       .agg(max_by(col("cents"), col("event_id")).as("cents"))
-    TemporalJoin.asOf(lefts, rights, key = "user_id", ts = "ms",
-        payload = Seq("ms", "cents"))
+    join(lefts, rights)
       .select(col("event_id").cast("long").as("event_id"),
         col("user_id").cast("long").as("user_id"), col("ms"),
         coalesce(col("asof.ms"), lit(-1L)).as("asof_ms"),
@@ -198,6 +215,7 @@ object AnalyticsQueries {
 
   val queries: Map[String, Q] = Map(
     "join_asof" -> joinAsof,
+    "join_asof_sharded" -> joinAsofSharded,
     "join_range" -> joinRange,
     "sample_stratified" -> sampleStratified,
     "agg_approx_gate" -> aggApproxGate,
@@ -210,18 +228,23 @@ object AnalyticsQueries {
     """base AS (SELECT event_id, user_id, epoch_ms(ts) AS ms, event_type,
       |  CAST(round(value * 100) AS BIGINT) AS cents FROM events)""".stripMargin
 
+  private val asofSql =
+    s"""WITH $baseSql,
+       |r AS (SELECT user_id, ms, arg_max(cents, event_id) AS cents
+       |      FROM base WHERE event_type = 'click' GROUP BY 1, 2),
+       |l AS (SELECT event_id, user_id, ms FROM base WHERE event_type = 'purchase')
+       |SELECT CAST(l.event_id AS BIGINT) AS event_id,
+       |       CAST(l.user_id AS BIGINT) AS user_id, l.ms,
+       |       coalesce(r.ms, -1) AS asof_ms,
+       |       coalesce(r.cents, 0) AS asof_cents
+       |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ms >= r.ms
+       |ORDER BY event_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "join_asof" ->
-      s"""WITH $baseSql,
-         |r AS (SELECT user_id, ms, arg_max(cents, event_id) AS cents
-         |      FROM base WHERE event_type = 'click' GROUP BY 1, 2),
-         |l AS (SELECT event_id, user_id, ms FROM base WHERE event_type = 'purchase')
-         |SELECT CAST(l.event_id AS BIGINT) AS event_id,
-         |       CAST(l.user_id AS BIGINT) AS user_id, l.ms,
-         |       coalesce(r.ms, -1) AS asof_ms,
-         |       coalesce(r.cents, 0) AS asof_cents
-         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ms >= r.ms
-         |ORDER BY event_id""".stripMargin,
+    "join_asof" -> asofSql,
+    // the sharded scale path answers the SAME oracle — equivalence is
+    // part of the hard driver signal, not just a spec
+    "join_asof_sharded" -> asofSql,
     "join_range" ->
       s"""WITH $baseSql,
          |a AS (SELECT event_id AS anchor_id, user_id, ms - 3600000 AS lo,
