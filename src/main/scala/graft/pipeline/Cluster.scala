@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected components over near-duplicate pair lists — the step between
+  * pair emission ([[Dedup.minhashNearDups]] and friends) and keeper
+  * selection. Near-dup relations are not transitive (A~B and B~C do not
+  * imply A~C passes the threshold), so "keep min doc per pair" under-drops:
+  * the standard corpus-dedup contract is "one keeper per connected
+  * component of the pair graph", and that needs a real component
+  * computation.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC 2014) — each round
+  * is one self-union, one group-by, one join; the edge set contracts
+  * toward star graphs rooted at each component's minimum id in
+  * O(log n) rounds even on path graphs, where naive min-label propagation
+  * needs O(diameter). Nothing ever materializes a component in one task:
+  * per-round state is an edge list, partitioned by the hash shuffle.
+  *
+  * Scale notes (100 TB): the input is the near-dup PAIR list — orders of
+  * magnitude smaller than the corpus. Rounds are driver-looped with an
+  * aggregate-only convergence probe (a count + hash checksum, never a
+  * collect of edges), and each round's result is localCheckpoint'd to cut
+  * the growing lineage (per-round plans would otherwise nest, re-running
+  * every prior round at each action).
+  */
+object Cluster {
+
+  /** One large-star round: every node connects its strictly-larger
+    * neighbors to the minimum of its neighborhood (including itself).
+    * Keeps edges as (hi, lo) pairs; never drops connectivity.
+    */
+  private[pipeline] def largeStar(edges: DataFrame): DataFrame = {
+    val sym = symmetric(edges)
+    val mins = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+    sym.filter(col("v") > col("u"))
+      .join(mins, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** One small-star round: every node connects its smaller-or-equal
+    * neighbors (and itself) to the minimum among them.
+    */
+  private[pipeline] def smallStar(edges: DataFrame): DataFrame = {
+    val lower = symmetric(edges).filter(col("v") < col("u"))
+    val mins = lower.groupBy("u").agg(min(col("v")).as("m"))
+    lower.join(mins, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(mins.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  private def symmetric(edges: DataFrame): DataFrame =
+    edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+
+  /** Aggregate-only convergence probe: (edge count, order-independent
+    * checksum). Two identical probes in a row mean the edge set is stable
+    * (star graphs — small-star output pointing every member at its root).
+    */
+  private def probe(edges: DataFrame): (Long, Long) = {
+    // bit_xor fold: order-independent and overflow-free under ANSI mode
+    // (edges are distinct, so the xor is over a set, never a multiset)
+    val r = edges
+      .agg(count(lit(1)).as("n"),
+        coalesce(call_function("bit_xor", xxhash64(col("u"), col("v"))),
+          lit(0L)).as("h"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Connected components of the undirected pair graph `pairs(da, db)`:
+    * returns `(doc_id, cluster_id)` for every document appearing in a
+    * pair, where `cluster_id` is the minimum doc id of its component
+    * (the conventional keeper). Documents in no pair are their own
+    * singleton components and are not emitted — callers union them back
+    * if they want total coverage (they are the corpus minus one small
+    * anti-join).
+    */
+  def connectedComponents(spark: SparkSession, pairs: DataFrame,
+                          maxRounds: Int = 25): DataFrame = {
+    var edges = pairs
+      .select(col("da").cast("long").as("u"), col("db").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var last = probe(edges)
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val cur = probe(next)
+      stable = cur == last
+      last = cur
+      edges = next
+      rounds += 1
+    }
+    require(stable, s"connected components did not converge in $maxRounds " +
+      "rounds — cycle in star contraction (should be impossible)")
+    // converged small-star output is (member, root) stars; roots join as
+    // their own members so every vertex of every non-trivial component
+    // gets a row
+    edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .union(edges.select(col("v").as("doc_id"), col("v").as("cluster_id")))
+      .distinct()
+  }
+}

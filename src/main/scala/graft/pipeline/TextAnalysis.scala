@@ -180,4 +180,112 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprintExpr(col("text")).as("fp"))
       .orderBy("doc_id")
+
+  /** Gopher-style repetition metrics (Rae et al. 2021 §A1.1, adapted from
+    * lines to tokens — the driver corpus is single-line): per document,
+    * the duplicate-token fraction and the most-frequent-bigram mass, both
+    * as integer percentages (truncating division — exact in any engine).
+    * `keep_rep` applies the classic thresholds: drop when more than 70%
+    * of tokens are repeats or one bigram carries more than 20% of bigram
+    * mass — the cheap filter that kills boilerplate/SEO spam before any
+    * pairwise dedup runs.
+    *
+    * Scale shape: token/bigram tables come from the one shared
+    * tokenization pipeline ([[Dedup.gramTable]]); two doc_id-keyed
+    * group-bys (the same shuffle key, so they co-partition) and a
+    * left join back to the id spine for blank docs. No all-pairs work,
+    * state linear in distinct grams per doc.
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val uni = Dedup.gramTable(docs, 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("g")).as("n_distinct"))
+    val bi = Dedup.gramTable(docs, 2)
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bigram_n"))
+    // Column./ on longs is DOUBLE division — floor before comparing, so the
+    // keep flag sees the same truncated percentage the output column carries
+    val dupPct = when(col("n_tokens") === 0, lit(0L))
+      .otherwise(floor((col("n_tokens") - col("n_distinct")) * 100L / col("n_tokens")))
+    val topPct = when(col("n_bigrams") === 0, lit(0L))
+      .otherwise(floor(col("top_bigram_n") * 100L / col("n_bigrams")))
+    docs.select(col("doc_id")).join(uni, Seq("doc_id"), "left")
+      .join(bi, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).cast("long").as("n_tokens"),
+        coalesce(col("n_distinct"), lit(0L)).cast("long").as("n_distinct"),
+        coalesce(col("n_bigrams"), lit(0L)).cast("long").as("n_bigrams"),
+        coalesce(col("top_bigram_n"), lit(0L)).cast("long").as("top_bigram_n"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        dupPct.cast("long").as("dup_token_pct"),
+        col("top_bigram_n"),
+        topPct.cast("long").as("top_bigram_pct"),
+        (dupPct <= 70L && topPct <= 20L).cast("int").as("keep_rep"))
+  }
+
+  /** PII patterns, kept to the regex subset Java and RE2 match
+    * identically (no lookaround, no backrefs; greedy fixed classes, ASCII
+    * `\b`). Redaction order is fixed (email, ip, phone, ssn) so engines
+    * agree on overlapping spans.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ip" -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+    "phone" -> "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ssn" -> "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b",
+  )
+
+  /** PII scan + redaction: per document, the match count of each PII
+    * family and the md5 fingerprint of the fully-redacted text (each
+    * family's spans replaced by its `[TAG]`, in [[piiPatterns]] order).
+    * Per-row regexp expressions — narrow, codegen'd, no shuffle; at
+    * 100 TB this runs inside the same scan projection as the rest of
+    * the quality family.
+    */
+  def piiScan(docs: DataFrame): DataFrame = {
+    val counts = piiPatterns.map { case (name, re) =>
+      regexp_count(col("text"), lit(re)).cast("long").as(s"n_$name")
+    }
+    val redacted = piiPatterns.foldLeft(col("text")) { case (t, (name, re)) =>
+      regexp_replace(t, re, s"[${name.toUpperCase}]")
+    }
+    docs.select(
+      col("doc_id") +: counts :+ md5(to_binary(redacted, lit("utf-8"))).as("red_fp"): _*)
+  }
+
+  /** Per-document top-`k` TF-IDF terms `(doc_id, rank, term, tf, df)`.
+    *
+    * Scoring uses RAW idf — score = tf * N / df as an exact rational —
+    * instead of the usual log-idf: ranking by a rational is engine-exact
+    * (the ORDER BY key `(tf*N)/df` is one IEEE-754 division, which is
+    * exactly rounded and therefore bit-identical in any engine, with a
+    * deterministic term tie-break), where `ln` differs across libm
+    * implementations in the last ulp. Raw idf is order-equivalent to
+    * log-idf per document when tf is constant, and the plan is identical
+    * if a production caller swaps the score expression.
+    *
+    * Plan shape at 100 TB: one (doc,term) group-by, one term-keyed df
+    * group-by joined back on term (both partial-aggregated map-side), a
+    * broadcast 1-row corpus count, and a per-doc top-k window — the
+    * window's state is k rows per doc, and the df join key is the term
+    * dictionary, not the corpus.
+    */
+  def tfidfTopK(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Dedup.gramTable(docs, 1)
+      .groupBy(col("doc_id"), col("g").as("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(((col("tf") * col("n_docs")).cast("double") / col("df")).desc,
+        col("term").asc)
+    tf.join(df, "term").crossJoin(broadcast(nDocs))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("int").as("rank"), col("term"),
+        col("tf").cast("long").as("tf"), col("df").cast("long").as("df"))
+  }
 }

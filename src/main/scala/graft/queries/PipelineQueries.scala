@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Dedup, Ivf, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Cluster, Dedup, Ivf, Multimodal, Similarity, TextAnalysis}
 
 /** Correctness queries for the large-scale data-pipeline operators
   * (dedup, similarity search, text analysis, multimodal, event windows),
@@ -56,6 +56,19 @@ object PipelineQueries {
   def dedupEmbeddingLsh(s: SparkSession, d: String): DataFrame =
     Similarity.lshCosinePairs(Tables.embeddings(s, d),
       bands = 64, r = 8, tnum = 9, tden = 20).orderBy("da", "db")
+
+  /** Near-dup cluster assignment: connected components over the exact
+    * n-gram Jaccard pair graph (same edges as [[dedupNgram]]), one
+    * `(doc_id, cluster_id = component min)` row per document appearing in
+    * any pair. The transitive-closure step pair emission alone cannot
+    * express — see [[graft.pipeline.Cluster]]. The DuckDB oracle computes
+    * the same components via a recursive CTE, so the large-star/small-star
+    * contraction is held to an independent exact closure.
+    */
+  def dedupClusters(s: SparkSession, d: String): DataFrame =
+    Cluster.connectedComponents(s,
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 3, tnum = 1, tden = 2))
+      .orderBy("doc_id")
 
   /** Benchmark decontamination over the documents table: docs 0-49 play
     * the eval set, the rest the training crawl; flag any training doc
@@ -249,6 +262,19 @@ object PipelineQueries {
     TextAnalysis.winnowedFingerprints(Tables.documents(s, d), k = 5, w = 8)
       .orderBy("doc_id", "fp")
 
+  /** Gopher-style repetition filter metrics (integer percentages). */
+  def textRepetition(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.repetition(Tables.documents(s, d)).orderBy("doc_id")
+
+  /** PII scan + redacted fingerprint (per-row regex family). */
+  def textPii(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.piiScan(Tables.documents(s, d)).orderBy("doc_id")
+
+  /** Per-doc top-3 TF-IDF terms (rational raw-idf scoring — engine-exact). */
+  def textTfidf(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tfidfTopK(Tables.documents(s, d), k = 3)
+      .orderBy("doc_id", "rank")
+
   // --- multimodal ---
 
   def multimodalFeatures(s: SparkSession, d: String): DataFrame =
@@ -342,6 +368,10 @@ object PipelineQueries {
     "text_fingerprint" -> textFingerprint,
     "text_vocab" -> textVocab,
     "text_winnow" -> textWinnow,
+    "text_repetition" -> textRepetition,
+    "text_pii" -> textPii,
+    "text_tfidf" -> textTfidf,
+    "dedup_clusters" -> dedupClusters,
     "multimodal_features" -> multimodalFeatures,
     "multimodal_frames" -> multimodalFrames,
     "events_window" -> eventsWindow,
@@ -353,8 +383,12 @@ object PipelineQueries {
     * and ngram oracles (the LSH pipeline verifies candidates exactly, so
     * its output equals the exhaustive oracle w.h.p.).
     */
-  private def jaccardSql(tnum: Int, tden: Int): String =
-    s"""WITH toks AS (
+  /** The word-3gram Jaccard pair computation as a CTE list (no WITH, no
+    * final select) ending in `pairs(da, db)` — shared by [[jaccardSql]]
+    * and the recursive-closure cluster oracle.
+    */
+  private def jaccardPairCtes(tnum: Int, tden: Int): String =
+    s"""toks AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
        |pos AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks),
        |sh AS (
@@ -363,11 +397,29 @@ object PipelineQueries {
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
        |inter AS (
        |  SELECT a.doc_id AS xa, b.doc_id AS xb, count(*) AS i
-       |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
-       |SELECT CAST(xa AS BIGINT) AS da, CAST(xb AS BIGINT) AS db
-       |FROM inter JOIN sizes sa ON xa = sa.doc_id JOIN sizes sb ON xb = sb.doc_id
-       |WHERE i * $tden >= (sa.n + sb.n - i) * $tnum
-       |ORDER BY da, db""".stripMargin
+       |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT CAST(xa AS BIGINT) AS da, CAST(xb AS BIGINT) AS db
+       |  FROM inter JOIN sizes sa ON xa = sa.doc_id JOIN sizes sb ON xb = sb.doc_id
+       |  WHERE i * $tden >= (sa.n + sb.n - i) * $tnum)""".stripMargin
+
+  private def jaccardSql(tnum: Int, tden: Int): String =
+    s"""WITH ${jaccardPairCtes(tnum, tden)}
+       |SELECT da, db FROM pairs ORDER BY da, db""".stripMargin
+
+  /** DuckDB twin of [[dedupClusters]]: the same Jaccard pair graph closed
+    * transitively by a recursive CTE (min reachable id per vertex) — an
+    * independent exact algorithm against the star-contraction loop.
+    */
+  private def clusterSql(tnum: Int, tden: Int): String =
+    s"""WITH RECURSIVE ${jaccardPairCtes(tnum, tden)},
+       |e AS (SELECT da AS u, db AS v FROM pairs UNION SELECT db, da FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u)
+       |SELECT CAST(u AS BIGINT) AS doc_id, CAST(min(v) AS BIGINT) AS cluster_id
+       |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
 
   private val quantSql =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
@@ -458,6 +510,20 @@ object PipelineQueries {
        |SELECT CAST(pos AS INTEGER) AS pos, v FROM ranked WHERE pos < $k ORDER BY pos""".stripMargin
   }
 
+  /** DuckDB twin of [[TextAnalysis.piiScan]], generated from the SAME
+    * [[TextAnalysis.piiPatterns]] list so patterns and redaction order
+    * cannot drift between the engines.
+    */
+  private def piiSql: String = {
+    val counts = TextAnalysis.piiPatterns.map { case (name, re) =>
+      s"  CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS n_$name"
+    }.mkString(",\n")
+    val red = TextAnalysis.piiPatterns.foldLeft("text") { case (t, (name, re)) =>
+      s"regexp_replace($t, '$re', '[${name.toUpperCase}]', 'g')"
+    }
+    s"SELECT doc_id,\n$counts,\n  md5($red) AS red_fp\nFROM documents ORDER BY doc_id"
+  }
+
   val oracles: Map[String, String] = Map(
     "sample_reservoir" -> reservoirSql(k = 16, seed = 42L),
     "text_contamination" ->
@@ -514,8 +580,46 @@ object PipelineQueries {
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
     "dedup_minhash" -> jaccardSql(3, 5),
     "dedup_ngram" -> jaccardSql(1, 2),
+    "dedup_clusters" -> clusterSql(1, 2),
     "dedup_simhash" -> simhashSql(maxHamming = 6),
     "text_winnow" -> winnowSql(k = 5, w = 8),
+    "text_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |t AS (SELECT doc_id, unnest(w) AS g FROM toks),
+        |uni AS (SELECT doc_id, count(*) AS nt, count(DISTINCT g) AS nd
+        |  FROM t WHERE length(g) > 0 GROUP BY 1),
+        |pos AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks),
+        |bc AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g, count(*) AS c
+        |  FROM pos GROUP BY 1, 2),
+        |bi AS (SELECT doc_id, sum(c) AS nb, max(c) AS topc FROM bc GROUP BY 1),
+        |j AS (SELECT d.doc_id, coalesce(nt, 0) AS nt, coalesce(nd, 0) AS nd,
+        |    coalesce(nb, 0) AS nb, coalesce(topc, 0) AS topc
+        |  FROM documents d LEFT JOIN uni ON d.doc_id = uni.doc_id
+        |  LEFT JOIN bi ON d.doc_id = bi.doc_id),
+        |pct AS (SELECT doc_id, nt, nd, topc,
+        |    CASE WHEN nt = 0 THEN 0 ELSE (nt - nd) * 100 // nt END AS dup_pct,
+        |    CASE WHEN nb = 0 THEN 0 ELSE topc * 100 // nb END AS top_pct
+        |  FROM j)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(nt AS BIGINT) AS n_tokens,
+        |  CAST(nd AS BIGINT) AS n_distinct, CAST(dup_pct AS BIGINT) AS dup_token_pct,
+        |  CAST(topc AS BIGINT) AS top_bigram_n, CAST(top_pct AS BIGINT) AS top_bigram_pct,
+        |  CAST(CASE WHEN dup_pct <= 70 AND top_pct <= 20 THEN 1 ELSE 0 END AS INTEGER) AS keep_rep
+        |FROM pct ORDER BY doc_id""".stripMargin,
+    "text_pii" -> piiSql,
+    "text_tfidf" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t WHERE length(term) > 0 GROUP BY 1, 2),
+        |idf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, df,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY CAST(tf * nd AS DOUBLE) / df DESC, term ASC) AS rank
+        |  FROM tf JOIN idf USING (term) CROSS JOIN n)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rank AS INTEGER) AS rank, term,
+        |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "dedup_embedding" ->
       s"""WITH q AS (SELECT vec_id, $quantSql AS qe FROM embeddings),
          |n AS (SELECT vec_id, CAST(list_dot_product(qe, qe) AS BIGINT) AS n2, qe FROM q)

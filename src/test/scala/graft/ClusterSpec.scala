@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import graft.pipeline.Cluster
+
+/** Connected components over pair lists (Cluster.connectedComponents):
+  * the star-contraction loop checked against a brute-force union-find on
+  * graphs chosen to stress it — transitivity chains (where min-per-pair
+  * keeper selection is wrong), long paths (where propagation needs many
+  * rounds but contraction needs few), and seeded random graphs.
+  */
+class ClusterSpec extends SparkSpec {
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // label = component min: union-by-min keeps the root minimal
+    edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(v => v -> find(v)).toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Cluster.connectedComponents(spark, edges.toDF("da", "db"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("transitive chain collapses to one cluster rooted at the min") {
+    // A~B, B~C, C~D but never A~D directly: pair-local keeper selection
+    // (min per pair) would keep both 1 and 3; components keep only 1
+    val got = run(Seq((3L, 4L), (2L, 3L), (1L, 2L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("path graph of 64 nodes converges to a single star") {
+    val edges = (0L until 63L).map(i => (i, i + 1))
+    val got = run(edges)
+    assert(got == (0L to 63L).map(_ -> 0L).toMap)
+  }
+
+  test("separate components keep separate minima, singleton-free output") {
+    val got = run(Seq((10L, 20L), (30L, 40L), (40L, 50L)))
+    assert(got == Map(10L -> 10L, 20L -> 10L, 30L -> 30L, 40L -> 30L, 50L -> 30L))
+  }
+
+  test("empty pair list yields empty labeling") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("da", "db")
+    assert(Cluster.connectedComponents(spark, empty).count() == 0)
+  }
+
+  test("matches union-find on seeded random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 40 + trial * 20
+      val edges = Seq.fill(n) {
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (a, b)
+      }.filter(e => e._1 != e._2)
+      assert(run(edges) == unionFind(n, edges), s"trial $trial")
+    }
+  }
+
+  test("duplicate and reversed input edges do not change the labeling") {
+    val base = Seq((1L, 2L), (2L, 3L))
+    val noisy = base ++ base.map(_.swap) ++ base
+    assert(run(noisy) == run(base))
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.pipeline.TextAnalysis
+
+/** Unit coverage for the round-6 text-family additions: Gopher-style
+  * repetition metrics, PII scan/redaction, and TF-IDF top-k. (End-to-end
+  * equality with DuckDB is the driver's oracle check; these pin the
+  * hand-computable semantics and edge cases.)
+  */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetition metrics: hand-computed fractions and edge docs") {
+    val docs = Seq(
+      (1L, "a a a a"),          // 4 tokens, 1 distinct, bigram "a a" x3
+      (2L, "w x y z"),          // all distinct, every bigram unique
+      (3L, ""),                 // blank: all zeros
+      (4L, "solo"),             // one token: no bigrams
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetition(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    assert(got(1L) == Row(1L, 4L, 1L, 75L, 3L, 100L, 0))
+    assert(got(2L) == Row(2L, 4L, 4L, 0L, 1L, 33L, 0))
+    assert(got(3L) == Row(3L, 0L, 0L, 0L, 0L, 0L, 1))
+    assert(got(4L) == Row(4L, 1L, 1L, 0L, 0L, 0L, 1))
+  }
+
+  test("repetition keep flag compares the TRUNCATED percentage") {
+    // 92 tokens, 27 distinct -> dup = 6500/92 = 70.65 -> floors to 70,
+    // which passes the <=70 threshold; comparing the raw double would not
+    val words = (1 to 27).map(i => s"w$i") ++ Seq.fill(65)("w1")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(docs).collect().head
+    assert(r.getLong(3) == 70L)
+    assert(r.getLong(1) == 92L && r.getLong(2) == 27L)
+  }
+
+  test("pii scan counts planted spans and redacts them from the fingerprint") {
+    val docs = Seq(
+      (1L, "mail bob@example.com and alice@test.org from 10.0.0.1"),
+      (2L, "call 555-123-4567 or +1 555 123 4567 ssn 123-45-6789"),
+      (3L, "clean text with no identifiers at all"),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.piiScan(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    assert(got(1L).getLong(1) == 2L, "two emails")
+    assert(got(1L).getLong(2) == 1L, "one ip")
+    assert(got(2L).getLong(3) == 2L, "two phone-shaped spans")
+    assert(got(2L).getLong(4) == 1L, "one ssn")
+    assert(got(3L).toSeq.slice(1, 5) == Seq(0L, 0L, 0L, 0L))
+
+    // fingerprint is md5 of the REDACTED text: the clean doc's equals the
+    // md5 of its raw text, the dirty doc's equals the md5 of the marker form
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(3L).getString(5) == md5hex("clean text with no identifiers at all"))
+    assert(got(1L).getString(5) ==
+      md5hex("mail [EMAIL] and [EMAIL] from [IP]"))
+  }
+
+  test("pii redaction is idempotent on already-redacted text") {
+    val docs = Seq((1L, "reach me: joe@corp.io")).toDF("doc_id", "text")
+    val once = TextAnalysis.piiScan(docs).collect().head.getString(5)
+    // feed the redacted marker text back through: no PII left to find
+    val redacted = Seq((1L, "reach me: [EMAIL]")).toDF("doc_id", "text")
+    val r2 = TextAnalysis.piiScan(redacted).collect().head
+    assert(r2.toSeq.slice(1, 5) == Seq(0L, 0L, 0L, 0L))
+    assert(r2.getString(5) == once, "round-trip fingerprint stable")
+  }
+
+  test("tfidf ranks rare terms above common ones, ties broken by term") {
+    // 'rare' appears only in doc 1 (df=1); 'shared' in all three (df=3).
+    // Within doc 1: score(rare) = 1*3/1 = 3 > score(shared) = 2*3/3 = 2.
+    val docs = Seq(
+      (1L, "rare shared shared"),
+      (2L, "shared zeta zeta"),
+      (3L, "shared"),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopK(docs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getLong(3), r.getLong(4)))
+      .toMap
+
+    assert(got((1L, 1)) == ("rare", 1L, 1L))
+    assert(got((1L, 2)) == ("shared", 2L, 3L))
+    // doc 2: zeta tf=2 df=1 -> 6; shared tf=1 df=3 -> 1
+    assert(got((2L, 1)) == ("zeta", 2L, 1L))
+    assert(got((2L, 2)) == ("shared", 1L, 3L))
+    // doc 3 has a single term -> a single row
+    assert(got((3L, 1)) == ("shared", 1L, 3L))
+    assert(!got.contains((3L, 2)))
+  }
+
+  test("tfidf equal-score ties are deterministic by term order") {
+    // both terms tf=1, df=2 -> identical scores in both docs
+    val docs = Seq((1L, "bb aa"), (2L, "aa bb")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopK(docs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    assert(got((1L, 1)) == "aa" && got((1L, 2)) == "bb")
+    assert(got((2L, 1)) == "aa" && got((2L, 2)) == "bb")
+  }
+}
