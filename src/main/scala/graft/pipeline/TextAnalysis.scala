@@ -169,6 +169,32 @@ object TextAnalysis {
       .select("doc_id", "fp").distinct()
   }
 
+  /** Substring-overlap pairs: documents sharing at least `minShared`
+    * distinct winnowed fingerprints ([[winnowedFingerprints]] at (k, w)).
+    * The winnow guarantee turns this into a substring-dedup proxy: any
+    * shared token run of length >= w+k-1 forces at least one shared
+    * fingerprint, so long verbatim overlaps (quotes, boilerplate,
+    * near-complete copies with different tails) are caught even when
+    * whole-document Jaccard stays far below any dedup threshold.
+    *
+    * Scale shape: fingerprint co-occurrence equi-join — identical to the
+    * shingle co-occurrence of [[Dedup.ngramJaccardPairs]] but on a ~1/w
+    * sample of grams, with the same hot-key characteristics (a fingerprint
+    * shared by f docs fans out f^2; cap upstream like `maxDocFreq` if a
+    * corpus has mega-duplicated boilerplate).
+    */
+  def substringOverlapPairs(docs: DataFrame, k: Int, w: Int,
+                            minShared: Long): DataFrame = {
+    val fp = winnowedFingerprints(docs, k, w).cache()
+    fp.select(col("doc_id").as("da"), col("fp"))
+      .join(fp.select(col("doc_id").as("db"), col("fp")), "fp")
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select(col("da").cast("long"), col("db").cast("long"),
+        col("shared").cast("long"))
+  }
+
   /** Content-fingerprint expression: md5 of the whitespace-normalized
     * lowercase text — a deterministic, engine-portable document identity
     * for dedup joins. Shared with the streaming ingestion dedup

@@ -106,6 +106,38 @@ object PipelineQueries {
       .agg(count(lit(1)).cast("long").as("n_docs"),
         coalesce(sum(col("n_tokens").cast("long")), lit(0L)).as("total_tokens"))
 
+  /** The FULL prep policy, [[pipelinePrep]] plus the near-dup stage:
+    * exact-dedup keepers -> drop near-dup cluster non-keepers (connected
+    * components over the [[dedupNgram]] pair graph; survivors are each
+    * cluster's minimum id) -> quality keep -> English only -> corpus
+    * stats. The cluster stage is iterative (star contraction), so unlike
+    * [[pipelinePrep]] this is not ONE declarative plan — but the per-row
+    * quality/langid functions still fuse into the scan projection, and
+    * the near-dup subtraction is a single left-anti join against the
+    * non-keeper id list (tiny: one id per dropped near-dup, broadcast at
+    * any realistic dup rate). The oracle recomposes the whole policy in
+    * SQL with a recursive-CTE closure, so the composition itself is
+    * oracle-checked end-to-end.
+    */
+  def pipelinePrepFull(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val clusters = Cluster.connectedComponents(s,
+      Dedup.ngramJaccardPairs(docs, n = 3, tnum = 1, tden = 2))
+    val nonKeepers = clusters.filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    val exactKeepers = docs.groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    docs.join(exactKeepers, "doc_id")
+      .join(nonKeepers, Seq("doc_id"), "left_anti")
+      .select(col("text"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.keepExpr(col("text")).as("keep"),
+        TextAnalysis.langPredExpr(col("text")).as("lang_pred"))
+      .filter(col("keep") === 1 && col("lang_pred") === "en")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        coalesce(sum(col("n_tokens").cast("long")), lit(0L)).as("total_tokens"))
+  }
+
   // --- similarity search ---
 
   def annTopk(s: SparkSession, d: String): DataFrame =
@@ -262,6 +294,13 @@ object PipelineQueries {
     TextAnalysis.winnowedFingerprints(Tables.documents(s, d), k = 5, w = 8)
       .orderBy("doc_id", "fp")
 
+  /** Substring-overlap pairs via shared winnow fingerprints — the
+    * substring-dedup proxy (>= 2 shared fingerprints at (k=5, w=8)).
+    */
+  def dedupSubstring(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.substringOverlapPairs(Tables.documents(s, d), k = 5, w = 8,
+      minShared = 2L).orderBy("da", "db")
+
   /** Gopher-style repetition filter metrics (integer percentages). */
   def textRepetition(s: SparkSession, d: String): DataFrame =
     TextAnalysis.repetition(Tables.documents(s, d)).orderBy("doc_id")
@@ -361,6 +400,7 @@ object PipelineQueries {
     "sample_reservoir" -> sampleReservoir,
     "text_contamination" -> textContamination,
     "pipeline_prep" -> pipelinePrep,
+    "pipeline_prep_full" -> pipelinePrepFull,
     "text_tokens" -> textTokens,
     "text_tokens_bpe" -> textTokensBpe,
     "text_quality" -> textQuality,
@@ -372,6 +412,7 @@ object PipelineQueries {
     "text_pii" -> textPii,
     "text_tfidf" -> textTfidf,
     "dedup_clusters" -> dedupClusters,
+    "dedup_substring" -> dedupSubstring,
     "multimodal_features" -> multimodalFeatures,
     "multimodal_frames" -> multimodalFrames,
     "events_window" -> eventsWindow,
@@ -467,9 +508,12 @@ object PipelineQueries {
     * zipped unnest for token positions, window lead for k-grams, md5 of
     * the space-joined gram, frame min for the winnow.
     */
-  private def winnowSql(k: Int, w: Int): String = {
+  /** The winnow CTE list ending in `fps(doc_id, fp)` distinct — shared
+    * by [[winnowSql]] and the substring-overlap oracle.
+    */
+  private def winnowCtes(k: Int, w: Int): String = {
     val gram = (1 until k).map(o => s" || ' ' || lead(t, $o) OVER win").mkString
-    s"""WITH raw AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+    s"""raw AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
        |toks AS (SELECT doc_id, unnest(w) AS t, unnest(range(1, len(w) + 1)) AS idx FROM raw),
        |tok2 AS (SELECT doc_id, t, idx FROM toks WHERE length(t) > 0),
        |grams AS (
@@ -478,9 +522,24 @@ object PipelineQueries {
        |winnow AS (
        |  SELECT doc_id, min(h) OVER fr AS fp, count(*) OVER fr AS span
        |  FROM grams WHERE tail IS NOT NULL
-       |  WINDOW fr AS (PARTITION BY doc_id ORDER BY idx ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING))
-       |SELECT DISTINCT doc_id, fp FROM winnow WHERE span = $w ORDER BY doc_id, fp""".stripMargin
+       |  WINDOW fr AS (PARTITION BY doc_id ORDER BY idx ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING)),
+       |fps AS (SELECT DISTINCT doc_id, fp FROM winnow WHERE span = $w)""".stripMargin
   }
+
+  private def winnowSql(k: Int, w: Int): String =
+    s"""WITH ${winnowCtes(k, w)}
+       |SELECT doc_id, fp FROM fps ORDER BY doc_id, fp""".stripMargin
+
+  /** DuckDB twin of [[dedupSubstring]]: fingerprint co-occurrence over
+    * the same winnow CTEs.
+    */
+  private def substringSql(k: Int, w: Int, minShared: Long): String =
+    s"""WITH ${winnowCtes(k, w)}
+       |SELECT CAST(a.doc_id AS BIGINT) AS da, CAST(b.doc_id AS BIGINT) AS db,
+       |       CAST(count(*) AS BIGINT) AS shared
+       |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= $minShared
+       |ORDER BY da, db""".stripMargin
 
   /** DuckDB twin of [[sampleReservoir]]: distinct values, md5-derived
     * 60-bit priority (leading 15 hex digits, parsed with the same
@@ -509,6 +568,47 @@ object PipelineQueries {
        |ranked AS (SELECT v, row_number() OVER (ORDER BY p, v) - 1 AS pos FROM p)
        |SELECT CAST(pos AS INTEGER) AS pos, v FROM ranked WHERE pos < $k ORDER BY pos""".stripMargin
   }
+
+  /** The prep-policy CTE list (exact-dedup keepers, token counts,
+    * quality filter, language argmax) and its stats select — shared by
+    * the [[pipelinePrep]] oracle and the [[pipelinePrepFull]] oracle
+    * (which prepends the recursive near-dup closure and appends the
+    * non-keeper subtraction), so the two policies cannot drift.
+    */
+  private val prepCtes: String =
+    """keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+      |q AS (SELECT doc_id, text,
+      |  CASE WHEN length(trim(text)) = 0 THEN 0
+      |    ELSE length(string_split_regex(trim(text), '\s+')) END AS nt FROM documents),
+      |good AS (SELECT doc_id FROM q
+      |  WHERE nt BETWEEN 5 AND 100000
+      |    AND CASE WHEN nt = 0 THEN 0
+      |      ELSE CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) * 100 // nt
+      |      END BETWEEN 200 AND 1200
+      |    AND length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 2 >= length(text)),
+      |p AS (SELECT doc_id,
+      |  ' ' || regexp_replace(lower(text), '\s+', '  ', 'g') || ' ' AS t FROM documents),
+      |sc AS (SELECT doc_id,
+      |  (length(t)-length(replace(t,' the ','')))//5 + (length(t)-length(replace(t,' and ','')))//5
+      |    + (length(t)-length(replace(t,' a ','')))//3 + (length(t)-length(replace(t,' of ','')))//4
+      |    + (length(t)-length(replace(t,' to ','')))//4 AS s_en,
+      |  (length(t)-length(replace(t,' el ','')))//4 + (length(t)-length(replace(t,' la ','')))//4
+      |    + (length(t)-length(replace(t,' de ','')))//4 + (length(t)-length(replace(t,' que ','')))//5
+      |    + (length(t)-length(replace(t,' y ','')))//3 AS s_es,
+      |  (length(t)-length(replace(t,' der ','')))//5 + (length(t)-length(replace(t,' die ','')))//5
+      |    + (length(t)-length(replace(t,' und ','')))//5 + (length(t)-length(replace(t,' das ','')))//5
+      |    + (length(t)-length(replace(t,' ist ','')))//5 AS s_de,
+      |  (length(t)-length(replace(t,' le ','')))//4 + (length(t)-length(replace(t,' la ','')))//4
+      |    + (length(t)-length(replace(t,' et ','')))//4 + (length(t)-length(replace(t,' les ','')))//5
+      |    + (length(t)-length(replace(t,' des ','')))//5 AS s_fr
+      |FROM p),
+      |en AS (SELECT doc_id FROM sc
+      |  WHERE greatest(s_en, s_es, s_de, s_fr) > 0 AND s_en = greatest(s_en, s_es, s_de, s_fr))""".stripMargin
+
+  private val prepSelect: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(coalesce(sum(nt), 0) AS BIGINT) AS total_tokens
+      |FROM q JOIN keepers USING (doc_id) JOIN good USING (doc_id) JOIN en USING (doc_id)""".stripMargin
 
   /** DuckDB twin of [[TextAnalysis.piiScan]], generated from the SAME
     * [[TextAnalysis.piiPatterns]] list so patterns and redaction order
@@ -539,38 +639,18 @@ object PipelineQueries {
         |FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id >= 50 AND b.doc_id < 50
         |GROUP BY 1, 2 HAVING count(*) >= 5
         |ORDER BY train_id, eval_id""".stripMargin,
-    "pipeline_prep" ->
-      """WITH keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
-        |q AS (SELECT doc_id, text,
-        |  CASE WHEN length(trim(text)) = 0 THEN 0
-        |    ELSE length(string_split_regex(trim(text), '\s+')) END AS nt FROM documents),
-        |good AS (SELECT doc_id FROM q
-        |  WHERE nt BETWEEN 5 AND 100000
-        |    AND CASE WHEN nt = 0 THEN 0
-        |      ELSE CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) * 100 // nt
-        |      END BETWEEN 200 AND 1200
-        |    AND length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 2 >= length(text)),
-        |p AS (SELECT doc_id,
-        |  ' ' || regexp_replace(lower(text), '\s+', '  ', 'g') || ' ' AS t FROM documents),
-        |sc AS (SELECT doc_id,
-        |  (length(t)-length(replace(t,' the ','')))//5 + (length(t)-length(replace(t,' and ','')))//5
-        |    + (length(t)-length(replace(t,' a ','')))//3 + (length(t)-length(replace(t,' of ','')))//4
-        |    + (length(t)-length(replace(t,' to ','')))//4 AS s_en,
-        |  (length(t)-length(replace(t,' el ','')))//4 + (length(t)-length(replace(t,' la ','')))//4
-        |    + (length(t)-length(replace(t,' de ','')))//4 + (length(t)-length(replace(t,' que ','')))//5
-        |    + (length(t)-length(replace(t,' y ','')))//3 AS s_es,
-        |  (length(t)-length(replace(t,' der ','')))//5 + (length(t)-length(replace(t,' die ','')))//5
-        |    + (length(t)-length(replace(t,' und ','')))//5 + (length(t)-length(replace(t,' das ','')))//5
-        |    + (length(t)-length(replace(t,' ist ','')))//5 AS s_de,
-        |  (length(t)-length(replace(t,' le ','')))//4 + (length(t)-length(replace(t,' la ','')))//4
-        |    + (length(t)-length(replace(t,' et ','')))//4 + (length(t)-length(replace(t,' les ','')))//5
-        |    + (length(t)-length(replace(t,' des ','')))//5 AS s_fr
-        |FROM p),
-        |en AS (SELECT doc_id FROM sc
-        |  WHERE greatest(s_en, s_es, s_de, s_fr) > 0 AND s_en = greatest(s_en, s_es, s_de, s_fr))
-        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        |       CAST(coalesce(sum(nt), 0) AS BIGINT) AS total_tokens
-        |FROM q JOIN keepers USING (doc_id) JOIN good USING (doc_id) JOIN en USING (doc_id)""".stripMargin,
+    "pipeline_prep" -> s"WITH $prepCtes\n$prepSelect",
+    "pipeline_prep_full" ->
+      s"""WITH RECURSIVE ${jaccardPairCtes(1, 2)},
+         |e AS (SELECT da AS u, db AS v FROM pairs UNION SELECT db, da FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+         |nonkeep AS (SELECT u AS doc_id FROM reach GROUP BY u HAVING u != min(v)),
+         |$prepCtes
+         |$prepSelect
+         |WHERE q.doc_id NOT IN (SELECT doc_id FROM nonkeep)""".stripMargin,
     "dedup_exact" ->
       """SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
@@ -583,6 +663,7 @@ object PipelineQueries {
     "dedup_clusters" -> clusterSql(1, 2),
     "dedup_simhash" -> simhashSql(maxHamming = 6),
     "text_winnow" -> winnowSql(k = 5, w = 8),
+    "dedup_substring" -> substringSql(k = 5, w = 8, minShared = 2L),
     "text_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
         |t AS (SELECT doc_id, unnest(w) AS g FROM toks),

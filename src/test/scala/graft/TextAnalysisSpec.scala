@@ -94,6 +94,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!got.contains((3L, 2)))
   }
 
+  test("substring overlap pairs docs sharing a long run, Jaccard-invisible") {
+    // k=5, w=8: any shared token run of >= w+k-1 = 12 tokens guarantees a
+    // shared winnow fingerprint. Docs 1 and 2 share a 20-token run inside
+    // otherwise-disjoint text (whole-doc 5-gram Jaccard far below any
+    // dedup threshold); doc 3 is unrelated.
+    val shared = (1 to 20).map(i => s"run$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${(1 to 30).map(i => s"alpha$i").mkString(" ")} $shared"),
+      (2L, s"$shared ${(1 to 30).map(i => s"beta$i").mkString(" ")}"),
+      (3L, (1 to 60).map(i => s"gamma$i").mkString(" ")),
+    ).toDF("doc_id", "text")
+    val got = graft.pipeline.TextAnalysis
+      .substringOverlapPairs(docs, k = 5, w = 8, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+    // the same corpus produces NO whole-doc near-dup pair at tau = 1/2
+    val jacc = graft.pipeline.Dedup
+      .ngramJaccardPairs(docs, n = 5, tnum = 1, tden = 2).count()
+    assert(jacc == 0, "overlap must be invisible to whole-doc Jaccard")
+  }
+
   test("tfidf equal-score ties are deterministic by term order") {
     // both terms tf=1, df=2 -> identical scores in both docs
     val docs = Seq((1L, "bb aa"), (2L, "aa bb")).toDF("doc_id", "text")
