@@ -73,4 +73,26 @@ class ClusterSpec extends SparkSpec {
     val noisy = base ++ base.map(_.swap) ++ base
     assert(run(noisy) == run(base))
   }
+
+  test("chained near-dups: components drop what pair-local keeping retains") {
+    import spark.implicits._
+    // Sliding 30-token windows over a 44-token stream, step 7: adjacent
+    // windows share 21 of 35 distinct trigrams (J = 0.6 >= 1/2), the two
+    // ends share only 14 of 42 (J = 1/3 < 1/2) — B bridges A and C.
+    // Pair-local min-keeping sees pairs (A,B) and (B,C), drops B twice,
+    // and KEEPS C; the component keeps only A.
+    def window(from: Int): String = (from until from + 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, window(1)), (2L, window(8)), (3L, window(15)),
+      (4L, (100 to 140).map(i => s"z$i").mkString(" ")),
+    ).toDF("doc_id", "text")
+    val pairs = graft.pipeline.Dedup
+      .ngramJaccardPairs(docs, n = 3, tnum = 1, tden = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L)), s"bridge premise broke: $pairs")
+    val labels = run(pairs.toSeq)
+    val survivors = Set(1L, 2L, 3L, 4L) --
+      labels.collect { case (d, cid) if d != cid => d }
+    assert(survivors == Set(1L, 4L))
+  }
 }
