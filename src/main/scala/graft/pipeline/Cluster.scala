@@ -83,16 +83,25 @@ object Cluster {
     */
   def connectedComponents(spark: SparkSession, pairs: DataFrame,
                           maxRounds: Int = 25): DataFrame = {
-    var edges = pairs
+    val initial = pairs
       .select(col("da").cast("long").as("u"), col("db").cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+    // plan-inspection escape (graft.tools.PlanAudit): the loop is
+    // iterative, so explain() on the real result would first RUN every
+    // round and then dump only the final checkpointed projection; under
+    // the flag, return one representative round's plan unexecuted
+    if (sys.props.contains("graft.plan.only"))
+      return labelsOf(smallStar(largeStar(initial)))
+    var edges = initial.localCheckpoint()
     var last = probe(edges)
     var rounds = 0
     var stable = false
     while (!stable && rounds < maxRounds) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // checkpoint between the half-rounds too: smallStar references its
+      // input through a self-union and a group-by join, and each
+      // reference would otherwise re-run the whole large-star join
+      val next = smallStar(largeStar(edges).localCheckpoint()).localCheckpoint()
       val cur = probe(next)
       stable = cur == last
       last = cur
@@ -101,11 +110,15 @@ object Cluster {
     }
     require(stable, s"connected components did not converge in $maxRounds " +
       "rounds — cycle in star contraction (should be impossible)")
-    // converged small-star output is (member, root) stars; roots join as
-    // their own members so every vertex of every non-trivial component
-    // gets a row
+    labelsOf(edges)
+  }
+
+  /** Converged small-star output is (member, root) stars; roots join as
+    * their own members so every vertex of every non-trivial component
+    * gets a row.
+    */
+  private def labelsOf(edges: DataFrame): DataFrame =
     edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
       .union(edges.select(col("v").as("doc_id"), col("v").as("cluster_id")))
       .distinct()
-  }
 }

@@ -30,4 +30,27 @@ object DocStreams {
       .withColumn("fp", TextAnalysis.fingerprintExpr(col("text")))
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("fp")
+
+  /** The per-row text family applied at ingest: quality keep flag,
+    * language prediction, and PII counts evaluated in ONE stateless
+    * projection (the same expressions the batch operators use, so
+    * stream and batch can never disagree), with dirty rows filtered
+    * before they reach storage. Stateless -> no watermark, no state
+    * store; each micro-batch is a pure map, which is what makes the
+    * filter safe at any ingest rate.
+    *
+    * `dropPii = false` admits documents with PII counts > 0 (they carry
+    * the counts for a downstream redaction pass); `true` drops them.
+    */
+  def qualityFilter(docs: DataFrame, dropPii: Boolean = false): DataFrame = {
+    val piiTotal = TextAnalysis.piiPatterns
+      .map { case (name, re) => regexp_count(col("text"), lit(re)) }
+      .reduce(_ + _)
+    val flagged = docs.select(col("*"),
+      TextAnalysis.keepExpr(col("text")).as("keep"),
+      TextAnalysis.langPredExpr(col("text")).as("lang_pred"),
+      piiTotal.cast("long").as("n_pii"))
+      .filter(col("keep") === 1)
+    if (dropPii) flagged.filter(col("n_pii") === 0L) else flagged
+  }
 }

@@ -91,6 +91,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("DocStreams.qualityFilter: stateless ingest filter matches batch flags") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val good = "the quick brown fox jumps over the lazy dog and the cat"
+    val short = "too short"                  // < 5 tokens -> dropped
+    val pii = s"$good mail bob@example.com"  // keeps quality, carries PII
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = graft.streaming.DocStreams.qualityFilter(
+        in.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("docquality")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, good, ts(1)), (2L, short, ts(2)), (3L, pii, ts(3)))
+      q.processAllAvailable()
+      val rows = spark.table("docquality")
+        .select("doc_id", "lang_pred", "n_pii").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      assert(rows.keySet == Set(1L, 3L))
+      assert(rows(1L) == ("en", 0L))
+      assert(rows(3L)._2 == 1L, "PII count rides along for redaction")
+      // the stream evaluates the SAME expressions as the batch family:
+      // flags agree row-for-row with TextAnalysis over the same data
+      val batch = graft.pipeline.TextAnalysis.quality(
+          Seq((1L, good), (2L, short), (3L, pii)).toDF("doc_id", "text"))
+        .select("doc_id", "keep").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(batch == Map(1L -> 1, 2L -> 0, 3L -> 1))
+    } finally q.stop()
+  }
+
   test("sessionizeCustom: stale straggler is its own session, not merged") {
     val spark0 = spark
     import spark0.implicits._
