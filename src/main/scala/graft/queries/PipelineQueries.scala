@@ -314,6 +314,29 @@ object PipelineQueries {
     TextAnalysis.tfidfTopK(Tables.documents(s, d), k = 3)
       .orderBy("doc_id", "rank")
 
+  /** Corpus-mixture stats: per (source, predicted language), the doc
+    * count, token sum, and each cell's share of the corpus token budget
+    * in basis points (integer-truncated) — the aggregation pass that
+    * feeds data-mixing weights before training. One scan (lang/tokens
+    * are per-row expressions) + one partial-aggregated group-by; the
+    * grand total broadcasts as a 1-row aggregate.
+    */
+  def corpusMix(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("source"),
+      TextAnalysis.langPredExpr(col("text")).as("lang_pred"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
+    val cells = base.groupBy("source", "lang_pred")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        coalesce(sum(col("nt")), lit(0L)).as("tokens"))
+    val total = cells.agg(coalesce(sum(col("tokens")), lit(0L)).as("total"))
+    cells.crossJoin(broadcast(total))
+      .select(col("source"), col("lang_pred"), col("n_docs"), col("tokens"),
+        when(col("total") === 0L, lit(0L))
+          .otherwise(floor(col("tokens") * 10000L / col("total")))
+          .cast("long").as("share_bp"))
+      .orderBy("source", "lang_pred")
+  }
+
   // --- multimodal ---
 
   def multimodalFeatures(s: SparkSession, d: String): DataFrame =
@@ -413,6 +436,7 @@ object PipelineQueries {
     "text_tfidf" -> textTfidf,
     "dedup_clusters" -> dedupClusters,
     "dedup_substring" -> dedupSubstring,
+    "corpus_mix" -> corpusMix,
     "multimodal_features" -> multimodalFeatures,
     "multimodal_frames" -> multimodalFrames,
     "events_window" -> eventsWindow,
@@ -575,18 +599,11 @@ object PipelineQueries {
     * (which prepends the recursive near-dup closure and appends the
     * non-keeper subtraction), so the two policies cannot drift.
     */
-  private val prepCtes: String =
-    """keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
-      |q AS (SELECT doc_id, text,
-      |  CASE WHEN length(trim(text)) = 0 THEN 0
-      |    ELSE length(string_split_regex(trim(text), '\s+')) END AS nt FROM documents),
-      |good AS (SELECT doc_id FROM q
-      |  WHERE nt BETWEEN 5 AND 100000
-      |    AND CASE WHEN nt = 0 THEN 0
-      |      ELSE CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) * 100 // nt
-      |      END BETWEEN 200 AND 1200
-      |    AND length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 2 >= length(text)),
-      |p AS (SELECT doc_id,
+  /** The language-ID scoring CTEs (`p`, `sc` with per-language integer
+    * scores) — shared by the langid, prep, and corpus-mix oracles.
+    */
+  private val langScoreCtes: String =
+    """p AS (SELECT doc_id,
       |  ' ' || regexp_replace(lower(text), '\s+', '  ', 'g') || ' ' AS t FROM documents),
       |sc AS (SELECT doc_id,
       |  (length(t)-length(replace(t,' the ','')))//5 + (length(t)-length(replace(t,' and ','')))//5
@@ -601,9 +618,33 @@ object PipelineQueries {
       |  (length(t)-length(replace(t,' le ','')))//4 + (length(t)-length(replace(t,' la ','')))//4
       |    + (length(t)-length(replace(t,' et ','')))//4 + (length(t)-length(replace(t,' les ','')))//5
       |    + (length(t)-length(replace(t,' des ','')))//5 AS s_fr
-      |FROM p),
-      |en AS (SELECT doc_id FROM sc
-      |  WHERE greatest(s_en, s_es, s_de, s_fr) > 0 AND s_en = greatest(s_en, s_es, s_de, s_fr))""".stripMargin
+      |FROM p)""".stripMargin
+
+  /** The per-doc language argmax select (same tie order as the Spark
+    * expression), usable after [[langScoreCtes]].
+    */
+  private val langArgmaxSelect: String =
+    """SELECT doc_id, CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'unknown'
+      |  WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+      |  WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+      |  WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+      |  ELSE 'fr' END AS lang_pred
+      |FROM sc""".stripMargin
+
+  private val prepCtes: String =
+    s"""keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+       |q AS (SELECT doc_id, text,
+       |  CASE WHEN length(trim(text)) = 0 THEN 0
+       |    ELSE length(string_split_regex(trim(text), '\\s+')) END AS nt FROM documents),
+       |good AS (SELECT doc_id FROM q
+       |  WHERE nt BETWEEN 5 AND 100000
+       |    AND CASE WHEN nt = 0 THEN 0
+       |      ELSE CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) * 100 // nt
+       |      END BETWEEN 200 AND 1200
+       |    AND length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 2 >= length(text)),
+       |$langScoreCtes,
+       |en AS (SELECT doc_id FROM sc
+       |  WHERE greatest(s_en, s_es, s_de, s_fr) > 0 AND s_en = greatest(s_en, s_es, s_de, s_fr))""".stripMargin
 
   private val prepSelect: String =
     """SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -770,28 +811,22 @@ object PipelineQueries {
         |       THEN 1 ELSE 0 END AS INTEGER) AS keep
         |FROM q ORDER BY doc_id""".stripMargin,
     "text_langid" ->
-      """WITH p AS (SELECT doc_id,
-        |  ' ' || regexp_replace(lower(text), '\s+', '  ', 'g') || ' ' AS t FROM documents),
-        |sc AS (SELECT doc_id,
-        |  (length(t)-length(replace(t,' the ','')))//5 + (length(t)-length(replace(t,' and ','')))//5
-        |    + (length(t)-length(replace(t,' a ','')))//3 + (length(t)-length(replace(t,' of ','')))//4
-        |    + (length(t)-length(replace(t,' to ','')))//4 AS s_en,
-        |  (length(t)-length(replace(t,' el ','')))//4 + (length(t)-length(replace(t,' la ','')))//4
-        |    + (length(t)-length(replace(t,' de ','')))//4 + (length(t)-length(replace(t,' que ','')))//5
-        |    + (length(t)-length(replace(t,' y ','')))//3 AS s_es,
-        |  (length(t)-length(replace(t,' der ','')))//5 + (length(t)-length(replace(t,' die ','')))//5
-        |    + (length(t)-length(replace(t,' und ','')))//5 + (length(t)-length(replace(t,' das ','')))//5
-        |    + (length(t)-length(replace(t,' ist ','')))//5 AS s_de,
-        |  (length(t)-length(replace(t,' le ','')))//4 + (length(t)-length(replace(t,' la ','')))//4
-        |    + (length(t)-length(replace(t,' et ','')))//4 + (length(t)-length(replace(t,' les ','')))//5
-        |    + (length(t)-length(replace(t,' des ','')))//5 AS s_fr
-        |FROM p)
-        |SELECT doc_id, CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'unknown'
-        |  WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
-        |  WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
-        |  WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
-        |  ELSE 'fr' END AS lang_pred
-        |FROM sc ORDER BY doc_id""".stripMargin,
+      s"""WITH $langScoreCtes
+         |$langArgmaxSelect ORDER BY doc_id""".stripMargin,
+    "corpus_mix" ->
+      s"""WITH $langScoreCtes,
+         |lang AS ($langArgmaxSelect),
+         |toks AS (SELECT doc_id, source,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |    ELSE length(string_split_regex(trim(text), '\\s+')) END AS nt FROM documents),
+         |cells AS (
+         |  SELECT source, lang_pred, count(*) AS n_docs, coalesce(sum(nt), 0) AS tokens
+         |  FROM toks JOIN lang USING (doc_id) GROUP BY 1, 2),
+         |tot AS (SELECT coalesce(sum(tokens), 0) AS total FROM cells)
+         |SELECT source, lang_pred, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(tokens AS BIGINT) AS tokens,
+         |  CAST(CASE WHEN total = 0 THEN 0 ELSE tokens * 10000 // total END AS BIGINT) AS share_bp
+         |FROM cells CROSS JOIN tot ORDER BY source, lang_pred""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
