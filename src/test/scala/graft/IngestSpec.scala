@@ -1,0 +1,67 @@
+package graft
+
+import graft.sources.Ingest
+
+/** Corpus ingestion: the JSONL/CSV document readers (schema contract,
+  * corrupt-line tolerance) and deterministic content-derived ids.
+  */
+class IngestSpec extends SparkSpec {
+
+  private def writeLines(dir: String, name: String, lines: Seq[String]): String = {
+    val p = java.nio.file.Paths.get(dir, name)
+    java.nio.file.Files.write(p, lines.mkString("\n").getBytes("UTF-8"))
+    p.toString
+  }
+
+  test("jsonl reader: schema contract, corrupt lines skipped not fatal") {
+    val dir = tmpDir("ingest_jsonl")
+    val path = writeLines(dir, "docs.jsonl", Seq(
+      """{"doc_id": 1, "text": "hello world", "lang": "en", "source": "web"}""",
+      """{"doc_id": 2, "text": "hola mundo", "lang": "es", "source": "web"}""",
+      """this is not json at all""",
+      """{"doc_id": 3, "text": "third doc"}""",
+    ))
+    val got = Ingest.documentsJsonl(spark, path)
+    assert(got.columns.toSeq == Seq("doc_id", "text", "lang", "source"))
+    val rows = got.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1L -> "hello world", 2L -> "hola mundo", 3L -> "third doc"))
+    assert(Ingest.corruptCount(spark, path, "jsonl") == 1L)
+  }
+
+  test("csv reader honors the same contract") {
+    val dir = tmpDir("ingest_csv")
+    val path = writeLines(dir, "docs.csv", Seq(
+      "doc_id,text,lang,source",
+      "7,some text here,en,crawl",
+      "8,more text,es,crawl",
+    ))
+    val got = Ingest.documentsCsv(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(3))).toSet
+    assert(got == Set((7L, "some text here", "crawl"), (8L, "more text", "crawl")))
+  }
+
+  test("deterministic ids: stable across re-reads and partitioning") {
+    import spark.implicits._
+    val docs = Seq((0L, "alpha text", "en", "a"), (0L, "beta text", "en", "b"))
+      .toDF("doc_id", "text", "lang", "source")
+    val once = Ingest.withDeterministicIds(docs)
+      .select("doc_id", "text").collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    val again = Ingest.withDeterministicIds(docs.repartition(7))
+      .select("doc_id", "text").collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    assert(once == again)
+    assert(once("alpha text") != once("beta text"))
+    assert(once.values.forall(_ >= 0L), "60-bit ids stay non-negative")
+  }
+
+  test("jsonl round-trips into the pipeline operators") {
+    val dir = tmpDir("ingest_pipe")
+    val path = writeLines(dir, "docs.jsonl", Seq(
+      """{"doc_id": 1, "text": "the same text twice over"}""",
+      """{"doc_id": 2, "text": "the same text twice over"}""",
+      """{"doc_id": 3, "text": "something else entirely here"}""",
+    ))
+    val groups = graft.pipeline.Dedup.exact(Ingest.documentsJsonl(spark, path))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups == Map(1L -> 2L, 3L -> 1L))
+  }
+}
