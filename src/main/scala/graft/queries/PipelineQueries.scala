@@ -96,15 +96,25 @@ object PipelineQueries {
     * so the equivalence itself is oracle-checked.
     */
   def pipelinePrep(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("text"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-        TextAnalysis.keepExpr(col("text")).as("keep"),
-        TextAnalysis.langPredExpr(col("text")).as("lang_pred"))
+    corpusStats(
+      prepFiltered(Tables.documents(s, d))
+        .groupBy("text").agg(first(col("n_tokens")).as("n_tokens")))
+
+  /** The per-row prep projection + keep/language filter — the ONE
+    * Spark-side policy body shared by [[pipelinePrep]] and
+    * [[pipelinePrepFull]] (their oracles share prepCtes the same way,
+    * so neither side can drift between the two variants).
+    */
+  private def prepFiltered(docs: DataFrame): DataFrame =
+    docs.select(col("text"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.keepExpr(col("text")).as("keep"),
+      TextAnalysis.langPredExpr(col("text")).as("lang_pred"))
       .filter(col("keep") === 1 && col("lang_pred") === "en")
-      .groupBy("text").agg(first(col("n_tokens")).as("n_tokens"))
-      .agg(count(lit(1)).cast("long").as("n_docs"),
-        coalesce(sum(col("n_tokens").cast("long")), lit(0L)).as("total_tokens"))
+
+  private def corpusStats(df: DataFrame): DataFrame =
+    df.agg(count(lit(1)).cast("long").as("n_docs"),
+      coalesce(sum(col("n_tokens").cast("long")), lit(0L)).as("total_tokens"))
 
   /** The FULL prep policy, [[pipelinePrep]] plus the near-dup stage:
     * exact-dedup keepers -> drop near-dup cluster non-keepers (connected
@@ -127,15 +137,9 @@ object PipelineQueries {
       .select("doc_id")
     val exactKeepers = docs.groupBy("text").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    docs.join(exactKeepers, "doc_id")
-      .join(nonKeepers, Seq("doc_id"), "left_anti")
-      .select(col("text"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-        TextAnalysis.keepExpr(col("text")).as("keep"),
-        TextAnalysis.langPredExpr(col("text")).as("lang_pred"))
-      .filter(col("keep") === 1 && col("lang_pred") === "en")
-      .agg(count(lit(1)).cast("long").as("n_docs"),
-        coalesce(sum(col("n_tokens").cast("long")), lit(0L)).as("total_tokens"))
+    corpusStats(prepFiltered(
+      docs.join(exactKeepers, "doc_id")
+        .join(nonKeepers, Seq("doc_id"), "left_anti")))
   }
 
   // --- similarity search ---
@@ -305,9 +309,28 @@ object PipelineQueries {
   def textRepetition(s: SparkSession, d: String): DataFrame =
     TextAnalysis.repetition(Tables.documents(s, d)).orderBy("doc_id")
 
-  /** PII scan + redacted fingerprint (per-row regex family). */
-  def textPii(s: SparkSession, d: String): DataFrame =
-    TextAnalysis.piiScan(Tables.documents(s, d)).orderBy("doc_id")
+  /** PII scan + redacted fingerprint (per-row regex family). The driver
+    * corpus contains no organic PII — raw counts would be all zeros and
+    * the cross-engine redaction semantics never exercised — so the query
+    * decorates each document with deterministic doc_id-derived spans
+    * (email on ids % 3, ip % 4, phone % 5, ssn % 7) before scanning; the
+    * oracle applies the identical decoration in SQL. Counts and the
+    * redacted fingerprint therefore differ per row and any Java-vs-RE2
+    * divergence in match boundaries or replacement fails the hash compare.
+    */
+  def textPii(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    def on(mod: Int, frag: org.apache.spark.sql.Column) =
+      when(pmod(id, lit(mod.toLong)) === 0L, frag).otherwise(lit(""))
+    val decorated = concat(col("text"),
+      on(3, concat(lit(" contact u"), id.cast("string"), lit("@example.org"))),
+      on(4, concat(lit(" from 10.0.0."), pmod(id, lit(250L)).cast("string"))),
+      on(5, lit(" call 555-123-4567")),
+      on(7, lit(" ssn 987-65-4321")))
+    TextAnalysis.piiScan(
+      Tables.documents(s, d).select(id, decorated.as("text")))
+      .orderBy("doc_id")
+  }
 
   /** Per-doc top-3 TF-IDF terms (rational raw-idf scoring — engine-exact). */
   def textTfidf(s: SparkSession, d: String): DataFrame =
@@ -331,8 +354,11 @@ object PipelineQueries {
     val total = cells.agg(coalesce(sum(col("tokens")), lit(0L)).as("total"))
     cells.crossJoin(broadcast(total))
       .select(col("source"), col("lang_pred"), col("n_docs"), col("tokens"),
+        // integral div, not floor(a/b): Column./ rounds through double,
+        // which drifts from the oracle's exact // once tokens*10000
+        // passes 2^53 — corpus-level token sums get there
         when(col("total") === 0L, lit(0L))
-          .otherwise(floor(col("tokens") * 10000L / col("total")))
+          .otherwise(call_function("div", col("tokens") * 10000L, col("total")))
           .cast("long").as("share_bp"))
       .orderBy("source", "lang_pred")
   }
@@ -662,7 +688,17 @@ object PipelineQueries {
     val red = TextAnalysis.piiPatterns.foldLeft("text") { case (t, (name, re)) =>
       s"regexp_replace($t, '$re', '[${name.toUpperCase}]', 'g')"
     }
-    s"SELECT doc_id,\n$counts,\n  md5($red) AS red_fp\nFROM documents ORDER BY doc_id"
+    // the SAME doc_id-derived decoration the Spark query applies (see
+    // [[textPii]]): the driver corpus has no organic PII, so the spans
+    // that exercise the cross-engine semantics are synthesized
+    val dec =
+      """text
+        |  || CASE WHEN doc_id % 3 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.org' ELSE '' END
+        |  || CASE WHEN doc_id % 4 = 0 THEN ' from 10.0.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END
+        |  || CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-4567' ELSE '' END
+        |  || CASE WHEN doc_id % 7 = 0 THEN ' ssn 987-65-4321' ELSE '' END""".stripMargin
+    s"WITH dec AS (SELECT doc_id, $dec AS text FROM documents)\n" +
+      s"SELECT doc_id,\n$counts,\n  md5($red) AS red_fp\nFROM dec ORDER BY doc_id"
   }
 
   val oracles: Map[String, String] = Map(
