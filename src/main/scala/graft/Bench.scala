@@ -47,31 +47,45 @@ object Bench {
     spark.catalog.clearCache()
   }
 
-  /** Time each query `reps` times in deterministic sorted order with a
-    * cache flush per rep: pipeline operators intentionally cache shared
-    * sub-plans, and letting those accumulate across ~57 queries thrashes
-    * the in-memory store and makes timings order-dependent
-    * (dedup_minhash measured 33.9s dirty vs 5.1s isolated). Min-of-N
-    * because single-shot wall-clock on a shared box swings up to 6x with
-    * background load — reps differ only by transient machine load, not
-    * by cache warmth.
+  /** Time each query `reps` times with a cache flush per rep: pipeline
+    * operators intentionally cache shared sub-plans, and letting those
+    * accumulate across ~65 queries thrashes the in-memory store and
+    * makes timings order-dependent (dedup_minhash measured 33.9s dirty
+    * vs 5.1s isolated). Min-of-N because single-shot wall-clock on a
+    * shared box swings up to 6x with background load.
+    *
+    * Reps are INTERLEAVED (rep-major): one full pass over all queries
+    * in sorted order, then the next pass, so the passes are separated
+    * by the whole suite's runtime (~minutes). A multi-minute background
+    * load spike therefore inflates at most one rep of many queries —
+    * each of which keeps spike-free reps to take its min from — instead
+    * of owning all N back-to-back reps of one query and corrupting its
+    * min beyond repair (the r5/r6 artifacts both carried 1.7–3.6×
+    * phantom "regressions" from exactly that failure mode).
     */
   def measure(spark: SparkSession,
               selected: Seq[(String, (SparkSession, String) => DataFrame)],
-              sfDir: String, reps: Int): Seq[QueryResult] =
-    selected.sortBy(_._1).map { case (name, fn) =>
-      val attempts = (1 to reps).map { _ =>
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        val err = try { fn(spark, sfDir).count(); None } catch {
-          case e: Throwable => Some(
-            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(160))
+              sfDir: String, reps: Int): Seq[QueryResult] = {
+    val ordered = selected.sortBy(_._1)
+    val samples: Seq[(String, Double, Option[String])] =
+      (1 to reps).flatMap { _ =>
+        ordered.map { case (name, fn) =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val err = try { fn(spark, sfDir).count(); None } catch {
+            case e: Throwable => Some(
+              s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(160))
+          }
+          (name, (System.nanoTime() - t0) / 1e9, err)
         }
-        ((System.nanoTime() - t0) / 1e9, err)
       }
-      QueryResult(name, attempts.collect { case (t, None) => t },
-        attempts.collectFirst { case (_, Some(m)) => m }, reps)
+    val byName = samples.groupBy(_._1)
+    ordered.map { case (name, _) =>
+      val a = byName(name)
+      QueryResult(name, a.collect { case (_, t, None) => t },
+        a.collectFirst { case (_, _, Some(m)) => m }, reps)
     }
+  }
 
   /** The one-line JSON artifact. Failure-honest: only successful reps
     * produce times; a query with zero successes is counted in "failed"

@@ -22,9 +22,10 @@ import org.apache.spark.sql.functions._
   * Scale notes (100 TB): the input is the near-dup PAIR list — orders of
   * magnitude smaller than the corpus. Rounds are driver-looped with an
   * aggregate-only convergence probe (a count + hash checksum, never a
-  * collect of edges), and each round's result is localCheckpoint'd to cut
-  * the growing lineage (per-round plans would otherwise nest, re-running
-  * every prior round at each action).
+  * collect of edges), and each round's result is checkpointed — local by
+  * default, reliable via `checkpointDir` (see [[connectedComponents]]) —
+  * to cut the growing lineage (per-round plans would otherwise nest,
+  * re-running every prior round at each action).
   */
 object Cluster {
 
@@ -73,6 +74,21 @@ object Cluster {
     (r.getLong(0), r.getLong(1))
   }
 
+  private def normalized(pairs: DataFrame): DataFrame =
+    pairs
+      .select(col("da").cast("long").as("u"), col("db").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+
+  /** ONE representative round's plan, UNEXECUTED and UNCONVERGED — for
+    * plan audits only (`graft.tools.PlanAudit`): the real loop is
+    * driver-iterated, so `explain()` on [[connectedComponents]] would
+    * first run every round and then dump only the final checkpointed
+    * projection. Never a substitute for the converged labeling.
+    */
+  def planOf(pairs: DataFrame): DataFrame =
+    labelsOf(smallStar(largeStar(normalized(pairs))))
+
   /** Connected components of the undirected pair graph `pairs(da, db)`:
     * returns `(doc_id, cluster_id)` for every document appearing in a
     * pair, where `cluster_id` is the minimum doc id of its component
@@ -80,28 +96,37 @@ object Cluster {
     * singleton components and are not emitted — callers union them back
     * if they want total coverage (they are the corpus minus one small
     * anti-join).
+    *
+    * Lineage is cut every half-round. By default with `localCheckpoint()`
+    * (executor-local blocks: fast, but lost if an executor dies —
+    * acceptable on local mode and short loops, where the recovery story
+    * is "re-run the job"). Pass `checkpointDir` to use RELIABLE
+    * checkpointing instead: each cut writes to that fault-tolerant path
+    * (HDFS/object store) and survives executor loss — the right default
+    * for a 1000-executor cluster, where some executor is statistically
+    * certain to die during a multi-round contraction and a lost block
+    * would otherwise fail the whole loop past recomputation (the lineage
+    * behind a localCheckpoint is truncated, so Spark cannot rebuild it).
+    * Cost: one distributed write + read per cut.
     */
   def connectedComponents(spark: SparkSession, pairs: DataFrame,
-                          maxRounds: Int = 25): DataFrame = {
-    val initial = pairs
-      .select(col("da").cast("long").as("u"), col("db").cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
-    // plan-inspection escape (graft.tools.PlanAudit): the loop is
-    // iterative, so explain() on the real result would first RUN every
-    // round and then dump only the final checkpointed projection; under
-    // the flag, return one representative round's plan unexecuted
-    if (sys.props.contains("graft.plan.only"))
-      return labelsOf(smallStar(largeStar(initial)))
-    var edges = initial.localCheckpoint()
+                          maxRounds: Int = 25,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val cut: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        spark.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
+    var edges = cut(normalized(pairs))
     var last = probe(edges)
     var rounds = 0
     var stable = false
     while (!stable && rounds < maxRounds) {
-      // checkpoint between the half-rounds too: smallStar references its
+      // cut between the half-rounds too: smallStar references its
       // input through a self-union and a group-by join, and each
       // reference would otherwise re-run the whole large-star join
-      val next = smallStar(largeStar(edges).localCheckpoint()).localCheckpoint()
+      val next = cut(smallStar(cut(largeStar(edges))))
       val cur = probe(next)
       stable = cur == last
       last = cur

@@ -5,17 +5,22 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal (image/audio/video) column plumbing.
   *
-  * Media are opaque `binary` columns with typed metadata alongside —
-  * the schema/partitioning/batching is real and tested; only the actual
-  * codec step is stubbed (this container has no image/audio libraries),
-  * clearly marked in [[MediaCodec.decodeStub]] as a deterministic fake.
+  * Media are opaque `binary` columns with typed metadata alongside. The
+  * image codec is REAL: `javax.imageio` (PNG/BMP/GIF/JPEG readers ship
+  * with the JDK — no external dependency) decodes the raster and reports
+  * true width/height plus a luminance histogram. Non-image kinds
+  * (audio/video containers aren't in the JDK) get codec-free byte-level
+  * features and are explicitly marked rasterless (width = height = 0).
   *
   * Scale notes: blobs ride in their own column so parquet column pruning
   * skips them unless touched; decode/feature-extraction runs as
   * `mapPartitions` over the typed Dataset — one JVM-side batch per
   * partition, the same execution shape a Pandas-UDF `mapInPandas` has in
   * PySpark. Keep media partitions small (`maxPartitionBytes`) so a
-  * partition of blobs fits in executor memory.
+  * partition of blobs fits in executor memory. A declared image whose
+  * bytes fail to decode is tagged width = height = -1 rather than failing
+  * the job — at 100 TB corrupt media routes to a quarantine filter, it
+  * doesn't kill the stage.
   */
 object Multimodal {
 
@@ -25,38 +30,122 @@ object Multimodal {
   final case class MediaFeatures(doc_id: Long, kind: String, n_bytes: Long,
                                  width: Int, height: Int, feature: Array[Float])
 
-  /** STUB codec: the real implementation would decode image/audio bytes
-    * (JPEG/PNG/WAV...) — unavailable in this environment. This stands in
-    * with a deterministic fake: dimensions from byte-length arithmetic and
-    * a 8-float descriptor from rolling byte sums, so tests can pin exact
-    * outputs and the distributed plumbing is exercised for real.
-    */
+  /** Real image codec over the JDK's `javax.imageio`. */
   object MediaCodec {
-    def decodeStub(m: MediaRow): MediaFeatures = {
-      val n = m.media.length
+
+    /** True raster decode: `Some((width, height, 8-bin luminance
+      * histogram))`, or None when no installed reader recognises the
+      * bytes. The histogram counts pixels by `lum >> 5` where lum is the
+      * integer mean of the R/G/B channels — deterministic, so specs pin
+      * exact values.
+      */
+    def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val hist = new Array[Float](8)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+            hist(lum >> 5) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, hist))
+      }
+    }
+
+    /** Codec-free descriptor for non-image payloads: rolling byte sums.
+      * No raster, so callers pair this with width = height = 0.
+      */
+    def byteFeatures(media: Array[Byte]): Array[Float] = {
       val feat = new Array[Float](8)
       var i = 0
-      while (i < n) { feat(i % 8) += (m.media(i) & 0xFF).toFloat; i += 1 }
-      MediaFeatures(m.doc_id, m.kind, n.toLong,
-        width = 64 + n % 64, height = 64 + n % 48, feature = feat)
+      while (i < media.length) { feat(i % 8) += (media(i) & 0xFF).toFloat; i += 1 }
+      feat
     }
+
+    /** Decode one media row. `image/...` kinds go through the real raster
+      * decode; a declared image whose bytes don't decode is the corrupt-
+      * media channel (width = height = -1, byte descriptor kept so the
+      * row stays triageable); non-image kinds are rasterless by contract
+      * (width = height = 0).
+      */
+    def decode(m: MediaRow): MediaFeatures =
+      if (m.kind.startsWith("image/"))
+        decodeImage(m.media) match {
+          case Some((w, h, hist)) =>
+            MediaFeatures(m.doc_id, m.kind, m.media.length.toLong, w, h, hist)
+          case None =>
+            MediaFeatures(m.doc_id, m.kind, m.media.length.toLong, -1, -1,
+              byteFeatures(m.media))
+        }
+      else
+        MediaFeatures(m.doc_id, m.kind, m.media.length.toLong, 0, 0,
+          byteFeatures(m.media))
+  }
+
+  /** Deterministic synthetic BMP for the driver corpus (the driver tables
+    * carry no real media, so the image path synthesizes one BMP per doc —
+    * the codec exercised on it is the real one). Dimensions derive from
+    * docId; pixels are a fixed function of (x, y, docId). The JDK BMP
+    * writer emits a 54-byte header + BGR rows padded to 4 bytes, so
+    * `n_bytes = 54 + h * ((3w + 3) / 4 * 4)` — a closed form the DuckDB
+    * oracle recomputes from doc_id (verified exact for all w/h in range).
+    */
+  def syntheticBmp(docId: Long): Array[Byte] = {
+    val w = 8 + java.lang.Math.floorMod(docId, 32L).toInt
+    val h = 8 + java.lang.Math.floorMod(docId, 24L).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (x * 37 + y * 101 + java.lang.Math.floorMod(docId, 256L).toInt * 13) & 0xFFFFFF)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    bos.toByteArray
+  }
+
+  /** Image ingest: one synthetic BMP per document. In production this is
+    * `spark.read.format("binaryFile")` over an image corpus; the synthetic
+    * payloads keep everything downstream — including the codec — real.
+    */
+  def ingestImages(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map(id => MediaRow(id, "image/bmp", syntheticBmp(id)))
   }
 
   /** Ingest: attach a binary payload column. In production this reads
     * real media files (`spark.read.format("binaryFile")`); here document
-    * text bytes stand in as the payload.
+    * text bytes stand in as the payload (kind `text/plain`, so the codec
+    * correctly treats them as rasterless).
     */
   def ingestFromText(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), lit("text/plain").as("kind"),
       to_binary(col("text"), lit("utf-8")).as("media"))
 
   /** Distributed feature extraction: typed mapPartitions over binary
-    * payloads (the Scala equivalent of `mapInPandas` batch processing).
+    * payloads (the Scala equivalent of `mapInPandas` batch processing),
+    * dispatching to the real image codec per [[MediaCodec.decode]].
     */
-  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.as[MediaRow].mapPartitions(_.map(MediaCodec.decodeStub))
+    media.mapPartitions(_.map(MediaCodec.decode))
   }
 
   /** Cheap metadata that never touches a codec: byte sizes per blob —
@@ -71,12 +160,12 @@ object Multimodal {
                          payload: Array[Byte])
 
   /** Frame sampling (the video path's 1->N expansion): split each payload
-    * into `frameBytes` chunks, keep every `everyN`-th. A real codec would
-    * decode container frames; the chunking stands in, but the execution
-    * shape — a flatMap over typed rows producing multiple blob rows, the
-    * per-partition batch model, the downstream schema — is the real
-    * thing. Output rows stay narrow until `payload` is touched (parquet
-    * column pruning).
+    * into `frameBytes` chunks, keep every `everyN`-th. A video-container
+    * demuxer isn't in the JDK, so byte chunking stands in for frame
+    * boundaries, but the execution shape — a flatMap over typed rows
+    * producing multiple blob rows, the per-partition batch model, the
+    * downstream schema — is the real thing. Output rows stay narrow until
+    * `payload` is touched (parquet column pruning).
     */
   def frameSample(media: DataFrame, frameBytes: Int, everyN: Int): Dataset[Frame] = {
     require(frameBytes > 0 && everyN > 0,
@@ -95,19 +184,38 @@ object Multimodal {
     }
   }
 
-  /** Resize stub (the image path): deterministic byte subsampling to a
-    * fixed target size in place of a real scaler — metadata and batch
-    * plumbing are real, the pixel math is the clearly-marked fake.
+  /** Real raster resize for image kinds: decode, bilinear-scale with JDK
+    * Graphics2D to targetW x targetH, re-encode as BMP. Non-image (or
+    * undecodable) payloads pass through unchanged — resizing bytes that
+    * aren't a raster would be a lie, and at 100 TB the pass-through rows
+    * are the quarantine channel's input.
     */
-  def resizeStub(media: DataFrame, targetBytes: Int): Dataset[MediaRow] = {
+  def resizeImages(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaRow] = {
+    require(targetW > 0 && targetH > 0,
+      s"target dimensions ($targetW x $targetH) must be positive")
     val spark = media.sparkSession
     import spark.implicits._
-    media.as[MediaRow].map { m =>
-      val n = m.media.length
-      val out =
-        if (n <= targetBytes) m.media
-        else Array.tabulate(targetBytes)(i => m.media((i.toLong * n / targetBytes).toInt))
-      MediaRow(m.doc_id, m.kind, out)
+    media.map { m =>
+      val img =
+        if (m.kind.startsWith("image/"))
+          Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.media)))
+        else None
+      img match {
+        case Some(src) =>
+          val dst = new java.awt.image.BufferedImage(
+            targetW, targetH, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(src, 0, 0, targetW, targetH, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "bmp", bos)
+          MediaRow(m.doc_id, m.kind, bos.toByteArray)
+        case None => m
+      }
     }
   }
 }

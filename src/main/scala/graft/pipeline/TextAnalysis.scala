@@ -185,7 +185,12 @@ object TextAnalysis {
     */
   def substringOverlapPairs(docs: DataFrame, k: Int, w: Int,
                             minShared: Long): DataFrame = {
-    val fp = winnowedFingerprints(docs, k, w).cache()
+    // no cache: the two join sides are the same subplan modulo aliases,
+    // so Spark's ReuseExchange computes the fingerprints once and reads
+    // the shuffle output twice (pinned in WinnowSpec) — unlike a cache()
+    // it leaves nothing behind in a long-lived session and holds no
+    // corpus-sized block store at 100 TB
+    val fp = winnowedFingerprints(docs, k, w)
     fp.select(col("doc_id").as("da"), col("fp"))
       .join(fp.select(col("doc_id").as("db"), col("fp")), "fp")
       .filter(col("da") < col("db"))

@@ -70,6 +70,17 @@ object PipelineQueries {
       Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 3, tnum = 1, tden = 2))
       .orderBy("doc_id")
 
+  /** Plan-audit variant of [[dedupClusters]]: ONE representative
+    * contraction round via [[Cluster.planOf]], unexecuted and
+    * unconverged — registered in [[planOnlyQueries]] so the audit tool
+    * never needs a global flag that could leak wrong clusters into a
+    * production call path.
+    */
+  private def dedupClustersPlan(s: SparkSession, d: String): DataFrame =
+    Cluster.planOf(
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 3, tnum = 1, tden = 2))
+      .orderBy("doc_id")
+
   /** Benchmark decontamination over the documents table: docs 0-49 play
     * the eval set, the rest the training crawl; flag any training doc
     * sharing >= 5 distinct word-trigram shingles with an eval doc.
@@ -129,9 +140,21 @@ object PipelineQueries {
     * SQL with a recursive-CTE closure, so the composition itself is
     * oracle-checked end-to-end.
     */
-  def pipelinePrepFull(s: SparkSession, d: String): DataFrame = {
+  def pipelinePrepFull(s: SparkSession, d: String): DataFrame =
+    pipelinePrepFullWith(Cluster.connectedComponents(s, _))(s, d)
+
+  /** Plan-audit variant of [[pipelinePrepFull]] (see [[dedupClustersPlan]]). */
+  private def pipelinePrepFullPlan(s: SparkSession, d: String): DataFrame =
+    pipelinePrepFullWith(Cluster.planOf)(s, d)
+
+  /** The shared body: only the cluster step differs between the real
+    * query (converged components) and the plan-audit variant (one
+    * representative round, unexecuted).
+    */
+  private def pipelinePrepFullWith(clusterFn: DataFrame => DataFrame)
+                                  (s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val clusters = Cluster.connectedComponents(s,
+    val clusters = clusterFn(
       Dedup.ngramJaccardPairs(docs, n = 3, tnum = 1, tden = 2))
     val nonKeepers = clusters.filter(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
@@ -345,7 +368,13 @@ object PipelineQueries {
     * grand total broadcasts as a 1-row aggregate.
     */
   def corpusMix(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(s, d).select(col("source"),
+    // null source coalesces to a named bucket BEFORE the group-by: the
+    // mixture report needs unattributed docs visible, and a raw null key
+    // would order differently in Spark (NULLS FIRST) vs the DuckDB
+    // oracle (NULLS LAST) — the sentinel makes the contract
+    // engine-independent
+    val base = Tables.documents(s, d).select(
+      coalesce(col("source"), lit("(unknown)")).as("source"),
       TextAnalysis.langPredExpr(col("text")).as("lang_pred"),
       TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
     val cells = base.groupBy("source", "lang_pred")
@@ -365,9 +394,17 @@ object PipelineQueries {
 
   // --- multimodal ---
 
+  /** Real image decode end-to-end: synthesize one BMP per doc (dimensions
+    * a function of doc_id), encode with the JDK BMP writer, decode with
+    * javax.imageio — the reported width/height are the decoded raster's,
+    * and n_bytes is the encoder's actual output size. The oracle
+    * recomputes all three in closed form from doc_id (the BMP layout is
+    * deterministic: 54-byte header + BGR rows padded to 4 bytes), so a
+    * broken encode OR decode hash-mismatches.
+    */
   def multimodalFeatures(s: SparkSession, d: String): DataFrame =
     Multimodal.extractFeatures(
-        Multimodal.ingestFromText(Tables.documents(s, d)))
+        Multimodal.ingestImages(Tables.documents(s, d)))
       .toDF().select(col("doc_id"), col("n_bytes").cast("long"),
         col("width"), col("height"))
       .orderBy("doc_id")
@@ -468,6 +505,18 @@ object PipelineQueries {
     "events_window" -> eventsWindow,
     "events_time_window" -> eventsTimeWindow,
     "events_sessionize" -> eventsSessionize,
+  )
+
+  /** Plan-audit substitutes for queries whose production form cannot be
+    * `explain()`ed meaningfully: the cluster loop is driver-iterated
+    * (explain would RUN every round, then dump the final checkpointed
+    * projection). `graft.tools.PlanAudit` prefers these by name —
+    * explicit substitution, never a global flag inside a correctness
+    * path.
+    */
+  val planOnlyQueries: Map[String, Q] = Map(
+    "dedup_clusters" -> dedupClustersPlan,
+    "pipeline_prep_full" -> pipelinePrepFullPlan,
   )
 
   /** Exact word-3gram Jaccard pairs at tnum/tden, shared by the minhash
@@ -852,7 +901,7 @@ object PipelineQueries {
     "corpus_mix" ->
       s"""WITH $langScoreCtes,
          |lang AS ($langArgmaxSelect),
-         |toks AS (SELECT doc_id, source,
+         |toks AS (SELECT doc_id, coalesce(source, '(unknown)') AS source,
          |  CASE WHEN length(trim(text)) = 0 THEN 0
          |    ELSE length(string_split_regex(trim(text), '\\s+')) END AS nt FROM documents),
          |cells AS (
@@ -872,10 +921,13 @@ object PipelineQueries {
         |WHERE length(token) > 0
         |GROUP BY token ORDER BY freq DESC, token ASC LIMIT 50""".stripMargin,
     "multimodal_features" ->
-      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CAST(64 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
-        |  CAST(64 + octet_length(encode(text)) % 48 AS INTEGER) AS height
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH dims AS (
+        |  SELECT doc_id, 8 + doc_id % 32 AS w, 8 + doc_id % 24 AS h
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(54 + h * ((3 * w + 3) // 4 * 4) AS BIGINT) AS n_bytes,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height
+        |FROM dims ORDER BY doc_id""".stripMargin,
     "multimodal_frames" ->
       """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
         |nums AS (SELECT ix FROM generate_series(0, 1000000, 4) t(ix))

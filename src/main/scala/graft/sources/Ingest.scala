@@ -38,6 +38,27 @@ object Ingest {
     raw.filter(col("_corrupt").isNull && col("text").isNotNull)
       .select("doc_id", "text", "lang", "source")
 
+  /** Ingest-quality metrics, measured during whatever action first
+    * materializes the returned frame — `observe()` rides the ingest scan
+    * itself, so the probe costs no cache and no second read (at 100 TB a
+    * counting re-read of the corpus is a non-starter). Metrics:
+    * `n_corrupt` (PERMISSIVE parse failures), `n_null_text` (parsed rows
+    * violating the contract — a null `text` is discarded by the pipeline
+    * and must be counted, not silently dropped), `n_parsed` (all rows the
+    * reader produced). Read them from the returned Observation after any
+    * action on the frame.
+    */
+  def documentsObserved(spark: SparkSession, path: String,
+                        format: String): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    val observed = raw(spark, path, format).observe(obs,
+      sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+      sum(when(col("_corrupt").isNull && col("text").isNull, 1L)
+        .otherwise(0L)).as("n_null_text"),
+      count(lit(1)).as("n_parsed"))
+    (finish(observed), obs)
+  }
+
   /** The ONE schema'd PERMISSIVE reader behind every raw-format entry
     * point — the corrupt-count probe must measure the same parse the
     * pipeline ingests, so the option block exists exactly once.
@@ -54,17 +75,19 @@ object Ingest {
     }
   }
 
-  /** Count of rows the PERMISSIVE parse rejected — the ingest-quality
-    * probe a pipeline alerts on (schema drift shows up here first).
+  /** Count of rows ingest discards — PERMISSIVE parse rejections PLUS
+    * parsed rows with a null `text` (the contract violation [[finish]]
+    * filters out). This is the ingest-quality probe a pipeline alerts on
+    * (schema drift shows up here first). Implemented over
+    * [[documentsObserved]]: one pass, no cache — the standalone action
+    * here exists only for this convenience form; a real pipeline reads
+    * the Observation off the materialization it already does.
     */
   def corruptCount(spark: SparkSession, path: String, format: String): Long = {
-    val r = raw(spark, path, format)
-    // Spark refuses to answer a query referencing ONLY the corrupt
-    // column from raw files (the parse would be unobservable); the
-    // documented escape is materializing the parsed frame first
-    r.cache()
-    try r.filter(col("_corrupt").isNotNull).count()
-    finally r.unpersist()
+    val (docs, obs) = documentsObserved(spark, path, format)
+    docs.write.format("noop").mode("overwrite").save()
+    val row = obs.get
+    row("n_corrupt").asInstanceOf[Long] + row("n_null_text").asInstanceOf[Long]
   }
 
   /** JSONL corpus: one JSON object per line, `{"doc_id":…,"text":…}`

@@ -52,4 +52,19 @@ class BenchSpec extends SparkSpec {
     // the flaky query's min comes from its 2 successful reps
     assert(line.substring(line.lastIndexOf("\"queries\":")).contains("\"q\":"))
   }
+
+  test("reps are interleaved rep-major so a load spike cannot own one query's whole sample") {
+    val order = scala.collection.mutable.ArrayBuffer.empty[String]
+    def rec(name: String) = (s: SparkSession, _: String) => {
+      order += name; s.range(1).toDF("id")
+    }
+    val results = Bench.measure(spark,
+      Seq("b" -> rec("b"), "a" -> rec("a"), "c" -> rec("c")),
+      "unused", reps = 3)
+    // rep-major: full sorted pass, then the next pass — NOT a,a,a,b,b,b
+    assert(order.toSeq == Seq("a", "b", "c", "a", "b", "c", "a", "b", "c"),
+      order.mkString(","))
+    // every query still gets all its reps and a min
+    assert(results.forall(_.okReps == 3))
+  }
 }

@@ -68,6 +68,35 @@ class ClusterSpec extends SparkSpec {
     }
   }
 
+  test("reliable-checkpoint mode produces the identical labeling and writes to the dir") {
+    import spark.implicits._
+    val dir = tmpDir("cluster_ckpt")
+    val edges = ((0L until 31L).map(i => (i, i + 1)) ++ Seq((40L, 41L)))
+      .toDF("da", "db")
+    val got = Cluster
+      .connectedComponents(spark, edges, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = (0L to 31L).map(_ -> 0L).toMap ++ Map(40L -> 40L, 41L -> 40L)
+    assert(got == expect)
+    // the cuts really went through the fault-tolerant path, not
+    // executor-local blocks
+    def anyFile(p: java.io.File): Boolean =
+      p.isFile || Option(p.listFiles).exists(_.exists(anyFile))
+    assert(anyFile(new java.io.File(dir)), s"no checkpoint files under $dir")
+  }
+
+  test("planOf is a single unconverged round — audit-only, never the real labeling") {
+    import spark.implicits._
+    // a path graph needs multiple rounds; one round must NOT equal the
+    // converged components (guards against planOf quietly becoming a
+    // substitute for connectedComponents)
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("da", "db")
+    val one = Cluster.planOf(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val converged = (0L to 63L).map(_ -> 0L).toMap
+    assert(one != converged)
+  }
+
   test("duplicate and reversed input edges do not change the labeling") {
     val base = Seq((1L, 2L), (2L, 3L))
     val noisy = base ++ base.map(_.swap) ++ base

@@ -28,6 +28,28 @@ class IngestSpec extends SparkSpec {
     assert(Ingest.corruptCount(spark, path, "jsonl") == 1L)
   }
 
+  test("observed probe: corrupt + null-text counted in the SAME pass, no cache") {
+    val dir = tmpDir("ingest_obs")
+    val path = writeLines(dir, "docs.jsonl", Seq(
+      """{"doc_id": 1, "text": "good row", "lang": "en", "source": "web"}""",
+      """not json""",
+      """{"doc_id": 4}""",
+      """{"doc_id": 5, "text": "another good one"}""",
+      """also not json""",
+    ))
+    val (docs, obs) = Ingest.documentsObserved(spark, path, "jsonl")
+    // the pipeline's own materialization is the only action taken
+    assert(docs.count() == 2L)
+    val m = obs.get
+    // the downstream contract filter must NOT push below the observe
+    // node: metrics see every parsed row, not just the survivors
+    assert(m("n_parsed") == 5L)
+    assert(m("n_corrupt") == 2L)
+    assert(m("n_null_text") == 1L)
+    // the convenience probe counts everything ingest discards
+    assert(Ingest.corruptCount(spark, path, "jsonl") == 3L)
+  }
+
   test("csv reader honors the same contract") {
     val dir = tmpDir("ingest_csv")
     val path = writeLines(dir, "docs.csv", Seq(

@@ -29,6 +29,23 @@ class WinnowSpec extends SparkSpec {
     assert((f1 & other).isEmpty)
   }
 
+  test("substringOverlapPairs self-join reuses ONE fingerprint exchange, no cache") {
+    val common = "one two three four five six seven eight nine ten"
+    val d = docs(
+      1L -> s"alpha beta $common gamma delta",
+      2L -> s"zeta eta theta $common iota",
+      3L -> "completely different words entirely here and more and more")
+    val pairs = TextAnalysis.substringOverlapPairs(d, k = 3, w = 4, minShared = 1L)
+    // correctness: only the planted overlap pair survives
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    // scale/hygiene: the identical join sides share one shuffle via
+    // ReuseExchange (fingerprints computed once), and nothing is cached —
+    // a long-lived session accumulates no blocks from repeated calls
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"), plan)
+    assert(!plan.contains("InMemoryTableScan"), plan)
+  }
+
   test("winnowing reduces fingerprint volume vs raw k-grams") {
     // all tokens distinct -> every 3-gram hash distinct, so a broken
     // no-op winnow would keep all `raw` of them and fail the bound
