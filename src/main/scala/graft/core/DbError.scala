@@ -20,4 +20,5 @@ object DbError {
   def varType(what: String)     = DbException("DBEVARTYPE", what)
   def parse(line: String)       = DbException("DBEPARSE", s"cannot parse: $line")
   def ioError(what: String)     = DbException("DBEFILE", what)
+  def locked(dir: String)       = DbException("DBELOCKED", s"database $dir is locked by another live engine (one writer per dbDir; close() it or stop the owning process)")
 }

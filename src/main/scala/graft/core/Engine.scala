@@ -24,8 +24,19 @@ import graft.core.Align
   * single Spark jobs, and `.collect()` happens only at emission points
   * (print/tuple/bare ops) — never mid-pipeline.
   */
-final class Engine(val spark: SparkSession, val dbDir: String) {
+final class Engine(val spark: SparkSession, val dbDir: String)
+    extends AutoCloseable {
+  // acquired BEFORE the catalog touches anything: a second live engine
+  // must fail loudly without reading or writing a byte of the store
+  private val writerLock = Engine.acquireWriterLock(dbDir)
   val catalog = new Catalog(dbDir)
+
+  /** Release the single-writer lock. The restart pattern (stop one
+    * server process, start another on the same store) is modeled as
+    * close() + new Engine; a crashed PROCESS needs no close — the OS
+    * releases its file lock. Idempotent.
+    */
+  override def close(): Unit = Engine.releaseWriterLock(writerLock)
 
   def column(name: String): DataFrame =
     Storage.readColumn(spark, catalog.require(name))
@@ -589,4 +600,55 @@ final class Session(val engine: Engine) {
       rowsAtVersion = Some(meta.nextId))
     engine.orphanChecked.add(c) // fresh version dir, accounted
   }
+}
+
+/** Single-writer lock machinery: the one-live-writer-per-dbDir assumption
+  * (the reference's topology too — one server process owns the store,
+  * /root/reference/src/server/server.c:967-1006) enforced LOUDLY instead
+  * of trusted. Cross-process: an OS advisory lock on `dbDir/.graft.lock`
+  * (released automatically if the process dies). In-process: a JVM-global
+  * set of canonical dbDir paths — `FileLock` is per-JVM, so without this
+  * a second same-JVM engine would hit an opaque
+  * `OverlappingFileLockException` instead of the engine's own error.
+  * Local-filesystem scope: on an object-store dbDir this would be a
+  * lease/heartbeat object instead; the catalog is local-FS today.
+  */
+object Engine {
+  private[core] final case class WriterLock(canonical: String,
+                                            channel: java.nio.channels.FileChannel,
+                                            lock: java.nio.channels.FileLock)
+
+  private val jvmHeld = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def acquireWriterLock(dbDir: String): WriterLock = {
+    val dir = java.nio.file.Paths.get(dbDir)
+    java.nio.file.Files.createDirectories(dir)
+    val canonical = dir.toRealPath().toString
+    if (!jvmHeld.add(canonical)) throw DbError.locked(dbDir)
+    val channel =
+      try java.nio.channels.FileChannel.open(dir.resolve(".graft.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      catch { case e: java.io.IOException =>
+        jvmHeld.remove(canonical)
+        throw DbError.ioError(s"cannot open lock file in $dbDir: ${e.getMessage}")
+      }
+    val lock =
+      try channel.tryLock()
+      catch { case scala.util.control.NonFatal(e) =>
+        channel.close(); jvmHeld.remove(canonical)
+        throw DbError.ioError(s"cannot lock $dbDir: ${e.getMessage}")
+      }
+    if (lock == null) { // held by another process
+      channel.close(); jvmHeld.remove(canonical)
+      throw DbError.locked(dbDir)
+    }
+    WriterLock(canonical, channel, lock)
+  }
+
+  private def releaseWriterLock(wl: WriterLock): Unit =
+    if (jvmHeld.remove(wl.canonical)) {
+      if (wl.lock.isValid) wl.lock.release()
+      wl.channel.close()
+    }
 }

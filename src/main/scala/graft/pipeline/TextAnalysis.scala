@@ -32,12 +32,116 @@ object TextAnalysis {
   val bpePattern: String = "'(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s']+"
 
   /** `(doc_id, n_bpe)`: BPE-ish pre-token count via regexp_count — per-row,
-    * codegen'd, no shuffle.
+    * codegen'd, no shuffle. (The merge-learning loop itself is
+    * [[bpeMerges]]; this is the cheap per-document budget proxy.)
     */
   def bpeTokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       regexp_count(col("text"), lit(bpePattern)).cast("int").as("n_bpe"))
       .orderBy("doc_id")
+
+  /** Learned BPE merge table: the real iterative merge-learning loop
+    * (Sennrich et al. 2016), not a proxy. Vocabulary = lowercase alpha
+    * word runs with corpus frequencies; symbols start as single
+    * characters (no end-of-word marker — a documented simplification
+    * that changes nothing about the loop's shape); each round counts
+    * adjacent symbol pairs weighted by word frequency, merges the
+    * most frequent pair (ties broken by (lhs, rhs) byte order — fully
+    * deterministic, so a SQL oracle replays the identical k rounds),
+    * and rewrites the symbol sequences with canonical leftmost-first
+    * non-overlapping application (overlaps only arise when lhs == rhs;
+    * islands of consecutive candidates keep their odd-ranked members).
+    *
+    * Scale shape: BPE learning is VOCAB-scale, not corpus-scale — the
+    * word-frequency table is orders of magnitude smaller than the
+    * corpus, so after the one corpus-wide word count every round's
+    * windows/joins shuffle a chars-of-vocab-sized table hash-partitioned
+    * by word. The loop is driver-iterated like [[Cluster]]: one
+    * singleton argmax row crosses to the driver per round (never the
+    * state), and each round's state is localCheckpoint'd to cut lineage.
+    *
+    * Returns `(rank, lhs, rhs, cnt)`, one row per learned merge, rank
+    * ascending; stops early if the vocabulary runs out of pairs.
+    */
+  /** The corpus-scale prologue of [[bpeMerges]]: vocabulary with
+    * frequencies, exploded to one row per (word, pos, char-symbol).
+    */
+  private def bpeInitialState(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+"), lit(0))).as("word"))
+      .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
+      .select(col("word"), col("freq"), posexplode(split(col("word"), "")))
+      .select(col("word"), col("freq"), col("pos").cast("int").as("pos"),
+        col("col").as("sym"))
+
+  private def bpeWithNext(state: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    state.withColumn("nsym",
+      lead(col("sym"), 1).over(Window.partitionBy("word").orderBy("pos")))
+  }
+
+  /** ONE round's pair-count plan over the initial state, UNEXECUTED —
+    * for plan audits only (the real loop is driver-iterated; see
+    * [[graft.pipeline.Cluster.planOf]] for the same pattern).
+    */
+  def bpeMergesPlanOf(docs: DataFrame): DataFrame =
+    bpeWithNext(bpeInitialState(docs)).filter(col("nsym").isNotNull)
+      .groupBy("sym", "nsym").agg(sum(col("freq")).as("cnt"))
+
+  def bpeMerges(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(k > 0, s"k ($k) must be positive")
+    var state = bpeInitialState(docs).localCheckpoint()
+    val byWord = Window.partitionBy("word").orderBy("pos")
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= k && !exhausted) {
+      val withNext = bpeWithNext(state)
+      val top = withNext.filter(col("nsym").isNotNull)
+        .groupBy("sym", "nsym").agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("sym").asc, col("nsym").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((rank, a, b, top(0).getLong(2)))
+        // canonical leftmost-first application as pure window arithmetic
+        // over the ONE (word, pos) ordering — no joins, so each round is
+        // a single hash shuffle by word. Candidates at consecutive
+        // positions (possible only when a == b) form islands; within an
+        // island the run start and every second position after it are
+        // merge heads, and the row after each head is consumed.
+        val runFrame = byWord.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)
+        val marked = withNext
+          .withColumn("cand", col("sym") === a && col("nsym") === b)
+          .withColumn("run_start", col("cand") &&
+            !coalesce(lag(col("cand"), 1).over(byWord), lit(false)))
+          // for a candidate, the most recent run start at-or-before it
+          // is ITS island's start (any non-candidate gap starts anew)
+          .withColumn("rsp",
+            max(when(col("run_start"), col("pos"))).over(runFrame))
+          .withColumn("head",
+            col("cand") && (col("pos") - col("rsp")) % 2 === 0)
+          .withColumn("consumed",
+            coalesce(lag(col("head"), 1).over(byWord), lit(false)))
+        state = marked.filter(!col("consumed"))
+          .select(col("word"), col("freq"), col("pos"),
+            when(col("head"), concat(col("sym"), col("nsym")))
+              .otherwise(col("sym")).as("sym"))
+          .withColumn("pos", (row_number().over(byWord) - 1).cast("int"))
+          .localCheckpoint()
+        rank += 1
+      }
+    }
+    merges.result().toDF("rank", "lhs", "rhs", "cnt")
+      .select(col("rank").cast("int"), col("lhs"), col("rhs"),
+        col("cnt").cast("long"))
+  }
 
   /** Integer occurrence count of literal `kw` in `t` (no regex):
     * (len(t) - len(replace(t, kw, ''))) / len(kw) — exact in any engine.

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.pipeline.{Cluster, Dedup, Ivf, Multimodal, Similarity, TextAnalysis}
 
@@ -202,13 +202,51 @@ object PipelineQueries {
     * fails the hash compare — recall is part of the hard driver signal,
     * not just a spec.
     */
-  def annRecall(s: SparkSession, d: String): DataFrame = {
+  def annRecall(s: SparkSession, d: String): DataFrame =
+    annRecallWith(s, d, annQueryPred)
+
+  private def annQueryPred: Column = col("vec_id") < 100
+
+  /** Deterministic md5-priority sample predicate: keeps ids whose
+    * 60-bit md5-derived priority falls in the lowest num/den of the
+    * space — stable across runs, partitionings, and engines (the same
+    * priority trick as [[graft.functions.ReservoirSample]]), so a
+    * sampled gate is reproducible and, at driver scale, replayable by
+    * the oracle.
+    */
+  def mdSamplePred(id: Column, num: Long, den: Long): Column =
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
+      .cast("long") % den < num
+
+  /** The 100 TB gate shape: the driver entry [[annRecall]] scores EVERY
+    * query brute-force against the corpus — the right exhaustive check
+    * at verification SF, and corpus-quadratic by construction. A
+    * production gate bounds that cost by sampling the QUERY set (the
+    * candidate corpus stays full, so each sampled query's exact top-k is
+    * still the true top-k): recall over a deterministic md5-priority
+    * sample of num/den of the queries estimates corpus recall with cost
+    * |sample| x |corpus| instead of |queries| x |corpus| — at 1e9
+    * vectors, a 1e-5 sample is ~1e4 exact searches per gate run, a
+    * nightly-job cost, while the sampler's determinism keeps successive
+    * runs comparable (same queries, so a recall drop is a real
+    * regression, not sampling noise).
+    */
+  def annRecallSampled(s: SparkSession, d: String,
+                       num: Long, den: Long): DataFrame =
+    annRecallWith(s, d, annQueryPred && mdSamplePred(col("vec_id"), num, den))
+
+  private def annRecallWith(s: SparkSession, d: String,
+                            queryPred: Column): DataFrame = {
+    val emb = Tables.embeddings(s, d)
     // the exact list feeds THREE consumers (the totals row and both
     // intersects); uncached, each would replay the all-pairs brute-force
     // scoring — cache the k*|queries| rows for the duration of this call
-    val exact = annTopk(s, d).select("qid", "nid").cache()
-    val lsh = annLsh(s, d).select("qid", "nid")
-    val ivf = annIvf(s, d).select("qid", "nid")
+    val exact = Similarity.bruteForceTopK(emb, k = 3, queryPred = queryPred)
+      .select("qid", "nid").cache()
+    val lsh = Similarity.lshTopK(emb, k = 3, bands = 16, r = 6,
+      queryPred = queryPred).select("qid", "nid")
+    val ivf = Ivf.topK(emb, k = 3, nCells = 16, iters = 2, nprobe = 4,
+      queryPred = queryPred).select("qid", "nid")
     val tot = exact.agg(count(lit(1)).as("n_exact"),
       countDistinct(col("qid")).as("n_queries"))
     val lh = exact.intersect(lsh).agg(count(lit(1)).as("lsh_hits"))
@@ -263,10 +301,27 @@ object PipelineQueries {
     * oracle-derived (the [[dedupEmbedding]] SQL, aggregated), so a
     * recall collapse OR an exact-path drift flips the hash compare.
     */
-  def embeddingLshRecall(s: SparkSession, d: String): DataFrame = {
-    val exact = Similarity.cosinePairs(Tables.embeddings(s, d),
-      tnum = 9, tden = 20).cache()
-    val lsh = Similarity.lshCosinePairs(Tables.embeddings(s, d),
+  def embeddingLshRecall(s: SparkSession, d: String): DataFrame =
+    embeddingLshRecallWith(s, d, lit(true))
+
+  /** The 100 TB gate shape for the pairwise gate (see
+    * [[annRecallSampled]] for the rationale): the exhaustive exact side
+    * scores all document pairs — right at verification SF, quadratic at
+    * corpus scale. Here the bounded variant samples DOCUMENTS (an
+    * md5-priority num/den of vec_ids) and measures recall on the pairs
+    * inside the sample: both sides see the identical sub-corpus, so the
+    * ratio is still LSH-found / exact over a like-for-like population,
+    * at (num/den)^2 of the exact cost.
+    */
+  def embeddingLshRecallSampled(s: SparkSession, d: String,
+                                num: Long, den: Long): DataFrame =
+    embeddingLshRecallWith(s, d, mdSamplePred(col("vec_id"), num, den))
+
+  private def embeddingLshRecallWith(s: SparkSession, d: String,
+                                     docPred: Column): DataFrame = {
+    val emb = Tables.embeddings(s, d).filter(docPred)
+    val exact = Similarity.cosinePairs(emb, tnum = 9, tden = 20).cache()
+    val lsh = Similarity.lshCosinePairs(emb,
       bands = 64, r = 8, tnum = 9, tden = 20)
     val tot = exact.agg(count(lit(1)).as("n_exact"))
     val hits = exact.intersect(lsh).agg(count(lit(1)).as("lsh_hits"))
@@ -302,6 +357,73 @@ object PipelineQueries {
 
   def textTokensBpe(s: SparkSession, d: String): DataFrame =
     TextAnalysis.bpeTokens(Tables.documents(s, d))
+
+  /** Learned BPE merge table (k = 8 rounds) — the oracle SQL is
+    * GENERATED for the same k by [[bpeMergeSql]], so DuckDB replays the
+    * identical iterative learning loop (pair counts, deterministic
+    * argmax, canonical leftmost-first application) round for round.
+    */
+  def textBpeMerges(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bpeMerges(Tables.documents(s, d), k = bpeMergeRounds)
+      .orderBy("rank")
+
+  private val bpeMergeRounds = 8
+
+  /** The BPE learning replay as chained CTEs, one block per round:
+    * n{r} adds each symbol's successor, m{r} is the round's argmax pair
+    * (count desc, then (lhs, rhs) byte order — the same tie-break the
+    * engine uses), h{r} the kept merge heads (odd ranks within islands
+    * of consecutive candidates), s{r} the rewritten symbol state.
+    */
+  private def bpeMergeSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH w AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        |    FROM documents) GROUP BY word),
+        |s0 AS MATERIALIZED (
+        |  SELECT word, freq,
+        |    generate_subscripts(string_split(word, ''), 1) - 1 AS pos,
+        |    unnest(string_split(word, '')) AS sym
+        |  FROM w)""".stripMargin)
+    for (r <- 1 to k) {
+      sb.append(s""",
+        |n$r AS MATERIALIZED (
+        |  SELECT word, freq, pos, sym,
+        |    lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nsym
+        |  FROM s${r - 1}),
+        |m$r AS MATERIALIZED (
+        |  SELECT sym AS a, nsym AS b, sum(freq) AS cnt FROM n$r
+        |  WHERE nsym IS NOT NULL GROUP BY sym, nsym
+        |  ORDER BY cnt DESC, a, b LIMIT 1),
+        |h$r AS MATERIALIZED (
+        |  SELECT word, pos FROM (
+        |    SELECT word, pos,
+        |      row_number() OVER (PARTITION BY word, grp ORDER BY pos) AS rn
+        |    FROM (
+        |      SELECT c.word, c.pos,
+        |        c.pos - row_number() OVER (PARTITION BY c.word ORDER BY c.pos) AS grp
+        |      FROM n$r c CROSS JOIN m$r m
+        |      WHERE c.sym = m.a AND c.nsym = m.b))
+        |  WHERE rn % 2 = 1),
+        |s$r AS MATERIALIZED (
+        |  SELECT word, freq,
+        |    row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos, sym
+        |  FROM (
+        |    SELECT c.word, c.freq, c.pos,
+        |      CASE WHEN h.pos IS NOT NULL THEN c.sym || c.nsym ELSE c.sym END AS sym
+        |    FROM n$r c
+        |    LEFT JOIN h$r h ON c.word = h.word AND c.pos = h.pos
+        |    LEFT JOIN h$r d ON c.word = d.word AND c.pos = d.pos + 1
+        |    WHERE d.pos IS NULL))""".stripMargin)
+    }
+    sb.append("\n")
+    sb.append((1 to k).map(r =>
+      s"SELECT CAST($r AS INTEGER) AS rank, a AS lhs, b AS rhs, CAST(cnt AS BIGINT) AS cnt FROM m$r")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY rank"))
+    sb.toString
+  }
 
   def textQuality(s: SparkSession, d: String): DataFrame =
     TextAnalysis.quality(Tables.documents(s, d))
@@ -489,6 +611,7 @@ object PipelineQueries {
     "pipeline_prep_full" -> pipelinePrepFull,
     "text_tokens" -> textTokens,
     "text_tokens_bpe" -> textTokensBpe,
+    "text_bpe_merges" -> textBpeMerges,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
@@ -517,6 +640,8 @@ object PipelineQueries {
   val planOnlyQueries: Map[String, Q] = Map(
     "dedup_clusters" -> dedupClustersPlan,
     "pipeline_prep_full" -> pipelinePrepFullPlan,
+    "text_bpe_merges" -> ((s, d) =>
+      TextAnalysis.bpeMergesPlanOf(Tables.documents(s, d))),
   )
 
   /** Exact word-3gram Jaccard pairs at tnum/tden, shared by the minhash
@@ -876,6 +1001,7 @@ object PipelineQueries {
       """SELECT doc_id, CAST(length(regexp_extract_all(text,
         |  '''(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s'']+')) AS INTEGER) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_bpe_merges" -> bpeMergeSql(bpeMergeRounds),
     "text_quality" ->
       """WITH q AS (SELECT doc_id, text,
         |  CASE WHEN length(trim(text)) = 0 THEN 0

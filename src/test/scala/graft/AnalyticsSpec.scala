@@ -85,6 +85,24 @@ class AnalyticsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("recall gate verdicts are stable under deterministic query/doc sampling") {
+    // the 100 TB gate shape: the exact side over an md5-priority sample
+    // instead of the full (quadratic) population — verdicts must agree
+    // with the exhaustive gates the driver checks (both are
+    // deterministic, so this pins agreement, not luck)
+    import graft.queries.PipelineQueries
+    val d = "/root/testdata/sf0.001"
+    val ann = PipelineQueries.annRecallSampled(spark, d, 1L, 2L).collect()(0)
+    assert(ann.getLong(0) == 52L, "md5 sampler kept a stable query subset")
+    assert(ann.getBoolean(1) && ann.getBoolean(2),
+      "sampled ANN recall verdicts hold")
+    val emb = PipelineQueries.embeddingLshRecallSampled(spark, d, 3L, 4L)
+      .collect()(0)
+    assert(emb.getLong(0) == 3L, "sampled exact-pair population is bounded")
+    assert(emb.getBoolean(1), "sampled embedding-LSH recall verdict holds")
+    spark.catalog.clearCache()
+  }
+
   test("gate materialization refuses a non-singleton result") {
     // materializedAndReleased collects to the driver — by construction
     // gates are 1 row, and a future caller passing anything bigger must

@@ -67,4 +67,21 @@ class BenchSpec extends SparkSpec {
     // every query still gets all its reps and a min
     assert(results.forall(_.okReps == 3))
   }
+
+  test("worst-min re-measure adds a sample to exactly the slowest queries") {
+    val good = (s: SparkSession, _: String) => s.range(3).toDF("id")
+    val selected = Seq("slow" -> good, "fast" -> good, "mid" -> good)
+    val measured = Seq(
+      Bench.QueryResult("slow", Seq(9.0, 9.5), None, 2),
+      Bench.QueryResult("fast", Seq(0.1, 0.2), None, 2),
+      Bench.QueryResult("mid", Seq(1.0, 1.1), None, 2))
+    val defended = Bench.remeasureWorst(spark, selected, measured,
+      "unused", n = 2)
+    val byName = defended.map(r => r.name -> r).toMap
+    // the two largest mins got one extra (real) sample; the fast one not
+    assert(byName("slow").okReps == 3 && byName("mid").okReps == 3)
+    assert(byName("fast").okReps == 2)
+    // extra samples can only keep or lower the min
+    assert(byName("slow").okTimes.min <= 9.0)
+  }
 }

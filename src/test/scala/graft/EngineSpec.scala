@@ -351,9 +351,29 @@ class EngineSpec extends SparkSpec {
     assert(e2.execute("p=select(ra)\nv=fetch(rd,p)\ncount(v)") == Seq("7"))
   }
 
+  test("second live engine on the same dbDir fails loudly with DBELOCKED") {
+    val db = tmpDir("graftdb")
+    val e = new Engine(spark, db)
+    e.execute("""create(la,"unsorted")""")
+    // concurrent open: the one-writer-per-dbDir assumption is enforced,
+    // not trusted — the second engine dies before touching the store
+    val ex = intercept[DbException] { new Engine(spark, db) }
+    assert(ex.code == "DBELOCKED")
+    // the refused open must not have broken the live engine's store
+    e.execute("insert(la,5)")
+    assert(e.execute("select(la)") == Seq("0"))
+    // clean shutdown releases; the store is then takeable (restart
+    // pattern), and close() is idempotent
+    e.close(); e.close()
+    val e2 = new Engine(spark, db)
+    assert(e2.execute("p=select(la)\nv=fetch(la,p)\nprint(v)") == Seq("5"))
+    e2.close()
+  }
+
   test("persistence: a new engine over the same dbDir sees the data") {
     val (e, _, _) = freshEngine()
     e.execute("insert(ra,42,rc,42,rd,42)")
+    e.close() // clean shutdown releases the single-writer lock
     val e2 = new Engine(spark, e.dbDir)
     assert(e2.execute("select(ra,42)") == Seq("8"))
     assert(e2.execute("p=select(rc,1,8)\nv=fetch(rd,p)\ncount(v)") == Seq("8"))
@@ -426,6 +446,9 @@ class EngineSpec extends SparkSpec {
     // once per column per engine lifetime (Engine.orphanChecked).
     spark.range(1).selectExpr("CAST(2 AS LONG) AS id", "CAST(99 AS INT) AS v")
       .write.mode("append").parquet(meta.dataPath)
+    // the "crashed" process's OS lock dies with it; in-JVM we model that
+    // with close() so the fresh engine can take the store
+    e.close()
     // the next insert must fold the dir first (dropping the orphan), not
     // append a second id=2 that becomes a visible duplicate
     val e2 = new Engine(spark, db)
@@ -452,6 +475,7 @@ class EngineSpec extends SparkSpec {
       "not parquet at all")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(e.dbDir, "catalog.txt.tmp"), "garbage\tgarbage")
+    e.close() // the crashed writer's lock is gone; see the lock spec below
     val e2 = new Engine(spark, e.dbDir)
     assert(e2.execute("p=select(rc,1,8)\nv=fetch(rd,p)\nsum(v)") == before)
     // and the column can still advance past the orphaned version number

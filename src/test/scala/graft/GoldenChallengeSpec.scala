@@ -58,12 +58,14 @@ class GoldenChallengeSpec extends SparkSpec {
     */
   test("p4 individual splits: fresh engine per split, byte-diff each") {
     val db = tmpDir("golden_p4ind_db")
-    new Engine(spark, db)
-      .execute(referenceScript("p4challenge/individual/p4c-0-load.txt"))
+    val loader = new Engine(spark, db)
+    loader.execute(referenceScript("p4challenge/individual/p4c-0-load.txt"))
+    loader.close() // one live writer per dbDir: each split takes the lock
     val expected = expectedLines("p4.expected")
     (1 to 6).foreach { k =>
-      val out = new Engine(spark, db)
-        .execute(referenceScript(s"p4challenge/individual/p4c-$k.txt"))
+      val e = new Engine(spark, db)
+      val out = e.execute(referenceScript(s"p4challenge/individual/p4c-$k.txt"))
+      e.close()
       assert(out == Seq(expected(k - 1)), s"split p4c-$k")
     }
   }

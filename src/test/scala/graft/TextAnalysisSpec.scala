@@ -11,6 +11,29 @@ import graft.pipeline.TextAnalysis
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("BPE merge learning: hand-computed rounds, island overlap, early stop") {
+    // vocab: "aaaa" x2, "bb" x1.
+    // round 1: (a,a) count 3 pairs x freq 2 = 6 beats (b,b)=1; canonical
+    //   leftmost-first on a 3-candidate island keeps pos 0 and 2 ->
+    //   "aaaa" becomes [aa, aa]
+    // round 2: (aa,aa)=2 beats (b,b)=1 -> [aaaa]
+    // round 3: only (b,b)=1 remains
+    // round 4: no pairs left -> stops early at 3 merges despite k=5
+    val docs = Seq((1L, "aaaa aaaa bb")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMerges(docs, k = 5).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1, "a", "a", 6L), (2, "aa", "aa", 2L),
+      (3, "b", "b", 1L)))
+  }
+
+  test("BPE merge tie-break is (lhs, rhs) byte order") {
+    val docs = Seq((1L, "cd ab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMerges(docs, k = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // both pairs have count 1; (a,b) < (c,d) byte-wise
+    assert(got.toSeq == Seq((1, "a", "b", 1L), (2, "c", "d", 1L)))
+  }
+
   test("repetition metrics: hand-computed fractions and edge docs") {
     val docs = Seq(
       (1L, "a a a a"),          // 4 tokens, 1 distinct, bigram "a a" x3
