@@ -89,7 +89,38 @@ object TextAnalysis {
     bpeWithNext(bpeInitialState(docs)).filter(col("nsym").isNotNull)
       .groupBy("sym", "nsym").agg(sum(col("freq")).as("cnt"))
 
-  def bpeMerges(docs: DataFrame, k: Int): DataFrame = {
+  def bpeMerges(docs: DataFrame, k: Int): DataFrame =
+    bpeLearn(docs, k)._1
+
+  /** Token counts under the LEARNED tokenizer: apply the k merges of
+    * [[bpeMerges]] back to the corpus and report each document's
+    * post-merge symbol count — the number a token-budget pipeline
+    * actually wants (the pre-token proxy [[bpeTokens]] over-counts by
+    * whatever the merges compress). Because merge application is
+    * deterministic PER WORD (context-free), the final training state
+    * already carries every word's segmentation — encoding is a
+    * vocab-sized join (word -> n_sym), never a second iterative pass:
+    * `n_bpe_tokens(doc) = sum over word occurrences of n_sym(word)`.
+    * Out-of-vocabulary words cannot arise when encoding the training
+    * corpus itself; a serving-time encoder would fall back to
+    * character count (= the untrained segmentation).
+    */
+  def bpeEncodedCounts(docs: DataFrame, k: Int): DataFrame = {
+    val nSyms = bpeLearn(docs, k)._2
+      .groupBy("word").agg(count(lit(1)).cast("long").as("n_sym"))
+    docs
+      .select(col("doc_id"), explode_outer(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+"), lit(0))).as("word"))
+      .join(nSyms, Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(coalesce(sum(col("n_sym")), lit(0L)).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** The learning loop shared by [[bpeMerges]] and [[bpeEncodedCounts]]:
+    * returns (merge table, final symbol state).
+    */
+  private def bpeLearn(docs: DataFrame, k: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     import spark.implicits._
@@ -138,9 +169,10 @@ object TextAnalysis {
         rank += 1
       }
     }
-    merges.result().toDF("rank", "lhs", "rhs", "cnt")
+    val table = merges.result().toDF("rank", "lhs", "rhs", "cnt")
       .select(col("rank").cast("int"), col("lhs"), col("rhs"),
         col("cnt").cast("long"))
+    (table, state)
   }
 
   /** Integer occurrence count of literal `kw` in `t` (no regex):

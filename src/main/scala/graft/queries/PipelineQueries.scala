@@ -367,6 +367,14 @@ object PipelineQueries {
     TextAnalysis.bpeMerges(Tables.documents(s, d), k = bpeMergeRounds)
       .orderBy("rank")
 
+  /** Per-document token counts under the LEARNED tokenizer (apply the
+    * [[textBpeMerges]] merges back to the corpus — see
+    * [[TextAnalysis.bpeEncodedCounts]]); oracle generated by
+    * [[bpeEncodeSql]] over the same replayed chain.
+    */
+  def textBpeEncode(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bpeEncodedCounts(Tables.documents(s, d), k = bpeMergeRounds)
+
   private val bpeMergeRounds = 8
 
   /** The BPE learning replay as chained CTEs, one block per round:
@@ -375,7 +383,34 @@ object PipelineQueries {
     * engine uses), h{r} the kept merge heads (odd ranks within islands
     * of consecutive candidates), s{r} the rewritten symbol state.
     */
-  private def bpeMergeSql(k: Int): String = {
+  private def bpeMergeSql(k: Int): String =
+    bpeChainCtes(k) + "\n" + (1 to k).map(r =>
+      s"SELECT CAST($r AS INTEGER) AS rank, a AS lhs, b AS rhs, CAST(cnt AS BIGINT) AS cnt FROM m$r")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY rank")
+
+  /** Oracle for [[textBpeEncode]]: the same replayed chain, then each
+    * word's post-merge symbol count joined back onto the corpus.
+    * LEFT JOIN keeps wordless documents at count 0, matching the
+    * engine's explode_outer.
+    */
+  private def bpeEncodeSql(k: Int): String =
+    bpeChainCtes(k) + s""",
+      |nsym AS MATERIALIZED (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS n_sym FROM s$k GROUP BY word),
+      |docw AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      |  FROM documents),
+      |perdoc AS (
+      |  SELECT dw.doc_id, sum(n.n_sym) AS s
+      |  FROM docw dw JOIN nsym n USING (word) GROUP BY dw.doc_id)
+      |SELECT d.doc_id, CAST(coalesce(p.s, 0) AS BIGINT) AS n_bpe_tokens
+      |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** The shared WITH chain through the final state s{k} (see
+    * [[bpeMergeSql]] for the per-round block documentation).
+    */
+  private def bpeChainCtes(k: Int): String = {
     val sb = new StringBuilder
     sb.append(
       """WITH w AS (
@@ -418,10 +453,6 @@ object PipelineQueries {
         |    LEFT JOIN h$r d ON c.word = d.word AND c.pos = d.pos + 1
         |    WHERE d.pos IS NULL))""".stripMargin)
     }
-    sb.append("\n")
-    sb.append((1 to k).map(r =>
-      s"SELECT CAST($r AS INTEGER) AS rank, a AS lhs, b AS rhs, CAST(cnt AS BIGINT) AS cnt FROM m$r")
-      .mkString("", "\nUNION ALL\n", "\nORDER BY rank"))
     sb.toString
   }
 
@@ -612,6 +643,7 @@ object PipelineQueries {
     "text_tokens" -> textTokens,
     "text_tokens_bpe" -> textTokensBpe,
     "text_bpe_merges" -> textBpeMerges,
+    "text_bpe_encode" -> textBpeEncode,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
@@ -641,6 +673,8 @@ object PipelineQueries {
     "dedup_clusters" -> dedupClustersPlan,
     "pipeline_prep_full" -> pipelinePrepFullPlan,
     "text_bpe_merges" -> ((s, d) =>
+      TextAnalysis.bpeMergesPlanOf(Tables.documents(s, d))),
+    "text_bpe_encode" -> ((s, d) =>
       TextAnalysis.bpeMergesPlanOf(Tables.documents(s, d))),
   )
 
@@ -1002,6 +1036,7 @@ object PipelineQueries {
         |  '''(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s'']+')) AS INTEGER) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_bpe_merges" -> bpeMergeSql(bpeMergeRounds),
+    "text_bpe_encode" -> bpeEncodeSql(bpeMergeRounds),
     "text_quality" ->
       """WITH q AS (SELECT doc_id, text,
         |  CASE WHEN length(trim(text)) = 0 THEN 0

@@ -107,7 +107,10 @@ object Cli {
       case e: FatalSessionError =>
         System.err.println(e.getMessage)
         failed = true
-    } finally spark.stop()
+    } finally {
+      engine.close() // release the single-writer lock on clean shutdown
+      spark.stop()
+    }
     if (failed) sys.exit(1)
   }
 }

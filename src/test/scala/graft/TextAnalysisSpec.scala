@@ -26,6 +26,18 @@ class TextAnalysisSpec extends SparkSpec {
       (3, "b", "b", 1L)))
   }
 
+  test("BPE encode counts post-merge symbols per doc; wordless docs are 0") {
+    // after k=2 ((a,a) then (aa,aa)): "aaaa" -> [aaaa] = 1 symbol,
+    // "bb" -> [b, b] = 2 (the (b,b) merge is round 3, not learned yet)
+    val docs = Seq(
+      (1L, "aaaa aaaa bb"), // 1 + 1 + 2 = 4
+      (2L, "42 ... 17"),    // no alpha words -> 0, row still emitted
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncodedCounts(docs, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 4L, 2L -> 0L))
+  }
+
   test("BPE merge tie-break is (lhs, rhs) byte order") {
     val docs = Seq((1L, "cd ab")).toDF("doc_id", "text")
     val got = TextAnalysis.bpeMerges(docs, k = 2).collect()
