@@ -29,7 +29,15 @@ final class Engine(val spark: SparkSession, val dbDir: String)
   // acquired BEFORE the catalog touches anything: a second live engine
   // must fail loudly without reading or writing a byte of the store
   private val writerLock = Engine.acquireWriterLock(dbDir)
-  val catalog = new Catalog(dbDir)
+  // a throwing catalog load (malformed catalog.txt) must release the
+  // lock on its way out — there is no Engine instance to close(), and a
+  // leaked lock would turn every retry-after-repair into a misleading
+  // DBELOCKED for the rest of the JVM's life
+  val catalog: Catalog =
+    try new Catalog(dbDir)
+    catch { case e: Throwable =>
+      Engine.releaseWriterLock(writerLock); throw e
+    }
 
   /** Release the single-writer lock. The restart pattern (stop one
     * server process, start another on the same store) is modeled as

@@ -107,7 +107,15 @@ object Cluster {
     * certain to die during a multi-round contraction and a lost block
     * would otherwise fail the whole loop past recomputation (the lineage
     * behind a localCheckpoint is truncated, so Spark cannot rebuild it).
-    * Cost: one distributed write + read per cut.
+    * Cost: one distributed write + read per cut, and transiently up to
+    * two edge-set snapshots on the store — Spark itself NEVER deletes
+    * reliable checkpoints, so each cut prunes the superseded snapshots
+    * (all but the newest, which later cuts read) rather than leaving
+    * ~2*rounds full edge sets behind. ONE snapshot (the converged star
+    * state, output-sized) necessarily outlives the call because the
+    * returned plan reads it; consume the result, then delete the
+    * `cc-*` subdirectory. `SparkContext.setCheckpointDir` is a global
+    * pointer, so run one reliable-mode loop at a time per context.
     */
   def connectedComponents(spark: SparkSession, pairs: DataFrame,
                           maxRounds: Int = 25,
@@ -115,7 +123,15 @@ object Cluster {
     val cut: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
         spark.sparkContext.setCheckpointDir(dir)
-        df => df.checkpoint()
+        // capture the resolved dir (Spark appends its own unique
+        // subdirectory) so pruning only ever touches THIS loop's
+        // snapshots, even if someone else repoints the global pointer
+        val ccDir = spark.sparkContext.getCheckpointDir.get
+        df => {
+          val out = df.checkpoint() // eager: materialized before pruning
+          pruneSnapshots(spark, ccDir)
+          out
+        }
       case None => df => df.localCheckpoint()
     }
     var edges = cut(normalized(pairs))
@@ -136,6 +152,25 @@ object Cluster {
     require(stable, s"connected components did not converge in $maxRounds " +
       "rounds — cycle in star contraction (should be impossible)")
     labelsOf(edges)
+  }
+
+  /** Delete all but the newest `rdd-*` snapshot under this loop's
+    * checkpoint directory. Safe because the contraction is strictly
+    * sequential: once a cut has materialized (checkpoint is eager),
+    * every earlier snapshot is unreferenced by all future computation —
+    * only the newest is read by the next half-round (and, after
+    * convergence, by the returned plan).
+    */
+  private def pruneSnapshots(spark: SparkSession, ccDir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(ccDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rdds = fs.listStatus(path)
+      .filter(_.getPath.getName.startsWith("rdd-"))
+    if (rdds.length > 1) {
+      val newest = rdds
+        .maxBy(_.getPath.getName.stripPrefix("rdd-").toLong)
+      rdds.filter(_ ne newest).foreach(s => fs.delete(s.getPath, true))
+    }
   }
 
   /** Converged small-star output is (member, root) stars; roots join as

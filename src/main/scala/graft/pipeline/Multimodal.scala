@@ -30,17 +30,46 @@ object Multimodal {
   final case class MediaFeatures(doc_id: Long, kind: String, n_bytes: Long,
                                  width: Int, height: Int, feature: Array[Float])
 
-  /** Real image codec over the JDK's `javax.imageio`. */
+  /** Real image codec over the JDK's `javax.imageio`. ALL ImageIO use
+    * routes through this object so its initializer below is guaranteed
+    * to have run first on every executor JVM.
+    */
   object MediaCodec {
 
+    // ImageIO's default stream cache spools every read/write through an
+    // on-disk temp file — one create+delete PER ROW inside
+    // mapPartitions, for buffers that already live in memory. Off, once
+    // per JVM (this object initializes on first use on each executor).
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** BMP-encode a raster (the shared writer behind [[syntheticBmp]]
+      * and [[resizeImages]]).
+      */
+    private[pipeline] def encodeBmp(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "bmp", bos)
+      bos.toByteArray
+    }
+
+    /** Raster decode that returns null for BOTH unrecognized bytes and
+      * recognized-but-corrupt bodies (ImageIO throws on the latter).
+      */
+    private[pipeline] def readOrNull(bytes: Array[Byte]): java.awt.image.BufferedImage =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+
     /** True raster decode: `Some((width, height, 8-bin luminance
-      * histogram))`, or None when no installed reader recognises the
-      * bytes. The histogram counts pixels by `lum >> 5` where lum is the
-      * integer mean of the R/G/B channels — deterministic, so specs pin
-      * exact values.
+      * histogram))`, or None when the bytes don't decode — BOTH when no
+      * installed reader recognises them (ImageIO returns null) and when
+      * a reader recognises the format but the body is corrupt/truncated
+      * (ImageIO throws). The realistic corrupt-media case at scale is
+      * the second one, and it must quarantine, not kill the stage. The
+      * histogram counts pixels by `lum >> 5` where lum is the integer
+      * mean of the R/G/B channels — deterministic, so specs pin exact
+      * values.
       */
     def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val img = readOrNull(bytes)
       if (img == null) None
       else {
         val w = img.getWidth
@@ -113,9 +142,7 @@ object Multimodal {
       }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "bmp", bos)
-    bos.toByteArray
+    MediaCodec.encodeBmp(img)
   }
 
   /** Image ingest: one synthetic BMP per document. In production this is
@@ -196,9 +223,11 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.map { m =>
+      // same quarantine contract as MediaCodec.decodeImage: a
+      // recognized-but-corrupt body throws inside ImageIO and must pass
+      // through untouched, not kill the stage
       val img =
-        if (m.kind.startsWith("image/"))
-          Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.media)))
+        if (m.kind.startsWith("image/")) Option(MediaCodec.readOrNull(m.media))
         else None
       img match {
         case Some(src) =>
@@ -211,9 +240,10 @@ object Multimodal {
               java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
             g.drawImage(src, 0, 0, targetW, targetH, null)
           } finally g.dispose()
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(dst, "bmp", bos)
-          MediaRow(m.doc_id, m.kind, bos.toByteArray)
+          // the payload is now BMP whatever it decoded from — the kind
+          // must say so, or kind-trusting consumers (extensions,
+          // content-type headers, routing) emit mislabeled bytes
+          MediaRow(m.doc_id, "image/bmp", MediaCodec.encodeBmp(dst))
         case None => m
       }
     }

@@ -163,6 +163,9 @@ object ParityQueries {
         |c=fetch(rc,p)
         |""".stripMargin).toOption.get.foreach(session.eval)
     val vals = Seq("a", "b", "c").map(v => session.getVals(v).df)
+    // the returned plans only READ the throwaway db; release the writer
+    // lock now or every bench rep leaks an open lock-file channel
+    engine.close()
     // the returned plan lazily reads the temp db, so the tree can only
     // go at JVM exit — register it now (dirs first: deleteOnExit deletes
     // in reverse registration order) so repeated bench/verify runs don't

@@ -100,6 +100,7 @@ object PerfBaseline {
                    |load("$s")
                    |""".stripMargin)
       e.execute(queryScript("hashjoin"))
+      e.close()
     }
 
     for (nR <- sizes) {
@@ -142,6 +143,7 @@ object PerfBaseline {
         val pairs = tuple.stripPrefix("(").stripSuffix(")").split(",")(2)
         println(f"""{"bench":"baseline","nR":$nR,"join":"$join","pairs":$pairs,"t_load":$tLoad%.2f,"t_query":$tQ%.2f,"t_total":${tLoad + tQ}%.2f,"tuple":"$tuple"}""")
       }
+      engine.close()
     }
     spark.stop()
   }

@@ -84,4 +84,15 @@ class BenchSpec extends SparkSpec {
     // extra samples can only keep or lower the min
     assert(byName("slow").okTimes.min <= 9.0)
   }
+
+  test("a failed bonus run is dropped, never marking a green query flaky") {
+    val bad: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (_, _) => throw new RuntimeException("spike hit the defense pass")
+    val measured = Seq(Bench.QueryResult("q", Seq(5.0, 5.1), None, 2))
+    val defended = Bench.remeasureWorst(spark, Seq("q" -> bad), measured,
+      "unused", n = 1)
+    assert(defended == measured) // untouched: no sample, no error carried
+    val line = Bench.render(defended, 2, "unused")
+    assert(line.contains("\"flaky\":0") && line.contains("\"failed\":0"))
+  }
 }

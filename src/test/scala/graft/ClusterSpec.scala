@@ -79,10 +79,19 @@ class ClusterSpec extends SparkSpec {
     val expect = (0L to 31L).map(_ -> 0L).toMap ++ Map(40L -> 40L, 41L -> 40L)
     assert(got == expect)
     // the cuts really went through the fault-tolerant path, not
-    // executor-local blocks
-    def anyFile(p: java.io.File): Boolean =
-      p.isFile || Option(p.listFiles).exists(_.exists(anyFile))
-    assert(anyFile(new java.io.File(dir)), s"no checkpoint files under $dir")
+    // executor-local blocks...
+    def rddDirs(p: java.io.File): Seq[java.io.File] = {
+      val kids = Option(p.listFiles).map(_.toSeq).getOrElse(Seq.empty)
+      kids.filter(f => f.isDirectory && f.getName.startsWith("rdd-")) ++
+        kids.filter(_.isDirectory).flatMap(rddDirs)
+    }
+    val remaining = rddDirs(new java.io.File(dir))
+    assert(remaining.nonEmpty, s"no checkpoint snapshots under $dir")
+    // ...and the superseded snapshots were pruned as the loop advanced:
+    // a multi-round path graph writes many cuts, but only the final
+    // (output-referenced) one may outlive the call
+    assert(remaining.size == 1,
+      s"expected 1 surviving snapshot, got ${remaining.map(_.getName)}")
   }
 
   test("planOf is a single unconverged round — audit-only, never the real labeling") {

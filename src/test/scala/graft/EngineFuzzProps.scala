@@ -192,6 +192,9 @@ object EngineFuzzProps extends Properties("EngineFuzz") {
         try got ++= session.eval(op)
         catch { case ex: DbException => gotErr = Some(ex.code) }
       }
+      // outputs are materialized above; release the writer lock so a
+      // long property run doesn't hold one lock-file fd per case
+      e.close()
       val ok = got.toSeq == wantOut && gotErr == wantErr
       ok :| s"seed=$seed script=\n${lines.mkString("\n")}\n" +
         s"engine=(${got.mkString(",")}, $gotErr) model=(${wantOut.mkString(",")}, $wantErr)"

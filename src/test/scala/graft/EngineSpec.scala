@@ -370,6 +370,21 @@ class EngineSpec extends SparkSpec {
     e2.close()
   }
 
+  test("a throwing catalog load releases the writer lock (repair + retry works)") {
+    val db = tmpDir("graftdb")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(db, "catalog.txt"), "garbage-no-tabs\n")
+    val ex = intercept[DbException] { new Engine(spark, db) }
+    assert(ex.code == "DBEFILE") // the real failure, not a lock artifact
+    // repair the catalog and retry IN THE SAME JVM: a leaked lock would
+    // surface here as a misleading DBELOCKED until process restart
+    java.nio.file.Files.delete(java.nio.file.Paths.get(db, "catalog.txt"))
+    val e = new Engine(spark, db)
+    e.execute("""create(ka,"unsorted")""")
+    assert(e.execute("select(ka)") == Seq.empty)
+    e.close()
+  }
+
   test("persistence: a new engine over the same dbDir sees the data") {
     val (e, _, _) = freshEngine()
     e.execute("insert(ra,42,rc,42,rd,42)")

@@ -59,11 +59,30 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("a declared image that doesn't decode lands in the corrupt channel (-1/-1)") {
+    // unrecognized bytes: no reader claims them (ImageIO returns null)
     val f = MediaCodec.decode(MediaRow(9L, "image/png",
       Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)))
     assert((f.width, f.height) == (-1, -1))
     // byte descriptor kept so the row stays triageable
     assert(f.feature.sum == (1 + 2 + 3 + 4 + 5 + 6 + 7 + 8).toFloat)
+  }
+
+  test("recognized-but-corrupt image bytes quarantine instead of throwing") {
+    // valid PNG signature + truncated body: ImageIO's PNG reader claims
+    // the stream and THROWS mid-decode — the realistic corrupt-media
+    // case at scale, and it must route to -1/-1, not kill the stage
+    val whole = encode(knownImage(java.awt.image.BufferedImage.TYPE_INT_RGB), "png")
+    val truncated = java.util.Arrays.copyOfRange(whole, 0, 24)
+    val f = MediaCodec.decode(MediaRow(10L, "image/png", truncated))
+    assert((f.width, f.height) == (-1, -1))
+    assert(f.n_bytes == 24L)
+    // resize has the same contract: corrupt rows pass through untouched
+    val spark0 = spark
+    import spark0.implicits._
+    val out = Multimodal.resizeImages(
+      spark.createDataset(Seq(MediaRow(10L, "image/png", truncated))), 4, 4)
+      .collect()(0)
+    assert(out.media.toSeq == truncated.toSeq && out.kind == "image/png")
   }
 
   test("non-image kinds are rasterless by contract (0/0) with byte features") {
