@@ -109,13 +109,16 @@ object Cluster {
     * behind a localCheckpoint is truncated, so Spark cannot rebuild it).
     * Cost: one distributed write + read per cut, and transiently up to
     * two edge-set snapshots on the store — Spark itself NEVER deletes
-    * reliable checkpoints, so each cut prunes the superseded snapshots
-    * (all but the newest, which later cuts read) rather than leaving
+    * reliable checkpoints, so each cut deletes the snapshot IT
+    * superseded (tracked by path from the checkpointed plan — never a
+    * dir-wide "all but newest", which would race with concurrent
+    * `df.checkpoint()` users of the same context) rather than leaving
     * ~2*rounds full edge sets behind. ONE snapshot (the converged star
     * state, output-sized) necessarily outlives the call because the
     * returned plan reads it; consume the result, then delete the
-    * `cc-*` subdirectory. `SparkContext.setCheckpointDir` is a global
-    * pointer, so run one reliable-mode loop at a time per context.
+    * checkpoint subdirectory. `SparkContext.setCheckpointDir` is a
+    * global pointer, so run one reliable-mode loop at a time per
+    * context.
     */
   def connectedComponents(spark: SparkSession, pairs: DataFrame,
                           maxRounds: Int = 25,
@@ -123,13 +126,19 @@ object Cluster {
     val cut: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
         spark.sparkContext.setCheckpointDir(dir)
-        // capture the resolved dir (Spark appends its own unique
-        // subdirectory) so pruning only ever touches THIS loop's
-        // snapshots, even if someone else repoints the global pointer
-        val ccDir = spark.sparkContext.getCheckpointDir.get
+        // track the snapshot path each cut ITSELF created (read off the
+        // checkpointed plan) and delete exactly the superseded own
+        // snapshot — never "all but newest under the dir", which would
+        // race with any concurrent df.checkpoint() from another thread
+        // in the same context (the checkpoint dir is a global pointer,
+        // so a stranger's snapshot can land next to ours mid-loop)
+        var prevOwn: Option[String] = None
         df => {
           val out = df.checkpoint() // eager: materialized before pruning
-          pruneSnapshots(spark, ccDir)
+          val own = checkpointFileOf(out)
+          for (old <- prevOwn; nw <- own; if old != nw)
+            deletePath(spark, old)
+          if (own.isDefined) prevOwn = own
           out
         }
       case None => df => df.localCheckpoint()
@@ -154,23 +163,27 @@ object Cluster {
     labelsOf(edges)
   }
 
-  /** Delete all but the newest `rdd-*` snapshot under this loop's
-    * checkpoint directory. Safe because the contraction is strictly
-    * sequential: once a cut has materialized (checkpoint is eager),
-    * every earlier snapshot is unreferenced by all future computation —
-    * only the newest is read by the next half-round (and, after
-    * convergence, by the returned plan).
+  /** The reliable-checkpoint snapshot path a `df.checkpoint()` result
+    * reads from: the checkpointed Dataset's plan is a `LogicalRDD` over
+    * the internal RDD that was checkpointed, and that RDD knows its own
+    * file. None for plans that aren't a reliable checkpoint (then the
+    * loop simply skips pruning rather than guessing at paths).
     */
-  private def pruneSnapshots(spark: SparkSession, ccDir: String): Unit = {
-    val path = new org.apache.hadoop.fs.Path(ccDir)
+  private def checkpointFileOf(df: DataFrame): Option[String] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.flatMap(_.getCheckpointFile)
+
+  /** Delete ONE superseded snapshot this loop itself created. Safe
+    * because the contraction is strictly sequential: once a cut has
+    * materialized (checkpoint is eager), the previous own snapshot is
+    * unreferenced by all future computation — only the newest is read by
+    * the next half-round (and, after convergence, by the returned plan).
+    */
+  private def deletePath(spark: SparkSession, p: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(p)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val rdds = fs.listStatus(path)
-      .filter(_.getPath.getName.startsWith("rdd-"))
-    if (rdds.length > 1) {
-      val newest = rdds
-        .maxBy(_.getPath.getName.stripPrefix("rdd-").toLong)
-      rdds.filter(_ ne newest).foreach(s => fs.delete(s.getPath, true))
-    }
+    fs.delete(path, true)
   }
 
   /** Converged small-star output is (member, root) stars; roots join as

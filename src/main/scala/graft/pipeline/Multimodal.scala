@@ -74,30 +74,35 @@ object Multimodal {
       else {
         val w = img.getWidth
         val h = img.getHeight
-        val hist = new Array[Float](8)
+        // counts accumulate in LONGS: Float += 1 stops incrementing at
+        // 2^24 (a mostly-uniform >=4096x4096 raster silently undercounts
+        // a bin); one conversion at the end loses at most float rounding
+        val hist = new Array[Long](8)
         var y = 0
         while (y < h) {
           var x = 0
           while (x < w) {
             val rgb = img.getRGB(x, y)
             val lum = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
-            hist(lum >> 5) += 1f
+            hist(lum >> 5) += 1L
             x += 1
           }
           y += 1
         }
-        Some((w, h, hist))
+        Some((w, h, hist.map(_.toFloat)))
       }
     }
 
     /** Codec-free descriptor for non-image payloads: rolling byte sums.
-      * No raster, so callers pair this with width = height = 0.
+      * No raster, so callers pair this with width = height = 0. Sums
+      * accumulate in longs (a Float accumulator drifts once a lane's sum
+      * passes 2^24 — multi-MB payloads get there) and convert once.
       */
     def byteFeatures(media: Array[Byte]): Array[Float] = {
-      val feat = new Array[Float](8)
+      val feat = new Array[Long](8)
       var i = 0
-      while (i < media.length) { feat(i % 8) += (media(i) & 0xFF).toFloat; i += 1 }
-      feat
+      while (i < media.length) { feat(i % 8) += (media(i) & 0xFF).toLong; i += 1 }
+      feat.map(_.toFloat)
     }
 
     /** Decode one media row. `image/...` kinds go through the real raster
@@ -129,6 +134,11 @@ object Multimodal {
     * oracle recomputes from doc_id (verified exact for all w/h in range).
     */
   def syntheticBmp(docId: Long): Array[Byte] = {
+    // the DuckDB oracle derives dimensions with sign-following %, which
+    // diverges from floorMod for negative ids — reject at the synthesis
+    // boundary rather than silently hash-mismatching on a corpus that
+    // carries negative doc ids
+    require(docId >= 0, s"syntheticBmp requires a non-negative docId, got $docId")
     val w = 8 + java.lang.Math.floorMod(docId, 32L).toInt
     val h = 8 + java.lang.Math.floorMod(docId, 24L).toInt
     val img = new java.awt.image.BufferedImage(

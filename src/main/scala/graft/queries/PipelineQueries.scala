@@ -235,6 +235,18 @@ object PipelineQueries {
                        num: Long, den: Long): DataFrame =
     annRecallWith(s, d, annQueryPred && mdSamplePred(col("vec_id"), num, den))
 
+  /** The driver-facing instance of the sampled gate (num/den = 1/2):
+    * the 100 TB gate shape itself gets a CORRECTNESS row — the oracle
+    * replays the md5-priority sample in SQL and derives the expected
+    * sampled-population size, so a sampler drift OR a sampled-recall
+    * collapse fails the hash compare. Floors are the exhaustive gate's
+    * (52/58): measured sampled hits 84/156, 88/156, 91/156 (LSH) and
+    * 104/156, 92/156, 99/156 (IVF) at sf0.001/0.01/0.1 — all above
+    * floor with deterministic seeds ([[graft.tools.RecallProbe]]).
+    */
+  def annRecallSampledHalf(s: SparkSession, d: String): DataFrame =
+    annRecallSampled(s, d, num = 1L, den = 2L)
+
   private def annRecallWith(s: SparkSession, d: String,
                             queryPred: Column): DataFrame = {
     val emb = Tables.embeddings(s, d)
@@ -316,6 +328,15 @@ object PipelineQueries {
   def embeddingLshRecallSampled(s: SparkSession, d: String,
                                 num: Long, den: Long): DataFrame =
     embeddingLshRecallWith(s, d, mdSamplePred(col("vec_id"), num, den))
+
+  /** Driver-facing sampled pairwise gate (num/den = 1/2; see
+    * [[annRecallSampledHalf]]): the oracle recomputes the exact pairs of
+    * the SAMPLED sub-corpus, so `n_exact` checks the sampler and the
+    * exact path together. Measured sampled hits 1/1, 3/3, 26/31 at
+    * sf0.001/0.01/0.1 — above floor 66 with deterministic seeds.
+    */
+  def embeddingLshRecallSampledHalf(s: SparkSession, d: String): DataFrame =
+    embeddingLshRecallSampled(s, d, num = 1L, den = 2L)
 
   private def embeddingLshRecallWith(s: SparkSession, d: String,
                                      docPred: Column): DataFrame = {
@@ -635,7 +656,9 @@ object PipelineQueries {
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
     "ann_recall" -> annRecall,
+    "ann_recall_sampled" -> annRecallSampledHalf,
     "embedding_lsh_recall" -> embeddingLshRecall,
+    "embedding_lsh_recall_sampled" -> embeddingLshRecallSampledHalf,
     "sample_reservoir" -> sampleReservoir,
     "text_contamination" -> textContamination,
     "pipeline_prep" -> pipelinePrep,
@@ -1027,6 +1050,32 @@ object PipelineQueries {
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,
         |       TRUE AS lsh_recall_ok, TRUE AS ivf_recall_ok
         |FROM embeddings WHERE vec_id < 100""".stripMargin,
+    // the sampled gates replay the engine's md5-priority sample in SQL:
+    // n_queries / n_exact are derived from the SAMPLED population, so a
+    // sampler drift (different kept ids) or a sampled-recall collapse
+    // (boolean flip) both fail the hash compare
+    "ann_recall_sampled" ->
+      s"""WITH pri AS (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h
+         |  FROM embeddings WHERE vec_id < 100),
+         |samp AS (SELECT vec_id FROM pri WHERE ($md5Priority60Sql) % 2 < 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |       TRUE AS lsh_recall_ok, TRUE AS ivf_recall_ok
+         |FROM samp""".stripMargin,
+    "embedding_lsh_recall_sampled" ->
+      s"""WITH pri AS (SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS h
+         |  FROM embeddings),
+         |samp AS (SELECT vec_id, embedding FROM pri
+         |  WHERE ($md5Priority60Sql) % 2 < 1),
+         |q AS (SELECT vec_id, $quantSql AS qe FROM samp),
+         |n AS (SELECT vec_id, CAST(list_dot_product(qe, qe) AS BIGINT) AS n2, qe FROM q),
+         |pairs AS (
+         |  SELECT a.vec_id AS da, b.vec_id AS db
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |  WHERE CAST(list_dot_product(a.qe, b.qe) AS BIGINT) > 0
+         |    AND CAST(list_dot_product(a.qe, b.qe) AS BIGINT) * CAST(list_dot_product(a.qe, b.qe) AS BIGINT) * 400
+         |        >= 81 * a.n2 * b.n2)
+         |SELECT CAST(count(*) AS BIGINT) AS n_exact, TRUE AS lsh_recall_ok
+         |FROM pairs""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
         |  ELSE length(string_split_regex(trim(text), '\s+')) END AS INTEGER) AS n_tokens

@@ -46,8 +46,30 @@ object RecallProbe {
         Similarity.lshCosinePairs(emb, bands = 64, r = 8,
           tnum = 9, tden = 20)).count()
       exactPairs.unpersist()
+      // the SAMPLED gate populations (the driver entries run num/den =
+      // 1/2): raw hit counts so floors can be chosen against the actual
+      // small-population arithmetic, not a projected percentage
+      val sampPred = graft.queries.PipelineQueries.mdSamplePred(
+        col("vec_id"), 1L, 2L)
+      val sExact = Similarity.bruteForceTopK(emb, k = 3,
+        queryPred = col("vec_id") < 100 && sampPred)
+        .select("qid", "nid").cache()
+      val sN = sExact.count()
+      val sLsh = sExact.intersect(Similarity.lshTopK(emb, k = 3, bands = 16,
+        r = 6, queryPred = col("vec_id") < 100 && sampPred)
+        .select("qid", "nid")).count()
+      val sIvf = sExact.intersect(Ivf.topK(emb, k = 3, nCells = 16,
+        iters = 2, nprobe = 4, queryPred = col("vec_id") < 100 && sampPred)
+        .select("qid", "nid")).count()
+      sExact.unpersist()
+      val sEmb = emb.filter(sampPred)
+      val sPairs = Similarity.cosinePairs(sEmb, tnum = 9, tden = 20).cache()
+      val sNP = sPairs.count()
+      val sPH = sPairs.intersect(Similarity.lshCosinePairs(sEmb,
+        bands = 64, r = 8, tnum = 9, tden = 20)).count()
+      sPairs.unpersist()
       def pct(h: Long, n: Long) = if (n == 0) 100.0 else h * 100.0 / n
-      println(f"""{"probe":"recall","sf":"$d","ann_lsh":${pct(lshHits, nExact)}%.1f,"ann_ivf":${pct(ivfHits, nExact)}%.1f,"embedding_lsh":${pct(pairHits, nPairs)}%.1f,"n_exact_topk":$nExact,"n_exact_pairs":$nPairs}""")
+      println(f"""{"probe":"recall","sf":"$d","ann_lsh":${pct(lshHits, nExact)}%.1f,"ann_ivf":${pct(ivfHits, nExact)}%.1f,"embedding_lsh":${pct(pairHits, nPairs)}%.1f,"n_exact_topk":$nExact,"n_exact_pairs":$nPairs,"s_ann_lsh":$sLsh/$sN,"s_ann_ivf":$sIvf/$sN,"s_emb_lsh":$sPH/$sNP}""")
       spark.catalog.clearCache()
     }
     spark.stop()
