@@ -89,8 +89,29 @@ object TextAnalysis {
     bpeWithNext(bpeInitialState(docs)).filter(col("nsym").isNotNull)
       .groupBy("sym", "nsym").agg(sum(col("freq")).as("cnt"))
 
-  def bpeMerges(docs: DataFrame, k: Int): DataFrame =
-    bpeLearn(docs, k)._1
+  def bpeMerges(docs: DataFrame, k: Int, batch: Int = 1): DataFrame =
+    bpeLearn(docs, k, batch)._1
+
+  /** Both BPE outputs from ONE learning pass: a pipeline composing the
+    * merge table and the encoded counts (the common case — train the
+    * tokenizer, then budget the corpus under it) pays one loop, not two.
+    * The single-output entry points route through here.
+    */
+  final case class BpeOutputs(merges: DataFrame, encodedCounts: DataFrame)
+
+  def bpeAll(docs: DataFrame, k: Int, batch: Int = 1): BpeOutputs = {
+    val (merges, state) = bpeLearn(docs, k, batch)
+    val nSyms = state
+      .groupBy("word").agg(count(lit(1)).cast("long").as("n_sym"))
+    val counts = docs
+      .select(col("doc_id"), explode_outer(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+"), lit(0))).as("word"))
+      .join(nSyms, Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(coalesce(sum(col("n_sym")), lit(0L)).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+    BpeOutputs(merges, counts)
+  }
 
   /** Token counts under the LEARNED tokenizer: apply the k merges of
     * [[bpeMerges]] back to the corpus and report each document's
@@ -105,26 +126,96 @@ object TextAnalysis {
     * corpus itself; a serving-time encoder would fall back to
     * character count (= the untrained segmentation).
     */
-  def bpeEncodedCounts(docs: DataFrame, k: Int): DataFrame = {
-    val nSyms = bpeLearn(docs, k)._2
-      .groupBy("word").agg(count(lit(1)).cast("long").as("n_sym"))
-    docs
-      .select(col("doc_id"), explode_outer(regexp_extract_all(lower(col("text")),
-        lit("[a-z]+"), lit(0))).as("word"))
-      .join(nSyms, Seq("word"), "left")
-      .groupBy("doc_id")
-      .agg(coalesce(sum(col("n_sym")), lit(0L)).as("n_bpe_tokens"))
-      .orderBy("doc_id")
+  def bpeEncodedCounts(docs: DataFrame, k: Int, batch: Int = 1): DataFrame =
+    bpeAll(docs, k, batch).encodedCounts
+
+  /** Pick the prefix of one round's ranked pair list that is SAFE to
+    * merge together in one application pass, i.e. provably yields the
+    * byte-identical result sequential per-pair learning would. Walk the
+    * list in rank order (cnt desc, then (lhs, rhs)) accumulating each
+    * selected pair's key set {lhs, rhs, lhs+rhs}; stop at the first
+    * candidate whose key set intersects the accumulated keys (or at the
+    * batch cap), then keep only the prefix whose counts strictly exceed
+    * 4x a running bound (the argmax itself is always kept — a batch of
+    * one is sequential by definition). The bound starts at the
+    * stopper's count and is raised to a kept pair's OWN count whenever
+    * that pair is self-adjacent (lhs == rhs): merging (a, a) creates
+    * the brand-new pair (aa, aa), whose count is bounded by cnt(a, a)
+    * but by nothing the stopper sees — without the raise, "aaaa aaaa
+    * bb" batches (b, b) alongside (a, a) while sequential learning
+    * picks the emergent (aa, aa) first (caught by the equality spec).
+    *
+    * Why this is exact, not approximate: merging (a, b) can only change
+    * the count of a pair whose key set intersects {a, b, a+b} — merges
+    * destroy adjacencies only at consumed b-after-a positions, and
+    * create only adjacencies involving the new symbol a+b (which may
+    * string-equal a pre-existing symbol, hence the concat in the key).
+    * Every such affected pair either ranks at-or-below the stopper (the
+    * walk selected everything above it, and affected pairs are by
+    * definition unselectable) or is a kept self-pair (two distinct kept
+    * pairs can never chain — (rhs_j, lhs_l) shares a symbol with both,
+    * so it conflicts unless it IS them, which forces the self case); so
+    * its pre-round count is <= the running bound. A new count
+    * decomposes over the <=4 ways each side can be an old occurrence or
+    * a just-merged pair, each class injecting into one such old pair's
+    * adjacencies — so no pair outside the kept prefix can exceed 4x the
+    * bound at ANY point inside the batch. Kept pairs' own counts are
+    * untouched by each other (disjoint key sets), so at every
+    * within-batch step the kept pair IS the sequential argmax, with the
+    * same recorded count and the same tie-break.
+    */
+  private[graft] def safeBatch(
+      ranked: Seq[(String, String, Long)], batch: Int): Seq[(String, String, Long)] = {
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var keys = Set.empty[String]
+    var stopperCnt = 0L
+    var stopped = false
+    for (p <- ranked if !stopped) {
+      val ck = Set(p._1, p._2, p._1 + p._2)
+      if (selected.size >= batch || ck.exists(keys)) {
+        stopperCnt = p._3
+        stopped = true
+      } else {
+        selected += p
+        keys ++= ck
+      }
+    }
+    var bound = stopperCnt
+    def raise(p: (String, String, Long)): Unit =
+      if (p._1 == p._2) bound = bound max p._3
+    raise(selected.head)
+    val kept = scala.collection.mutable.ArrayBuffer(selected.head)
+    var open = true
+    for (p <- selected.tail if open) {
+      if (p._3 > 4 * bound) { kept += p; raise(p) }
+      else open = false
+    }
+    kept.toSeq
   }
 
-  /** The learning loop shared by [[bpeMerges]] and [[bpeEncodedCounts]]:
-    * returns (merge table, final symbol state).
+  /** The learning loop shared by [[bpeMerges]] and [[bpeEncodedCounts]]
+    * (via [[bpeAll]]): returns (merge table, final symbol state).
+    *
+    * `batch` bounds how many merges one Spark round may learn: each
+    * round fetches the top batch+1 pairs and applies the provably-safe
+    * prefix ([[safeBatch]]) in ONE window pass. batch = 1 is the
+    * classic one-merge-per-round Sennrich loop; at a production vocab
+    * (k = 32k–50k) one job cycle per merge means 32k+ driver
+    * round-trips, and batching non-interacting merges divides that by
+    * up to `batch` on the long skewed tail where top pairs rarely share
+    * symbols (early rounds, where counts are close, batch narrows
+    * automatically — the 4x-stopper guard keeps equality exact, never
+    * heuristic). Output is byte-identical for every batch value
+    * (spec-pinned at k = 8, and the batched driver query answers to the
+    * SEQUENTIAL SQL replay oracle).
     */
-  private def bpeLearn(docs: DataFrame, k: Int): (DataFrame, DataFrame) = {
+  private def bpeLearn(docs: DataFrame, k: Int,
+                       batch: Int = 1): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     import spark.implicits._
     require(k > 0, s"k ($k) must be positive")
+    require(batch >= 1, s"batch ($batch) must be >= 1")
     var state = bpeInitialState(docs).localCheckpoint()
     val byWord = Window.partitionBy("word").orderBy("pos")
     val merges = Seq.newBuilder[(Int, String, String, Long)]
@@ -135,21 +226,30 @@ object TextAnalysis {
       val top = withNext.filter(col("nsym").isNotNull)
         .groupBy("sym", "nsym").agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("sym").asc, col("nsym").asc)
-        .limit(1).collect()
+        .limit(batch + 1).collect()
       if (top.isEmpty) exhausted = true
       else {
-        val (a, b) = (top(0).getString(0), top(0).getString(1))
-        merges += ((rank, a, b, top(0).getLong(2)))
+        val ranked = top.toSeq.map(r =>
+          (r.getString(0), r.getString(1), r.getLong(2)))
+        val kept = safeBatch(ranked, batch).take(k - rank + 1)
+        kept.zipWithIndex.foreach { case ((a, b, cnt), i) =>
+          merges += ((rank + i, a, b, cnt))
+        }
         // canonical leftmost-first application as pure window arithmetic
         // over the ONE (word, pos) ordering — no joins, so each round is
-        // a single hash shuffle by word. Candidates at consecutive
-        // positions (possible only when a == b) form islands; within an
-        // island the run start and every second position after it are
-        // merge heads, and the row after each head is consumed.
+        // a single hash shuffle by word. With a batch, a candidate row
+        // matches ANY kept pair; disjoint key sets guarantee consecutive
+        // candidates always belong to the SAME pair (possible only when
+        // lhs == rhs), so islands keep the one-pair shape: the run start
+        // and every second position after it are merge heads, and the
+        // row after each head is consumed.
+        val cand = kept.map { case (a, b, _) =>
+          col("sym") === a && col("nsym") === b
+        }.reduce(_ || _)
         val runFrame = byWord.rowsBetween(Window.unboundedPreceding,
           Window.currentRow)
         val marked = withNext
-          .withColumn("cand", col("sym") === a && col("nsym") === b)
+          .withColumn("cand", cand)
           .withColumn("run_start", col("cand") &&
             !coalesce(lag(col("cand"), 1).over(byWord), lit(false)))
           // for a candidate, the most recent run start at-or-before it
@@ -166,7 +266,7 @@ object TextAnalysis {
               .otherwise(col("sym")).as("sym"))
           .withColumn("pos", (row_number().over(byWord) - 1).cast("int"))
           .localCheckpoint()
-        rank += 1
+        rank += kept.size
       }
     }
     val table = merges.result().toDF("rank", "lhs", "rhs", "cnt")

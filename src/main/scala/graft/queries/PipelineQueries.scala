@@ -396,6 +396,15 @@ object PipelineQueries {
   def textBpeEncode(s: SparkSession, d: String): DataFrame =
     TextAnalysis.bpeEncodedCounts(Tables.documents(s, d), k = bpeMergeRounds)
 
+  /** The BATCHED learning path (batch = k), answering to the SAME
+    * sequential SQL replay oracle as [[textBpeMerges]] — the
+    * batched-equals-sequential guarantee ([[TextAnalysis.safeBatch]])
+    * is itself part of the hard driver signal, not only a spec.
+    */
+  def textBpeBatched(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bpeMerges(Tables.documents(s, d), k = bpeMergeRounds,
+      batch = bpeMergeRounds).orderBy("rank")
+
   private val bpeMergeRounds = 8
 
   /** The BPE learning replay as chained CTEs, one block per round:
@@ -666,6 +675,7 @@ object PipelineQueries {
     "text_tokens" -> textTokens,
     "text_tokens_bpe" -> textTokensBpe,
     "text_bpe_merges" -> textBpeMerges,
+    "text_bpe_batched" -> textBpeBatched,
     "text_bpe_encode" -> textBpeEncode,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
@@ -696,6 +706,8 @@ object PipelineQueries {
     "dedup_clusters" -> dedupClustersPlan,
     "pipeline_prep_full" -> pipelinePrepFullPlan,
     "text_bpe_merges" -> ((s, d) =>
+      TextAnalysis.bpeMergesPlanOf(Tables.documents(s, d))),
+    "text_bpe_batched" -> ((s, d) =>
       TextAnalysis.bpeMergesPlanOf(Tables.documents(s, d))),
     "text_bpe_encode" -> ((s, d) =>
       TextAnalysis.bpeMergesPlanOf(Tables.documents(s, d))),
@@ -1085,6 +1097,8 @@ object PipelineQueries {
         |  '''(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s'']+')) AS INTEGER) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_bpe_merges" -> bpeMergeSql(bpeMergeRounds),
+    // the batched path must reproduce the SEQUENTIAL replay bit-for-bit
+    "text_bpe_batched" -> bpeMergeSql(bpeMergeRounds),
     "text_bpe_encode" -> bpeEncodeSql(bpeMergeRounds),
     "text_quality" ->
       """WITH q AS (SELECT doc_id, text,

@@ -46,6 +46,77 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.toSeq == Seq((1, "a", "b", 1L), (2, "c", "d", 1L)))
   }
 
+  test("safeBatch: conflict stop, concat-collision conflict, 4x guard, cap") {
+    def sb(ranked: Seq[(String, String, Long)], batch: Int) =
+      TextAnalysis.safeBatch(ranked, batch)
+    // complete conflict-free list: everything merges together
+    val free = Seq(("a", "b", 100L), ("c", "d", 20L), ("e", "f", 3L))
+    assert(sb(free, 3) == free)
+    // first conflicting candidate stops the walk (shared symbol b)
+    assert(sb(Seq(("a", "b", 100L), ("b", "c", 90L), ("d", "e", 80L)), 3) ==
+      Seq(("a", "b", 100L)))
+    // concat collision counts as a conflict: merging (x, y) creates "xy",
+    // which can feed NEW ("xy", "z") adjacencies mid-batch
+    assert(sb(Seq(("xy", "z", 100L), ("x", "y", 90L)), 2) ==
+      Seq(("xy", "z", 100L)))
+    // tail kept only strictly above 4x the stopper's count
+    assert(sb(Seq(("a", "b", 100L), ("c", "d", 90L), ("e", "f", 85L),
+      ("b", "x", 20L)), 4) ==
+      Seq(("a", "b", 100L), ("c", "d", 90L), ("e", "f", 85L)))
+    assert(sb(Seq(("a", "b", 100L), ("c", "d", 50L), ("b", "x", 20L)), 3) ==
+      Seq(("a", "b", 100L)))
+    // the argmax survives even when it ties the stopper (batch of one is
+    // sequential by definition)
+    assert(sb(Seq(("a", "b", 10L), ("b", "c", 10L)), 2) ==
+      Seq(("a", "b", 10L)))
+    // a kept SELF-pair raises the bound to its own count: merging (a, a)
+    // can spawn (aa, aa) with up to cnt(a, a) adjacencies, invisible to
+    // the stopper
+    assert(sb(Seq(("a", "a", 6L), ("b", "b", 1L)), 2) ==
+      Seq(("a", "a", 6L)))
+    // a non-self argmax does NOT raise the bound; a later self-pair
+    // guards only what follows it
+    assert(sb(Seq(("a", "b", 100L), ("c", "c", 20L), ("e", "f", 3L)), 3) ==
+      Seq(("a", "b", 100L), ("c", "c", 20L)))
+    // the batch cap turns the next candidate into a conservative stopper
+    assert(sb(Seq(("a", "b", 100L), ("c", "d", 90L), ("e", "f", 88L)), 2) ==
+      Seq(("a", "b", 100L)), "cap stopper at 90: 4x exceeds (c,d)? no — " +
+        "(c,d)=90 <= 4*90, so only the argmax survives")
+  }
+
+  test("batched BPE learning is byte-identical to sequential at k = 8") {
+    def merges(docs: org.apache.spark.sql.DataFrame, batch: Int) =
+      TextAnalysis.bpeMerges(docs, k = 8, batch = batch).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+    // the driver corpus (the verdict's done-criterion)
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sequential = merges(corpus, 1)
+    for (b <- Seq(2, 4, 8))
+      assert(merges(corpus, b) == sequential, s"driver corpus, batch=$b")
+    // adversarial corpora: lhs==rhs islands, shared-symbol top pairs,
+    // concat collisions, all-tie counts
+    val nasty = Seq(
+      "aaaa aaaa bb",
+      "ab ab ba ba",
+      "xy xy zw zw xyzw",
+      "cd ab",
+      "abc bcd cde abc abc dcba")
+    for (c <- nasty; b <- Seq(2, 4)) {
+      val docs = Seq((1L, c)).toDF("doc_id", "text")
+      assert(merges(docs, b) == merges(docs, 1), s"corpus '$c', batch=$b")
+    }
+  }
+
+  test("bpeAll yields both outputs from one pass, equal to the single entry points") {
+    val docs = Seq((1L, "aaaa aaaa bb"), (2L, "the cat the")).toDF("doc_id", "text")
+    val all = TextAnalysis.bpeAll(docs, k = 3, batch = 3)
+    assert(all.merges.collect().toSeq ==
+      TextAnalysis.bpeMerges(docs, k = 3).collect().toSeq)
+    assert(all.encodedCounts.collect().toSeq ==
+      TextAnalysis.bpeEncodedCounts(docs, k = 3).collect().toSeq)
+  }
+
   test("repetition metrics: hand-computed fractions and edge docs") {
     val docs = Seq(
       (1L, "a a a a"),          // 4 tokens, 1 distinct, bigram "a a" x3
