@@ -436,6 +436,77 @@ object TextAnalysis {
         col("shared").cast("long"))
   }
 
+  /** Substring-overlap span resolution: given the candidate pairs of
+    * [[substringOverlapPairs]] at the same (k, w, minShared), decide
+    * WHICH token region is dropped from WHICH document — the step a prep
+    * pipeline actually executes after pair discovery. Policy: keep-first
+    * — in every overlapping pair the lower doc_id keeps its text
+    * untouched, and the higher doc_id drops every token covered by a
+    * k-gram it shares with ANY of its lower-id partners. Covered k-gram
+    * positions (each covering tokens `[idx, idx+k-1]`) are merged into
+    * maximal spans (overlapping-or-adjacent intervals coalesce), emitted
+    * as `(doc_id, start_tok, end_tok, n_tokens)` — 0-based inclusive
+    * token offsets, ordered.
+    *
+    * Note the candidate/verify split: winnowed fingerprints (a ~1/w
+    * sample) nominate the PAIRS, but spans come from exact shared
+    * k-grams of the nominated docs only — winnowing never truncates a
+    * reported span, and no gram comparison ever runs outside the
+    * candidate set.
+    *
+    * Scale shape: the pair list is tiny relative to the corpus (it only
+    * holds actual near-duplicates), so the corpus is pruned to the
+    * nominated docs BEFORE gram explosion — the per-token
+    * posexplode+window work runs over candidate docs only, never
+    * corpus-wide, and the exact-gram comparison is an equi-join on
+    * (partner, gram-hash) between those two pruned sides. Interval merge
+    * is one window over (doc_id, idx) — the same per-doc shuffle every
+    * text operator here pays.
+    */
+  def substringSpans(docs: DataFrame, k: Int, w: Int,
+                     minShared: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = substringOverlapPairs(docs, k, w, minShared)
+      .select(col("da"), col("db"))
+    // prune the corpus to candidate docs BEFORE the k-gram explosion:
+    // the id lists are near-dup-count-sized (broadcast joins), so the
+    // expensive per-token work never touches a non-duplicate document
+    val loserDocs = docs.join(
+      pairs.select(col("db").as("doc_id")).distinct(), "doc_id")
+    val winnerDocs = docs.join(
+      pairs.select(col("da").as("doc_id")).distinct(), "doc_id")
+    // exact k-gram positions, hashed like the winnow path so the join
+    // key is a fixed-width hex string rather than the gram text itself
+    def hashedGrams(d: DataFrame) = Dedup.gramTable(d, k)
+      .select(col("doc_id"), col("idx"),
+        md5(to_binary(col("g"), lit("utf-8"))).as("h"))
+    val loserGrams = hashedGrams(loserDocs)
+      .join(pairs, col("doc_id") === col("db"))
+      .select(col("db"), col("da"), col("idx"), col("h"))
+    val winnerGrams = hashedGrams(winnerDocs)
+      .select(col("doc_id").as("da"), col("h")).distinct()
+    val covered = loserGrams
+      .join(winnerGrams, Seq("da", "h"))
+      .select(col("db").as("doc_id"), col("idx")).distinct()
+    // gaps-and-islands: a covered gram at idx spans [idx, idx+k-1], so a
+    // new island starts when the gap from the previous covered gram
+    // exceeds k (idx = prev + k is contiguous and coalesces)
+    val byDoc = Window.partitionBy("doc_id").orderBy("idx")
+    covered
+      .withColumn("prev", lag(col("idx"), 1).over(byDoc))
+      .withColumn("new_isl",
+        when(col("prev").isNull || col("idx") > col("prev") + k, 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("new_isl")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(min(col("idx")).as("s"), max(col("idx")).as("e"))
+      .select(col("doc_id").cast("long"),
+        col("s").cast("int").as("start_tok"),
+        (col("e") + (k - 1)).cast("int").as("end_tok"),
+        (col("e") - col("s") + k).cast("int").as("n_tokens"))
+  }
+
   /** Content-fingerprint expression: md5 of the whitespace-normalized
     * lowercase text — a deterministic, engine-portable document identity
     * for dedup joins. Shared with the streaming ingestion dedup

@@ -511,6 +511,15 @@ object PipelineQueries {
     TextAnalysis.substringOverlapPairs(Tables.documents(s, d), k = 5, w = 8,
       minShared = 2L).orderBy("da", "db")
 
+  /** Substring-overlap span resolution (keep-first policy): the token
+    * spans each higher-id near-duplicate drops because a lower-id
+    * partner already carries them. Same (k, w, minShared) as
+    * [[dedupSubstring]].
+    */
+  def dedupSpans(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.substringSpans(Tables.documents(s, d), k = 5, w = 8,
+      minShared = 2L).orderBy("doc_id", "start_tok")
+
   /** Gopher-style repetition filter metrics (integer percentages). */
   def textRepetition(s: SparkSession, d: String): DataFrame =
     TextAnalysis.repetition(Tables.documents(s, d)).orderBy("doc_id")
@@ -687,6 +696,7 @@ object PipelineQueries {
     "text_tfidf" -> textTfidf,
     "dedup_clusters" -> dedupClusters,
     "dedup_substring" -> dedupSubstring,
+    "dedup_spans" -> dedupSpans,
     "corpus_mix" -> corpusMix,
     "multimodal_features" -> multimodalFeatures,
     "multimodal_frames" -> multimodalFrames,
@@ -833,6 +843,39 @@ object PipelineQueries {
        |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 HAVING count(*) >= $minShared
        |ORDER BY da, db""".stripMargin
+
+  /** DuckDB twin of [[dedupSpans]]: the same winnow CTEs nominate pairs,
+    * exact shared k-gram hashes of nominated docs mark covered 1-based
+    * positions, and a gaps-and-islands window merges them into maximal
+    * spans (converted to the Spark side's 0-based offsets at the end).
+    */
+  private def spansSql(k: Int, w: Int, minShared: Long): String =
+    s"""WITH ${winnowCtes(k, w)},
+       |pairs AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db
+       |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $minShared),
+       |g AS (SELECT doc_id, idx, h FROM grams WHERE tail IS NOT NULL),
+       |cov AS (
+       |  SELECT DISTINCT p.db AS doc_id, lg.idx
+       |  FROM pairs p
+       |  JOIN g lg ON lg.doc_id = p.db
+       |  JOIN g wg ON wg.doc_id = p.da AND wg.h = lg.h),
+       |lagged AS (
+       |  SELECT doc_id, idx,
+       |    lag(idx) OVER (PARTITION BY doc_id ORDER BY idx) AS prev
+       |  FROM cov),
+       |isl AS (
+       |  SELECT doc_id, idx,
+       |    sum(CASE WHEN prev IS NULL OR idx > prev + $k THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY idx) AS island
+       |  FROM lagged)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(min(idx) - 1 AS INT) AS start_tok,
+       |  CAST(max(idx) + ${k - 2} AS INT) AS end_tok,
+       |  CAST(max(idx) - min(idx) + $k AS INT) AS n_tokens
+       |FROM isl GROUP BY doc_id, island
+       |ORDER BY doc_id, start_tok""".stripMargin
 
   /** DuckDB twin of [[sampleReservoir]]: distinct values, md5-derived
     * 60-bit priority (leading 15 hex digits, parsed with the same
@@ -984,6 +1027,7 @@ object PipelineQueries {
     "dedup_simhash" -> simhashSql(maxHamming = 6),
     "text_winnow" -> winnowSql(k = 5, w = 8),
     "dedup_substring" -> substringSql(k = 5, w = 8, minShared = 2L),
+    "dedup_spans" -> spansSql(k = 5, w = 8, minShared = 2L),
     "text_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
         |t AS (SELECT doc_id, unnest(w) AS g FROM toks),

@@ -46,6 +46,37 @@ class WinnowSpec extends SparkSpec {
     assert(!plan.contains("InMemoryTableScan"), plan)
   }
 
+  test("substringSpans drops the shared run from the higher doc only") {
+    val common = "one two three four five six seven eight nine ten"
+    val d = docs(
+      1L -> s"alpha beta $common gamma delta",
+      2L -> s"zeta eta theta $common iota",
+      3L -> "completely different words entirely here and more and more")
+    val spans = TextAnalysis.substringSpans(d, k = 3, w = 4, minShared = 1L)
+      .orderBy("doc_id", "start_tok").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    // keep-first: doc 1 keeps everything; doc 2's copy of the common run
+    // sits at token offsets 3..12 — exactly the exact-gram-covered region
+    // (winnow only nominates the pair; spans come from exact shared
+    // 3-grams, all of which lie inside the common run)
+    assert(spans.toSeq == Seq((2L, 3, 12, 10)))
+  }
+
+  test("substringSpans merges overlapping coverage and splits on gaps") {
+    val runA = "one two three four five six"     // 6 tokens
+    val runB = "ten twenty thirty forty fifty sixty" // 6 tokens
+    val d = docs(
+      1L -> s"$runA filler0 filler1 $runB",
+      // doc 2 carries run A at offsets 0..5 and run B at offsets 8..13,
+      // with a 2-token gap -> two separate spans (gap > 0 tokens)
+      2L -> s"$runA gapx gapy $runB")
+    val spans = TextAnalysis.substringSpans(d, k = 3, w = 2, minShared = 1L)
+      .orderBy("doc_id", "start_tok").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(spans.forall(_._1 == 2L), spans.toSeq.toString)
+    assert(spans.toSeq == Seq((2L, 0, 5, 6), (2L, 8, 13, 6)))
+  }
+
   test("winnowing reduces fingerprint volume vs raw k-grams") {
     // all tokens distinct -> every 3-gram hash distinct, so a broken
     // no-op winnow would keep all `raw` of them and fail the bound
