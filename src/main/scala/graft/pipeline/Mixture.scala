@@ -1,0 +1,52 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus mixture resampling: given target mixture weights (basis points
+  * per language) and a document budget, deterministically select the
+  * subset that realizes the target mix — the rebalancing step between
+  * "measure the mixture" ([[graft.queries.PipelineQueries.corpusMix]])
+  * and "train on it".
+  *
+  * Per language `d`: quota = min(count_d, budget * bp_d / 10000)
+  * (integer-exact), then the quota-many docs with the smallest
+  * md5-derived 60-bit priority win (ties by doc_id) — the same
+  * consistent-sampling priority as [[graft.functions.ReservoirSample]],
+  * so membership is a pure function of (seed, doc_id): stable across
+  * runs, engines, and partitionings, and a SQL oracle replays it
+  * bit-for-bit. Languages absent from `targetsBp` get quota 0.
+  *
+  * Scale shape: one corpus scan projects (doc_id, lang, priority) —
+  * lang-id and priority are per-row codegen'd expressions; quotas come
+  * from one lang-keyed group-by whose result is languages-sized
+  * (broadcast join back); selection is a per-lang top-quota window over
+  * the lang shuffle. No driver crossing beyond the broadcast-sized
+  * quota table.
+  */
+object Mixture {
+
+  def resample(docs: DataFrame, targetsBp: Map[String, Int], budget: Long,
+               seed: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    require(targetsBp.values.forall(bp => bp >= 0 && bp <= 10000),
+      s"weights must be basis points in [0, 10000]: $targetsBp")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val targets = broadcast(targetsBp.toSeq.toDF("lang", "bp"))
+    val scored = docs.select(col("doc_id").cast("long").as("doc_id"),
+      TextAnalysis.langPredExpr(col("text")).as("lang"),
+      conv(substring(md5(concat(lit(s"$seed:"), col("doc_id").cast("string"))),
+        1, 15), 16, 10).cast("long").as("pri"))
+    val quotas = scored.groupBy("lang").agg(count(lit(1)).as("n"))
+      .join(targets, Seq("lang"), "inner")
+      .select(col("lang"),
+        least(col("n"), expr(s"(${budget}L * bp) div 10000L")).as("quota"))
+    val w = Window.partitionBy("lang").orderBy(col("pri"), col("doc_id"))
+    scored.join(broadcast(quotas), "lang")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("quota"))
+      .select(col("doc_id"), col("lang"))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Token-budget shard packing: assign every document, in deterministic
+  * doc_id order, to the training shard where its first token falls when
+  * documents are laid out back-to-back and cut every `budget` tokens —
+  * the shard-assignment step of a sequence-packing pipeline (each shard
+  * then packs to fixed-length rows locally).
+  *
+  * The core is a distributed exclusive prefix-sum over doc_id order —
+  * the classic two-phase scan:
+  *   phase 1: order-preserving range buckets (pure arithmetic on doc_id,
+  *            no sampling, so bucket ids are stable across jobs), one
+  *            group-by for per-bucket token totals; the ≤`buckets` totals
+  *            cross to the driver (KB-scale) and become exclusive
+  *            running offsets;
+  *   phase 2: per-bucket window cumsum + broadcast offset join.
+  * No single-partition window ever sees the whole corpus — the widest
+  * shuffle is `buckets`-way, and at 100 TB `buckets` scales to executor
+  * count (still a KB-scale driver crossing).
+  *
+  * Costs two corpus scans (totals pass + cumsum pass) — the standard
+  * scan-twice trade of a distributed prefix sum; the scanned projection
+  * is (doc_id, n_tokens), never the text twice... the token count IS
+  * recomputed per scan, which beats materializing a corpus-sized
+  * intermediate at scale.
+  *
+  * Output: `(doc_id, n_tokens, shard)` — shard ids are dense from 0,
+  * `shard = floor(tokens_before_doc / budget)`. Integer-exact (`div`),
+  * so a SQL oracle replays it with one window sum.
+  */
+object Packing {
+
+  def tokenShards(docs: DataFrame, budget: Long,
+                  buckets: Int = 64): DataFrame = {
+    require(budget >= 1, s"budget must be positive, got $budget")
+    require(buckets >= 1, s"buckets must be positive, got $buckets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col("doc_id").cast("long").as("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    // phase 0: id range — one singleton aggregate row to the driver
+    val bounds = toks.agg(min("doc_id"), max("doc_id")).head()
+    if (bounds.isNullAt(0))
+      return toks.select(col("doc_id"), col("n_tokens").cast("int"),
+        lit(0L).as("shard")).limit(0)
+    val mn = bounds.getLong(0)
+    val span = bounds.getLong(1) - mn + 1
+    // order-preserving arithmetic buckets: integer `div` (no doubles —
+    // Column `/` would round past 2^53), width chosen so ids map to at
+    // most `buckets` buckets with no overflow anywhere in the id range
+    val width = (span + buckets - 1) / buckets
+    val withB = toks.withColumn("bucket",
+      expr(s"(doc_id - ${mn}L) div ${width}L").cast("int"))
+    // phase 1: per-bucket totals -> exclusive running offsets (driver
+    // crossing is <= `buckets` rows — KB at any corpus scale)
+    val totals = withB.groupBy("bucket").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offs = totals.map { case (b, t) => val o = acc; acc += t; (b, o) }
+    val offDf = broadcast(offs.toSeq.toDF("bucket", "offset"))
+    // phase 2: local exclusive cumsum + offset; shard by integer div
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+    withB.join(offDf, "bucket")
+      .withColumn("before",
+        sum(col("n_tokens")).over(w) - col("n_tokens") + col("offset"))
+      .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
+        expr(s"before div ${budget}L").cast("long").as("shard"))
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Cluster, Dedup, Ivf, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Cluster, Dedup, Ivf, Mixture, Multimodal, Packing, Similarity, TextAnalysis}
 
 /** Correctness queries for the large-scale data-pipeline operators
   * (dedup, similarity search, text analysis, multimodal, event windows),
@@ -520,6 +520,30 @@ object PipelineQueries {
     TextAnalysis.substringSpans(Tables.documents(s, d), k = 5, w = 8,
       minShared = 2L).orderBy("doc_id", "start_tok")
 
+  /** Token-budget shard assignment: distributed prefix-sum scan packing
+    * documents in doc_id order into 2048-token training shards.
+    */
+  def shardPack(s: SparkSession, d: String): DataFrame =
+    Packing.tokenShards(Tables.documents(s, d), budget = 2048L, buckets = 8)
+      .orderBy("doc_id")
+
+  /** The round-trip mixture targets for [[corpusResample]]. The driver
+    * corpus is ~90% en + ~10% unknown, so these exercise all three
+    * quota regimes: en is budget-limited (quota < population), unknown
+    * is population-capped (quota clamp), es is vacuous (target with no
+    * population — must contribute zero rows, not fail).
+    */
+  private val resampleTargets =
+    Seq("en" -> 6000, "unknown" -> 3000, "es" -> 1000)
+
+  /** Deterministic mixture resample: select the subset realizing a
+    * 60/30/10 en/unknown/es target at a 300-doc budget (md5-priority
+    * consistent sampling, seed 42).
+    */
+  def corpusResample(s: SparkSession, d: String): DataFrame =
+    Mixture.resample(Tables.documents(s, d), resampleTargets.toMap,
+      budget = 300L, seed = 42L).orderBy("lang", "doc_id")
+
   /** Gopher-style repetition filter metrics (integer percentages). */
   def textRepetition(s: SparkSession, d: String): DataFrame =
     TextAnalysis.repetition(Tables.documents(s, d)).orderBy("doc_id")
@@ -697,6 +721,8 @@ object PipelineQueries {
     "dedup_clusters" -> dedupClusters,
     "dedup_substring" -> dedupSubstring,
     "dedup_spans" -> dedupSpans,
+    "shard_pack" -> shardPack,
+    "corpus_resample" -> corpusResample,
     "corpus_mix" -> corpusMix,
     "multimodal_features" -> multimodalFeatures,
     "multimodal_frames" -> multimodalFrames,
@@ -877,6 +903,44 @@ object PipelineQueries {
        |FROM isl GROUP BY doc_id, island
        |ORDER BY doc_id, start_tok""".stripMargin
 
+  /** DuckDB twin of [[shardPack]]: the distributed prefix sum collapses
+    * to one window sum over doc_id order at oracle scale.
+    */
+  private def shardPackSql(budget: Long): String =
+    s"""WITH t AS (SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |    ELSE length(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (SELECT doc_id, n_tokens,
+       |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+       |  FROM t)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(n_tokens AS INT) AS n_tokens,
+       |  CAST(bef // $budget AS BIGINT) AS shard
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  /** DuckDB twin of [[corpusResample]]: lang argmax CTEs + md5-priority
+    * ranking + integer quotas, replayed bit-for-bit.
+    */
+  private def resampleSql(targets: Seq[(String, Int)], budget: Long,
+                          seed: Long): String = {
+    val vals = targets.map { case (l, bp) => s"('$l', $bp)" }.mkString(", ")
+    s"""WITH $langScoreCtes,
+       |l AS ($langArgmaxSelect),
+       |hp AS (SELECT doc_id, lang_pred AS lang,
+       |    md5(concat('$seed:', CAST(doc_id AS VARCHAR))) AS h FROM l),
+       |pp AS (SELECT doc_id, lang, $md5Priority60Sql AS pri FROM hp),
+       |q AS (SELECT lang, least(count(*), ($budget * bp) // 10000) AS quota
+       |  FROM pp JOIN (VALUES $vals) AS t(lang, bp) USING (lang)
+       |  GROUP BY lang, bp),
+       |r AS (SELECT doc_id, lang,
+       |    row_number() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS rk
+       |  FROM pp)
+       |SELECT CAST(r.doc_id AS BIGINT) AS doc_id, r.lang
+       |FROM r JOIN q USING (lang) WHERE rk <= quota
+       |ORDER BY lang, doc_id""".stripMargin
+  }
+
   /** DuckDB twin of [[sampleReservoir]]: distinct values, md5-derived
     * 60-bit priority (leading 15 hex digits, parsed with the same
     * ascii-digit pattern as [[simhashSql]]), bottom-k by (priority,
@@ -1028,6 +1092,9 @@ object PipelineQueries {
     "text_winnow" -> winnowSql(k = 5, w = 8),
     "dedup_substring" -> substringSql(k = 5, w = 8, minShared = 2L),
     "dedup_spans" -> spansSql(k = 5, w = 8, minShared = 2L),
+    "shard_pack" -> shardPackSql(budget = 2048L),
+    "corpus_resample" ->
+      resampleSql(resampleTargets, budget = 300L, seed = 42L),
     "text_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
         |t AS (SELECT doc_id, unnest(w) AS g FROM toks),

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Mixture, Packing}
+
+class PackingSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    val spark0 = spark
+    import spark0.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("tokenShards assigns by exclusive prefix sum of doc_id order") {
+    // token counts: 3, 4, 2, 5, 1 -> before: 0, 3, 7, 9, 14
+    val d = docs(
+      10L -> "a b c", 20L -> "a b c d", 30L -> "a b",
+      40L -> "a b c d e", 50L -> "a")
+    val out = Packing.tokenShards(d, budget = 5L, buckets = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.toSeq == Seq((10L, 3, 0L), (20L, 4, 0L), (30L, 2, 1L),
+      (40L, 5, 1L), (50L, 1, 2L)))
+  }
+
+  test("tokenShards is invariant to the bucket count") {
+    val d = docs((0L until 200L).map(i =>
+      i * 7 -> (0 to (i % 13).toInt).map(j => s"t$j").mkString(" ")): _*)
+    val base = Packing.tokenShards(d, budget = 40L, buckets = 1)
+      .orderBy("doc_id").collect().toSeq
+    for (b <- Seq(3, 8, 64, 1000))
+      assert(Packing.tokenShards(d, budget = 40L, buckets = b)
+        .orderBy("doc_id").collect().toSeq == base, s"buckets=$b diverges")
+  }
+
+  test("tokenShards handles empty corpus and blank docs") {
+    assert(Packing.tokenShards(docs(), budget = 10L).count() == 0)
+    val out = Packing.tokenShards(
+      docs(1L -> "", 2L -> "a b", 3L -> "   "), budget = 2L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // blanks are 0 tokens and never advance the cursor
+    assert(out.toSeq == Seq((1L, 0, 0L), (2L, 2, 0L), (3L, 0, 1L)))
+  }
+
+  test("mixture resample hits integer quotas deterministically") {
+    val d = docs((0L until 100L).flatMap { i =>
+      val en = s"the cat and the dog of a to the house"
+      val es = s"el perro y la casa de que el"
+      Seq(i * 2 -> en, i * 2 + 1 -> es)
+    }: _*)
+    // budget 50 at 60/40: quotas 3000*50/10000=15 en, 2000*50/10000=10 es
+    val out = Mixture.resample(d, Map("en" -> 3000, "es" -> 2000),
+      budget = 50L, seed = 7L)
+    val counts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("en" -> 15L, "es" -> 10L))
+    // deterministic under re-evaluation
+    val again = Mixture.resample(d, Map("en" -> 3000, "es" -> 2000),
+      budget = 50L, seed = 7L)
+    assert(out.orderBy("lang", "doc_id").collect().toSeq ==
+      again.orderBy("lang", "doc_id").collect().toSeq)
+    // a different seed selects a different subset (w.h.p.)
+    val other = Mixture.resample(d, Map("en" -> 3000, "es" -> 2000),
+      budget = 50L, seed = 8L)
+    assert(out.orderBy("lang", "doc_id").collect().toSeq !=
+      other.orderBy("lang", "doc_id").collect().toSeq)
+  }
+
+  test("mixture quota caps at the language's population") {
+    val d = docs(
+      1L -> "the cat and the dog of a to", // en
+      2L -> "el perro y la casa de que")   // es
+    // en quota = min(1, 100*9000/10000=90) = 1; absent langs drop
+    val out = Mixture.resample(d, Map("en" -> 9000), budget = 100L,
+      seed = 1L).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+  }
+}
