@@ -21,14 +21,20 @@ import org.apache.spark.sql.functions._
   * Scale shape: one corpus scan projects (doc_id, lang, priority) —
   * lang-id and priority are per-row codegen'd expressions; quotas come
   * from one lang-keyed group-by whose result is languages-sized
-  * (broadcast join back); selection is a per-lang top-quota window over
-  * the lang shuffle. No driver crossing beyond the broadcast-sized
-  * quota table.
+  * (broadcast join back); selection is a per-lang top-quota. With few
+  * languages a plain per-lang window concentrates each language in one
+  * partition, so `saltBuckets > 1` switches to the exact two-phase
+  * top-k: a (lang, salt) local top-quota prunes the corpus to at most
+  * salt x quota candidates per language (full parallelism on the wide
+  * shuffle), then the global per-lang window ranks only the candidate
+  * set — the union of per-salt top-q provably contains the global top-q,
+  * so the result is IDENTICAL for every salt (pinned in PackingSpec).
   */
 object Mixture {
 
   def resample(docs: DataFrame, targetsBp: Map[String, Int], budget: Long,
-               seed: Long): DataFrame = {
+               seed: Long, saltBuckets: Int = 1): DataFrame = {
+    require(saltBuckets >= 1, s"saltBuckets must be positive, got $saltBuckets")
     require(budget >= 0, s"budget must be non-negative, got $budget")
     require(targetsBp.values.forall(bp => bp >= 0 && bp <= 10000),
       s"weights must be basis points in [0, 10000]: $targetsBp")
@@ -43,8 +49,21 @@ object Mixture {
       .join(targets, Seq("lang"), "inner")
       .select(col("lang"),
         least(col("n"), expr(s"(${budget}L * bp) div 10000L")).as("quota"))
+    val quotaed = scored.join(broadcast(quotas), "lang")
     val w = Window.partitionBy("lang").orderBy(col("pri"), col("doc_id"))
-    scored.join(broadcast(quotas), "lang")
+    val candidates =
+      if (saltBuckets == 1) quotaed
+      else {
+        // phase 1 of exact two-phase top-k: local top-quota within each
+        // (lang, salt) slice — at most salt x quota rows per language
+        // survive, and the global winners are all among them
+        val wSalt = Window
+          .partitionBy(col("lang"), pmod(hash(col("doc_id")), lit(saltBuckets)))
+          .orderBy(col("pri"), col("doc_id"))
+        quotaed.withColumn("srk", row_number().over(wSalt))
+          .filter(col("srk") <= col("quota")).drop("srk")
+      }
+    candidates
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= col("quota"))
       .select(col("doc_id"), col("lang"))

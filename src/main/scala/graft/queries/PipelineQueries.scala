@@ -538,11 +538,13 @@ object PipelineQueries {
 
   /** Deterministic mixture resample: select the subset realizing a
     * 60/30/10 en/unknown/es target at a 300-doc budget (md5-priority
-    * consistent sampling, seed 42).
+    * consistent sampling, seed 42). Runs the salted two-phase top-quota
+    * — the 100 TB shape — whose result is provably salt-invariant, so
+    * the same plain-window SQL oracle checks it.
     */
   def corpusResample(s: SparkSession, d: String): DataFrame =
     Mixture.resample(Tables.documents(s, d), resampleTargets.toMap,
-      budget = 300L, seed = 42L).orderBy("lang", "doc_id")
+      budget = 300L, seed = 42L, saltBuckets = 4).orderBy("lang", "doc_id")
 
   /** Gopher-style repetition filter metrics (integer percentages). */
   def textRepetition(s: SparkSession, d: String): DataFrame =

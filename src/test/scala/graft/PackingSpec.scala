@@ -67,6 +67,21 @@ class PackingSpec extends SparkSpec {
       other.orderBy("lang", "doc_id").collect().toSeq)
   }
 
+  test("salted two-phase top-quota selects the identical subset") {
+    val d = docs((0L until 300L).map { i =>
+      i -> (if (i % 3 == 0) "el perro y la casa de que el"
+            else "the cat and the dog of a to the house")
+    }: _*)
+    val targets = Map("en" -> 5000, "es" -> 5000)
+    val base = Mixture.resample(d, targets, budget = 120L, seed = 3L)
+      .orderBy("lang", "doc_id").collect().toSeq
+    assert(base.nonEmpty)
+    for (s <- Seq(2, 7, 32))
+      assert(Mixture.resample(d, targets, budget = 120L, seed = 3L,
+        saltBuckets = s).orderBy("lang", "doc_id").collect().toSeq == base,
+        s"saltBuckets=$s diverges")
+  }
+
   test("mixture quota caps at the language's population") {
     val d = docs(
       1L -> "the cat and the dog of a to", // en
