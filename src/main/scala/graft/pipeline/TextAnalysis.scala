@@ -518,6 +518,49 @@ object TextAnalysis {
         (col("e") - col("s") + k).cast("int").as("n_tokens"))
   }
 
+  /** Span application — executes [[substringSpans]]' keep-first policy
+    * over the corpus: every document comes back as
+    * `(doc_id, n_kept, clean_fp)` where `clean_fp` is the md5 of the
+    * space-rejoined surviving tokens (dropped spans removed). Documents
+    * with no spans NEVER tokenize: their fingerprint is the pure
+    * per-row whitespace normalization (identical string to the token
+    * rejoin by construction), so the explode/rebuild path only touches
+    * the near-duplicate docs — at 100 TB the rebuild cost scales with
+    * the duplicate set, not the corpus. Emitting the fingerprint rather
+    * than the rebuilt text keeps the result oracle-hashable; a real
+    * pipeline selects the rebuilt string from the same aggregate.
+    */
+  def substringSpansApply(docs: DataFrame, k: Int, w: Int,
+                          minShared: Long): DataFrame = {
+    val spans = substringSpans(docs, k, w, minShared)
+      .select(col("doc_id"), col("start_tok"), col("end_tok"))
+    val spanDocs = spans.select("doc_id").distinct()
+    val normFp = md5(to_binary(
+      regexp_replace(trim(col("text")), "\\s+", " "), lit("utf-8")))
+    val untouched = docs.join(spanDocs, Seq("doc_id"), "left_anti")
+      .select(col("doc_id").cast("long"),
+        tokenCount(col("text")).as("n_kept"), normFp.as("clean_fp"))
+    val toks = docs.join(spanDocs, "doc_id")
+      .select(col("doc_id"), posexplode(split(trim(col("text")), "\\s+")))
+      .select(col("doc_id"), col("pos").as("idx"), col("col").as("w"))
+      .filter(length(col("w")) > 0)
+    val surv = toks.join(spans,
+      toks("doc_id") === spans("doc_id") &&
+        toks("idx") >= spans("start_tok") && toks("idx") <= spans("end_tok"),
+      "left_anti")
+    val rebuilt = surv.groupBy("doc_id").agg(
+      count(lit(1)).cast("int").as("n_kept"),
+      md5(to_binary(array_join(
+        transform(array_sort(collect_list(struct(col("idx"), col("w")))),
+          x => x.getField("w")), " "), lit("utf-8"))).as("clean_fp"))
+    val spanOut = spanDocs.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id").cast("long"),
+        coalesce(col("n_kept"), lit(0)).cast("int").as("n_kept"),
+        coalesce(col("clean_fp"),
+          md5(to_binary(lit(""), lit("utf-8")))).as("clean_fp"))
+    untouched.unionByName(spanOut)
+  }
+
   /** Content-fingerprint expression: md5 of the whitespace-normalized
     * lowercase text — a deterministic, engine-portable document identity
     * for dedup joins. Shared with the streaming ingestion dedup

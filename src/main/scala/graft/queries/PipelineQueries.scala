@@ -520,6 +520,13 @@ object PipelineQueries {
     TextAnalysis.substringSpans(Tables.documents(s, d), k = 5, w = 8,
       minShared = 2L).orderBy("doc_id", "start_tok")
 
+  /** Span application: the corpus after executing the keep-first span
+    * policy — per doc, surviving token count + md5 of the rebuilt text.
+    */
+  def dedupSpansApply(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.substringSpansApply(Tables.documents(s, d), k = 5, w = 8,
+      minShared = 2L).orderBy("doc_id")
+
   /** Token-budget shard assignment: distributed prefix-sum scan packing
     * documents in doc_id order into 2048-token training shards.
     */
@@ -723,6 +730,7 @@ object PipelineQueries {
     "dedup_clusters" -> dedupClusters,
     "dedup_substring" -> dedupSubstring,
     "dedup_spans" -> dedupSpans,
+    "dedup_spans_apply" -> dedupSpansApply,
     "shard_pack" -> shardPack,
     "corpus_resample" -> corpusResample,
     "corpus_mix" -> corpusMix,
@@ -872,13 +880,14 @@ object PipelineQueries {
        |GROUP BY 1, 2 HAVING count(*) >= $minShared
        |ORDER BY da, db""".stripMargin
 
-  /** DuckDB twin of [[dedupSpans]]: the same winnow CTEs nominate pairs,
-    * exact shared k-gram hashes of nominated docs mark covered 1-based
-    * positions, and a gaps-and-islands window merges them into maximal
-    * spans (converted to the Spark side's 0-based offsets at the end).
+  /** The [[dedupSpans]] CTE chain, shared with [[spansApplySql]]: winnow
+    * CTEs nominate pairs, exact shared k-gram hashes of nominated docs
+    * mark covered 1-based positions, a gaps-and-islands window merges
+    * them into maximal spans, and `spansf` holds the result in the
+    * Spark side's 0-based token offsets.
     */
-  private def spansSql(k: Int, w: Int, minShared: Long): String =
-    s"""WITH ${winnowCtes(k, w)},
+  private def spanCtes(k: Int, w: Int, minShared: Long): String =
+    s"""${winnowCtes(k, w)},
        |pairs AS (
        |  SELECT a.doc_id AS da, b.doc_id AS db
        |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
@@ -897,13 +906,52 @@ object PipelineQueries {
        |  SELECT doc_id, idx,
        |    sum(CASE WHEN prev IS NULL OR idx > prev + $k THEN 1 ELSE 0 END)
        |      OVER (PARTITION BY doc_id ORDER BY idx) AS island
-       |  FROM lagged)
+       |  FROM lagged),
+       |spansf AS (
+       |  SELECT doc_id, min(idx) - 1 AS start_tok, max(idx) + ${k - 2} AS end_tok
+       |  FROM isl GROUP BY doc_id, island)""".stripMargin
+
+  /** DuckDB twin of [[dedupSpans]]. */
+  private def spansSql(k: Int, w: Int, minShared: Long): String =
+    s"""WITH ${spanCtes(k, w, minShared)}
        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       |  CAST(min(idx) - 1 AS INT) AS start_tok,
-       |  CAST(max(idx) + ${k - 2} AS INT) AS end_tok,
-       |  CAST(max(idx) - min(idx) + $k AS INT) AS n_tokens
-       |FROM isl GROUP BY doc_id, island
-       |ORDER BY doc_id, start_tok""".stripMargin
+       |  CAST(start_tok AS INT) AS start_tok,
+       |  CAST(end_tok AS INT) AS end_tok,
+       |  CAST(end_tok - start_tok + 1 AS INT) AS n_tokens
+       |FROM spansf ORDER BY doc_id, start_tok""".stripMargin
+
+  /** DuckDB twin of [[dedupSpansApply]]: untouched docs fingerprint by
+    * pure whitespace normalization; span docs re-tokenize, drop covered
+    * positions, and hash the space-rejoined survivors.
+    */
+  private def spansApplySql(k: Int, w: Int, minShared: Long): String =
+    s"""WITH ${spanCtes(k, w, minShared)},
+       |sdocs AS (SELECT DISTINCT doc_id FROM spansf),
+       |raw2 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |  FROM documents JOIN sdocs USING (doc_id)),
+       |tk AS (SELECT doc_id, t, idx - 1 AS idx
+       |  FROM (SELECT doc_id, unnest(w) AS t,
+       |          unnest(range(1, len(w) + 1)) AS idx FROM raw2)
+       |  WHERE length(t) > 0),
+       |surv AS (SELECT tk.doc_id, tk.idx, tk.t FROM tk
+       |  WHERE NOT EXISTS (SELECT 1 FROM spansf s
+       |    WHERE s.doc_id = tk.doc_id
+       |      AND tk.idx BETWEEN s.start_tok AND s.end_tok)),
+       |reb AS (SELECT doc_id, count(*) AS n_kept,
+       |    md5(string_agg(t, ' ' ORDER BY idx)) AS clean_fp
+       |  FROM surv GROUP BY doc_id),
+       |spanout AS (SELECT d.doc_id, coalesce(n_kept, 0) AS n_kept,
+       |    coalesce(clean_fp, md5('')) AS clean_fp
+       |  FROM sdocs d LEFT JOIN reb USING (doc_id)),
+       |untouched AS (SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |      ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_kept,
+       |    md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS clean_fp
+       |  FROM documents ANTI JOIN sdocs USING (doc_id))
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_kept AS INT) AS n_kept,
+       |  clean_fp
+       |FROM (SELECT * FROM spanout UNION ALL SELECT * FROM untouched)
+       |ORDER BY doc_id""".stripMargin
 
   /** DuckDB twin of [[shardPack]]: the distributed prefix sum collapses
     * to one window sum over doc_id order at oracle scale.
@@ -1094,6 +1142,7 @@ object PipelineQueries {
     "text_winnow" -> winnowSql(k = 5, w = 8),
     "dedup_substring" -> substringSql(k = 5, w = 8, minShared = 2L),
     "dedup_spans" -> spansSql(k = 5, w = 8, minShared = 2L),
+    "dedup_spans_apply" -> spansApplySql(k = 5, w = 8, minShared = 2L),
     "shard_pack" -> shardPackSql(budget = 2048L),
     "corpus_resample" ->
       resampleSql(resampleTargets, budget = 300L, seed = 42L),

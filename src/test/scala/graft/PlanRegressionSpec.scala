@@ -59,7 +59,8 @@ class PlanRegressionSpec extends SparkSpec
   private val equiJoinQueries = Seq(
     "join_asof", "join_asof_sharded", "join_range", "layout_bucketed_join",
     "dedup_exact", "dedup_exact_hash", "dedup_minhash", "dedup_ngram",
-    "dedup_simhash", "dedup_substring", "dedup_spans", "dedup_clusters",
+    "dedup_simhash", "dedup_substring", "dedup_spans", "dedup_spans_apply",
+    "dedup_clusters",
     "text_contamination", "text_winnow", "text_vocab",
     "events_window", "events_time_window", "events_sessionize",
     "text_bpe_merges", "shard_pack", "corpus_resample")

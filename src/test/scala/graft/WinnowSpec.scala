@@ -77,6 +77,25 @@ class WinnowSpec extends SparkSpec {
     assert(spans.toSeq == Seq((2L, 0, 5, 6), (2L, 8, 13, 6)))
   }
 
+  test("substringSpansApply rebuilds losers and passes winners through") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val common = "one two three four five six seven eight nine ten"
+    val d = docs(
+      1L -> s"alpha beta $common gamma delta",
+      2L -> s"zeta eta theta  $common iota", // doubled space: normalized away
+      3L -> "completely different words entirely here and more and more")
+    val out = TextAnalysis.substringSpansApply(d, k = 3, w = 4, minShared = 1L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    // doc 2 drops the common run (offsets 3..12); docs 1 and 3 untouched
+    assert(out.toSeq == Seq(
+      (1L, 14, md5hex(s"alpha beta $common gamma delta")),
+      (2L, 4, md5hex("zeta eta theta iota")),
+      (3L, 9, md5hex("completely different words entirely here and more and more"))))
+  }
+
   test("winnowing reduces fingerprint volume vs raw k-grams") {
     // all tokens distinct -> every 3-gram hash distinct, so a broken
     // no-op winnow would keep all `raw` of them and fail the bound
