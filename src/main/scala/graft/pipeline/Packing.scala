@@ -34,6 +34,45 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Deterministic corpus shuffle: a pseudorandom permutation
+    * `(doc_id, pos)` with `pos` = rank of the md5-derived 60-bit
+    * priority (ties by doc_id) — the shuffle-before-sharding step of a
+    * training pipeline, stable across runs/engines/partitionings
+    * because membership is a pure function of (seed, doc_id), the same
+    * consistent-priority contract as [[Mixture]] and
+    * [[graft.functions.ReservoirSample]].
+    *
+    * Scale shape: the global rank is a two-phase scan like
+    * [[tokenShards]], but bucketed on the PRIORITY space, which is
+    * uniform by construction — `bucket = pri div ceil(2^60/buckets)` is
+    * pure arithmetic (order-preserving, no sampling, stable across
+    * jobs), so per-bucket ranks plus exclusive bucket-count offsets
+    * compose to the exact global rank. Driver crossing is <= `buckets`
+    * count rows; no single-partition sort anywhere.
+    */
+  def deterministicShuffle(docs: DataFrame, seed: Long,
+                           buckets: Int = 64): DataFrame = {
+    require(buckets >= 1, s"buckets must be positive, got $buckets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val scored = docs.select(col("doc_id").cast("long").as("doc_id"),
+      conv(substring(md5(concat(lit(s"$seed:"), col("doc_id").cast("string"))),
+        1, 15), 16, 10).cast("long").as("pri"))
+    val width = ((1L << 60) + buckets - 1) / buckets // ceil: max id < buckets
+    val withB = scored.withColumn("bucket",
+      expr(s"pri div ${width}L").cast("int"))
+    val counts = withB.groupBy("bucket").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offs = counts.map { case (b, c) => val o = acc; acc += c; (b, o) }
+    val offDf = broadcast(offs.toSeq.toDF("bucket", "offset"))
+    val w = Window.partitionBy("bucket").orderBy("pri", "doc_id")
+    withB.join(offDf, "bucket")
+      .withColumn("pos",
+        (row_number().over(w) - 1).cast("long") + col("offset"))
+      .select(col("doc_id"), col("pos"))
+  }
+
   def tokenShards(docs: DataFrame, budget: Long,
                   buckets: Int = 64): DataFrame = {
     require(budget >= 1, s"budget must be positive, got $budget")

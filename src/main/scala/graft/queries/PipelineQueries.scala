@@ -534,6 +534,14 @@ object PipelineQueries {
     Packing.tokenShards(Tables.documents(s, d), budget = 2048L, buckets = 8)
       .orderBy("doc_id")
 
+  /** Deterministic pseudorandom permutation of the corpus (seed 42) —
+    * the shuffle-before-sharding step, exact global rank via the
+    * priority-bucketed two-phase scan.
+    */
+  def corpusShuffle(s: SparkSession, d: String): DataFrame =
+    Packing.deterministicShuffle(Tables.documents(s, d), seed = 42L,
+      buckets = 8).orderBy("doc_id")
+
   /** The round-trip mixture targets for [[corpusResample]]. The driver
     * corpus is ~90% en + ~10% unknown, so these exercise all three
     * quota regimes: en is budget-limited (quota < population), unknown
@@ -732,6 +740,7 @@ object PipelineQueries {
     "dedup_spans" -> dedupSpans,
     "dedup_spans_apply" -> dedupSpansApply,
     "shard_pack" -> shardPack,
+    "corpus_shuffle" -> corpusShuffle,
     "corpus_resample" -> corpusResample,
     "corpus_mix" -> corpusMix,
     "multimodal_features" -> multimodalFeatures,
@@ -969,6 +978,17 @@ object PipelineQueries {
        |  CAST(bef // $budget AS BIGINT) AS shard
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** DuckDB twin of [[corpusShuffle]]: one window rank over the
+    * md5-derived priority at oracle scale.
+    */
+  private def corpusShuffleSql(seed: Long): String =
+    s"""WITH ph AS (SELECT doc_id,
+       |    md5(concat('$seed:', CAST(doc_id AS VARCHAR))) AS h FROM documents),
+       |pp AS (SELECT doc_id, $md5Priority60Sql AS pri FROM ph)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(row_number() OVER (ORDER BY pri, doc_id) - 1 AS BIGINT) AS pos
+       |FROM pp ORDER BY doc_id""".stripMargin
+
   /** DuckDB twin of [[corpusResample]]: lang argmax CTEs + md5-priority
     * ranking + integer quotas, replayed bit-for-bit.
     */
@@ -1144,6 +1164,7 @@ object PipelineQueries {
     "dedup_spans" -> spansSql(k = 5, w = 8, minShared = 2L),
     "dedup_spans_apply" -> spansApplySql(k = 5, w = 8, minShared = 2L),
     "shard_pack" -> shardPackSql(budget = 2048L),
+    "corpus_shuffle" -> corpusShuffleSql(seed = 42L),
     "corpus_resample" ->
       resampleSql(resampleTargets, budget = 300L, seed = 42L),
     "text_repetition" ->

@@ -43,6 +43,23 @@ class PackingSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 0, 0L), (2L, 2, 0L), (3L, 0, 1L)))
   }
 
+  test("deterministicShuffle is a bucket-invariant permutation") {
+    val d = docs((0L until 500L).map(i => i * 3 -> s"doc $i text"): _*)
+    val base = Packing.deterministicShuffle(d, seed = 42L, buckets = 1)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // a permutation of 0..n-1
+    assert(base.map(_._2).sorted.toSeq == (0L until 500L).toSeq)
+    // same result for every bucketing (exact global rank)
+    for (b <- Seq(2, 8, 64))
+      assert(Packing.deterministicShuffle(d, seed = 42L, buckets = b)
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq == base.toSeq, s"buckets=$b diverges")
+    // a different seed produces a different order
+    val other = Packing.deterministicShuffle(d, seed = 43L, buckets = 8)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(other.toSeq != base.toSeq)
+  }
+
   test("mixture resample hits integer quotas deterministically") {
     val d = docs((0L until 100L).flatMap { i =>
       val en = s"the cat and the dog of a to the house"
