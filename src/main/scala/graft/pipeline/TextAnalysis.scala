@@ -518,6 +518,38 @@ object TextAnalysis {
         (col("e") - col("s") + k).cast("int").as("n_tokens"))
   }
 
+  /** Overlapping token-window chunking — the context-window prep step
+    * for embedding/RAG pipelines: each document becomes the chunks
+    * `[k*stride, k*stride + width)` over its whitespace tokens, emitted
+    * as `(doc_id, chunk_id, start_tok, n_tokens, chunk_fp)` with the
+    * fingerprint hashing the space-rejoined window (the rebuilt-text
+    * convention of [[substringSpansApply]]). Every token position
+    * belongs to at least one chunk; trailing chunks may be short; blank
+    * documents emit nothing.
+    *
+    * Scale shape: NO token-level explode-join — one `sequence` explode
+    * per document (n/stride rows) and a per-row `slice` over the token
+    * array, so the fan-out is exactly the overlap factor width/stride
+    * and everything stays in whole-stage codegen on one scan. No
+    * shuffle at all until a consumer aggregates.
+    */
+  def tokenChunks(docs: DataFrame, width: Int, stride: Int): DataFrame = {
+    require(width >= 1, s"width must be positive, got $width")
+    require(stride >= 1, s"stride must be positive, got $stride")
+    docs.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"), col("w"),
+        posexplode(sequence(lit(0), size(col("w")) - 1, lit(stride))))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_id"),
+        col("col").cast("int").as("start_tok"),
+        slice(col("w"), col("col") + 1, lit(width)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        size(col("chunk")).cast("int").as("n_tokens"),
+        md5(to_binary(array_join(col("chunk"), " "), lit("utf-8")))
+          .as("chunk_fp"))
+  }
+
   /** Span application — executes [[substringSpans]]' keep-first policy
     * over the corpus: every document comes back as
     * `(doc_id, n_kept, clean_fp)` where `clean_fp` is the md5 of the

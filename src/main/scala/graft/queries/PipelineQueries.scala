@@ -527,6 +527,13 @@ object PipelineQueries {
     TextAnalysis.substringSpansApply(Tables.documents(s, d), k = 5, w = 8,
       minShared = 2L).orderBy("doc_id")
 
+  /** Overlapping token-window chunks (width 64, stride 48 — 25%
+    * overlap): the embedding/RAG context-window prep over documents.
+    */
+  def textChunks(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tokenChunks(Tables.documents(s, d), width = 64, stride = 48)
+      .orderBy("doc_id", "chunk_id")
+
   /** Token-budget shard assignment: distributed prefix-sum scan packing
     * documents in doc_id order into 2048-token training shards.
     */
@@ -739,6 +746,7 @@ object PipelineQueries {
     "dedup_substring" -> dedupSubstring,
     "dedup_spans" -> dedupSpans,
     "dedup_spans_apply" -> dedupSpansApply,
+    "text_chunks" -> textChunks,
     "shard_pack" -> shardPack,
     "corpus_shuffle" -> corpusShuffle,
     "corpus_resample" -> corpusResample,
@@ -962,6 +970,23 @@ object PipelineQueries {
        |FROM (SELECT * FROM spanout UNION ALL SELECT * FROM untouched)
        |ORDER BY doc_id""".stripMargin
 
+  /** DuckDB twin of [[textChunks]]: list slicing over the same token
+    * array — `list_slice` clamps at the end like Spark's `slice`.
+    */
+  private def chunksSql(width: Int, stride: Int): String =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |c AS (SELECT doc_id, w,
+       |    unnest(range(0, len(w), $stride)) AS start,
+       |    generate_subscripts(range(0, len(w), $stride), 1) - 1 AS chunk_id
+       |  FROM t),
+       |sl AS (SELECT doc_id, chunk_id, start,
+       |    list_slice(w, start + 1, start + $width) AS chunk FROM c)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       |  CAST(start AS INT) AS start_tok, CAST(len(chunk) AS INT) AS n_tokens,
+       |  md5(array_to_string(chunk, ' ')) AS chunk_fp
+       |FROM sl ORDER BY doc_id, chunk_id""".stripMargin
+
   /** DuckDB twin of [[shardPack]]: the distributed prefix sum collapses
     * to one window sum over doc_id order at oracle scale.
     */
@@ -1163,6 +1188,7 @@ object PipelineQueries {
     "dedup_substring" -> substringSql(k = 5, w = 8, minShared = 2L),
     "dedup_spans" -> spansSql(k = 5, w = 8, minShared = 2L),
     "dedup_spans_apply" -> spansApplySql(k = 5, w = 8, minShared = 2L),
+    "text_chunks" -> chunksSql(width = 64, stride = 48),
     "shard_pack" -> shardPackSql(budget = 2048L),
     "corpus_shuffle" -> corpusShuffleSql(seed = 42L),
     "corpus_resample" ->

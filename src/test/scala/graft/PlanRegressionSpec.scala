@@ -63,7 +63,8 @@ class PlanRegressionSpec extends SparkSpec
     "dedup_clusters",
     "text_contamination", "text_winnow", "text_vocab",
     "events_window", "events_time_window", "events_sessionize",
-    "text_bpe_merges", "shard_pack", "corpus_shuffle", "corpus_resample")
+    "text_bpe_merges", "shard_pack", "corpus_shuffle", "corpus_resample",
+    "text_chunks")
   // (text_tfidf broadcasts its singleton corpus-total for IDF — the
   // legitimate BNLJ shape — so it lives in the cartesian-free sweep only)
 

@@ -229,4 +229,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got((1L, 1)) == "aa" && got((1L, 2)) == "bb")
     assert(got((2L, 1)) == "aa" && got((2L, 2)) == "bb")
   }
+
+  test("tokenChunks: strided windows, short tail, blank docs skipped") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6"), // 7 tokens: starts 0, 3, 6
+      (2L, "a b"),                  // 2 tokens: one short chunk
+      (3L, "   "),                  // blank: nothing
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenChunks(docs, width = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4)))
+    assert(got.toSeq == Seq(
+      (1L, 0, 0, 4, md5hex("t0 t1 t2 t3")),
+      (1L, 1, 3, 4, md5hex("t3 t4 t5 t6")),
+      (1L, 2, 6, 1, md5hex("t6")),
+      (2L, 0, 0, 2, md5hex("a b"))))
+    // every token position is covered by at least one chunk
+    val covered = got.filter(_._1 == 1L)
+      .flatMap(c => c._3 until (c._3 + c._4)).toSet
+    assert(covered == (0 until 7).toSet)
+  }
 }
