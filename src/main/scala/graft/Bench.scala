@@ -46,16 +46,28 @@ object Bench {
       * thing this probe exists to detect — inflates all three.
       */
     def probe(spark: SparkSession): Int = {
-      val runs = (1 to 3).map { _ =>
+      val runs = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
-        try spark.range(8000000).selectExpr("sum(id)").collect()
-        catch { case scala.util.control.NonFatal(_) => () }
-        (System.nanoTime() - t0) / 1e9
+        // a FAILED run must not contribute a timing: a fast failure
+        // (~1ms) would become the global best and flag every honest
+        // pass as load-suspect — the opposite of the signal
+        try {
+          spark.range(8000000).selectExpr("sum(id)").collect()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case scala.util.control.NonFatal(_) => None }
       }
-      buf += runs.min
+      // all three failed: record +inf — the PASS reads hot (honest: the
+      // session was unhealthy), never a poisoned floor
+      buf += (if (runs.isEmpty) Double.PositiveInfinity else runs.min)
       buf.size - 1
     }
     def times: Seq[Double] = buf.toSeq
+
+    /** Spec seam: seed a synthetic probe time so the rerun branch (which
+      * recomputes suspects from this log) is testable with a forced-hot
+      * pass; never called from the measurement path.
+      */
+    private[graft] def record(t: Double): Int = { buf += t; buf.size - 1 }
   }
 
   /** A pass is load-suspect when either bracketing probe ran slower than
@@ -281,7 +293,13 @@ object Bench {
     val bonusErrs = objOf(results.collect {
       case r if r.bonusErr.nonEmpty => r.name -> jsonStr(r.bonusErr.get) })
     val repsOk = objOf(results.map(r => r.name -> r.okReps.toString))
-    val probesJson = probes.map(p => f"$p%.4f").mkString("[", ",", "]")
+    // Locale.ROOT: f"%.4f" under a comma-decimal default locale would
+    // emit "0,1234" — corrupt JSON. All-probe-failed passes carry +inf;
+    // emit a finite sentinel that still reads unambiguously hot.
+    val probesJson = probes.map(p =>
+      if (p.isInfinite) "9999.0"
+      else String.format(java.util.Locale.ROOT, "%.4f", Double.box(p)))
+      .mkString("[", ",", "]")
     val suspectsJson = loadSuspects(results, probes)
       .map(jsonStr).mkString("[", ",", "]")
     val qsMax = objOf(ok.map(r => r.name -> r.okTimes.max.toString))

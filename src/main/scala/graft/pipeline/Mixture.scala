@@ -36,6 +36,10 @@ object Mixture {
                seed: Long, saltBuckets: Int = 1): DataFrame = {
     require(saltBuckets >= 1, s"saltBuckets must be positive, got $saltBuckets")
     require(budget >= 0, s"budget must be non-negative, got $budget")
+    // quota arithmetic computes budget * bp (bp <= 10000) in Long —
+    // bound budget so it cannot wrap negative and silently select nothing
+    require(budget <= Long.MaxValue / 10000,
+      s"budget too large for exact quota arithmetic: $budget")
     require(targetsBp.values.forall(bp => bp >= 0 && bp <= 10000),
       s"weights must be basis points in [0, 10000]: $targetsBp")
     val spark = docs.sparkSession

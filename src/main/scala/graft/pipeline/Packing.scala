@@ -88,6 +88,11 @@ object Packing {
         lit(0L).as("shard")).limit(0)
     val mn = bounds.getLong(0)
     val span = bounds.getLong(1) - mn + 1
+    // an id range wider than Long.MaxValue (e.g. a negative hash-derived
+    // sentinel next to positive ids) would wrap `span` negative and
+    // assign garbage buckets downstream — fail loudly instead
+    require(span > 0,
+      s"doc_id range [$mn, ${bounds.getLong(1)}] too wide for exact bucket arithmetic")
     // order-preserving arithmetic buckets: integer `div` (no doubles —
     // Column `/` would round past 2^53), width chosen so ids map to at
     // most `buckets` buckets with no overflow anywhere in the id range

@@ -564,8 +564,16 @@ object TextAnalysis {
     */
   def substringSpansApply(docs: DataFrame, k: Int, w: Int,
                           minShared: Long): DataFrame = {
-    val spans = substringSpans(docs, k, w, minShared)
+    // four downstream references (spanDocs feeds three subtrees, surv a
+    // fourth) — materialize the span-count-sized list once, the same
+    // policy (and plan-only escape) as the pair list inside
+    // substringSpans; without this one action replays the whole span
+    // pipeline per reference
+    val spansRaw = substringSpans(docs, k, w, minShared)
       .select(col("doc_id"), col("start_tok"), col("end_tok"))
+    val spans =
+      if (sys.props.get("graft.plan.only").contains("true")) spansRaw
+      else spansRaw.localCheckpoint()
     val spanDocs = spans.select("doc_id").distinct()
     val normFp = md5(to_binary(
       regexp_replace(trim(col("text")), "\\s+", " "), lit("utf-8")))

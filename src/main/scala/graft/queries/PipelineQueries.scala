@@ -233,22 +233,28 @@ object PipelineQueries {
     */
   def annRecallSampled(s: SparkSession, d: String,
                        num: Long, den: Long): DataFrame =
-    annRecallWith(s, d, annQueryPred && mdSamplePred(col("vec_id"), num, den))
+    annRecallWith(s, d, annQueryPred && mdSamplePred(col("vec_id"), num, den),
+      lshFloor = 48L, ivfFloor = 54L)
 
   /** The driver-facing instance of the sampled gate (num/den = 1/2):
     * the 100 TB gate shape itself gets a CORRECTNESS row — the oracle
     * replays the md5-priority sample in SQL and derives the expected
     * sampled-population size, so a sampler drift OR a sampled-recall
-    * collapse fails the hash compare. Floors are the exhaustive gate's
-    * (52/58): measured sampled hits 84/156, 88/156, 91/156 (LSH) and
-    * 104/156, 92/156, 99/156 (IVF) at sf0.001/0.01/0.1 — all above
-    * floor with deterministic seeds ([[graft.tools.RecallProbe]]).
+    * collapse fails the hash compare. The sampled gate carries its OWN
+    * floors (48/54) ~5 points under its per-SF minima — a half-size
+    * query population has coarser recall granularity than the
+    * exhaustive gate, so its floors calibrate to its own measurements:
+    * sampled hits 84/156, 88/156, 91/156 (LSH: min 53.8%) and 104/156,
+    * 92/156, 99/156 (IVF: min 59.0%) at sf0.001/0.01/0.1 with
+    * deterministic seeds ([[graft.tools.RecallProbe]]); the exhaustive
+    * floors (52/58) would leave under ONE hit of margin on IVF@sf0.01.
     */
   def annRecallSampledHalf(s: SparkSession, d: String): DataFrame =
     annRecallSampled(s, d, num = 1L, den = 2L)
 
-  private def annRecallWith(s: SparkSession, d: String,
-                            queryPred: Column): DataFrame = {
+  private def annRecallWith(s: SparkSession, d: String, queryPred: Column,
+                            lshFloor: Long = 52L,
+                            ivfFloor: Long = 58L): DataFrame = {
     val emb = Tables.embeddings(s, d)
     // the exact list feeds THREE consumers (the totals row and both
     // intersects); uncached, each would replay the all-pairs brute-force
@@ -266,8 +272,8 @@ object PipelineQueries {
     // 1x1 cross joins of singleton aggregates (the flagship pattern)
     val out = tot.crossJoin(lh).crossJoin(ih).select(
       col("n_queries").cast("long").as("n_queries"),
-      (col("lsh_hits") * 100L >= col("n_exact") * 52L).as("lsh_recall_ok"),
-      (col("ivf_hits") * 100L >= col("n_exact") * 58L).as("ivf_recall_ok"))
+      (col("lsh_hits") * 100L >= col("n_exact") * lshFloor).as("lsh_recall_ok"),
+      (col("ivf_hits") * 100L >= col("n_exact") * ivfFloor).as("ivf_recall_ok"))
     materializedAndReleased(s, out, exact)
   }
 

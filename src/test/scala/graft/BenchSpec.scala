@@ -172,6 +172,56 @@ class BenchSpec extends SparkSpec {
     assert(Bench.loadSuspects(seeded, hotProbes) == Seq("q"))
   }
 
+  test("rerunSuspects ACTUALLY reruns a suspect: extra sample tagged with the new pass") {
+    val good = (s: SparkSession, _: String) => s.range(3).toDF("id")
+    val log = new Bench.ProbeLog
+    // forced-hot pass 0 bracket vs a clean floor — "q" (min pass 0) is suspect
+    log.record(10.0); log.record(10.0); log.record(0.1)
+    val seeded = Seq(Bench.QueryResult("q", Seq(5.0), Seq(0), None, 1))
+    assert(Bench.loadSuspects(seeded, log.times) == Seq("q"))
+    val out = Bench.rerunSuspects(spark, Seq("q" -> good), seeded,
+      "unused", log, cooldownSec = 0)
+    val r = out.head
+    // one extra sample, tagged with the probe pass appended by the rerun
+    assert(r.okTimes.size == 2 && r.okTimes.head == 5.0)
+    assert(r.okPasses == Seq(0, 3), r.okPasses.toString)
+    assert(r.bonusErr.isEmpty)
+    // the rerun also appended a trailing probe (indices 3 and 4)
+    assert(log.times.size == 5)
+  }
+
+  test("rerunSuspects records a crashing suspect as bonus_err without a sample") {
+    val bad: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (_, _) => throw new RuntimeException("still under load")
+    val log = new Bench.ProbeLog
+    log.record(10.0); log.record(10.0); log.record(0.1)
+    val seeded = Seq(Bench.QueryResult("q", Seq(5.0), Seq(0), None, 1))
+    val out = Bench.rerunSuspects(spark, Seq("q" -> bad), seeded,
+      "unused", log, cooldownSec = 0)
+    val r = out.head
+    assert(r.okTimes == Seq(5.0) && r.okPasses == Seq(0))
+    assert(r.bonusErr.exists(_.contains("still under load")))
+  }
+
+  test("a failed probe run never becomes the probe floor") {
+    // the probe takes min over SUCCESSFUL runs only; with a real session
+    // all runs succeed and the recorded value is a plausible job time,
+    // not a microsecond-scale failure artifact
+    val log = new Bench.ProbeLog
+    log.probe(spark)
+    assert(log.times.head > 0.001, log.times.toString)
+    // render emits locale-safe dot decimals and a finite sentinel for
+    // an all-failed (+inf) probe entry
+    log.record(Double.PositiveInfinity)
+    val line = Bench.render(
+      Seq(Bench.QueryResult("q", Seq(1.0), Seq(0), None, 1)), 1, "sf",
+      log.times)
+    assert(line.contains("9999.0"), line)
+    assert(!line.contains(","+"probes"), line)
+    val probesPart = line.split("\"probes\":")(1).split("]")(0)
+    assert(!probesPart.contains("0,"), s"locale comma leaked: $probesPart")
+  }
+
   test("warmup discovers tables by listing the SF dir instead of a hardcoded list") {
     val dir = java.nio.file.Files.createTempDirectory("bench-tables").toFile
     try {
