@@ -165,6 +165,44 @@ object PipelineQueries {
         .join(nonKeepers, Seq("doc_id"), "left_anti")))
   }
 
+  /** Funnel observability over the FULL prep policy: survivor counts
+    * after each stage (exact dedup -> near-dup removal -> quality ->
+    * English), one row of singleton aggregates — the report a pipeline
+    * operator reads before shipping a corpus. Stage semantics are the
+    * SAME composition as [[pipelinePrepFull]] (shared helpers), so
+    * `n_en` here always equals that query's `n_docs`.
+    */
+  def pipelineFunnel(s: SparkSession, d: String): DataFrame =
+    pipelineFunnelWith(Cluster.connectedComponents(s, _))(s, d)
+
+  /** Plan-audit variant (see [[dedupClustersPlan]]). */
+  private def pipelineFunnelPlan(s: SparkSession, d: String): DataFrame =
+    pipelineFunnelWith(Cluster.planOf)(s, d)
+
+  private def pipelineFunnelWith(clusterFn: DataFrame => DataFrame)
+                                (s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val exactKeepers = docs.groupBy("text")
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val nonKeepers = clusterFn(
+      Dedup.ngramJaccardPairs(docs, n = 3, tnum = 1, tden = 2))
+      .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    val afterNear = exactKeepers.join(nonKeepers, Seq("doc_id"), "left_anti")
+    val afterNearDocs = docs.join(afterNear, "doc_id")
+    val afterQuality = afterNearDocs
+      .filter(TextAnalysis.keepExpr(col("text")) === 1)
+    val afterEn = afterQuality
+      .filter(TextAnalysis.langPredExpr(col("text")) === "en")
+    def n(df: DataFrame, as: String) =
+      df.agg(count(lit(1)).cast("long").as(as))
+    // 1x1 cross joins of singleton aggregates (the flagship pattern)
+    n(docs, "n_total")
+      .crossJoin(n(exactKeepers, "n_exact"))
+      .crossJoin(n(afterNear, "n_neardup"))
+      .crossJoin(n(afterQuality, "n_quality"))
+      .crossJoin(n(afterEn, "n_en"))
+  }
+
   // --- similarity search ---
 
   def annTopk(s: SparkSession, d: String): DataFrame =
@@ -735,6 +773,7 @@ object PipelineQueries {
     "text_contamination" -> textContamination,
     "pipeline_prep" -> pipelinePrep,
     "pipeline_prep_full" -> pipelinePrepFull,
+    "pipeline_funnel" -> pipelineFunnel,
     "text_tokens" -> textTokens,
     "text_tokens_bpe" -> textTokensBpe,
     "text_bpe_merges" -> textBpeMerges,
@@ -774,6 +813,7 @@ object PipelineQueries {
   val planOnlyQueries: Map[String, Q] = Map(
     "dedup_clusters" -> dedupClustersPlan,
     "pipeline_prep_full" -> pipelinePrepFullPlan,
+    "pipeline_funnel" -> pipelineFunnelPlan,
     "text_bpe_merges" -> ((s, d) =>
       TextAnalysis.bpeMergesPlanOf(Tables.documents(s, d))),
     "text_bpe_batched" -> ((s, d) =>
@@ -1179,6 +1219,24 @@ object PipelineQueries {
          |$prepCtes
          |$prepSelect
          |WHERE q.doc_id NOT IN (SELECT doc_id FROM nonkeep)""".stripMargin,
+    "pipeline_funnel" ->
+      s"""WITH RECURSIVE ${jaccardPairCtes(1, 2)},
+         |e AS (SELECT da AS u, db AS v FROM pairs UNION SELECT db, da FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+         |nonkeep AS (SELECT u AS doc_id FROM reach GROUP BY u HAVING u != min(v)),
+         |$prepCtes,
+         |s2 AS (SELECT doc_id FROM keepers
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM nonkeep)),
+         |s3 AS (SELECT doc_id FROM s2 JOIN good USING (doc_id)),
+         |s4 AS (SELECT doc_id FROM s3 JOIN en USING (doc_id))
+         |SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_total,
+         |  CAST((SELECT count(*) FROM keepers) AS BIGINT) AS n_exact,
+         |  CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_neardup,
+         |  CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_quality,
+         |  CAST((SELECT count(*) FROM s4) AS BIGINT) AS n_en""".stripMargin,
     "dedup_exact" ->
       """SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,

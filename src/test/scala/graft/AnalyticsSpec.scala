@@ -12,6 +12,19 @@ import graft.queries.AnalyticsQueries
 class AnalyticsSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
+  test("pipeline funnel counts are monotone and agree with the full prep") {
+    import graft.queries.PipelineQueries
+    val f = PipelineQueries.pipelineFunnel(spark, sf).collect()(0)
+    val Seq(total, exact, near, quality, en) =
+      Seq("n_total", "n_exact", "n_neardup", "n_quality", "n_en")
+        .map(c => f.getLong(f.fieldIndex(c)))
+    assert(total >= exact && exact >= near && near >= quality &&
+      quality >= en && en >= 0, f.toString)
+    val full = PipelineQueries.pipelinePrepFull(spark, sf).collect()(0)
+    assert(en == full.getLong(full.fieldIndex("n_docs")),
+      "funnel terminal stage must equal the full prep's survivor count")
+  }
+
   test("stratified sample is k per stratum and partitioning-independent") {
     import graft.functions.ReservoirSample
     val spark0 = spark
