@@ -183,24 +183,32 @@ object PipelineQueries {
                                 (s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val exactKeepers = docs.groupBy("text")
-      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(1).as("ex"))
     val nonKeepers = clusterFn(
       Dedup.ngramJaccardPairs(docs, n = 3, tnum = 1, tden = 2))
-      .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
-    val afterNear = exactKeepers.join(nonKeepers, Seq("doc_id"), "left_anti")
-    val afterNearDocs = docs.join(afterNear, "doc_id")
-    val afterQuality = afterNearDocs
-      .filter(TextAnalysis.keepExpr(col("text")) === 1)
-    val afterEn = afterQuality
-      .filter(TextAnalysis.langPredExpr(col("text")) === "en")
-    def n(df: DataFrame, as: String) =
-      df.agg(count(lit(1)).cast("long").as(as))
-    // 1x1 cross joins of singleton aggregates (the flagship pattern)
-    n(docs, "n_total")
-      .crossJoin(n(exactKeepers, "n_exact"))
-      .crossJoin(n(afterNear, "n_neardup"))
-      .crossJoin(n(afterQuality, "n_quality"))
-      .crossJoin(n(afterEn, "n_en"))
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"), lit(1).as("nk"))
+    // one-pass flag algebra: each doc carries its stage-survival bits,
+    // ONE aggregate folds all five counts — no per-stage subtree replay,
+    // no cross joins (stage nesting makes the products the survivor
+    // counts of the SAME composition as pipelinePrepFull)
+    docs.join(exactKeepers, Seq("doc_id"), "left")
+      .join(nonKeepers, Seq("doc_id"), "left")
+      .select(coalesce(col("ex"), lit(0)).as("ex"),
+        coalesce(col("nk"), lit(0)).as("nk"),
+        TextAnalysis.keepExpr(col("text")).as("kq"),
+        when(TextAnalysis.langPredExpr(col("text")) === "en", 1)
+          .otherwise(0).as("ke"))
+      .select(col("ex"), (col("ex") * (lit(1) - col("nk"))).as("nr"),
+        col("kq"), col("ke"))
+      .agg(count(lit(1)).cast("long").as("n_total"),
+        coalesce(sum(col("ex")), lit(0L)).cast("long").as("n_exact"),
+        coalesce(sum(col("nr")), lit(0L)).cast("long").as("n_neardup"),
+        coalesce(sum(col("nr") * col("kq")), lit(0L)).cast("long")
+          .as("n_quality"),
+        coalesce(sum(col("nr") * col("kq") * col("ke")), lit(0L))
+          .cast("long").as("n_en"))
   }
 
   // --- similarity search ---
