@@ -61,6 +61,37 @@ object Similarity {
       .select(col("qid"), col("rank").cast("int").as("rank"), col("nid"), col("dot"))
   }
 
+  /** Attribute-filtered exact top-k — the hybrid-search pattern
+    * (metadata constraint + vector ranking): candidates are restricted
+    * to those sharing the query's `attrCol` value, and ranking is the
+    * same deterministic (dot desc, id asc) order as [[bruteForceTopK]].
+    *
+    * Scale note: the attribute predicate makes this CHEAPER than
+    * unfiltered brute force in two ways — each query only scores its
+    * attribute bucket, and the equality key turns the query x candidate
+    * join into a hash-partitionable EQUI join (shuffle by attribute)
+    * instead of a broadcast nested loop. A skewed attribute (one giant
+    * bucket) degrades toward brute force for that bucket only; salt via
+    * [[graft.operators.SkewJoin]] if a real corpus concentrates there.
+    */
+  def filteredTopK(emb: DataFrame, k: Int, queryPred: Column,
+                   attrCol: String = "label"): DataFrame = {
+    val p = prepared(emb)
+      .join(emb.select(col("vec_id"), col(attrCol).as("attr")), "vec_id")
+    val qs = p.filter(queryPred).select(col("vec_id").as("qid"),
+      col("q").as("qq"), col("attr").as("qa"))
+    val cands = p.select(col("vec_id").as("nid"), col("q").as("nq"),
+      col("attr"))
+    val scored = qs
+      .join(cands, col("qa") === col("attr") && col("qid") =!= col("nid"))
+      .withColumn("dot", intDot(col("qq"), col("nq")))
+    val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("int").as("rank"), col("nid"),
+        col("dot"), col("qa").cast("int").as("label"))
+  }
+
   /** Near-duplicate pairs by quantized cosine >= tnum/tden (exact integer
     * comparison; requires dot > 0). Brute-force variant (oracle-matched).
     */

@@ -217,6 +217,14 @@ object PipelineQueries {
     Similarity.bruteForceTopK(Tables.embeddings(s, d), k = 3,
       queryPred = col("vec_id") < 100).orderBy("qid", "rank")
 
+  /** Attribute-filtered exact top-k (hybrid search): neighbors must
+    * share the query's label — metadata constraint + vector ranking,
+    * and the label key makes the search join hash-partitionable.
+    */
+  def annFiltered(s: SparkSession, d: String): DataFrame =
+    Similarity.filteredTopK(Tables.embeddings(s, d), k = 3,
+      queryPred = col("vec_id") < 100).orderBy("qid", "rank")
+
   /** Banded-LSH top-k — approximate by design (rows-only); its recall
     * floor vs [[annTopk]] is the oracle-exact [[annRecall]] gate. At the
     * synthetic tables' low neighbor similarity (cos ~0.45-0.5, bit
@@ -771,6 +779,7 @@ object PipelineQueries {
     "dedup_embedding" -> dedupEmbedding,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,
     "ann_topk" -> annTopk,
+    "ann_filtered" -> annFiltered,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
     "ann_recall" -> annRecall,
@@ -1311,6 +1320,20 @@ object PipelineQueries {
          |  AND CAST(list_dot_product(a.qe, b.qe) AS BIGINT) * CAST(list_dot_product(a.qe, b.qe) AS BIGINT) * 400
          |      >= 81 * a.n2 * b.n2
          |ORDER BY da, db""".stripMargin,
+    "ann_filtered" ->
+      s"""WITH q AS (SELECT vec_id, label, $quantSql AS qe FROM embeddings),
+         |sims AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS nid, a.label AS label,
+         |         CAST(list_dot_product(a.qe, b.qe) AS BIGINT) AS dot
+         |  FROM q a JOIN q b ON a.label = b.label AND a.vec_id != b.vec_id
+         |  WHERE a.vec_id < 100),
+         |ranked AS (
+         |  SELECT qid, nid, label, dot,
+         |         row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rank
+         |  FROM sims)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS INTEGER) AS rank,
+         |       CAST(nid AS BIGINT) AS nid, dot, CAST(label AS INTEGER) AS label
+         |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     "ann_topk" ->
       s"""WITH q AS (SELECT vec_id, $quantSql AS qe FROM embeddings),
          |sims AS (

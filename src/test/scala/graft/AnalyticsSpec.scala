@@ -12,6 +12,27 @@ import graft.queries.AnalyticsQueries
 class AnalyticsSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
+  test("filtered ANN respects the attribute constraint and subsets brute force") {
+    import graft.queries.PipelineQueries
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = PipelineQueries.annFiltered(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    assert(rows.nonEmpty)
+    for ((qid, _, nid, _, lbl) <- rows) {
+      assert(labels(nid) == labels(qid), s"neighbor $nid label mismatch for $qid")
+      assert(lbl == labels(qid))
+    }
+    // per query: ranks are 1..n with dots non-increasing
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length).toSeq, s"$qid ranks")
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sortBy(-_).toSeq,
+        s"$qid dots not ranked")
+    }
+  }
+
   test("pipeline funnel counts are monotone and agree with the full prep") {
     import graft.queries.PipelineQueries
     val f = PipelineQueries.pipelineFunnel(spark, sf).collect()(0)

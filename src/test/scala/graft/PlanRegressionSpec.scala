@@ -64,7 +64,10 @@ class PlanRegressionSpec extends SparkSpec
     "text_contamination", "text_winnow", "text_vocab",
     "events_window", "events_time_window", "events_sessionize",
     "text_bpe_merges", "shard_pack", "corpus_shuffle", "corpus_resample",
-    "text_chunks")
+    "text_chunks",
+    // the attribute filter is exactly what makes filtered ANN equi-join-
+    // able — a regression here would silently fall back to nested-loop
+    "ann_filtered")
   // (text_tfidf broadcasts its singleton corpus-total for IDF — the
   // legitimate BNLJ shape — so it lives in the cartesian-free sweep only)
 
