@@ -53,4 +53,14 @@ object DocStreams {
       .filter(col("keep") === 1)
     if (dropPii) flagged.filter(col("n_pii") === 0L) else flagged
   }
+
+  /** Streaming chunker — the online RAG/embedding ingest path: each
+    * arriving document explodes into its strided token windows via the
+    * SAME [[TextAnalysis.tokenChunks]] transform the batch operator
+    * uses (stateless sequence-explode + slice, so stream and batch can
+    * never disagree chunk-for-chunk). Stateless -> no watermark, no
+    * state store; safe at any ingest rate.
+    */
+  def chunkFlow(docs: DataFrame, width: Int, stride: Int): DataFrame =
+    TextAnalysis.tokenChunks(docs, width, stride)
 }

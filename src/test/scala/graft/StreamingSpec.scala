@@ -122,6 +122,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("DocStreams.chunkFlow: streaming chunks equal the batch chunker") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6", ts(1)),
+      (2L, "a b", ts(2)),
+      (3L, "   ", ts(3))) // blank emits nothing, streaming too
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = graft.streaming.DocStreams.chunkFlow(
+        in.toDF().toDF("doc_id", "text", "ts"), width = 4, stride = 3)
+      .writeStream.format("memory").queryName("docchunks")
+      .outputMode("append").start()
+    try {
+      in.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("docchunks")
+        .orderBy("doc_id", "chunk_id").collect().map(_.toSeq).toSeq
+      val batch = graft.pipeline.TextAnalysis.tokenChunks(
+          docs.map(d => (d._1, d._2)).toDF("doc_id", "text"),
+          width = 4, stride = 3)
+        .orderBy("doc_id", "chunk_id").collect().map(_.toSeq).toSeq
+      assert(streamed == batch, "stream and batch chunkers must agree")
+      assert(batch.nonEmpty && batch.length == 4)
+    } finally q.stop()
+  }
+
   test("sessionizeCustom: stale straggler is its own session, not merged") {
     val spark0 = spark
     import spark0.implicits._
