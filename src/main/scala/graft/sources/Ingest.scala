@@ -106,6 +106,31 @@ object Ingest {
       .select(col("doc_id").cast("long"), col("text"),
         col("lang"), col("source"))
 
+  /** Raw text-lines corpus — one document per line, the shape crawl
+    * extracts and classic LM dumps ship in (no ids, no metadata).
+    * Blank lines are dropped (dump separators, not documents); `lang`
+    * is null (language-ID is the pipeline's job, [[graft.pipeline.TextAnalysis.langId]]);
+    * `source` is the caller's label for the dump; ids are
+    * content-derived via [[withDeterministicIds]] so re-reads and
+    * incremental ingests agree. Line-splittable like JSONL/CSV — one
+    * task per split at any corpus size. Raw lines cannot fail parsing,
+    * so there is no corrupt channel.
+    */
+  def documentsText(spark: SparkSession, path: String,
+                    source: String): DataFrame =
+    withDeterministicIds(spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(lit(0L).as("doc_id"), col("value").as("text"),
+        lit(null).cast("string").as("lang"), lit(source).as("source")))
+
+  /** ORC corpus (columnar like parquet: already typed, predicate/column
+    * pushdown native, no corrupt-record channel).
+    */
+  def documentsOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+      .select(col("doc_id").cast("long"), col("text"),
+        col("lang"), col("source"))
+
   /** Deterministic content-derived ids for corpora that ship without
     * them: the first 60 bits of md5(source, text) — stable across
     * re-reads, re-partitioning, and re-runs (unlike

@@ -75,6 +75,45 @@ class IngestSpec extends SparkSpec {
     assert(once.values.forall(_ >= 0L), "60-bit ids stay non-negative")
   }
 
+  test("text-lines reader: one doc per line, blanks dropped, stable ids") {
+    val dir = tmpDir("ingest_text")
+    val path = writeLines(dir, "dump.txt", Seq(
+      "the first document in the dump",
+      "",
+      "   ",
+      "the second document entirely",
+      "the first document in the dump", // verbatim dup: same content id
+    ))
+    val docs = Ingest.documentsText(spark, path, source = "crawl-a")
+    val rows = docs.collect()
+    assert(rows.length == 3, "blank separator lines are not documents")
+    assert(rows.forall(_.getString(3) == "crawl-a"))
+    assert(rows.forall(r => r.isNullAt(2)), "lang is the pipeline's job")
+    val ids = docs.select("doc_id", "text").collect()
+      .map(r => r.getString(1) -> r.getLong(0)).toMap
+    // content-derived: the duplicate line carries the SAME id, and a
+    // re-read reproduces every id
+    assert(ids.size == 2)
+    val again = Ingest.documentsText(spark, path, "crawl-a")
+      .select("doc_id", "text").collect()
+      .map(r => r.getString(1) -> r.getLong(0)).toMap
+    assert(again == ids)
+  }
+
+  test("orc reader honors the same contract as parquet") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmpDir("ingest_orc")
+    val src = Seq(
+      (1L, "some text here", "en", "s1"),
+      (2L, "other text there", null, "s2"),
+    ).toDF("doc_id", "text", "lang", "source")
+    src.write.mode("overwrite").orc(s"$dir/docs.orc")
+    val got = Ingest.documentsOrc(spark, s"$dir/docs.orc")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(got.toSeq == src.orderBy("doc_id").collect().map(_.toSeq).toSeq)
+  }
+
   test("jsonl round-trips into the pipeline operators") {
     val dir = tmpDir("ingest_pipe")
     val path = writeLines(dir, "docs.jsonl", Seq(
