@@ -131,6 +131,29 @@ object Ingest {
       .select(col("doc_id").cast("long"), col("text"),
         col("lang"), col("source"))
 
+  /** Corpus sink — the write-back step of a prep pipeline: partitioned
+    * parquet (default by `source`) with the two knobs that matter at
+    * 100 TB. Repartitioning BY THE PARTITION COLUMNS first means each
+    * output directory is written by the tasks that own that key — the
+    * default (every task holding rows of every partition value) writes
+    * tasks x partitions files, the classic small-files explosion that
+    * makes the NEXT job's listing/scan driver-bound. `maxRecordsPerFile`
+    * caps the other direction (one giant file per partition would
+    * serialize the next scan). A skewed partition value concentrates in
+    * one task-group; raise parallelism within a hot key by adding a
+    * salt column to `partitionCols` upstream if a real corpus needs it.
+    */
+  def writeDocuments(docs: DataFrame, path: String,
+                     partitionCols: Seq[String] = Seq("source"),
+                     maxRecordsPerFile: Long = 1000000L): Unit = {
+    require(partitionCols.nonEmpty, "partitionCols must not be empty")
+    docs.repartition(partitionCols.map(col): _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
   /** Deterministic content-derived ids for corpora that ship without
     * them: the first 60 bits of md5(source, text) — stable across
     * re-reads, re-partitioning, and re-runs (unlike

@@ -114,6 +114,31 @@ class IngestSpec extends SparkSpec {
     assert(got.toSeq == src.orderBy("doc_id").collect().map(_.toSeq).toSeq)
   }
 
+  test("corpus sink: partitioned write, bounded files, lossless round-trip") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmpDir("ingest_sink")
+    val docs = (1L to 40L).map(i =>
+      (i, s"document number $i", "en", if (i % 2 == 0) "web" else "books"))
+      .toDF("doc_id", "text", "lang", "source")
+    Ingest.writeDocuments(docs, s"$dir/out", maxRecordsPerFile = 7L)
+    // hive-style partition dirs per source value
+    val subdirs = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(subdirs.toSeq == Seq("source=books", "source=web"), subdirs.toSeq)
+    // file cap respected: 20 rows per partition at 7/file -> >= 3 files each
+    for (sd <- subdirs) {
+      val files = new java.io.File(s"$dir/out/$sd").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length >= 3, s"$sd has ${files.length} files")
+    }
+    // lossless round-trip (partition column restored by the reader)
+    val back = spark.read.parquet(s"$dir/out")
+      .select("doc_id", "text", "lang", "source")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(back.toSeq == docs.orderBy("doc_id").collect().map(_.toSeq).toSeq)
+  }
+
   test("jsonl round-trips into the pipeline operators") {
     val dir = tmpDir("ingest_pipe")
     val path = writeLines(dir, "docs.jsonl", Seq(
