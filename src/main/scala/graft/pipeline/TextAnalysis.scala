@@ -327,22 +327,62 @@ object TextAnalysis {
     "fr" -> Seq(" le ", " la ", " et ", " les ", " des "),
   )
 
+  /** The fixed language order of the score vector (argmax tie order). */
+  private val langOrder = Seq("en", "es", "de", "fr")
+
   /** The language-ID argmax as ONE per-row expression (same scores and
     * tie order as [[langId]]); expression-level so composed pipelines can
-    * fold it into a single scan projection. Catalyst's common-subexpression
-    * elimination shares the repeated score sub-trees in codegen.
+    * fold it into a single scan projection.
+    *
+    * Prediction runs through the native [[graft.functions.LangPred]]
+    * expression — one codegen'd `indexOf` sweep with the argmax INSIDE
+    * the node, so a filter context (the prep DAG's language gate, where
+    * Spark performs no subexpression elimination) evaluates the scoring
+    * exactly once per row. The composable `occurrences`-arithmetic form
+    * remains below as [[langPredExprComposable]]: it IS the semantics
+    * (it mirrors the SQL oracles' replace-length arithmetic), and
+    * TextAnalysisSpec pins the native path equal to it. Falls back to
+    * the composable form in the (test-only) case of no active session
+    * to register against. The trailing coalesce reproduces the
+    * composable chain's null-text behavior (null scores fall through
+    * every `when` to the `otherwise`).
     */
   def langPredExpr(text: Column): Column = {
-    // double every whitespace run so adjacent stopwords don't share a
-    // delimiter space: non-overlap counting of ' the the ' would see one
-    // match because the first consumed the middle space
-    val padded = concat(lit(" "),
-      regexp_replace(lower(text), "\\s+", "  "), lit(" "))
+    import org.apache.spark.sql.SparkSession
+    SparkSession.getActiveSession match {
+      case Some(s) =>
+        graft.functions.LangPred.register(s,
+          langOrder.map(l => l -> stopwords(l).toSeq))
+        val p = call_function(graft.functions.LangPred.name, paddedExpr(text))
+        // p is null on all-zero scores ("unknown") AND on null text,
+        // where the composable when-chain falls through to its
+        // `otherwise("fr")` — disambiguate on the cheap raw-null check
+        coalesce(p, when(text.isNull, lit("fr")).otherwise(lit("unknown")))
+      case None => langPredExprComposable(text)
+    }
+  }
+
+  /** Reference form of [[langPredExpr]]: per-stopword replace-length
+    * occurrence arithmetic, the exact composition the DuckDB oracles
+    * replay. Kept callable so the spec proves native == composable.
+    */
+  private[graft] def langPredExprComposable(text: Column): Column = {
+    val padded = paddedExpr(text)
     val score = stopwords.map { case (lang, kws) =>
       lang -> kws.map(k => occurrences(padded, k)).reduce(_ + _)
     }
-    val best = Seq("en", "es", "de", "fr").map(score)
-      .reduce((a, b) => greatest(a, b))
+    argmaxExpr(score)
+  }
+
+  /** Double every whitespace run so adjacent stopwords don't share a
+    * delimiter space: non-overlap counting of ' the the ' would see one
+    * match because the first consumed the middle space.
+    */
+  private def paddedExpr(text: Column): Column =
+    concat(lit(" "), regexp_replace(lower(text), "\\s+", "  "), lit(" "))
+
+  private def argmaxExpr(score: Map[String, Column]): Column = {
+    val best = langOrder.map(score).reduce((a, b) => greatest(a, b))
     when(best === 0, lit("unknown"))
       .when(score("en") === best, "en").when(score("es") === best, "es")
       .when(score("de") === best, "de").otherwise("fr")

@@ -230,6 +230,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got((2L, 1)) == "aa" && got((2L, 2)) == "bb")
   }
 
+  test("native LangScores equals the composable replace-arithmetic form") {
+    import org.apache.spark.sql.functions.col
+    // adversarial: adjacent stopwords sharing a delimiter, overlapping
+    // self-similar patterns, mixed case, unicode, blanks, ties
+    val texts = Seq(
+      "the the the and of a to",
+      "el que la de y el perro",
+      "der die und das ist haus",
+      "le la et les des chat",
+      "the el der le",             // 4-way tie -> argmax order decides
+      "THE AND OF A TO",           // lowercased before scoring
+      "a a a a a a",               // repeated 1-char stopword
+      "",
+      "   ",
+      "nothing matching here xyz",
+      "café naïve résumé the and", // multi-byte + en
+      "the\tand\nof  a to",   // tabs/newlines in runs
+    )
+    val spark0 = spark
+    import spark0.implicits._
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val both = df.select(col("doc_id"),
+        TextAnalysis.langPredExpr(col("text")).as("fast"),
+        TextAnalysis.langPredExprComposable(col("text")).as("ref"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    for ((id, fast, ref) <- both)
+      assert(fast == ref, s"doc $id: native=$fast composable=$ref")
+    // and over the real driver corpus, row for row
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val agree = corpus.select(
+        TextAnalysis.langPredExpr(col("text")) ===
+          TextAnalysis.langPredExprComposable(col("text")))
+      .collect().forall(_.getBoolean(0))
+    assert(agree, "native and composable lang-id diverge on the corpus")
+  }
+
   test("tokenChunks: strided windows, short tail, blank docs skipped") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
