@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.LongArrayDot
+import graft.functions.{ByteArrayDot, FloatArrayQuantize8, LongArrayDot}
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -55,6 +55,57 @@ object Similarity {
     val cands = p.select(col("vec_id").as("nid"), col("q").as("nq"))
     val scored = qs.join(cands, col("qid") =!= col("nid"))
       .withColumn("dot", intDot(col("qq"), col("nq")))
+    val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("int").as("rank"), col("nid"), col("dot"))
+  }
+
+  /** Per-vector symmetric int8 quantization, PACKED: one byte per
+    * dimension in a `binary` column ([[FloatArrayQuantize8]]) — 4x
+    * smaller than the float32 source and 8x smaller than the
+    * long-quantized `q`, the representation a 1e9-vector corpus
+    * actually caches and shuffles. Deterministic (fixed-order IEEE
+    * double ops + half-away-from-zero rounding), so a DuckDB oracle
+    * replays the bytes exactly via list arithmetic.
+    */
+  def quantize8(e: Column): Column =
+    call_function(FloatArrayQuantize8.name, e)
+
+  /** Exact integer dot product of two packed-int8 vectors — the
+    * codegen'd [[ByteArrayDot]] loop.
+    */
+  def dot8(a: Column, b: Column): Column =
+    call_function(ByteArrayDot.name, a, b)
+
+  /** `(vec_id, q8)`: packed-int8 quantized vectors. */
+  def prepared8(emb: DataFrame, idCol: String = "vec_id",
+                embCol: String = "embedding"): DataFrame = {
+    FloatArrayQuantize8.register(emb.sparkSession)
+    ByteArrayDot.register(emb.sparkSession)
+    emb.select(col(idCol), quantize8(col(embCol)).as("q8"))
+  }
+
+  /** Top-k by packed-int8 dot product — [[bruteForceTopK]] on the
+    * 1-byte-per-dimension representation. Same deterministic ranking
+    * contract (dot desc, id asc), so the output is oracle-exact even
+    * though the quantization is lossy vs the float source: what you
+    * trade for the 8x payload shrink is RANKING fidelity against the
+    * long-quantized reference, which the `ann_quantized_recall` gate
+    * measures exactly (both sides deterministic — no floors needed on
+    * the hit count itself, only on the acceptable drift).
+    *
+    * Scale note: candidate-side payload is dim bytes/row instead of
+    * 8*dim — the broadcast/shuffle volume of every downstream join
+    * shrinks by the same 8x, which is usually the difference between a
+    * corpus that fits executor memory and one that spills.
+    */
+  def quantizedTopK(emb: DataFrame, k: Int, queryPred: Column): DataFrame = {
+    val p = prepared8(emb)
+    val qs = p.filter(queryPred).select(col("vec_id").as("qid"), col("q8").as("qq"))
+    val cands = p.select(col("vec_id").as("nid"), col("q8").as("nq"))
+    val scored = qs.join(cands, col("qid") =!= col("nid"))
+      .withColumn("dot", dot8(col("qq"), col("nq")))
     val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

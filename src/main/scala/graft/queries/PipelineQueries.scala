@@ -244,6 +244,48 @@ object PipelineQueries {
     Ivf.topK(Tables.embeddings(s, d), k = 3, nCells = 16, iters = 2,
       nprobe = 4, queryPred = col("vec_id") < 100).orderBy("qid", "rank")
 
+  /** Packed-int8 quantized top-k — [[annTopk]] on the 1-byte-per-dim
+    * `binary` representation ([[Similarity.quantizedTopK]]): 8x less
+    * vector payload through every join/shuffle/cache. Deterministic
+    * quantization + integer dots, so unlike LSH/IVF this compressed
+    * path is oracle-EXACT (the DuckDB twin replays the int8 bytes with
+    * list arithmetic), and its ranking drift vs the uncompressed
+    * reference is measured exactly by [[annQuantizedRecall]].
+    */
+  def annQuantized(s: SparkSession, d: String): DataFrame =
+    Similarity.quantizedTopK(Tables.embeddings(s, d), k = 3,
+      queryPred = col("vec_id") < 100).orderBy("qid", "rank")
+
+  /** Ranking-fidelity gate for the int8 path: hit count of the
+    * quantized top-3 against the long-quantized exact top-3. BOTH
+    * sides are deterministic, so — unlike the LSH/IVF gates, where the
+    * oracle can only replay the population — the oracle reproduces
+    * `q8_hits` itself; a one-hit drift anywhere fails the hash
+    * compare. The floor on `recall_ok` documents the acceptable
+    * compression loss (measured 64.7/65.3/55.0% at sf0.001/0.01/0.1
+    * over 300 exact slots each — the synthetic embeddings' neighbor
+    * margins are unusually thin (cos ~0.45-0.5 planted similarity), so
+    * int8 reshuffles many borderline ranks; production corpora with
+    * separated neighbors sit far higher. Floor 50% is ~5 points under
+    * the per-SF minimum, same calibration rule as the LSH/IVF gates).
+    */
+  def annQuantizedRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    // feeds the totals row and the intersect — cache the k*|queries|
+    // rows for the duration of this call (same shape as annRecall)
+    val exact = Similarity.bruteForceTopK(emb, k = 3, queryPred = annQueryPred)
+      .select("qid", "nid").cache()
+    val q8 = Similarity.quantizedTopK(emb, k = 3, queryPred = annQueryPred)
+      .select("qid", "nid")
+    val tot = exact.agg(count(lit(1)).as("n_exact"))
+    val hits = exact.intersect(q8).agg(count(lit(1)).as("q8_hits"))
+    val out = tot.crossJoin(hits).select(
+      col("n_exact").cast("long").as("n_exact"),
+      col("q8_hits").cast("long").as("q8_hits"),
+      (col("q8_hits") * 100L >= col("n_exact") * 50L).as("recall_ok"))
+    materializedAndReleased(s, out, exact)
+  }
+
   /** Oracle-exact recall gate for the approximate ANN paths: top-3
     * overlap of [[annLsh]] and [[annIvf]] against the exact
     * [[annTopk]], aggregated and held to floors the deterministic seeds
@@ -782,6 +824,8 @@ object PipelineQueries {
     "ann_filtered" -> annFiltered,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
+    "ann_quantized" -> annQuantized,
+    "ann_quantized_recall" -> annQuantizedRecall,
     "ann_recall" -> annRecall,
     "ann_recall_sampled" -> annRecallSampledHalf,
     "embedding_lsh_recall" -> embeddingLshRecall,
@@ -883,6 +927,17 @@ object PipelineQueries {
 
   private val quantSql =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+  /** DuckDB twin of [[graft.functions.FloatArrayQuantize8]]: per-vector
+    * max-abs int8 quantization. Requires an enclosing CTE exposing `ma`
+    * (the max of element-wise abs as DOUBLE); the fixed evaluation
+    * order `(x * 127) / ma` and half-away-from-zero `round` match the
+    * expression's bytes bit-for-bit. Zero vectors (ma = 0) quantize to
+    * all zeros on both sides.
+    */
+  private val quant8Sql =
+    """list_transform(embedding, x -> CASE WHEN ma = 0 THEN CAST(0 AS BIGINT)
+      |    ELSE CAST(round(CAST(x AS DOUBLE) * 127 / ma) AS BIGINT) END)""".stripMargin
 
   /** DuckDB twin of [[Dedup.simhash]] + [[Dedup.simhashNearDups]]: the
     * 60-bit md5-derived signature, 15-bit banding, and hamming verify are
@@ -1347,6 +1402,45 @@ object PipelineQueries {
          |SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS INTEGER) AS rank,
          |       CAST(nid AS BIGINT) AS nid, dot
          |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "ann_quantized" ->
+      s"""WITH m AS (SELECT vec_id, embedding,
+         |  list_aggregate(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))), 'max') AS ma
+         |  FROM embeddings),
+         |q AS (SELECT vec_id, $quant8Sql AS q8 FROM m),
+         |sims AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |         CAST(list_dot_product(a.q8, b.q8) AS BIGINT) AS dot
+         |  FROM q a JOIN q b ON a.vec_id != b.vec_id WHERE a.vec_id < 100),
+         |ranked AS (
+         |  SELECT qid, nid, dot,
+         |         row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rank
+         |  FROM sims)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS INTEGER) AS rank,
+         |       CAST(nid AS BIGINT) AS nid, dot
+         |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "ann_quantized_recall" ->
+      s"""WITH m AS (SELECT vec_id, embedding,
+         |  list_aggregate(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))), 'max') AS ma
+         |  FROM embeddings),
+         |q AS (SELECT vec_id, $quantSql AS qe, $quant8Sql AS q8 FROM m),
+         |ex AS (SELECT qid, nid FROM (
+         |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |         row_number() OVER (PARTITION BY a.vec_id
+         |           ORDER BY CAST(list_dot_product(a.qe, b.qe) AS BIGINT) DESC, b.vec_id) AS rnk
+         |  FROM q a JOIN q b ON a.vec_id != b.vec_id WHERE a.vec_id < 100)
+         |  WHERE rnk <= 3),
+         |q8top AS (SELECT qid, nid FROM (
+         |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |         row_number() OVER (PARTITION BY a.vec_id
+         |           ORDER BY CAST(list_dot_product(a.q8, b.q8) AS BIGINT) DESC, b.vec_id) AS rnk
+         |  FROM q a JOIN q b ON a.vec_id != b.vec_id WHERE a.vec_id < 100)
+         |  WHERE rnk <= 3),
+         |hits AS (SELECT count(*) AS h FROM
+         |  (SELECT qid, nid FROM ex INTERSECT SELECT qid, nid FROM q8top)),
+         |tot AS (SELECT count(*) AS n FROM ex)
+         |SELECT CAST(tot.n AS BIGINT) AS n_exact, CAST(hits.h AS BIGINT) AS q8_hits,
+         |       hits.h * 100 >= tot.n * 50 AS recall_ok
+         |FROM tot, hits""".stripMargin,
     // ann_lsh / ann_ivf: approximate by design -> rows-only; their
     // recall floors are oracle-checked through ann_recall instead
     // (dedup_embedding_lsh likewise through embedding_lsh_recall, whose

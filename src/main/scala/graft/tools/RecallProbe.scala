@@ -39,6 +39,11 @@ object RecallProbe {
       val ivfHits = exactTopk.intersect(
         Ivf.topK(emb, k = 3, nCells = 16, iters = 2, nprobe = 4,
           queryPred = col("vec_id") < 100).select("qid", "nid")).count()
+      // int8 ranking fidelity (ann_quantized_recall floor): deterministic,
+      // but still per-SF data-dependent — calibrate like the others
+      val q8Hits = exactTopk.intersect(
+        Similarity.quantizedTopK(emb, k = 3,
+          queryPred = col("vec_id") < 100).select("qid", "nid")).count()
       exactTopk.unpersist()
       val exactPairs = Similarity.cosinePairs(emb, tnum = 9, tden = 20).cache()
       val nPairs = exactPairs.count()
@@ -69,7 +74,7 @@ object RecallProbe {
         bands = 64, r = 8, tnum = 9, tden = 20)).count()
       sPairs.unpersist()
       def pct(h: Long, n: Long) = if (n == 0) 100.0 else h * 100.0 / n
-      println(f"""{"probe":"recall","sf":"$d","ann_lsh":${pct(lshHits, nExact)}%.1f,"ann_ivf":${pct(ivfHits, nExact)}%.1f,"embedding_lsh":${pct(pairHits, nPairs)}%.1f,"n_exact_topk":$nExact,"n_exact_pairs":$nPairs,"s_ann_lsh":$sLsh/$sN,"s_ann_ivf":$sIvf/$sN,"s_emb_lsh":$sPH/$sNP}""")
+      println(f"""{"probe":"recall","sf":"$d","ann_lsh":${pct(lshHits, nExact)}%.1f,"ann_ivf":${pct(ivfHits, nExact)}%.1f,"ann_q8":${pct(q8Hits, nExact)}%.1f,"embedding_lsh":${pct(pairHits, nPairs)}%.1f,"n_exact_topk":$nExact,"n_exact_pairs":$nPairs,"s_ann_lsh":$sLsh/$sN,"s_ann_ivf":$sIvf/$sN,"s_emb_lsh":$sPH/$sNP}""")
       spark.catalog.clearCache()
     }
     spark.stop()
