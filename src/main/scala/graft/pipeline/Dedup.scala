@@ -41,6 +41,33 @@ object Dedup {
       .select(col("keep_id").cast("long").as("keep_id"), col("n").cast("long").as("n"))
   }
 
+  /** Incremental exact dedup — the daily-ingest shape: which documents
+    * of a NEW BATCH survive against an existing corpus fingerprint
+    * store. `(doc_id, h)`: the first-in-batch representative (minimum
+    * doc_id) of each batch-distinct text hash whose hash is absent
+    * from the store. Batch-internal duplicates collapse to their first
+    * occurrence (same min-id rule as [[exact]]); store hits vanish
+    * entirely.
+    *
+    * Scale shape: the store side is only its 16-byte md5 keys — a real
+    * pipeline PERSISTS that key set as the fingerprint store (bucketed
+    * by hash, the [[graft.operators.Layout]] pattern) rather than
+    * re-hashing the corpus per batch, so the anti-join reuses the
+    * store's layout and shuffles only the day's batch: per-batch cost
+    * is O(|batch|) shuffle + a co-partitioned probe of the store
+    * bucket files, never an O(|corpus|) shuffle. The batch-internal
+    * group-by and the anti-join share the same hash key, so one
+    * partitioning serves both.
+    */
+  def incremental(store: DataFrame, batch: DataFrame): DataFrame = {
+    val h = md5(to_binary(col("text"), lit("utf-8")))
+    val storeKeys = store.select(h.as("h")).distinct()
+    val firstInBatch = batch.select(col("doc_id"), h.as("h"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+    firstInBatch.join(storeKeys, Seq("h"), "left_anti")
+      .select(col("doc_id").cast("long").as("doc_id"), col("h"))
+  }
+
   /** `(doc_id, idx, g)`: every complete word n-gram with its starting
     * token position — the ONE tokenize/lead pipeline behind [[shingles]]
     * and [[TextAnalysis.winnowedFingerprints]], so the tokenization

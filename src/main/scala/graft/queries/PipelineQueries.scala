@@ -30,6 +30,18 @@ object PipelineQueries {
   def dedupExactHash(s: SparkSession, d: String): DataFrame =
     Dedup.exact(Tables.documents(s, d), byHash = true).orderBy("keep_id")
 
+  /** Incremental batch-vs-store dedup ([[Dedup.incremental]]): the
+    * even-id half of the corpus plays the existing fingerprint store,
+    * the odd-id half the day's new batch — survivors are first-in-batch
+    * texts unseen in the store.
+    */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.incremental(store = docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+      batch = docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+      .orderBy("doc_id")
+  }
+
   def dedupMinhash(s: SparkSession, d: String): DataFrame =
     Dedup.minhashNearDups(Tables.documents(s, d), n = 3, k = 64, bands = 32,
       tnum = 3, tden = 5).orderBy("da", "db")
@@ -815,6 +827,7 @@ object PipelineQueries {
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_exact_hash" -> dedupExactHash,
+    "dedup_incremental" -> dedupIncremental,
     "dedup_minhash" -> dedupMinhash,
     "dedup_ngram" -> dedupNgram,
     "dedup_simhash" -> dedupSimhash,
@@ -1316,6 +1329,13 @@ object PipelineQueries {
     "dedup_exact_hash" ->
       """SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "dedup_incremental" ->
+      """WITH st AS (SELECT DISTINCT md5(text) AS h FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |bf AS (SELECT md5(text) AS h, MIN(doc_id) AS doc_id FROM documents
+        |  WHERE doc_id % 2 = 1 GROUP BY 1)
+        |SELECT CAST(bf.doc_id AS BIGINT) AS doc_id, bf.h AS h
+        |FROM bf ANTI JOIN st ON bf.h = st.h ORDER BY doc_id""".stripMargin,
     "dedup_minhash" -> jaccardSql(3, 5),
     "dedup_ngram" -> jaccardSql(1, 2),
     "dedup_clusters" -> clusterSql(1, 2),

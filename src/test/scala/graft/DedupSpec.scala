@@ -36,6 +36,29 @@ class DedupSpec extends SparkSpec {
     assert(capped == Set((1L, 2L)))
   }
 
+  test("incremental dedup keeps first-in-batch texts unseen in the store") {
+    import spark.implicits._
+    val store = Seq(
+      (10L, "already ingested"),
+      (11L, "also known")).toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, "already ingested"),   // store hit -> dropped
+      (21L, "fresh one"),          // survives
+      (22L, "fresh two"),          // survives (first occurrence)
+      (23L, "fresh two"),          // batch-internal dup -> dropped
+      (24L, "also known"),         // store hit -> dropped
+      (25L, "fresh one")           // batch-internal dup of 21 -> dropped
+    ).toDF("doc_id", "text")
+    val surv = Dedup.incremental(store, batch).collect()
+      .map(r => r.getLong(0)).toSet
+    assert(surv == Set(21L, 22L))
+    // empty batch -> empty result; empty store -> plain batch dedup
+    assert(Dedup.incremental(store, batch.limit(0)).count() == 0)
+    val noStore = Dedup.incremental(store.limit(0), batch).collect()
+      .map(_.getLong(0)).toSet
+    assert(noStore == Set(20L, 21L, 22L, 24L))
+  }
+
   test("hash-keyed exact dedup equals by-text exact dedup") {
     import spark.implicits._
     // duplicates, a near-miss (one char off), and empty/whitespace texts
