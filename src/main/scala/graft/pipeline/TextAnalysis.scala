@@ -479,10 +479,14 @@ object TextAnalysis {
   /** Substring-overlap span resolution: given the candidate pairs of
     * [[substringOverlapPairs]] at the same (k, w, minShared), decide
     * WHICH token region is dropped from WHICH document — the step a prep
-    * pipeline actually executes after pair discovery. Policy: keep-first
-    * — in every overlapping pair the lower doc_id keeps its text
-    * untouched, and the higher doc_id drops every token covered by a
-    * k-gram it shares with ANY of its lower-id partners. Covered k-gram
+    * pipeline actually executes after pair discovery. Policies: keep-first
+    * (default) — in every overlapping pair the lower doc_id keeps its
+    * text untouched, and the higher doc_id drops every token covered by
+    * a k-gram it shares with ANY of its lower-id partners; keep-longest
+    * (`keepLongest = true`) — the pair member with more whitespace
+    * tokens keeps instead (ties to the lower id), the policy that
+    * preserves the most content when boilerplate fragments embed in
+    * longer originals. Covered k-gram
     * positions (each covering tokens `[idx, idx+k-1]`) are merged into
     * maximal spans (overlapping-or-adjacent intervals coalesce), emitted
     * as `(doc_id, start_tok, end_tok, n_tokens)` — 0-based inclusive
@@ -504,7 +508,7 @@ object TextAnalysis {
     * text operator here pays.
     */
   def substringSpans(docs: DataFrame, k: Int, w: Int,
-                     minShared: Long): DataFrame = {
+                     minShared: Long, keepLongest: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // referenced three times below (partner map + both id prunes).
     // AQE stage reuse only covers the replicas partially (the shared
@@ -516,9 +520,27 @@ object TextAnalysis {
     // plan audits see the full unrun composition (gate precedent).
     val pairsRaw = substringOverlapPairs(docs, k, w, minShared)
       .select(col("da"), col("db"))
-    val pairs =
+    val pairsFirst =
       if (sys.props.get("graft.plan.only").contains("true")) pairsRaw
       else pairsRaw.localCheckpoint()
+    // policy = which side of each overlapping pair keeps its text.
+    // keep-first (default): the lower doc_id (pairs arrive da < db).
+    // keep-longest: the doc with MORE whitespace tokens keeps; ties fall
+    // back to the lower id — a total order either way, so orientation
+    // can never cycle. Token counts are computed only for the docs the
+    // near-dup-sized pair list names, never corpus-wide.
+    val pairs = if (!keepLongest) pairsFirst else {
+      val ids = pairsFirst.select(col("da").as("doc_id"))
+        .union(pairsFirst.select(col("db").as("doc_id"))).distinct()
+      val tc = docs.join(ids, "doc_id")
+        .select(col("doc_id"), tokenCount(col("text")).as("nt"))
+      pairsFirst
+        .join(tc.select(col("doc_id").as("da"), col("nt").as("na")), "da")
+        .join(tc.select(col("doc_id").as("db"), col("nt").as("nb")), "db")
+        .select(
+          when(col("nb") > col("na"), col("db")).otherwise(col("da")).as("da"),
+          when(col("nb") > col("na"), col("da")).otherwise(col("db")).as("db"))
+    }
     // prune the corpus to candidate docs BEFORE the k-gram explosion:
     // the id lists are near-dup-count-sized (broadcast joins), so the
     // expensive per-token work never touches a non-duplicate document
@@ -603,13 +625,14 @@ object TextAnalysis {
     * pipeline selects the rebuilt string from the same aggregate.
     */
   def substringSpansApply(docs: DataFrame, k: Int, w: Int,
-                          minShared: Long): DataFrame = {
+                          minShared: Long,
+                          keepLongest: Boolean = false): DataFrame = {
     // four downstream references (spanDocs feeds three subtrees, surv a
     // fourth) — materialize the span-count-sized list once, the same
     // policy (and plan-only escape) as the pair list inside
     // substringSpans; without this one action replays the whole span
     // pipeline per reference
-    val spansRaw = substringSpans(docs, k, w, minShared)
+    val spansRaw = substringSpans(docs, k, w, minShared, keepLongest)
       .select(col("doc_id"), col("start_tok"), col("end_tok"))
     val spans =
       if (sys.props.get("graft.plan.only").contains("true")) spansRaw

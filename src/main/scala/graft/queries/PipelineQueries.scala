@@ -634,6 +634,14 @@ object PipelineQueries {
     TextAnalysis.substringSpans(Tables.documents(s, d), k = 5, w = 8,
       minShared = 2L).orderBy("doc_id", "start_tok")
 
+  /** Keep-longest span resolution: same overlap pairs, but the pair
+    * member with more tokens keeps its text (ties to the lower id) —
+    * the policy for boilerplate embedded in longer originals.
+    */
+  def dedupSpansLongest(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.substringSpans(Tables.documents(s, d), k = 5, w = 8,
+      minShared = 2L, keepLongest = true).orderBy("doc_id", "start_tok")
+
   /** Span application: the corpus after executing the keep-first span
     * policy — per doc, surviving token count + md5 of the rebuilt text.
     */
@@ -864,6 +872,7 @@ object PipelineQueries {
     "dedup_clusters" -> dedupClusters,
     "dedup_substring" -> dedupSubstring,
     "dedup_spans" -> dedupSpans,
+    "dedup_spans_longest" -> dedupSpansLongest,
     "dedup_spans_apply" -> dedupSpansApply,
     "text_chunks" -> textChunks,
     "shard_pack" -> shardPack,
@@ -1034,12 +1043,28 @@ object PipelineQueries {
     * them into maximal spans, and `spansf` holds the result in the
     * Spark side's 0-based token offsets.
     */
-  private def spanCtes(k: Int, w: Int, minShared: Long): String =
+  private def spanCtes(k: Int, w: Int, minShared: Long,
+                       keepLongest: Boolean = false): String = {
+    // orientation CTE: keep-first passes the (da < db) pairs through;
+    // keep-longest flips each pair toward the doc with more tokens
+    // (ties stay on the lower id) — mirroring substringSpans' policy
+    val orient =
+      if (!keepLongest) "pairs AS (SELECT da, db FROM pairs0)"
+      else s"""tc AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+              |    ELSE len(string_split_regex(trim(text), '\\s+')) END AS nt
+              |  FROM documents),
+              |pairs AS (
+              |  SELECT CASE WHEN tb.nt > ta.nt THEN p.db ELSE p.da END AS da,
+              |         CASE WHEN tb.nt > ta.nt THEN p.da ELSE p.db END AS db
+              |  FROM pairs0 p
+              |  JOIN tc ta ON ta.doc_id = p.da
+              |  JOIN tc tb ON tb.doc_id = p.db)""".stripMargin
     s"""${winnowCtes(k, w)},
-       |pairs AS (
+       |pairs0 AS (
        |  SELECT a.doc_id AS da, b.doc_id AS db
        |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2 HAVING count(*) >= $minShared),
+       |$orient,
        |g AS (SELECT doc_id, idx, h FROM grams WHERE tail IS NOT NULL),
        |cov AS (
        |  SELECT DISTINCT p.db AS doc_id, lg.idx
@@ -1058,10 +1083,12 @@ object PipelineQueries {
        |spansf AS (
        |  SELECT doc_id, min(idx) - 1 AS start_tok, max(idx) + ${k - 2} AS end_tok
        |  FROM isl GROUP BY doc_id, island)""".stripMargin
+  }
 
-  /** DuckDB twin of [[dedupSpans]]. */
-  private def spansSql(k: Int, w: Int, minShared: Long): String =
-    s"""WITH ${spanCtes(k, w, minShared)}
+  /** DuckDB twin of [[dedupSpans]] / [[dedupSpansLongest]]. */
+  private def spansSql(k: Int, w: Int, minShared: Long,
+                       keepLongest: Boolean = false): String =
+    s"""WITH ${spanCtes(k, w, minShared, keepLongest)}
        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
        |  CAST(start_tok AS INT) AS start_tok,
        |  CAST(end_tok AS INT) AS end_tok,
@@ -1343,6 +1370,8 @@ object PipelineQueries {
     "text_winnow" -> winnowSql(k = 5, w = 8),
     "dedup_substring" -> substringSql(k = 5, w = 8, minShared = 2L),
     "dedup_spans" -> spansSql(k = 5, w = 8, minShared = 2L),
+    "dedup_spans_longest" ->
+      spansSql(k = 5, w = 8, minShared = 2L, keepLongest = true),
     "dedup_spans_apply" -> spansApplySql(k = 5, w = 8, minShared = 2L),
     "text_chunks" -> chunksSql(width = 64, stride = 48),
     "shard_pack" -> shardPackSql(budget = 2048L),

@@ -62,6 +62,31 @@ class WinnowSpec extends SparkSpec {
     assert(spans.toSeq == Seq((2L, 3, 12, 10)))
   }
 
+  test("keep-longest reorients spans toward the shorter pair member") {
+    val common = "one two three four five six seven eight nine ten"
+    // doc 1 is SHORTER but lower-id; doc 2 is the longer original.
+    // keep-first drops the run from doc 2; keep-longest drops it from
+    // doc 1 instead (the policy difference in one pair).
+    val d = docs(
+      1L -> s"alpha $common",
+      2L -> s"zeta eta theta $common iota kappa lambda mu")
+    def spansOf(longest: Boolean) =
+      TextAnalysis.substringSpans(d, k = 3, w = 4, minShared = 1L,
+        keepLongest = longest)
+        .orderBy("doc_id", "start_tok").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(spansOf(false) == Seq((2L, 3, 12, 10)))
+    assert(spansOf(true) == Seq((1L, 1, 10, 10)))
+    // equal lengths tie-break to the lower id: behaves like keep-first
+    val tied = docs(
+      5L -> s"alpha beta $common",
+      6L -> s"gamma delta $common")
+    val tiedSpans = TextAnalysis.substringSpans(tied, k = 3, w = 4,
+      minShared = 1L, keepLongest = true).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(tiedSpans == Seq((6L, 2, 11, 10)))
+  }
+
   test("substringSpans merges overlapping coverage and splits on gaps") {
     val runA = "one two three four five six"     // 6 tokens
     val runB = "ten twenty thirty forty fifty sixty" // 6 tokens
