@@ -73,6 +73,75 @@ object Packing {
       .select(col("doc_id"), col("pos"))
   }
 
+  /** Exact global rank over an arbitrary INTEGER sort key — the
+    * counting-sort member of the two-phase-scan family, for keys whose
+    * value distribution is SKEWED (document lengths, quality scores)
+    * where [[deterministicShuffle]]'s arithmetic priority buckets
+    * don't apply. Rank order is `(key, tiebreak)` ascending, rank is
+    * 1-based and total (every row gets a distinct rank), output is
+    * `(tiebreak-col, key-col, rank)`.
+    *
+    * Phase 1 groups per-key counts and turns them into exclusive
+    * offsets with one window over the COUNTS table — that window is
+    * intentionally unpartitioned, but it sees key-CARDINALITY rows,
+    * never corpus rows (the classic trap this operator exists to
+    * avoid: `row_number() OVER (ORDER BY key)` on the corpus collapses
+    * the whole dataset into one task). Phase 2 broadcasts the
+    * offsets back (cardinality-sized — guard your key: lengths and
+    * percentage scores are fine, raw hashes are not) and adds a
+    * per-key local row_number. No corpus-sized driver crossing, no
+    * corpus-sized single task; the widest corpus shuffle is the hash
+    * partition on the key.
+    *
+    * Skew note: one giant key value (half the corpus at quality = 0)
+    * concentrates its per-key window in one task. If a real corpus
+    * concentrates that hard, pre-split the key (append
+    * `tiebreak mod s` salt to the grouping, merge offsets arithmetically)
+    * — at the driver corpora the per-key groups are small and AQE
+    * handles the imbalance.
+    */
+  def keyedRank(df: DataFrame, keyCol: String,
+                tieCol: String = "doc_id"): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+    val ord = Window.orderBy(col(keyCol))
+    val offs = counts
+      .withColumn("offset", coalesce(
+        sum(col("c")).over(ord.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col(keyCol), col("offset"))
+    val w = Window.partitionBy(keyCol).orderBy(tieCol)
+    df.join(broadcast(offs), keyCol)
+      .withColumn("rank", col("offset") + row_number().over(w).cast("long"))
+      .select(col(tieCol), col(keyCol), col("rank"))
+  }
+
+  /** Quality-decile assignment — the curriculum/filter bucketing step:
+    * every document's exact global rank by `keyCol` (ties by doc_id)
+    * plus its 1-based n-quantile bucket `((rank-1)*n) div total + 1`
+    * (pure integer arithmetic, so a SQL oracle replays it without
+    * matching any engine's ntile size-split convention). Built on
+    * [[keyedRank]]; the corpus total rides the broadcast offsets, not
+    * a second scan.
+    */
+  def keyedQuantiles(df: DataFrame, keyCol: String, n: Int,
+                     tieCol: String = "doc_id"): DataFrame = {
+    require(n >= 1, s"quantile count must be positive, got $n")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+    val ord = Window.orderBy(col(keyCol))
+    val offs = counts
+      .withColumn("offset", coalesce(
+        sum(col("c")).over(ord.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("total", sum(col("c")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col(keyCol), col("offset"), col("total"))
+    val w = Window.partitionBy(keyCol).orderBy(tieCol)
+    df.join(broadcast(offs), keyCol)
+      .withColumn("rank", col("offset") + row_number().over(w).cast("long"))
+      .select(col(tieCol), col(keyCol), col("rank"),
+        (expr(s"((rank - 1) * $n) div total") + 1).cast("int").as("bucket"))
+  }
+
   def tokenShards(docs: DataFrame, budget: Long,
                   buckets: Int = 64): DataFrame = {
     require(budget >= 1, s"budget must be positive, got $budget")

@@ -671,6 +671,18 @@ object PipelineQueries {
     Packing.deterministicShuffle(Tables.documents(s, d), seed = 42L,
       buckets = 8).orderBy("doc_id")
 
+  /** Quality-decile assignment: exact global rank by document length
+    * (ties by doc_id) + 1-based decile, via [[Packing.keyedQuantiles]]'
+    * counting-sort two-phase scan — the curriculum/filter bucketing
+    * step, with no corpus-sized single-partition window anywhere.
+    */
+  def corpusDeciles(s: SparkSession, d: String): DataFrame =
+    Packing.keyedQuantiles(
+      Tables.documents(s, d).select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars")),
+      keyCol = "n_chars", n = 10)
+      .withColumnRenamed("bucket", "decile").orderBy("doc_id")
+
   /** The round-trip mixture targets for [[corpusResample]]. The driver
     * corpus is ~90% en + ~10% unknown, so these exercise all three
     * quota regimes: en is budget-limited (quota < population), unknown
@@ -877,6 +889,7 @@ object PipelineQueries {
     "text_chunks" -> textChunks,
     "shard_pack" -> shardPack,
     "corpus_shuffle" -> corpusShuffle,
+    "corpus_deciles" -> corpusDeciles,
     "corpus_resample" -> corpusResample,
     "corpus_mix" -> corpusMix,
     "multimodal_features" -> multimodalFeatures,
@@ -1376,6 +1389,16 @@ object PipelineQueries {
     "text_chunks" -> chunksSql(width = 64, stride = 48),
     "shard_pack" -> shardPackSql(budget = 2048L),
     "corpus_shuffle" -> corpusShuffleSql(seed = 42L),
+    "corpus_deciles" ->
+      """WITH lx AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_chars,
+        |    CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rank,
+        |    count(*) OVER () AS total
+        |  FROM lx)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, n_chars, rank,
+        |  CAST((rank - 1) * 10 // total + 1 AS INT) AS decile
+        |FROM r ORDER BY doc_id""".stripMargin,
     "corpus_resample" ->
       resampleSql(resampleTargets, budget = 300L, seed = 42L),
     "text_repetition" ->

@@ -60,6 +60,40 @@ class PackingSpec extends SparkSpec {
     assert(other.toSeq != base.toSeq)
   }
 
+  test("keyedRank is a total dense 1..n rank, partitioning-independent") {
+    val spark0 = spark
+    import spark0.implicits._
+    // skewed duplicate keys on purpose: 5 docs at key 7, singletons around
+    val rows = Seq((1L, 7L), (2L, 7L), (3L, 2L), (4L, 7L), (5L, 9L),
+      (6L, 7L), (7L, 1L), (8L, 7L))
+    def ranked(parts: Int) = Packing.keyedRank(
+      rows.toDF("doc_id", "k").repartition(parts), keyCol = "k")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq.sorted
+    val one = ranked(1)
+    assert(one == ranked(7), "rank must not depend on partitioning")
+    // reference: sort by (k, doc_id), 1-based
+    val expect = rows.sortBy(r => (r._2, r._1)).zipWithIndex
+      .map { case ((id, _), i) => (id, i + 1L) }.sorted
+    assert(one == expect)
+  }
+
+  test("keyedQuantiles buckets by exact integer arithmetic") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 8 rows, n=4 -> quartiles of exactly 2 by rank order
+    val rows = (1L to 8L).map(i => (i, i % 3))
+    val out = Packing.keyedQuantiles(rows.toDF("doc_id", "k"),
+      keyCol = "k", n = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(3))).sortBy(_._2)
+    assert(out.map(_._2).toSeq == (1L to 8L))
+    assert(out.map(_._3).toSeq == Seq(1, 1, 2, 2, 3, 3, 4, 4))
+    // more buckets than rows: every row its own bucket prefix, max <= n
+    val tiny = Packing.keyedQuantiles(Seq((1L, 5L), (2L, 3L))
+      .toDF("doc_id", "k"), keyCol = "k", n = 10).collect()
+      .map(r => (r.getLong(0), r.getInt(3))).toSeq.sorted
+    assert(tiny == Seq((1L, 6), (2L, 1)))
+  }
+
   test("mixture resample hits integer quotas deterministically") {
     val d = docs((0L until 100L).flatMap { i =>
       val en = s"the cat and the dog of a to the house"
