@@ -177,6 +177,38 @@ object PipelineQueries {
         .join(nonKeepers, Seq("doc_id"), "left_anti")))
   }
 
+  /** The full prep DAG extended with the VECTOR dedup stage — text and
+    * embedding near-dup removal in ONE composed plan: exact-dedup
+    * keepers -> n-gram near-dup cluster non-keepers dropped ->
+    * embedding-cosine losers dropped (a doc is dropped when its vector
+    * has a lower-id neighbor at cos >= 9/20, the [[dedupEmbedding]]
+    * threshold; doc_id = vec_id by testdata construction) -> quality ->
+    * English -> corpus stats.
+    *
+    * Scale shape: both drop lists are near-dup-sized anti-join inputs
+    * (one id per dropped doc — broadcast at any realistic dup rate), so
+    * the corpus still pays ONE scan + the dedup group-by; the vector
+    * stage adds only the pair computation, and a production corpus
+    * swaps [[Similarity.cosinePairs]] for the bucketed
+    * [[Similarity.lshCosinePairs]] without touching the composition
+    * (both emit `(da, db)`).
+    */
+  def pipelinePrepEmb(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val clusters = Cluster.connectedComponents(s,
+      Dedup.ngramJaccardPairs(docs, n = 3, tnum = 1, tden = 2))
+    val nonKeepers = clusters.filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    val exactKeepers = docs.groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val embDrop = Similarity.cosinePairs(Tables.embeddings(s, d),
+      tnum = 9, tden = 20).select(col("db").as("doc_id")).distinct()
+    corpusStats(prepFiltered(
+      docs.join(exactKeepers, "doc_id")
+        .join(nonKeepers, Seq("doc_id"), "left_anti")
+        .join(embDrop, Seq("doc_id"), "left_anti")))
+  }
+
   /** Funnel observability over the FULL prep policy: survivor counts
     * after each stage (exact dedup -> near-dup removal -> quality ->
     * English), one row of singleton aggregates — the report a pipeline
@@ -867,6 +899,7 @@ object PipelineQueries {
     "text_contamination" -> textContamination,
     "pipeline_prep" -> pipelinePrep,
     "pipeline_prep_full" -> pipelinePrepFull,
+    "pipeline_prep_emb" -> pipelinePrepEmb,
     "pipeline_funnel" -> pipelineFunnel,
     "text_tokens" -> textTokens,
     "text_tokens_bpe" -> textTokensBpe,
@@ -1344,6 +1377,26 @@ object PipelineQueries {
          |$prepCtes
          |$prepSelect
          |WHERE q.doc_id NOT IN (SELECT doc_id FROM nonkeep)""".stripMargin,
+    "pipeline_prep_emb" ->
+      s"""WITH RECURSIVE ${jaccardPairCtes(1, 2)},
+         |e AS (SELECT da AS u, db AS v FROM pairs UNION SELECT db, da FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+         |nonkeep AS (SELECT u AS doc_id FROM reach GROUP BY u HAVING u != min(v)),
+         |qv AS (SELECT vec_id, $quantSql AS qe FROM embeddings),
+         |nv AS (SELECT vec_id, CAST(list_dot_product(qe, qe) AS BIGINT) AS n2, qe FROM qv),
+         |edrop AS (
+         |  SELECT DISTINCT b.vec_id AS doc_id
+         |  FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+         |  WHERE CAST(list_dot_product(a.qe, b.qe) AS BIGINT) > 0
+         |    AND CAST(list_dot_product(a.qe, b.qe) AS BIGINT) * CAST(list_dot_product(a.qe, b.qe) AS BIGINT) * 400
+         |        >= 81 * a.n2 * b.n2),
+         |$prepCtes
+         |$prepSelect
+         |WHERE q.doc_id NOT IN (SELECT doc_id FROM nonkeep)
+         |  AND q.doc_id NOT IN (SELECT doc_id FROM edrop)""".stripMargin,
     "pipeline_funnel" ->
       s"""WITH RECURSIVE ${jaccardPairCtes(1, 2)},
          |e AS (SELECT da AS u, db AS v FROM pairs UNION SELECT db, da FROM pairs),

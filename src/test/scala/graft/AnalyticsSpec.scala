@@ -46,6 +46,22 @@ class AnalyticsSpec extends SparkSpec {
       "funnel terminal stage must equal the full prep's survivor count")
   }
 
+  test("vector-extended prep subsets the full prep and drops embedding losers") {
+    import graft.pipeline.Similarity
+    import graft.queries.PipelineQueries
+    val full = PipelineQueries.pipelinePrepFull(spark, sf).collect()(0)
+    val emb = PipelineQueries.pipelinePrepEmb(spark, sf).collect()(0)
+    val (nFull, nEmb) = (full.getLong(0), emb.getLong(0))
+    assert(nEmb > 0 && nEmb <= nFull,
+      s"vector stage must only remove survivors: $nEmb vs $nFull")
+    // the delta is bounded by the number of distinct cosine losers
+    val losers = Similarity.cosinePairs(
+      spark.read.parquet(s"$sf/embeddings.parquet"), tnum = 9, tden = 20)
+      .select("db").distinct().count()
+    assert(nFull - nEmb <= losers,
+      s"dropped ${nFull - nEmb} but only $losers cosine losers exist")
+  }
+
   test("stratified sample is k per stratum and partitioning-independent") {
     import graft.functions.ReservoirSample
     val spark0 = spark
