@@ -193,9 +193,17 @@ object PipelineQueries {
     * [[Similarity.lshCosinePairs]] without touching the composition
     * (both emit `(da, db)`).
     */
-  def pipelinePrepEmb(s: SparkSession, d: String): DataFrame = {
+  def pipelinePrepEmb(s: SparkSession, d: String): DataFrame =
+    pipelinePrepEmbWith(Cluster.connectedComponents(s, _))(s, d)
+
+  /** Plan-audit variant (see [[dedupClustersPlan]]). */
+  private def pipelinePrepEmbPlan(s: SparkSession, d: String): DataFrame =
+    pipelinePrepEmbWith(Cluster.planOf)(s, d)
+
+  private def pipelinePrepEmbWith(clusterFn: DataFrame => DataFrame)
+                                 (s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val clusters = Cluster.connectedComponents(s,
+    val clusters = clusterFn(
       Dedup.ngramJaccardPairs(docs, n = 3, tnum = 1, tden = 2))
     val nonKeepers = clusters.filter(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
@@ -942,6 +950,7 @@ object PipelineQueries {
   val planOnlyQueries: Map[String, Q] = Map(
     "dedup_clusters" -> dedupClustersPlan,
     "pipeline_prep_full" -> pipelinePrepFullPlan,
+    "pipeline_prep_emb" -> pipelinePrepEmbPlan,
     "pipeline_funnel" -> pipelineFunnelPlan,
     "text_bpe_merges" -> ((s, d) =>
       TextAnalysis.bpeMergesPlanOf(Tables.documents(s, d))),

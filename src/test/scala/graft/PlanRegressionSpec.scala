@@ -64,7 +64,8 @@ class PlanRegressionSpec extends SparkSpec
     "text_contamination", "text_winnow", "text_vocab",
     "events_window", "events_time_window", "events_sessionize",
     "text_bpe_merges", "shard_pack", "corpus_shuffle", "corpus_resample",
-    "text_chunks",
+    "text_chunks", "dedup_incremental", "dedup_spans_longest",
+    "corpus_deciles",
     // the attribute filter is exactly what makes filtered ANN equi-join-
     // able — a regression here would silently fall back to nested-loop
     "ann_filtered")
@@ -111,6 +112,18 @@ class PlanRegressionSpec extends SparkSpec
     val plan = planString("layout_bucketed_join")
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(shuffles <= 1, s"bucketed join re-shuffled ($shuffles):\n$plan")
+  }
+
+  test("corpus_deciles windows the corpus keyed; single-partition only for counts") {
+    val plan = planString("corpus_deciles")
+    // the corpus-side row_number must be partitioned by the key …
+    assert(plan.contains("Exchange hashpartitioning(n_chars"),
+      s"corpus window lost its key partitioning:\n$plan")
+    // … and the only single-partition exchange is the cardinality-sized
+    // counts/offsets window — a second one would mean the corpus itself
+    // collapsed into one task (the trap keyedRank exists to avoid)
+    val singles = "Exchange SinglePartition".r.findAllIn(plan).size
+    assert(singles <= 1, s"corpus-sized single-partition window:\n$plan")
   }
 
   test("ColumnOps join keywords map to their hinted physical strategies") {
