@@ -402,6 +402,44 @@ object TextAnalysis {
     * hash-shuffle group-by + a top-k — at 100 TB the group-by is the
     * only wide stage, and the top-k moves k rows, not the vocabulary.
     */
+  /** Corpus-statistics quality score: the rare-token ratio. A token is
+    * RARE when its document frequency (distinct docs containing it) is
+    * at most `maxDf`; per document this emits the token count, the
+    * rare-token count, and `rare_permille = n_rare * 1000 div n_tokens`
+    * (0 for empty docs) — integer-exact in every engine. High rarity
+    * flags OCR noise, codes/hashes, and boilerplate-free junk that
+    * per-row heuristics ([[quality]]) cannot see, because the signal IS
+    * the corpus: the same string scores differently in different
+    * corpora.
+    *
+    * Scale shape: one token explode (the shared tokenize convention) +
+    * a distinct for df + ONE shuffle join of the token table against
+    * the vocab-sized df dictionary, then a co-partitioned per-doc
+    * aggregate. The dictionary is vocab-sized (Heaps' law: ~1e7-1e8
+    * entries at 100 TB — a plain shuffle join; broadcast only if a df
+    * floor prunes it first). Empty documents survive with zeros via
+    * the id-spine left join.
+    */
+  def rarity(docs: DataFrame, maxDf: Long): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("t"))
+      .filter(length(col("t")) > 0)
+    val dfDict = toks.select("doc_id", "t").distinct()
+      .groupBy("t").agg(count(lit(1)).as("df"))
+    val perDoc = toks.join(dfDict, "t")
+      .groupBy("doc_id").agg(
+        count(lit(1)).cast("int").as("n_tokens"),
+        sum(when(col("df") <= maxDf, 1).otherwise(0)).cast("int").as("n_rare"))
+    docs.select(col("doc_id").cast("long").as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0)).as("n_tokens"),
+        coalesce(col("n_rare"), lit(0)).as("n_rare"))
+      .withColumn("rare_permille",
+        when(col("n_tokens") === 0, 0)
+          .otherwise(expr("(n_rare * 1000) div n_tokens")).cast("int"))
+  }
+
   def vocabulary(docs: DataFrame, k: Int): DataFrame =
     docs.select(explode(split(trim(col("text")), "\\s+")).as("token"))
       .filter(length(col("token")) > 0)

@@ -653,6 +653,11 @@ object PipelineQueries {
     TextAnalysis.vocabulary(Tables.documents(s, d), k = 50)
       .select(col("token"), col("freq").cast("long").as("freq"))
 
+  /** Rare-token ratio vs the corpus df dictionary (rare = df <= 2). */
+  def textRarity(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.rarity(Tables.documents(s, d), maxDf = 2L)
+      .orderBy("doc_id")
+
   /** Winnowed rolling-hash fingerprints (md5-based -> oracle-exact). */
   def textWinnow(s: SparkSession, d: String): DataFrame =
     TextAnalysis.winnowedFingerprints(Tables.documents(s, d), k = 5, w = 8)
@@ -917,6 +922,7 @@ object PipelineQueries {
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
+    "text_rarity" -> textRarity,
     "text_vocab" -> textVocab,
     "text_winnow" -> textWinnow,
     "text_repetition" -> textRepetition,
@@ -1671,6 +1677,21 @@ object PipelineQueries {
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_rarity" ->
+      """WITH tk2 AS (SELECT doc_id, t FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |    FROM documents) WHERE length(t) > 0),
+        |dfd AS (SELECT t, count(DISTINCT doc_id) AS df FROM tk2 GROUP BY t),
+        |pd AS (SELECT tk2.doc_id, count(*) AS n_tokens,
+        |    sum(CASE WHEN dfd.df <= 2 THEN 1 ELSE 0 END) AS n_rare
+        |  FROM tk2 JOIN dfd USING (t) GROUP BY tk2.doc_id)
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+        |  CAST(coalesce(n_tokens, 0) AS INT) AS n_tokens,
+        |  CAST(coalesce(n_rare, 0) AS INT) AS n_rare,
+        |  CAST(CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0
+        |    ELSE coalesce(n_rare, 0) * 1000 // n_tokens END AS INT) AS rare_permille
+        |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "text_vocab" ->
       """SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
         |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents)

@@ -117,6 +117,25 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.bpeEncodedCounts(docs, k = 3).collect().toSeq)
   }
 
+  test("rarity counts rare OCCURRENCES by document frequency") {
+    // df: "common" in docs 1,2,3 (df=3); "dup" only in doc 2 (df=1,
+    // three occurrences — all three count as rare); "solo" df=1;
+    // doc 4 is blank -> zeros, not dropped
+    val d = Seq(
+      (1L, "common solo"),
+      (2L, "common dup dup dup"),
+      (3L, "common"),
+      (4L, "   ")).toDF("doc_id", "text")
+    val out = TextAnalysis.rarity(d, maxDf = 2L).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 2, 1, 500),   // solo rare: 1/2
+      (2L, 4, 3, 750),   // dup x3 rare: 3/4
+      (3L, 1, 0, 0),
+      (4L, 0, 0, 0)))
+  }
+
   test("repetition metrics: hand-computed fractions and edge docs") {
     val docs = Seq(
       (1L, "a a a a"),          // 4 tokens, 1 distinct, bigram "a a" x3
