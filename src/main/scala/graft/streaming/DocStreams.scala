@@ -31,6 +31,29 @@ object DocStreams {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Stream-static incremental dedup — the streaming face of
+    * [[graft.pipeline.Dedup.incremental]]: arriving documents are
+    * dropped when their content fingerprint already exists in a STATIC
+    * corpus fingerprint store (`store` must expose an `fp` column, the
+    * [[TextAnalysis.fingerprintExpr]] convention), composed with the
+    * watermark-horizon within-stream dedup of [[dedupExact]] so a
+    * micro-batch near-duplicate storm collapses before the store probe.
+    *
+    * Scale shape: a stream-static LEFT ANTI equi-join — Spark re-plans
+    * the static side per micro-batch, so a store persisted bucketed by
+    * `fp` ([[graft.operators.Layout]] pattern) probes without
+    * shuffling the store; per-batch cost is O(micro-batch), exactly
+    * the [[graft.pipeline.Dedup.incremental]] contract. The store
+    * snapshot is read-time: documents ingested while the query runs
+    * join the store only after a restart materializes them — the
+    * within-horizon state covers the gap, and cross-horizon residue is
+    * the batch layer's job (same division of labor as [[dedupExact]]).
+    */
+  def dedupAgainstStore(docs: DataFrame, store: DataFrame,
+                        lateness: String): DataFrame =
+    dedupExact(docs, lateness)
+      .join(store.select(col("fp")), Seq("fp"), "left_anti")
+
   /** The per-row text family applied at ingest: quality keep flag,
     * language prediction, and PII counts evaluated in ONE stateless
     * projection (the same expressions the batch operators use, so

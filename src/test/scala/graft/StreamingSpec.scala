@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import graft.streaming.EventStreams
 import graft.streaming.EventStreams.Event
 
@@ -88,6 +89,37 @@ class StreamingSpec extends SparkSpec {
       val ids = spark.table("docdedup").select("doc_id").collect()
         .map(_.getLong(0)).toSet
       assert(ids == Set(1L, 3L, 4L, 5L), s"got $ids")
+    } finally q.stop()
+  }
+
+  test("DocStreams.dedupAgainstStore: store hits drop, stream dups collapse") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // static store: the fingerprints of two already-ingested texts
+    val store = Seq("known one", "known two").toDF("text")
+      .select(graft.pipeline.TextAnalysis.fingerprintExpr(col("text")).as("fp"))
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = graft.streaming.DocStreams.dedupAgainstStore(
+        in.toDF().toDF("doc_id", "text", "ts"), store, lateness = "10 minutes")
+      .writeStream.format("memory").queryName("storededup")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, "Known  One", ts(1)),   // store hit (normalized) -> dropped
+        (2L, "fresh text", ts(2)),   // survives
+        (3L, "fresh  TEXT", ts(3)),  // within-stream dup of 2 -> dropped
+        (4L, "known two", ts(4)))    // store hit -> dropped
+      q.processAllAvailable()
+      val ids = spark.table("storededup").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(ids == Set(2L), s"got $ids")
+      // a later batch with a store hit and a genuinely new doc
+      in.addData((5L, "known one", ts(5)), (6L, "brand new", ts(6)))
+      q.processAllAvailable()
+      val ids2 = spark.table("storededup").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(ids2 == Set(2L, 6L), s"got $ids2")
     } finally q.stop()
   }
 
