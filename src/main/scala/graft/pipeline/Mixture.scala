@@ -32,6 +32,31 @@ import org.apache.spark.sql.functions._
   */
 object Mixture {
 
+  /** Deterministic train/validation/test assignment: every document
+    * lands in exactly one split by its md5-derived priority mod 10000
+    * (basis points — `trainBp` then `valBp` then the remainder to
+    * test). Membership is a pure per-row function of (seed, doc_id):
+    * no shuffle AT ALL (the projection fuses into the scan), stable
+    * across runs/engines/partitionings, and — the property a training
+    * pipeline actually relies on — ADDING documents never moves an
+    * existing one between splits, because assignment depends only on
+    * the row itself (the same consistent-hash contract as [[resample]];
+    * contrast `randomSplit`, which reshuffles membership whenever the
+    * corpus or partitioning changes).
+    */
+  def split(docs: DataFrame, trainBp: Int, valBp: Int,
+            seed: Long): DataFrame = {
+    require(trainBp >= 0 && valBp >= 0 && trainBp + valBp <= 10000,
+      s"split basis points must be non-negative and sum <= 10000: " +
+        s"train=$trainBp val=$valBp")
+    val pri = conv(substring(md5(concat(lit(s"$seed:"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+      when(pmod(pri, lit(10000L)) < trainBp, "train")
+        .when(pmod(pri, lit(10000L)) < trainBp + valBp, "val")
+        .otherwise("test").as("split"))
+  }
+
   def resample(docs: DataFrame, targetsBp: Map[String, Int], budget: Long,
                seed: Long, saltBuckets: Int = 1): DataFrame = {
     require(saltBuckets >= 1, s"saltBuckets must be positive, got $saltBuckets")

@@ -728,6 +728,14 @@ object PipelineQueries {
       keyCol = "n_chars", n = 10)
       .withColumnRenamed("bucket", "decile").orderBy("doc_id")
 
+  /** Deterministic 98/1/1 train/val/test assignment (seed 42): pure
+    * per-row consistent-hash membership, no shuffle — adding documents
+    * never moves existing ones between splits.
+    */
+  def corpusSplit(s: SparkSession, d: String): DataFrame =
+    Mixture.split(Tables.documents(s, d), trainBp = 9800, valBp = 100,
+      seed = 42L).orderBy("doc_id")
+
   /** The round-trip mixture targets for [[corpusResample]]. The driver
     * corpus is ~90% en + ~10% unknown, so these exercise all three
     * quota regimes: en is budget-limited (quota < population), unknown
@@ -937,6 +945,7 @@ object PipelineQueries {
     "shard_pack" -> shardPack,
     "corpus_shuffle" -> corpusShuffle,
     "corpus_deciles" -> corpusDeciles,
+    "corpus_split" -> corpusSplit,
     "corpus_resample" -> corpusResample,
     "corpus_mix" -> corpusMix,
     "multimodal_features" -> multimodalFeatures,
@@ -1457,6 +1466,15 @@ object PipelineQueries {
     "text_chunks" -> chunksSql(width = 64, stride = 48),
     "shard_pack" -> shardPackSql(budget = 2048L),
     "corpus_shuffle" -> corpusShuffleSql(seed = 42L),
+    "corpus_split" ->
+      s"""WITH ph AS (SELECT doc_id,
+         |    md5(concat('42:', CAST(doc_id AS VARCHAR))) AS h FROM documents),
+         |pp AS (SELECT doc_id, $md5Priority60Sql AS pri FROM ph)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  CASE WHEN pri % 10000 < 9800 THEN 'train'
+         |       WHEN pri % 10000 < 9900 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM pp ORDER BY doc_id""".stripMargin,
     "corpus_deciles" ->
       """WITH lx AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
         |  FROM documents),

@@ -94,6 +94,24 @@ class PackingSpec extends SparkSpec {
     assert(tiny == Seq((1L, 6), (2L, 1)))
   }
 
+  test("corpus split is consistent-hash stable: growth never moves a doc") {
+    val spark0 = spark
+    import spark0.implicits._
+    def splits(ids: Seq[Long], parts: Int): Map[Long, String] =
+      Mixture.split(ids.map(i => (i, s"t$i")).toDF("doc_id", "text")
+          .repartition(parts), trainBp = 8000, valBp = 1000, seed = 7L)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val small = splits(1L to 200L, 3)
+    val grown = splits(1L to 400L, 5)
+    // membership is a pure function of (seed, doc_id): the original 200
+    // keep their assignment exactly, regardless of corpus or partitioning
+    assert((1L to 200L).forall(i => small(i) == grown(i)))
+    // all three splits are populated at 80/10/10 over 400 docs
+    val byShare = grown.values.groupBy(identity).view.mapValues(_.size)
+    assert(byShare.keySet == Set("train", "val", "test"), byShare.toMap.toString)
+    assert(byShare("train") > byShare("val") && byShare("train") > byShare("test"))
+  }
+
   test("mixture resample hits integer quotas deterministically") {
     val d = docs((0L until 100L).flatMap { i =>
       val en = s"the cat and the dog of a to the house"
