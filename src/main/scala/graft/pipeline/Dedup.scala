@@ -68,6 +68,44 @@ object Dedup {
       .select(col("doc_id").cast("long").as("doc_id"), col("h"))
   }
 
+  /** Incremental dedup with a NEAR-DUP stage — the full daily-ingest
+    * policy: [[incremental]]'s exact survivors, minus batch documents
+    * with an n-gram Jaccard near-duplicate in the store or earlier in
+    * the batch. Pair orientation: the store always wins a cross pair;
+    * within the batch the lower doc_id wins. Pair-based (no
+    * survivorship chaining — a batch doc dropped for its store
+    * neighbor still suppresses its own later batch near-dups; chained
+    * cluster semantics are [[graft.pipeline.Cluster]]'s job, same
+    * division as the span/embedding drop policies). Ids must be
+    * globally unique across the two inputs.
+    *
+    * Scale shape: the exact stage is the [[incremental]] anti-join
+    * (O(|batch|) against a bucketed key store); the near stage runs
+    * the SAME banded machinery as [[ngramJaccardPairs]] over
+    * store ∪ batch — a production deployment persists the store's
+    * shingle/band tables once ([[graft.operators.Layout]]) and probes
+    * them with the batch's bands, so the per-batch near-dup cost is
+    * also batch-proportional, and the cross-pair orientation below is
+    * a projection over the near-dup-sized pair list either way.
+    */
+  def incrementalNear(store: DataFrame, batch: DataFrame, n: Int,
+                      tnum: Long, tden: Long): DataFrame = {
+    val exactSurv = incremental(store, batch)
+    val all = store.select(col("doc_id"), col("text"))
+      .unionByName(batch.select(col("doc_id"), col("text")))
+    val pairs = ngramJaccardPairs(all, n, tnum, tden)
+    val isBatch = store.select(col("doc_id"), lit(0).as("isb"))
+      .unionByName(batch.select(col("doc_id"), lit(1).as("isb")))
+    val drops = pairs
+      .join(isBatch.select(col("doc_id").as("da"), col("isb").as("fa")), "da")
+      .join(isBatch.select(col("doc_id").as("db"), col("isb").as("fb")), "db")
+      .select(
+        when(col("fa") === 1 && col("fb") === 0, col("da"))
+          .when(col("fb") === 1, col("db")).as("doc_id"))
+      .filter(col("doc_id").isNotNull).distinct()
+    exactSurv.join(drops, Seq("doc_id"), "left_anti")
+  }
+
   /** `(doc_id, idx, g)`: every complete word n-gram with its starting
     * token position — the ONE tokenize/lead pipeline behind [[shingles]]
     * and [[TextAnalysis.winnowedFingerprints]], so the tokenization

@@ -42,6 +42,20 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** The full incremental policy ([[Dedup.incrementalNear]]): exact
+    * survivors minus batch docs with a Jaccard >= 1/2 near-dup in the
+    * store or earlier in the batch (same parity split and threshold
+    * family as [[dedupNgram]]).
+    */
+  def dedupIncrementalNear(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.incrementalNear(
+      store = docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+      batch = docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+      n = 3, tnum = 1, tden = 2)
+      .orderBy("doc_id")
+  }
+
   def dedupMinhash(s: SparkSession, d: String): DataFrame =
     Dedup.minhashNearDups(Tables.documents(s, d), n = 3, k = 64, bands = 32,
       tnum = 3, tden = 5).orderBy("da", "db")
@@ -901,6 +915,7 @@ object PipelineQueries {
     "dedup_exact" -> dedupExact,
     "dedup_exact_hash" -> dedupExactHash,
     "dedup_incremental" -> dedupIncremental,
+    "dedup_incremental_near" -> dedupIncrementalNear,
     "dedup_minhash" -> dedupMinhash,
     "dedup_ngram" -> dedupNgram,
     "dedup_simhash" -> dedupSimhash,
@@ -1453,6 +1468,20 @@ object PipelineQueries {
         |  WHERE doc_id % 2 = 1 GROUP BY 1)
         |SELECT CAST(bf.doc_id AS BIGINT) AS doc_id, bf.h AS h
         |FROM bf ANTI JOIN st ON bf.h = st.h ORDER BY doc_id""".stripMargin,
+    "dedup_incremental_near" ->
+      s"""WITH ${jaccardPairCtes(1, 2)},
+         |st AS (SELECT DISTINCT md5(text) AS h FROM documents
+         |  WHERE doc_id % 2 = 0),
+         |bf AS (SELECT md5(text) AS h, MIN(doc_id) AS doc_id FROM documents
+         |  WHERE doc_id % 2 = 1 GROUP BY 1),
+         |exs AS (SELECT bf.doc_id, bf.h FROM bf ANTI JOIN st ON bf.h = st.h),
+         |drops AS (
+         |  SELECT CASE WHEN da % 2 = 1 AND db % 2 = 0 THEN da
+         |              WHEN db % 2 = 1 THEN db END AS doc_id
+         |  FROM pairs WHERE da % 2 = 1 OR db % 2 = 1)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, h FROM exs
+         |WHERE doc_id NOT IN (SELECT doc_id FROM drops WHERE doc_id IS NOT NULL)
+         |ORDER BY doc_id""".stripMargin,
     "dedup_minhash" -> jaccardSql(3, 5),
     "dedup_ngram" -> jaccardSql(1, 2),
     "dedup_clusters" -> clusterSql(1, 2),

@@ -59,6 +59,30 @@ class DedupSpec extends SparkSpec {
     assert(noStore == Set(20L, 21L, 22L, 24L))
   }
 
+  test("incrementalNear drops store near-dups and in-batch near-dups") {
+    import spark.implicits._
+    val store = Seq(
+      (10L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val batch = Seq(
+      // near-dup of store doc 10 (4 of 5 shared trigram shingles after
+      // one-token change -> J = 2/4 >= 1/2): dropped by the near stage
+      (21L, "alpha beta gamma delta zeta"),
+      // survives: unrelated
+      (22L, "one two three four five"),
+      // near-dup of 22 within the batch -> higher id dropped
+      (23L, "one two three four six"),
+      // exact dup of 22 -> dropped by the exact stage
+      (24L, "one two three four five")
+    ).toDF("doc_id", "text")
+    val surv = Dedup.incrementalNear(store, batch, n = 3, tnum = 1, tden = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(surv == Set(22L))
+    // with an empty store it reduces to batch exact dedup + pair pruning
+    val noStore = Dedup.incrementalNear(store.limit(0), batch,
+      n = 3, tnum = 1, tden = 2).collect().map(_.getLong(0)).toSet
+    assert(noStore == Set(21L, 22L))
+  }
+
   test("hash-keyed exact dedup equals by-text exact dedup") {
     import spark.implicits._
     // duplicates, a near-miss (one char off), and empty/whitespace texts
