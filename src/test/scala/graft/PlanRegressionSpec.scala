@@ -64,8 +64,9 @@ class PlanRegressionSpec extends SparkSpec
     "text_contamination", "text_winnow", "text_vocab",
     "events_window", "events_time_window", "events_sessionize",
     "text_bpe_merges", "shard_pack", "corpus_shuffle", "corpus_resample",
-    "text_chunks", "dedup_incremental", "dedup_spans_longest",
-    "corpus_deciles",
+    "text_chunks", "dedup_incremental", "dedup_incremental_near",
+    "dedup_spans_longest", "corpus_deciles", "corpus_split",
+    "text_rarity",
     // the attribute filter is exactly what makes filtered ANN equi-join-
     // able — a regression here would silently fall back to nested-loop
     "ann_filtered")
