@@ -1,0 +1,146 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.LongArrayDot
+
+/** Product quantization (PQ) approximate nearest-neighbor search
+  * (Jegou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+  * Search", TPAMI 2011): the vector splits into `m` contiguous
+  * subspaces, each quantized independently by a `ks`-centroid k-means
+  * codebook, so a candidate is stored as `m` small codes — at m=8,
+  * ks=16 that is 8 half-byte codes (~4 bytes) standing in for a 64-dim
+  * vector, a ~64x payload compression, the representation a 1e9-vector
+  * index actually keeps in memory. Queries score candidates with
+  * asymmetric distance computation (ADC): the query's EXACT subvectors
+  * dot every subspace centroid once (m x ks small dots per query),
+  * and a candidate's approximate score is the sum of its codes' table
+  * entries — no candidate vector is ever touched.
+  *
+  * Everything is distributed except the codebooks (m x ks x dim/m
+  * integers — kilobytes, broadcast everywhere, the same
+  * driver-crossing contract as [[Ivf]]'s coarse codebook). Training is
+  * per-subspace Lloyd's run as ONE distributed job per round over the
+  * (sub, cid) key — `m` independent k-means interleaved in the same
+  * shuffles, not `m` sequential loops. Deterministic throughout
+  * (first-ks init by vec_id, integer arithmetic, (d2, cid) tie-break),
+  * so results are stable across runs and partitionings — but the
+  * k-means replay is impractical in SQL, so like [[Ivf.topK]] the
+  * driver query is rows-only with an oracle-exact recall gate.
+  *
+  * The relational ADC shape: the per-query table is an equi-join of
+  * query subvectors against the broadcast codebook; scoring joins
+  * candidate codes to table entries on (sub, cid) — an EQUI join, so
+  * candidate scoring shuffles hash-partitioned, never nested-loop. At
+  * full fan-out that is |queries| x |cands| x m skinny rows through
+  * one exchange; a production index composes PQ with the [[Ivf]] cell
+  * restriction so "cands" is the probed cells' members, not the
+  * corpus.
+  */
+object Pq {
+
+  /** `(vec_id, sub, qs)`: the m contiguous subvector slices of each
+    * prepared vector. Dimension must divide evenly — a ragged split
+    * would silently misalign codebooks.
+    */
+  private[pipeline] def subvectors(p: DataFrame, m: Int): DataFrame =
+    p.select(col("vec_id"), col("q"),
+        posexplode(sequence(lit(0), lit(m - 1))))
+      .select(col("vec_id"), col("col").cast("int").as("sub"),
+        expr(s"slice(q, col * (size(q) div $m) + 1, size(q) div $m)").as("qs"))
+
+  /** Nearest-centroid assignment per (vector, subspace): broadcast
+    * codebook join + min_by over the ks-way expansion (map-side
+    * partial aggregation — one row per (vec_id, sub) crosses the
+    * shuffle, the [[Ivf.assign]] formulation).
+    */
+  private def assignSub(sv: DataFrame, codebook: DataFrame): DataFrame = {
+    val d2 = call_function(LongArrayDot.name, col("qs"), col("qs")) +
+      col("cn2") - lit(2L) * call_function(LongArrayDot.name, col("qs"), col("c"))
+    sv.join(broadcast(codebook), "sub")
+      .groupBy("vec_id", "sub")
+      .agg(first(col("qs")).as("qs"),
+        min_by(col("cid"), struct(d2, col("cid"))).as("cid"))
+  }
+
+  /** Train the m per-subspace codebooks on (vec_id, q) prepared
+    * vectors: `(sub, cid, c, cn2)`. Lloyd's with deterministic
+    * first-ks init; every round assigns and recomputes ALL subspaces
+    * in one pair of shuffles. Empty cells keep their previous centroid
+    * (same guard as [[Ivf.train]]).
+    */
+  def train(p: DataFrame, m: Int, ks: Int, iters: Int): DataFrame = {
+    val spark = p.sparkSession
+    LongArrayDot.register(spark)
+    import spark.implicits._
+    val init = p.orderBy("vec_id").limit(ks).orderBy("vec_id")
+      .select(col("q")).collect().map(_.getSeq[Long](0).toArray)
+    if (init.isEmpty)
+      return Seq.empty[(Int, Int, Array[Long])].toDF("sub", "cid", "c")
+        .withColumn("cn2", lit(0L))
+    val dim = init.head.length
+    require(dim % m == 0, s"dimension $dim not divisible into $m subspaces")
+    val d = dim / m
+    var cents: Seq[(Int, Int, Array[Long])] =
+      for (s <- 0 until m; i <- init.indices)
+        yield (s, i, init(i).slice(s * d, s * d + d))
+    // the subvector table feeds every training round — materialize once
+    // (same policy and plan-only escape as the span/cluster loops)
+    val svRaw = subvectors(p, m)
+    val sv =
+      if (sys.props.get("graft.plan.only").contains("true")) svRaw
+      else svRaw.localCheckpoint()
+    for (_ <- 1 to iters) {
+      val cdf = cents.toDF("sub", "cid", "c")
+        .withColumn("cn2", Similarity.intDot(col("c"), col("c")))
+      val recomputed = assignSub(sv, cdf)
+        .select(col("sub"), col("cid"), posexplode(col("qs")))
+        .groupBy("sub", "cid", "pos")
+        .agg(call_function("div", sum(col("col")), count(lit(1))).as("mn"))
+        .groupBy("sub", "cid")
+        .agg(sort_array(collect_list(struct(col("pos"), col("mn")))).as("dims"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) ->
+          r.getSeq[org.apache.spark.sql.Row](2).map(_.getLong(1)).toArray)
+        .toMap
+      cents = cents.map { case (s, i, prev) =>
+        (s, i, recomputed.getOrElse((s, i), prev))
+      }
+    }
+    cents.toDF("sub", "cid", "c")
+      .withColumn("cn2", Similarity.intDot(col("c"), col("c")))
+  }
+
+  /** PQ top-k by ADC score: rank candidates by the summed code-table
+    * entries (dot-product approximation), ties by nid — the same
+    * deterministic ranking contract as the other ANN paths.
+    * Approximate by design (quantization error reorders neighbors):
+    * rows-only for the driver, recall-gated against the exact top-k.
+    */
+  def topK(emb: DataFrame, k: Int, m: Int, ks: Int, iters: Int,
+           queryPred: Column): DataFrame = {
+    val p = Similarity.prepared(emb).cache()
+    val codebook = train(p, m, ks, iters)
+    val sv = subvectors(p, m)
+    val codes = assignSub(sv, codebook)
+      .select(col("vec_id").as("nid"), col("sub"), col("cid").as("code"))
+    // per-query ADC tables: the query's EXACT subvectors against every
+    // subspace centroid — m x ks rows per query, one broadcast join
+    val qt = subvectors(p.filter(queryPred), m)
+      .join(broadcast(codebook), "sub")
+      .select(col("vec_id").as("qid"), col("sub"), col("cid"),
+        Similarity.intDot(col("qs"), col("c")).as("t"))
+    // scoring: equi-join on (sub, code); every candidate matches exactly
+    // one table entry per subspace, so the sum spans all m subs
+    val scored = qt.join(codes,
+        qt("sub") === codes("sub") && qt("cid") === codes("code"))
+      .filter(col("qid") =!= col("nid"))
+      .groupBy("qid", "nid").agg(sum(col("t")).as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("int").as("rank"), col("nid"),
+        col("score"))
+  }
+}

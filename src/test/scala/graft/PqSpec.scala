@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Pq, Similarity}
+import graft.queries.PipelineQueries
+
+/** Product-quantization ANN: exactness in the saturated regime (every
+  * vector its own centroid -> ADC degenerates to the exact dot),
+  * partitioning-independence of the deterministic training, and the
+  * driver-facing recall gate.
+  */
+class PqSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("PQ with ks >= corpus size degenerates to exact ranking") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 24)
+    // ks = 32 >= 24 vectors: first-ks init makes every subvector its own
+    // centroid, assignment is identity, ADC tables ARE the exact dots
+    val pq = Pq.topK(emb, k = 3, m = 32, ks = 32, iters = 2,
+      queryPred = col("vec_id") < 8)
+      .select("qid", "rank", "nid").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exact = Similarity.bruteForceTopK(emb, k = 3,
+      queryPred = col("vec_id") < 8)
+      .select("qid", "rank", "nid").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(pq == exact)
+  }
+
+  test("PQ training and ranking are partitioning-independent") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    def run(parts: Int) = Pq.topK(emb.repartition(parts), k = 3,
+        m = 32, ks = 32, iters = 2, queryPred = col("vec_id") < 40)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSeq.sorted
+    assert(run(2) == run(11))
+  }
+
+  test("PQ recall gate holds at sf0.001") {
+    val gate = PipelineQueries.annPqRecall(spark, sf).collect()(0)
+    assert(gate.getLong(gate.fieldIndex("n_exact")) == 300)
+    assert(gate.getBoolean(gate.fieldIndex("recall_ok")),
+      "PQ recall below the 60% floor")
+  }
+}
