@@ -29,14 +29,16 @@ import graft.functions.LongArrayDot
   * k-means replay is impractical in SQL, so like [[Ivf.topK]] the
   * driver query is rows-only with an oracle-exact recall gate.
   *
-  * The relational ADC shape: the per-query table is an equi-join of
-  * query subvectors against the broadcast codebook; scoring joins
-  * candidate codes to table entries on (sub, cid) — an EQUI join, so
-  * candidate scoring shuffles hash-partitioned, never nested-loop. At
-  * full fan-out that is |queries| x |cands| x m skinny rows through
-  * one exchange; a production index composes PQ with the [[Ivf]] cell
-  * restriction so "cands" is the probed cells' members, not the
-  * corpus.
+  * The relational ADC shape: per-query lookup tables (m x ks dots of
+  * the query's exact subvectors against the broadcast codebook) pack
+  * into ONE array per query, candidate codes into ONE array per
+  * candidate, and scoring is the brute-force broadcast shape —
+  * query-table rows broadcast onto the candidate stream — with the
+  * per-pair work an m-step table-lookup sum instead of a dim-step dot.
+  * Candidate-side payload is the m-code array (~20 B), an 8x shrink
+  * over even the packed-int8 path; a production index composes PQ
+  * with the [[Ivf]] cell restriction so the candidate stream is the
+  * probed cells' members, not the corpus.
   */
 object Pq {
 
@@ -123,20 +125,37 @@ object Pq {
     val p = Similarity.prepared(emb).cache()
     val codebook = train(p, m, ks, iters)
     val sv = subvectors(p, m)
+    // one code ARRAY per candidate, indexed by subspace — the ~20-byte
+    // stored representation (one shuffle by vec_id to pack)
     val codes = assignSub(sv, codebook)
-      .select(col("vec_id").as("nid"), col("sub"), col("cid").as("code"))
-    // per-query ADC tables: the query's EXACT subvectors against every
-    // subspace centroid — m x ks rows per query, one broadcast join
+      .groupBy("vec_id")
+      .agg(transform(sort_array(collect_list(struct(col("sub"), col("cid")))),
+        x => x.getField("cid")).as("codes"))
+      .select(col("vec_id").as("nid"), col("codes"))
+    // one flat lookup TABLE per query: t[sub * ks + cid] = <qs_sub, c>,
+    // from the query's exact subvectors x broadcast codebook
     val qt = subvectors(p.filter(queryPred), m)
       .join(broadcast(codebook), "sub")
       .select(col("vec_id").as("qid"), col("sub"), col("cid"),
         Similarity.intDot(col("qs"), col("c")).as("t"))
-    // scoring: equi-join on (sub, code); every candidate matches exactly
-    // one table entry per subspace, so the sum spans all m subs
-    val scored = qt.join(codes,
-        qt("sub") === codes("sub") && qt("cid") === codes("code"))
+      .groupBy("qid")
+      .agg(transform(
+        sort_array(collect_list(struct(col("sub"), col("cid"), col("t")))),
+        x => x.getField("t")).as("tbl"))
+    // ADC: per (query, candidate) pair, sum the m table entries the
+    // candidate's codes select — the brute-force broadcast shape with a
+    // lookup-sum instead of a dot; rows through the plan = |q| x |n|,
+    // never |q| x |n| x m. The table stride is the ACTUAL per-subspace
+    // codebook size (a corpus smaller than ks trains fewer centroids),
+    // derived from the packed table itself so it can never desync.
+    val stride = expr(s"size(tbl) div $m")
+    val score = aggregate(
+      sequence(lit(0), lit(m - 1)), lit(0L),
+      (acc, s) => acc + element_at(col("tbl"),
+        (s * stride + element_at(col("codes"), (s + 1).cast("int")) + 1).cast("int")))
+    val scored = codes.crossJoin(broadcast(qt))
       .filter(col("qid") =!= col("nid"))
-      .groupBy("qid", "nid").agg(sum(col("t")).as("score"))
+      .withColumn("score", score)
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
