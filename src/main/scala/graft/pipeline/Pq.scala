@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.LongArrayDot
+// (coarse quantizer for the IVF-PQ composition comes from Ivf)
 
 /** Product quantization (PQ) approximate nearest-neighbor search
   * (Jegou, Douze, Schmid, "Product Quantization for Nearest Neighbor
@@ -155,6 +156,71 @@ object Pq {
         (s * stride + element_at(col("codes"), (s + 1).cast("int")) + 1).cast("int")))
     val scored = codes.crossJoin(broadcast(qt))
       .filter(col("qid") =!= col("nid"))
+      .withColumn("score", score)
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("int").as("rank"), col("nid"),
+        col("score"))
+  }
+
+  /** The IVF-PQ index — the standard production ANN composition
+    * (Jegou et al. 2011 §V): [[Ivf]]'s coarse quantizer restricts each
+    * query to its `nprobe` nearest cells, and [[topK]]'s packed-code
+    * ADC scores only those cells' members. Candidate cost per query
+    * drops from n to ~ n * nprobe / nCells WHILE each candidate costs
+    * an m-entry lookup-sum instead of a dim-step dot — the two
+    * approximations (cell boundary loss x quantization reorder)
+    * compound, which is why this path carries its own measured recall
+    * floor in the `ann_pq_recall` gate rather than inheriting either
+    * component's.
+    *
+    * Scale shape: candidate generation is the cell equi-join
+    * (hash-partitioned on the cell id); the broadcast per-query tables
+    * and the KB codebooks are unchanged. At 1e9 vectors this is the
+    * index layout that fits executor memory: 4-byte cell id + ~20-byte
+    * codes per candidate, floats nowhere.
+    */
+  def topKIvf(emb: DataFrame, k: Int, m: Int, ks: Int, iters: Int,
+              nCells: Int, nprobe: Int, queryPred: Column): DataFrame = {
+    val p = Similarity.prepared(emb).cache()
+    val coarse = Ivf.train(p, nCells, iters)
+    val cells = Ivf.assign(p, coarse)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val codebook = train(p, m, ks, iters)
+    val sv = subvectors(p, m)
+    val codes = assignSub(sv, codebook)
+      .groupBy("vec_id")
+      .agg(transform(sort_array(collect_list(struct(col("sub"), col("cid")))),
+        x => x.getField("cid")).as("codes"))
+      .join(cells, "vec_id")
+      .select(col("vec_id").as("nid"), col("cell"), col("codes"))
+    val qt = subvectors(p.filter(queryPred), m)
+      .join(broadcast(codebook), "sub")
+      .select(col("vec_id").as("qid"), col("sub"), col("cid"),
+        Similarity.intDot(col("qs"), col("c")).as("t"))
+      .groupBy("qid")
+      .agg(transform(
+        sort_array(collect_list(struct(col("sub"), col("cid"), col("t")))),
+        x => x.getField("t")).as("tbl"))
+    // nprobe nearest coarse cells per query (the Ivf.topK probe shape)
+    val qd2 = col("n2") + col("cn2") -
+      lit(2L) * Similarity.intDot(col("qq"), col("c"))
+    val qw = Window.partitionBy("qid").orderBy(qd2.asc, col("cid").asc)
+    val probes = p.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2"))
+      .crossJoin(broadcast(coarse))
+      .withColumn("rk", row_number().over(qw))
+      .filter(col("rk") <= nprobe)
+      .select(col("qid"), col("cid").as("cell"))
+    val stride = expr(s"size(tbl) div $m")
+    val score = aggregate(
+      sequence(lit(0), lit(m - 1)), lit(0L),
+      (acc, s) => acc + element_at(col("tbl"),
+        (s * stride + element_at(col("codes"), (s + 1).cast("int")) + 1).cast("int")))
+    val scored = probes.join(codes, "cell")
+      .filter(col("qid") =!= col("nid"))
+      .join(broadcast(qt), "qid")
       .withColumn("score", score)
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w))

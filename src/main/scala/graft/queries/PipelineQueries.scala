@@ -320,13 +320,16 @@ object PipelineQueries {
     Pq.topK(Tables.embeddings(s, d), k = 3, m = 32, ks = 32, iters = 2,
       queryPred = col("vec_id") < 100).orderBy("qid", "rank")
 
-  /** Recall gate for the PQ path: top-3 overlap vs exact brute force,
-    * floor 60% (RecallProbe-measured 69.0/66.7/65.7% at
-    * sf0.001/0.01/0.1 — the strongest approximate path on these
-    * thin-margin embeddings; the floor sits ~5 points under the per-SF
-    * minimum, the same calibration rule as [[annRecall]]). The k-means
-    * replay is impractical in SQL, so like [[annRecall]] the oracle
-    * derives the population and the expected all-pass boolean.
+  /** Recall gate for BOTH PQ paths against one exact computation
+    * (the [[annRecall]] two-path pattern): flat PQ floor 60%
+    * (RecallProbe-measured 69.0/66.7/65.7% at sf0.001/0.01/0.1 — the
+    * strongest approximate path on these thin-margin embeddings) and
+    * IVF-PQ floor 42% (measured 54.0/49.0/47.3% — cell-boundary loss
+    * x quantization reorder compound, which is exactly why the
+    * composition carries its own measured floor). Both floors sit ~5
+    * points under their per-SF minima. The k-means replay is
+    * impractical in SQL, so the oracle derives the population and the
+    * expected all-pass booleans.
     */
   def annPqRecall(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
@@ -334,13 +337,26 @@ object PipelineQueries {
       .select("qid", "nid").cache()
     val pq = Pq.topK(emb, k = 3, m = 32, ks = 32, iters = 2,
       queryPred = annQueryPred).select("qid", "nid")
+    val ivfpq = Pq.topKIvf(emb, k = 3, m = 32, ks = 32, iters = 2,
+      nCells = 16, nprobe = 4, queryPred = annQueryPred).select("qid", "nid")
     val tot = exact.agg(count(lit(1)).as("n_exact"))
-    val hits = exact.intersect(pq).agg(count(lit(1)).as("pq_hits"))
-    val out = tot.crossJoin(hits).select(
+    val ph = exact.intersect(pq).agg(count(lit(1)).as("pq_hits"))
+    val ih = exact.intersect(ivfpq).agg(count(lit(1)).as("ivfpq_hits"))
+    val out = tot.crossJoin(ph).crossJoin(ih).select(
       col("n_exact").cast("long").as("n_exact"),
-      (col("pq_hits") * 100L >= col("n_exact") * 60L).as("recall_ok"))
+      (col("pq_hits") * 100L >= col("n_exact") * 60L).as("recall_ok"),
+      (col("ivfpq_hits") * 100L >= col("n_exact") * 42L).as("ivfpq_recall_ok"))
     materializedAndReleased(s, out, exact)
   }
+
+  /** IVF-PQ top-k ([[Pq.topKIvf]]): the standard production index —
+    * coarse cells bound the candidate stream, packed codes bound the
+    * per-candidate cost. Rows-only; gated through [[annPqRecall]].
+    */
+  def annIvfPq(s: SparkSession, d: String): DataFrame =
+    Pq.topKIvf(Tables.embeddings(s, d), k = 3, m = 32, ks = 32, iters = 2,
+      nCells = 16, nprobe = 4, queryPred = col("vec_id") < 100)
+      .orderBy("qid", "rank")
 
   /** Packed-int8 quantized top-k — [[annTopk]] on the 1-byte-per-dim
     * `binary` representation ([[Similarity.quantizedTopK]]): 8x less
@@ -958,6 +974,7 @@ object PipelineQueries {
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
     "ann_pq" -> annPq,
+    "ann_ivfpq" -> annIvfPq,
     "ann_pq_recall" -> annPqRecall,
     "ann_quantized" -> annQuantized,
     "ann_quantized_recall" -> annQuantizedRecall,
@@ -1662,9 +1679,11 @@ object PipelineQueries {
          |SELECT CAST(tot.n AS BIGINT) AS n_exact, CAST(hits.h AS BIGINT) AS q8_hits,
          |       hits.h * 100 >= tot.n * 50 AS recall_ok
          |FROM tot, hits""".stripMargin,
-    // ann_pq: approximate by design -> rows-only; recall gated below
+    // ann_pq / ann_ivfpq: approximate by design -> rows-only; recall
+    // gated below
     "ann_pq_recall" ->
-      """SELECT CAST(count(*) * 3 AS BIGINT) AS n_exact, TRUE AS recall_ok
+      """SELECT CAST(count(*) * 3 AS BIGINT) AS n_exact, TRUE AS recall_ok,
+        |  TRUE AS ivfpq_recall_ok
         |FROM embeddings WHERE vec_id < 100""".stripMargin,
     // ann_lsh / ann_ivf: approximate by design -> rows-only; their
     // recall floors are oracle-checked through ann_recall instead

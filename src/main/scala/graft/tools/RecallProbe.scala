@@ -50,6 +50,10 @@ object RecallProbe {
       val pqHits = exactTopk.intersect(
         Pq.topK(emb, k = 3, m = 32, ks = 32, iters = 2,
           queryPred = col("vec_id") < 100).select("qid", "nid")).count()
+      val ivfpqHits = exactTopk.intersect(
+        Pq.topKIvf(emb, k = 3, m = 32, ks = 32, iters = 2,
+          nCells = 16, nprobe = 4,
+          queryPred = col("vec_id") < 100).select("qid", "nid")).count()
       exactTopk.unpersist()
       val exactPairs = Similarity.cosinePairs(emb, tnum = 9, tden = 20).cache()
       val nPairs = exactPairs.count()
@@ -80,7 +84,7 @@ object RecallProbe {
         bands = 64, r = 8, tnum = 9, tden = 20)).count()
       sPairs.unpersist()
       def pct(h: Long, n: Long) = if (n == 0) 100.0 else h * 100.0 / n
-      println(f"""{"probe":"recall","sf":"$d","ann_lsh":${pct(lshHits, nExact)}%.1f,"ann_ivf":${pct(ivfHits, nExact)}%.1f,"ann_q8":${pct(q8Hits, nExact)}%.1f,"ann_pq":${pct(pqHits, nExact)}%.1f,"embedding_lsh":${pct(pairHits, nPairs)}%.1f,"n_exact_topk":$nExact,"n_exact_pairs":$nPairs,"s_ann_lsh":$sLsh/$sN,"s_ann_ivf":$sIvf/$sN,"s_emb_lsh":$sPH/$sNP}""")
+      println(f"""{"probe":"recall","sf":"$d","ann_lsh":${pct(lshHits, nExact)}%.1f,"ann_ivf":${pct(ivfHits, nExact)}%.1f,"ann_q8":${pct(q8Hits, nExact)}%.1f,"ann_pq":${pct(pqHits, nExact)}%.1f,"ann_ivfpq":${pct(ivfpqHits, nExact)}%.1f,"embedding_lsh":${pct(pairHits, nPairs)}%.1f,"n_exact_topk":$nExact,"n_exact_pairs":$nPairs,"s_ann_lsh":$sLsh/$sN,"s_ann_ivf":$sIvf/$sN,"s_emb_lsh":$sPH/$sNP}""")
       spark.catalog.clearCache()
     }
     spark.stop()

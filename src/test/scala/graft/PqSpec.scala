@@ -37,10 +37,26 @@ class PqSpec extends SparkSpec {
     assert(run(2) == run(11))
   }
 
-  test("PQ recall gate holds at sf0.001") {
+  test("PQ recall gate holds at sf0.001 (flat and IVF-composed)") {
     val gate = PipelineQueries.annPqRecall(spark, sf).collect()(0)
     assert(gate.getLong(gate.fieldIndex("n_exact")) == 300)
     assert(gate.getBoolean(gate.fieldIndex("recall_ok")),
       "PQ recall below the 60% floor")
+    assert(gate.getBoolean(gate.fieldIndex("ivfpq_recall_ok")),
+      "IVF-PQ recall below the 42% floor")
+  }
+
+  test("IVF-PQ candidates are a subset ranked consistently") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val out = PipelineQueries.annIvfPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length).toSeq, s"$qid ranks")
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sortBy(-_).toSeq,
+        s"$qid scores not ranked")
+      assert(!rs.exists(_._3 == qid), s"$qid returned itself")
+    }
   }
 }
