@@ -49,6 +49,40 @@ object EventStreams {
       .select(col("user_id"), col("s.start").as("s_start"),
         col("s.end").as("s_end"), col("n_events"))
 
+  /** Stream-stream event-time interval join — the attribution shape
+    * (impression joined to the conversion that follows it within a
+    * horizon): two live streams equi-join on `user_id` with the range
+    * condition `l.ts <= r.ts <= l.ts + horizon`. Both sides carry
+    * watermarks, and the range condition is what lets Spark bound the
+    * join STATE on both sides (a left row can stop waiting once the
+    * right watermark passes `l.ts + horizon`; an unconstrained
+    * stream-stream join would buffer forever). Inner join: emits only
+    * matched pairs, incrementally, as both watermarks advance.
+    *
+    * Scale shape: state is hash-partitioned on `user_id` like any
+    * equi-join shuffle, and per-key state holds only the horizon's
+    * worth of events per side — O(rate x horizon), never history. The
+    * `lateness` watermark bounds disorder tolerance; `horizon` bounds
+    * the business window. Columns are prefixed (`l_`/`r_`) because the
+    * two sides share the events schema.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   horizon: String, lateness: String): DataFrame = {
+    val l = left.withWatermark("ts", lateness)
+      .select(col("user_id"), col("event_id").as("l_event_id"),
+        col("event_type").as("l_type"), col("ts").as("l_ts"))
+    val r = right.withWatermark("ts", lateness)
+      .select(col("user_id").as("r_user_id"),
+        col("event_id").as("r_event_id"),
+        col("event_type").as("r_type"), col("ts").as("r_ts"))
+    l.join(r,
+      col("user_id") === col("r_user_id") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("l_event_id"), col("r_event_id"),
+        col("l_type"), col("r_type"), col("l_ts"), col("r_ts"))
+  }
+
   final case class Event(user_id: Long, event_id: Long, event_type: String,
                          ts: Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long)

@@ -92,6 +92,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin: attribution within the horizon, on both live streams") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val imps = MemoryStream[(Long, Long, String, Timestamp)]
+    val clicks = MemoryStream[(Long, Long, String, Timestamp)]
+    def shaped(s: MemoryStream[(Long, Long, String, Timestamp)]) =
+      s.toDF().toDF("user_id", "event_id", "event_type", "ts")
+    val q = EventStreams.intervalJoin(shaped(imps), shaped(clicks),
+        horizon = "10 minutes", lateness = "5 minutes")
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      imps.addData((1L, 100L, "imp", ts(1)), (1L, 101L, "imp", ts(15)))
+      clicks.addData(
+        (1L, 200L, "click", ts(5)),   // 100 @1m..11m -> match
+        (1L, 201L, "click", ts(20)),  // only 101 @15m..25m -> match
+        (2L, 202L, "click", ts(5)))   // no impression for user 2
+      q.processAllAvailable()
+      val pairs = spark.table("attrib")
+        .select("l_event_id", "r_event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((100L, 200L), (101L, 201L)), pairs.toString)
+    } finally q.stop()
+  }
+
   test("DocStreams.dedupAgainstStore: store hits drop, stream dups collapse") {
     val spark0 = spark
     import spark0.implicits._
