@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.LongArrayDot
+import graft.functions.{AdcScore, IntArrayPack8, LongArrayDot}
 // (coarse quantizer for the IVF-PQ composition comes from Ivf)
 
 /** Product quantization (PQ) approximate nearest-neighbor search
@@ -121,21 +121,25 @@ object Pq {
     * Approximate by design (quantization error reorders neighbors):
     * rows-only for the driver, recall-gated against the exact top-k.
     */
-  def topK(emb: DataFrame, k: Int, m: Int, ks: Int, iters: Int,
-           queryPred: Column): DataFrame = {
-    val p = Similarity.prepared(emb).cache()
-    val codebook = train(p, m, ks, iters)
-    val sv = subvectors(p, m)
-    // one code ARRAY per candidate, indexed by subspace — the ~20-byte
-    // stored representation (one shuffle by vec_id to pack)
-    val codes = assignSub(sv, codebook)
+  /** One BYTE-PACKED code tuple per candidate — the stored index
+    * representation: m codes ride as m bytes of `binary`
+    * ([[graft.functions.IntArrayPack8]]), one shuffle by vec_id to
+    * pack.
+    */
+  private def packedCodes(sv: DataFrame, codebook: DataFrame): DataFrame =
+    assignSub(sv, codebook)
       .groupBy("vec_id")
-      .agg(transform(sort_array(collect_list(struct(col("sub"), col("cid")))),
-        x => x.getField("cid")).as("codes"))
-      .select(col("vec_id").as("nid"), col("codes"))
-    // one flat lookup TABLE per query: t[sub * ks + cid] = <qs_sub, c>,
-    // from the query's exact subvectors x broadcast codebook
-    val qt = subvectors(p.filter(queryPred), m)
+      .agg(call_function(IntArrayPack8.name,
+        transform(sort_array(collect_list(struct(col("sub"), col("cid")))),
+          x => x.getField("cid"))).as("codes"))
+
+  /** One flat lookup TABLE per query: `tbl[sub * stride + cid]` =
+    * <qs_sub, c>, from the query's exact subvectors x broadcast
+    * codebook.
+    */
+  private def queryTables(p: DataFrame, m: Int, codebook: DataFrame,
+                          queryPred: Column): DataFrame =
+    subvectors(p.filter(queryPred), m)
       .join(broadcast(codebook), "sub")
       .select(col("vec_id").as("qid"), col("sub"), col("cid"),
         Similarity.intDot(col("qs"), col("c")).as("t"))
@@ -143,20 +147,34 @@ object Pq {
       .agg(transform(
         sort_array(collect_list(struct(col("sub"), col("cid"), col("t")))),
         x => x.getField("t")).as("tbl"))
+
+  /** The per-pair ADC lookup-sum — the native codegen'd
+    * [[graft.functions.AdcScore]] (|q| x |n| evaluations per search;
+    * the higher-order `aggregate(sequence(...))` form is interpreted
+    * per element and dominated the query). Stride is derived inside
+    * the expression from table length / code count, so a small-corpus
+    * codebook (fewer than ks trained centroids) can never desync.
+    */
+  private def adcScore: Column =
+    call_function(AdcScore.name, col("codes"), col("tbl"))
+
+  def topK(emb: DataFrame, k: Int, m: Int, ks: Int, iters: Int,
+           queryPred: Column): DataFrame = {
+    val p = Similarity.prepared(emb).cache()
+    IntArrayPack8.register(p.sparkSession)
+    AdcScore.register(p.sparkSession)
+    val codebook = train(p, m, ks, iters)
+    val sv = subvectors(p, m)
+    val codes = packedCodes(sv, codebook)
+      .select(col("vec_id").as("nid"), col("codes"))
+    val qt = queryTables(p, m, codebook, queryPred)
     // ADC: per (query, candidate) pair, sum the m table entries the
     // candidate's codes select — the brute-force broadcast shape with a
     // lookup-sum instead of a dot; rows through the plan = |q| x |n|,
-    // never |q| x |n| x m. The table stride is the ACTUAL per-subspace
-    // codebook size (a corpus smaller than ks trains fewer centroids),
-    // derived from the packed table itself so it can never desync.
-    val stride = expr(s"size(tbl) div $m")
-    val score = aggregate(
-      sequence(lit(0), lit(m - 1)), lit(0L),
-      (acc, s) => acc + element_at(col("tbl"),
-        (s * stride + element_at(col("codes"), (s + 1).cast("int")) + 1).cast("int")))
+    // never |q| x |n| x m
     val scored = codes.crossJoin(broadcast(qt))
       .filter(col("qid") =!= col("nid"))
-      .withColumn("score", score)
+      .withColumn("score", adcScore)
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -184,25 +202,17 @@ object Pq {
   def topKIvf(emb: DataFrame, k: Int, m: Int, ks: Int, iters: Int,
               nCells: Int, nprobe: Int, queryPred: Column): DataFrame = {
     val p = Similarity.prepared(emb).cache()
+    IntArrayPack8.register(p.sparkSession)
+    AdcScore.register(p.sparkSession)
     val coarse = Ivf.train(p, nCells, iters)
     val cells = Ivf.assign(p, coarse)
       .select(col("vec_id"), col("cid").as("cell"))
     val codebook = train(p, m, ks, iters)
     val sv = subvectors(p, m)
-    val codes = assignSub(sv, codebook)
-      .groupBy("vec_id")
-      .agg(transform(sort_array(collect_list(struct(col("sub"), col("cid")))),
-        x => x.getField("cid")).as("codes"))
+    val codes = packedCodes(sv, codebook)
       .join(cells, "vec_id")
       .select(col("vec_id").as("nid"), col("cell"), col("codes"))
-    val qt = subvectors(p.filter(queryPred), m)
-      .join(broadcast(codebook), "sub")
-      .select(col("vec_id").as("qid"), col("sub"), col("cid"),
-        Similarity.intDot(col("qs"), col("c")).as("t"))
-      .groupBy("qid")
-      .agg(transform(
-        sort_array(collect_list(struct(col("sub"), col("cid"), col("t")))),
-        x => x.getField("t")).as("tbl"))
+    val qt = queryTables(p, m, codebook, queryPred)
     // nprobe nearest coarse cells per query (the Ivf.topK probe shape)
     val qd2 = col("n2") + col("cn2") -
       lit(2L) * Similarity.intDot(col("qq"), col("c"))
@@ -213,15 +223,10 @@ object Pq {
       .withColumn("rk", row_number().over(qw))
       .filter(col("rk") <= nprobe)
       .select(col("qid"), col("cid").as("cell"))
-    val stride = expr(s"size(tbl) div $m")
-    val score = aggregate(
-      sequence(lit(0), lit(m - 1)), lit(0L),
-      (acc, s) => acc + element_at(col("tbl"),
-        (s * stride + element_at(col("codes"), (s + 1).cast("int")) + 1).cast("int")))
     val scored = probes.join(codes, "cell")
       .filter(col("qid") =!= col("nid"))
       .join(broadcast(qt), "qid")
-      .withColumn("score", score)
+      .withColumn("score", adcScore)
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
