@@ -269,9 +269,21 @@ object Bench {
     * loop is bracketed by probes i and i+1) and "load_suspect" names
     * every query whose judged min came from a load-suspect pass — those
     * mins are upper bounds measured under background load, not engine
-    * regressions. The min map — the judged signal — goes LAST on the
-    * line: the driver keeps the output TAIL, so truncation must eat the
-    * noise, not the mins.
+    * regressions.
+    *
+    * TAIL-SAFE ORDER (the driver keeps only the output TAIL, ~4 KB —
+    * the r8 artifact outgrew it and truncation ate the min map's head
+    * AND the whole load signal): the line runs least-important-first,
+    * so what truncation eats is noise. Byte diet, so the judged tail
+    * actually fits the window at 90+ queries: times carry 4 decimals
+    * (0.1 ms — full `Double.toString` burned ~11 chars/entry),
+    * "reps_ok" lists only queries whose successful-rep count DIFFERS
+    * from the nominal reps (a clean query's count is implied),
+    * "queries_max" only flaky/load-suspect queries (max matters exactly
+    * where the min is untrustworthy). The tail is self-contained:
+    * `"{" + line.substring(line.indexOf("\"queries\":"))` is valid JSON
+    * carrying the min map, probes, load_suspect, failed, flaky, and the
+    * total — the whole judged signal recovers from the tail alone.
     */
   def render(results: Seq[QueryResult], reps: Int, sfDir: String,
              probes: Seq[Double] = Seq.empty): String = {
@@ -284,27 +296,31 @@ object Bench {
     def objOf(entries: Seq[(String, String)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
+    // Locale.ROOT: f"%.4f" under a comma-decimal default locale would
+    // emit "0,1234" — corrupt JSON.
+    def fmt(t: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(t))
     val ok = results.filter(_.okTimes.nonEmpty)
     val total = ok.map(_.okTimes.min).sum
     val nFailed = results.count(_.okTimes.isEmpty)
-    val nFlaky = results.count(r => r.okTimes.nonEmpty && r.firstErr.nonEmpty)
+    val flaky = results.filter(r => r.okTimes.nonEmpty && r.firstErr.nonEmpty)
     val errs = objOf(results.collect {
       case r if r.firstErr.nonEmpty => r.name -> jsonStr(r.firstErr.get) })
     val bonusErrs = objOf(results.collect {
       case r if r.bonusErr.nonEmpty => r.name -> jsonStr(r.bonusErr.get) })
-    val repsOk = objOf(results.map(r => r.name -> r.okReps.toString))
-    // Locale.ROOT: f"%.4f" under a comma-decimal default locale would
-    // emit "0,1234" — corrupt JSON. All-probe-failed passes carry +inf;
-    // emit a finite sentinel that still reads unambiguously hot.
-    val probesJson = probes.map(p =>
-      if (p.isInfinite) "9999.0"
-      else String.format(java.util.Locale.ROOT, "%.4f", Double.box(p)))
+    val repsOk = objOf(results.filter(_.okReps != reps)
+      .map(r => r.name -> r.okReps.toString))
+    // all-probe-failed passes carry +inf; emit a finite sentinel that
+    // still reads unambiguously hot
+    val probesJson = probes.map(p => if (p.isInfinite) "9999.0" else fmt(p))
       .mkString("[", ",", "]")
-    val suspectsJson = loadSuspects(results, probes)
-      .map(jsonStr).mkString("[", ",", "]")
-    val qsMax = objOf(ok.map(r => r.name -> r.okTimes.max.toString))
-    val qs = objOf(ok.map(r => r.name -> r.okTimes.min.toString))
-    s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"sf":"$sfDir","failed":$nFailed,"flaky":$nFlaky,"errors":$errs,"bonus_err":$bonusErrs,"reps_ok":$repsOk,"probes":$probesJson,"load_suspect":$suspectsJson,"queries_max":$qsMax,"queries":$qs}"""
+    val suspects = loadSuspects(results, probes)
+    val suspectsJson = suspects.map(jsonStr).mkString("[", ",", "]")
+    val maxWorthy = suspects.toSet ++ flaky.map(_.name)
+    val qsMax = objOf(ok.filter(r => maxWorthy(r.name))
+      .map(r => r.name -> fmt(r.okTimes.max)))
+    val qs = objOf(ok.map(r => r.name -> fmt(r.okTimes.min)))
+    s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"sf":"$sfDir","errors":$errs,"bonus_err":$bonusErrs,"reps_ok":$repsOk,"queries_max":$qsMax,"queries":$qs,"probes":$probesJson,"load_suspect":$suspectsJson,"failed":$nFailed,"flaky":${flaky.size},"total_sec":${fmt(total)}}"""
   }
 
   def main(args: Array[String]): Unit = {

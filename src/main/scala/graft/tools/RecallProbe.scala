@@ -83,8 +83,13 @@ object RecallProbe {
       val sPH = sPairs.intersect(Similarity.lshCosinePairs(sEmb,
         bands = 64, r = 8, tnum = 9, tden = 20)).count()
       sPairs.unpersist()
-      def pct(h: Long, n: Long) = if (n == 0) 100.0 else h * 100.0 / n
-      println(f"""{"probe":"recall","sf":"$d","ann_lsh":${pct(lshHits, nExact)}%.1f,"ann_ivf":${pct(ivfHits, nExact)}%.1f,"ann_q8":${pct(q8Hits, nExact)}%.1f,"ann_pq":${pct(pqHits, nExact)}%.1f,"ann_ivfpq":${pct(ivfpqHits, nExact)}%.1f,"embedding_lsh":${pct(pairHits, nPairs)}%.1f,"n_exact_topk":$nExact,"n_exact_pairs":$nPairs,"s_ann_lsh":$sLsh/$sN,"s_ann_ivf":$sIvf/$sN,"s_emb_lsh":$sPH/$sNP}""")
+      // Locale.ROOT: the f-interpolator's %.1f under a comma-decimal
+      // default locale would emit "66,7" and corrupt the JSON line
+      // (the same bug class Bench.render fixed)
+      def pct(h: Long, n: Long): String = String.format(
+        java.util.Locale.ROOT, "%.1f",
+        Double.box(if (n == 0) 100.0 else h * 100.0 / n))
+      println(s"""{"probe":"recall","sf":"$d","ann_lsh":${pct(lshHits, nExact)},"ann_ivf":${pct(ivfHits, nExact)},"ann_q8":${pct(q8Hits, nExact)},"ann_pq":${pct(pqHits, nExact)},"ann_ivfpq":${pct(ivfpqHits, nExact)},"embedding_lsh":${pct(pairHits, nPairs)},"n_exact_topk":$nExact,"n_exact_pairs":$nPairs,"s_ann_lsh":$sLsh/$sN,"s_ann_ivf":$sIvf/$sN,"s_emb_lsh":$sPH/$sNP}""")
       spark.catalog.clearCache()
     }
     spark.stop()

@@ -27,8 +27,9 @@ class BenchSpec extends SparkSpec {
     assert(parsed.getAs[Long]("failed") == 1L)
     assert(parsed.getAs[Long]("flaky") == 0L)
     assert(line.contains(""""abad":"RuntimeException: boom""""))
-    assert(line.contains(""""reps_ok":{"abad":0,"zgood":2}"""))
-    // the judged min map (last on the line) carries only the good query
+    // reps_ok lists DEVIANTS only: the clean query's count is implied
+    assert(line.contains(""""reps_ok":{"abad":0}"""))
+    // the judged min map carries only the good query
     val minMap = line.substring(line.lastIndexOf("\"queries\":"))
     assert(!minMap.contains("abad"), minMap)
     assert(minMap.contains("zgood"), minMap)
@@ -103,18 +104,52 @@ class BenchSpec extends SparkSpec {
     assert(Bench.loadSuspects(results, Seq.empty).isEmpty)
   }
 
-  test("render emits probes and load_suspect before the judged min map") {
+  test("render puts the whole judged signal AFTER the min map (tail-safe order)") {
     val r = Seq(Bench.QueryResult("q", Seq(5.0, 1.0), Seq(0, 1), None, 2))
     val probes = Seq(0.1, 0.8, 0.8) // pass 1 (the min's pass) is hot
     val line = Bench.render(r, 2, "unused", probes)
     assert(line.contains(""""probes":[0.1000,0.8000,0.8000]"""), line)
     assert(line.contains(""""load_suspect":["q"]"""), line)
-    // the judged min map still goes last (driver keeps the tail)
-    assert(line.lastIndexOf("\"queries\":") > line.indexOf("\"load_suspect\":"))
+    // probes, suspects, failed/flaky, and the total all sit after the
+    // min map: the driver keeps the tail, so the self-qualifying signal
+    // must be the last thing truncation could eat
+    val qAt = line.lastIndexOf("\"queries\":")
+    for (k <- Seq("\"probes\":", "\"load_suspect\":", "\"failed\":",
+        "\"flaky\":", "\"total_sec\":"))
+      assert(line.lastIndexOf(k) > qAt, s"$k not after min map")
+    // a suspect query carries its max (min is untrustworthy there)
+    assert(line.contains(""""queries_max":{"q":5.0000}"""), line)
     val spark0 = spark
     import spark0.implicits._
     assert(spark.read.json(Seq(line).toDS).collect()(0)
       .getAs[Double]("value") == 1.0)
+  }
+
+  test("a 95-query artifact's judged tail fits a 4 KB capture window") {
+    // realistic worst case: 95 queries with driver-length names and
+    // full-precision doubles in, nothing flaky/suspect — the r8 failure
+    // mode was the LINE outgrowing the driver's ~4 KB tail capture
+    val names = (1 to 95).map(i => f"pipeline_operator_name_$i%02d")
+    val rng = new scala.util.Random(7)
+    val results = names.map(n => Bench.QueryResult(n,
+      Seq.fill(3)(0.05 + rng.nextDouble() * 12.345678901234),
+      Seq(0, 1, 2), None, 3))
+    val probes = Seq.fill(5)(0.05 + rng.nextDouble() * 0.1)
+    val line = Bench.render(results, 3, "/root/testdata/sf0.1", probes)
+    val tail = line.takeRight(4096)
+    // the tail alone carries the min map opener and the full signal
+    assert(tail.contains("\"queries\":{"), s"min map head cut: ${tail.take(80)}")
+    assert(tail.contains("\"probes\":[") && tail.contains("\"load_suspect\":"))
+    assert(tail.contains("\"failed\":0") && tail.contains("\"flaky\":0"))
+    assert(tail.contains("\"total_sec\":"))
+    // and reconstructs as valid JSON: "{" + tail-from-queries
+    val rebuilt = "{" + line.substring(line.lastIndexOf("\"queries\":"))
+    val spark0 = spark
+    import spark0.implicits._
+    val parsed = spark.read.json(Seq(rebuilt).toDS).collect()(0)
+    assert(parsed.getAs[Long]("failed") == 0L)
+    assert(line.length - line.lastIndexOf("\"queries\":") < 4000,
+      s"judged tail too big: ${line.length - line.lastIndexOf("\"queries\":")}")
   }
 
   test("worst-min re-measure adds a sample to exactly the slowest queries") {
