@@ -74,9 +74,39 @@ object Ivf {
         min_by(col("cid"), struct(d2, col("cid"))).as("cid"))
   }
 
-  /** IVF top-k: score each query against the vectors in its nprobe
-    * nearest cells only. Approximate (cell boundaries lose neighbors);
-    * exact dot ranking within the probed cells.
+  /** The probe body shared by the inline and persisted paths: nprobe
+    * nearest cells per query (centroid table broadcast — KB at any
+    * corpus scale), then exact dot ranking against only those cells'
+    * inverted lists (a cell equi-join, hash-partitioned on the cell id).
+    * `queries` is prepared query rows `(vec_id, q, n2)`; `lists` is
+    * `(cid, nid, nq)`.
+    */
+  private def probeCells(queries: DataFrame, centroids: DataFrame,
+                         lists: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val qd2 = col("n2") + col("cn2") - lit(2L) * Similarity.intDot(col("qq"), col("c"))
+    val qw = Window.partitionBy("qid").orderBy(qd2.asc, col("cid").asc)
+    val probes = queries
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("rk", row_number().over(qw))
+      .filter(col("rk") <= nprobe)
+      .select(col("qid"), col("qq"), col("cid"))
+    val scored = probes.join(lists, Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("dot", Similarity.intDot(col("qq"), col("nq")))
+    val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("int").as("rank"), col("nid"), col("dot"))
+  }
+
+  /** IVF top-k with INLINE training: train + assign + probe in one call.
+    * The one-shot form (ad-hoc search over a corpus you'll never query
+    * again); repeated searches should build once via [[buildIndex]] and
+    * probe via [[probeIndex]] — training cost charged per QUERY is the
+    * audited scale-killer the persisted lifecycle exists to remove.
+    * Approximate (cell boundaries lose neighbors); exact dot ranking
+    * within the probed cells.
     */
   def topK(emb: DataFrame, k: Int, nCells: Int, iters: Int, nprobe: Int,
            queryPred: Column): DataFrame = {
@@ -84,21 +114,46 @@ object Ivf {
     val centroids = train(p, nCells, iters)
     val indexed = assign(p, centroids)
       .select(col("cid"), col("vec_id").as("nid"), col("q").as("nq"))
-    // nprobe nearest cells per query vector
-    val qd2 = col("n2") + col("cn2") - lit(2L) * Similarity.intDot(col("qq"), col("c"))
-    val qw = Window.partitionBy("qid").orderBy(qd2.asc, col("cid").asc)
-    val probes = p.filter(queryPred)
-      .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("rk", row_number().over(qw))
-      .filter(col("rk") <= nprobe)
-      .select(col("qid"), col("qq"), col("cid"))
-    val scored = probes.join(indexed, Seq("cid"))
-      .filter(col("qid") =!= col("nid"))
-      .withColumn("dot", Similarity.intDot(col("qq"), col("nq")))
-    val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank").cast("int").as("rank"), col("nid"), col("dot"))
+    probeCells(p.filter(queryPred), centroids, indexed, k, nprobe)
+  }
+
+  /** Build the persisted IVF index at `dir`: the KB centroid codebook
+    * plus the inverted lists, the lists PARTITIONED BY CELL so a probe
+    * reads only the `nprobe` cells it needs (partition pruning — the
+    * on-disk analogue of the reference's load-time clustered
+    * projections). Training runs ONCE here; `meta` written last.
+    */
+  def buildIndex(emb: DataFrame, dir: String, nCells: Int, iters: Int): Unit = {
+    val p = Similarity.prepared(emb).cache()
+    try {
+      val centroids = train(p, nCells, iters)
+      centroids.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+      assign(p, centroids)
+        .select(col("vec_id").as("nid"), col("q").as("nq"), col("cid").as("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/lists")
+      AnnIndex.writeMeta(emb, dir, Seq(nCells, iters))
+    } finally p.unpersist()
+  }
+
+  /** Build only if `dir` doesn't already hold a current index for this
+    * corpus + parameters (see [[AnnIndex.isCurrent]]).
+    */
+  def ensureIndex(emb: DataFrame, dir: String, nCells: Int, iters: Int): Unit =
+    if (!AnnIndex.isCurrent(emb, dir, Seq(nCells, iters)))
+      buildIndex(emb, dir, nCells, iters)
+
+  /** Probe the persisted index: identical results to [[topK]] (training
+    * is deterministic, so build-then-probe replays the inline
+    * composition exactly) at probe-only cost. `queries` is prepared
+    * query rows `(vec_id, q, n2)` (see [[Similarity.prepared]]).
+    */
+  def probeIndex(dir: String, queries: DataFrame, k: Int,
+                 nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    LongArrayDot.register(spark)
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val lists = spark.read.parquet(s"$dir/lists")
+      .select(col("cell").as("cid"), col("nid"), col("nq"))
+    probeCells(queries, centroids, lists, k, nprobe)
   }
 }

@@ -37,9 +37,16 @@ import graft.functions.{AdcScore, IntArrayPack8, LongArrayDot}
   * query-table rows broadcast onto the candidate stream — with the
   * per-pair work an m-step table-lookup sum instead of a dim-step dot.
   * Candidate-side payload is the m-code array (~20 B), an 8x shrink
-  * over even the packed-int8 path; a production index composes PQ
-  * with the [[Ivf]] cell restriction so the candidate stream is the
-  * probed cells' members, not the corpus.
+  * over even the packed-int8 path.
+  *
+  * LIFECYCLE: a production index is built ONCE and probed many times —
+  * training charged to every search is the one plan that dies at 1e9
+  * vectors. [[buildIndex]]/[[buildIndexIvf]] persist the codebooks and
+  * packed codes as parquet (the reference's load-time index-build
+  * pattern, storage.c:1389-1490), [[probeIndex]]/[[probeIndexIvf]]
+  * read them at pure probe cost; the inline [[topK]]/[[topKIvf]] keep
+  * the one-shot form for ad-hoc searches and replay the same
+  * deterministic math, so both paths return identical rankings.
   */
 object Pq {
 
@@ -115,12 +122,6 @@ object Pq {
       .withColumn("cn2", Similarity.intDot(col("c"), col("c")))
   }
 
-  /** PQ top-k by ADC score: rank candidates by the summed code-table
-    * entries (dot-product approximation), ties by nid — the same
-    * deterministic ranking contract as the other ANN paths.
-    * Approximate by design (quantization error reorders neighbors):
-    * rows-only for the driver, recall-gated against the exact top-k.
-    */
   /** One BYTE-PACKED code tuple per candidate — the stored index
     * representation: m codes ride as m bytes of `binary`
     * ([[graft.functions.IntArrayPack8]]), one shuffle by vec_id to
@@ -134,12 +135,16 @@ object Pq {
           x => x.getField("cid"))).as("codes"))
 
   /** One flat lookup TABLE per query: `tbl[sub * stride + cid]` =
-    * <qs_sub, c>, from the query's exact subvectors x broadcast
-    * codebook.
+    * <qs_sub, c>, from the query's exact subvectors x the broadcast
+    * codebook. `qs` is the prepared QUERY rows `(vec_id, q)` — for the
+    * IVF-PQ residual composition the table is still built from the
+    * FULL query vector (never a residual): <q, cand> decomposes as
+    * <q, c_cell> + <q, r_cand>, so the codebook side carries residual
+    * centroids while the query side stays exact.
     */
-  private def queryTables(p: DataFrame, m: Int, codebook: DataFrame,
-                          queryPred: Column): DataFrame =
-    subvectors(p.filter(queryPred), m)
+  private def queryTables(qs: DataFrame, m: Int,
+                          codebook: DataFrame): DataFrame =
+    subvectors(qs, m)
       .join(broadcast(codebook), "sub")
       .select(col("vec_id").as("qid"), col("sub"), col("cid"),
         Similarity.intDot(col("qs"), col("c")).as("t"))
@@ -158,23 +163,10 @@ object Pq {
   private def adcScore: Column =
     call_function(AdcScore.name, col("codes"), col("tbl"))
 
-  def topK(emb: DataFrame, k: Int, m: Int, ks: Int, iters: Int,
-           queryPred: Column): DataFrame = {
-    val p = Similarity.prepared(emb).cache()
-    IntArrayPack8.register(p.sparkSession)
-    AdcScore.register(p.sparkSession)
-    val codebook = train(p, m, ks, iters)
-    val sv = subvectors(p, m)
-    val codes = packedCodes(sv, codebook)
-      .select(col("vec_id").as("nid"), col("codes"))
-    val qt = queryTables(p, m, codebook, queryPred)
-    // ADC: per (query, candidate) pair, sum the m table entries the
-    // candidate's codes select — the brute-force broadcast shape with a
-    // lookup-sum instead of a dot; rows through the plan = |q| x |n|,
-    // never |q| x |n| x m
-    val scored = codes.crossJoin(broadcast(qt))
-      .filter(col("qid") =!= col("nid"))
-      .withColumn("score", adcScore)
+  /** Deterministic (score desc, nid asc) top-k over a scored pair
+    * stream — the ranking contract every ANN path shares.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -182,22 +174,131 @@ object Pq {
         col("score"))
   }
 
-  /** The IVF-PQ index — the standard production ANN composition
-    * (Jegou et al. 2011 §V): [[Ivf]]'s coarse quantizer restricts each
-    * query to its `nprobe` nearest cells, and [[topK]]'s packed-code
-    * ADC scores only those cells' members. Candidate cost per query
-    * drops from n to ~ n * nprobe / nCells WHILE each candidate costs
-    * an m-entry lookup-sum instead of a dim-step dot — the two
-    * approximations (cell boundary loss x quantization reorder)
-    * compound, which is why this path carries its own measured recall
-    * floor in the `ann_pq_recall` gate rather than inheriting either
-    * component's.
+  /** Flat-PQ scoring: per (query, candidate) pair, sum the m table
+    * entries the candidate's codes select — the brute-force broadcast
+    * shape with a lookup-sum instead of a dot; rows through the plan =
+    * |q| x |n|, never |q| x |n| x m.
+    */
+  private def scoreFlat(codes: DataFrame, qt: DataFrame, k: Int): DataFrame =
+    rankTopK(codes.crossJoin(broadcast(qt))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("score", adcScore), k)
+
+  /** PQ top-k with INLINE training — the one-shot form; repeated
+    * searches should [[buildIndex]] once and [[probeIndex]]. Ranks by
+    * ADC score, ties by nid. Approximate by design (quantization error
+    * reorders neighbors): rows-only for the driver, recall-gated
+    * against the exact top-k.
+    */
+  def topK(emb: DataFrame, k: Int, m: Int, ks: Int, iters: Int,
+           queryPred: Column): DataFrame = {
+    val p = Similarity.prepared(emb).cache()
+    IntArrayPack8.register(p.sparkSession)
+    AdcScore.register(p.sparkSession)
+    val codebook = train(p, m, ks, iters)
+    val codes = packedCodes(subvectors(p, m), codebook)
+      .select(col("vec_id").as("nid"), col("codes"))
+    scoreFlat(codes, queryTables(p.filter(queryPred), m, codebook), k)
+  }
+
+  /** Build the persisted flat-PQ index at `dir`: the KB codebook plus
+    * one ~m-byte packed code row per candidate — training runs ONCE
+    * here, `meta` written last ([[AnnIndex]]).
+    */
+  def buildIndex(emb: DataFrame, dir: String, m: Int, ks: Int,
+                 iters: Int): Unit = {
+    val p = Similarity.prepared(emb).cache()
+    try {
+      IntArrayPack8.register(p.sparkSession)
+      val codebook = train(p, m, ks, iters)
+      codebook.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
+      packedCodes(subvectors(p, m), codebook)
+        .select(col("vec_id").as("nid"), col("codes"))
+        .write.mode("overwrite").parquet(s"$dir/codes")
+      AnnIndex.writeMeta(emb, dir, Seq(m, ks, iters))
+    } finally p.unpersist()
+  }
+
+  def ensureIndex(emb: DataFrame, dir: String, m: Int, ks: Int,
+                  iters: Int): Unit =
+    if (!AnnIndex.isCurrent(emb, dir, Seq(m, ks, iters)))
+      buildIndex(emb, dir, m, ks, iters)
+
+  /** Probe the persisted flat-PQ index — identical results to [[topK]]
+    * at probe-only cost. `queries` is prepared query rows
+    * `(vec_id, q)` ([[Similarity.prepared]] + predicate).
+    */
+  def probeIndex(dir: String, queries: DataFrame, k: Int, m: Int): DataFrame = {
+    val spark = queries.sparkSession
+    IntArrayPack8.register(spark)
+    AdcScore.register(spark)
+    val codebook = spark.read.parquet(s"$dir/codebook")
+    val codes = spark.read.parquet(s"$dir/codes")
+    scoreFlat(codes, queryTables(queries, m, codebook), k)
+  }
+
+  /** RESIDUAL vectors per candidate — the IVFADC encoding (Jegou et
+    * al. §V): each vector is stored as its coarse cell plus the PQ
+    * codes of `v − coarse_centroid(v)`. Residuals concentrate around
+    * zero with far less variance than raw vectors, so the same m x ks
+    * codebook budget quantizes them much more finely — this is where
+    * the composition's recall comes from (quantizing RAW vectors
+    * inside coarse cells wastes the codebook re-describing the cell
+    * offset the coarse id already encodes). All integer arithmetic —
+    * residuals are exact long differences.
+    * Returns `(vec_id, cell, q)` with `q` the residual.
+    */
+  private def residuals(p: DataFrame, coarse: DataFrame): DataFrame =
+    Ivf.assign(p, coarse)
+      .join(broadcast(coarse.select(col("cid"), col("c"))), "cid")
+      .select(col("vec_id"), col("cid").as("cell"),
+        zip_with(col("q"), col("c"), (a, b) => a - b).as("q"))
+
+  /** IVF-PQ scoring shared by the inline and persisted paths. The
+    * probe stage is [[Ivf]]'s: nprobe nearest coarse cells per query,
+    * each carrying the EXACT bias `<q, c_cell>`; candidates stream
+    * from the probed cells only (cell equi-join), and the final score
+    * is `bias + ADC(codes, tbl)` where the ADC term approximates
+    * `<q, residual>` — together an estimate of the full `<q, cand>`
+    * under the decomposition cand = c_cell + residual.
+    */
+  private def scoreIvf(queries: DataFrame, coarse: DataFrame,
+                       codebook: DataFrame, codes: DataFrame,
+                       k: Int, m: Int, nprobe: Int): DataFrame = {
+    val qd2 = col("n2") + col("cn2") -
+      lit(2L) * Similarity.intDot(col("qq"), col("c"))
+    val qw = Window.partitionBy("qid").orderBy(qd2.asc, col("cid").asc)
+    val probes = queries
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2"))
+      .crossJoin(broadcast(coarse))
+      .withColumn("rk", row_number().over(qw))
+      .filter(col("rk") <= nprobe)
+      .select(col("qid"), col("cid").as("cell"),
+        Similarity.intDot(col("qq"), col("c")).as("bias"))
+    val qt = queryTables(queries, m, codebook)
+    rankTopK(probes.join(codes, "cell")
+      .filter(col("qid") =!= col("nid"))
+      .join(broadcast(qt), "qid")
+      .withColumn("score", col("bias") + adcScore), k)
+  }
+
+  /** The IVF-PQ index with INLINE training — the standard production
+    * ANN composition (Jegou et al. 2011 §V, IVFADC): [[Ivf]]'s coarse
+    * quantizer restricts each query to its `nprobe` nearest cells, and
+    * packed-code ADC scores only those cells' members — candidate cost
+    * per query drops from n to ~ n * nprobe / nCells WHILE each
+    * candidate costs an m-entry lookup-sum instead of a dim-step dot.
+    * Codes encode RESIDUALS v − c_cell (see [[residuals]]). The two
+    * approximations (cell boundary loss x quantization reorder) still
+    * compound, so this path carries its own measured recall floor in
+    * the `ann_pq_recall` gate.
     *
     * Scale shape: candidate generation is the cell equi-join
     * (hash-partitioned on the cell id); the broadcast per-query tables
     * and the KB codebooks are unchanged. At 1e9 vectors this is the
     * index layout that fits executor memory: 4-byte cell id + ~20-byte
-    * codes per candidate, floats nowhere.
+    * codes per candidate, floats nowhere. Repeated searches should
+    * [[buildIndexIvf]] once and [[probeIndexIvf]].
     */
   def topKIvf(emb: DataFrame, k: Int, m: Int, ks: Int, iters: Int,
               nCells: Int, nprobe: Int, queryPred: Column): DataFrame = {
@@ -205,32 +306,57 @@ object Pq {
     IntArrayPack8.register(p.sparkSession)
     AdcScore.register(p.sparkSession)
     val coarse = Ivf.train(p, nCells, iters)
-    val cells = Ivf.assign(p, coarse)
-      .select(col("vec_id"), col("cid").as("cell"))
-    val codebook = train(p, m, ks, iters)
-    val sv = subvectors(p, m)
-    val codes = packedCodes(sv, codebook)
-      .join(cells, "vec_id")
+    val res = residuals(p, coarse).cache()
+    val codebook = train(res, m, ks, iters)
+    val codes = packedCodes(subvectors(res, m), codebook)
+      .join(res.select(col("vec_id"), col("cell")), "vec_id")
       .select(col("vec_id").as("nid"), col("cell"), col("codes"))
-    val qt = queryTables(p, m, codebook, queryPred)
-    // nprobe nearest coarse cells per query (the Ivf.topK probe shape)
-    val qd2 = col("n2") + col("cn2") -
-      lit(2L) * Similarity.intDot(col("qq"), col("c"))
-    val qw = Window.partitionBy("qid").orderBy(qd2.asc, col("cid").asc)
-    val probes = p.filter(queryPred)
-      .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2"))
-      .crossJoin(broadcast(coarse))
-      .withColumn("rk", row_number().over(qw))
-      .filter(col("rk") <= nprobe)
-      .select(col("qid"), col("cid").as("cell"))
-    val scored = probes.join(codes, "cell")
-      .filter(col("qid") =!= col("nid"))
-      .join(broadcast(qt), "qid")
-      .withColumn("score", adcScore)
-    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank").cast("int").as("rank"), col("nid"),
-        col("score"))
+    scoreIvf(p.filter(queryPred), coarse, codebook, codes, k, m, nprobe)
+  }
+
+  /** Build the persisted IVF-PQ index at `dir`: coarse codebook +
+    * residual PQ codebook (both KB) + one `(nid, codes)` row per
+    * candidate PARTITIONED BY CELL, so a probe's cell equi-join prunes
+    * to the probed partitions. Trains the coarse quantizer AND the
+    * residual codebooks ONCE; `meta` written last.
+    */
+  def buildIndexIvf(emb: DataFrame, dir: String, m: Int, ks: Int,
+                    iters: Int, nCells: Int): Unit = {
+    val p = Similarity.prepared(emb).cache()
+    try {
+      IntArrayPack8.register(p.sparkSession)
+      val coarse = Ivf.train(p, nCells, iters)
+      coarse.coalesce(1).write.mode("overwrite").parquet(s"$dir/coarse")
+      val res = residuals(p, coarse).cache()
+      try {
+        val codebook = train(res, m, ks, iters)
+        codebook.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
+        packedCodes(subvectors(res, m), codebook)
+          .join(res.select(col("vec_id"), col("cell")), "vec_id")
+          .select(col("vec_id").as("nid"), col("codes"), col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+      } finally res.unpersist()
+      AnnIndex.writeMeta(emb, dir, Seq(m, ks, iters, nCells))
+    } finally p.unpersist()
+  }
+
+  def ensureIndexIvf(emb: DataFrame, dir: String, m: Int, ks: Int,
+                     iters: Int, nCells: Int): Unit =
+    if (!AnnIndex.isCurrent(emb, dir, Seq(m, ks, iters, nCells)))
+      buildIndexIvf(emb, dir, m, ks, iters, nCells)
+
+  /** Probe the persisted IVF-PQ index — identical results to
+    * [[topKIvf]] at probe-only cost. `queries` is prepared query rows
+    * `(vec_id, q, n2)`.
+    */
+  def probeIndexIvf(dir: String, queries: DataFrame, k: Int, m: Int,
+                    nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    IntArrayPack8.register(spark)
+    AdcScore.register(spark)
+    val coarse = spark.read.parquet(s"$dir/coarse")
+    val codebook = spark.read.parquet(s"$dir/codebook")
+    val codes = spark.read.parquet(s"$dir/codes")
+    scoreIvf(queries, coarse, codebook, codes, k, m, nprobe)
   }
 }

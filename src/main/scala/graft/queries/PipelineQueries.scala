@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Cluster, Dedup, Ivf, Mixture, Multimodal, Packing, Pq, Similarity, TextAnalysis}
+import graft.pipeline.{AnnIndex, Cluster, Dedup, Ivf, Mixture, Multimodal, Packing, Pq, Similarity, TextAnalysis}
 
 /** Correctness queries for the large-scale data-pipeline operators
   * (dedup, similarity search, text analysis, multimodal, event windows),
@@ -303,60 +303,143 @@ object PipelineQueries {
     Similarity.lshTopK(Tables.embeddings(s, d), k = 3, bands = 16, r = 6,
       queryPred = col("vec_id") < 100).orderBy("qid", "rank")
 
-  /** IVF-bucketed ANN — coarse k-means cells + nprobe search; rows-only
+  // --- persisted ANN index lifecycle (build once → probe many) ---
+  // The trained-ANN paths (IVF / PQ / IVF-PQ) run k-means at BUILD time
+  // only: the `*_build` entries train and persist codebooks/codes/cells
+  // as parquet ([[graft.pipeline.AnnIndex]]), and the probe entries
+  // read them — a probe never pays training (the reference's load-time
+  // index-build contract, storage.c:1389-1490). Probe entries
+  // `ensure*` first, so they stay self-contained whatever order the
+  // driver runs them in — after the first build the ensure is one
+  // cheap fingerprint aggregate.
+
+  private def annIvfDir(d: String) = s"${AnnIndex.rootFor(d)}/ivf-c16-i2"
+  private def annPqDir(d: String) = s"${AnnIndex.rootFor(d)}/pq-m32-ks32-i2"
+  private def annIvfPqDir(d: String) =
+    s"${AnnIndex.rootFor(d)}/ivfpq-m32-ks32-i2-c16"
+
+  private def ensureIvfIndex(s: SparkSession, d: String): Unit =
+    Ivf.ensureIndex(Tables.embeddings(s, d), annIvfDir(d),
+      nCells = 16, iters = 2)
+  private def ensurePqIndex(s: SparkSession, d: String): Unit =
+    Pq.ensureIndex(Tables.embeddings(s, d), annPqDir(d),
+      m = 32, ks = 32, iters = 2)
+  private def ensureIvfPqIndex(s: SparkSession, d: String): Unit =
+    Pq.ensureIndexIvf(Tables.embeddings(s, d), annIvfPqDir(d),
+      m = 32, ks = 32, iters = 2, nCells = 16)
+
+  private def annQueries(s: SparkSession, d: String): DataFrame =
+    Similarity.prepared(Tables.embeddings(s, d)).filter(annQueryPred)
+
+  /** Unconditional IVF index (re)build — the index-maintenance job a
+    * production pipeline schedules per corpus snapshot. Emits the
+    * inverted-list layout (members per cell) read back from the
+    * persisted index, so the result row-checks that the build landed.
+    * Rows-only: the k-means replay is impractical in SQL.
+    */
+  def annIvfBuild(s: SparkSession, d: String): DataFrame = {
+    Ivf.buildIndex(Tables.embeddings(s, d), annIvfDir(d),
+      nCells = 16, iters = 2)
+    s.read.parquet(s"${annIvfDir(d)}/lists")
+      .groupBy("cell").agg(count(lit(1)).as("n_members")).orderBy("cell")
+  }
+
+  /** Unconditional flat-PQ index (re)build; emits (n_centroids,
+    * n_codes) read back from the persisted index. Rows-only.
+    */
+  def annPqBuild(s: SparkSession, d: String): DataFrame = {
+    Pq.buildIndex(Tables.embeddings(s, d), annPqDir(d),
+      m = 32, ks = 32, iters = 2)
+    val cb = s.read.parquet(s"${annPqDir(d)}/codebook")
+      .agg(count(lit(1)).as("n_centroids"))
+    val codes = s.read.parquet(s"${annPqDir(d)}/codes")
+      .agg(count(lit(1)).as("n_codes"))
+    cb.crossJoin(codes)
+  }
+
+  /** Unconditional IVF-PQ index (re)build; emits packed-code counts
+    * per coarse cell read back from the persisted index. Rows-only.
+    */
+  def annIvfPqBuild(s: SparkSession, d: String): DataFrame = {
+    Pq.buildIndexIvf(Tables.embeddings(s, d), annIvfPqDir(d),
+      m = 32, ks = 32, iters = 2, nCells = 16)
+    s.read.parquet(s"${annIvfPqDir(d)}/codes")
+      .groupBy("cell").agg(count(lit(1)).as("n_codes")).orderBy("cell")
+  }
+
+  /** IVF-bucketed ANN probe against the persisted index — coarse cells
+    * + nprobe search at probe-only cost; results identical to the
+    * inline [[Ivf.topK]] (deterministic training), so the
+    * [[annRecall]] floor carries over unchanged. Rows-only
     * (approximate by design). See [[graft.pipeline.Ivf]].
     */
-  def annIvf(s: SparkSession, d: String): DataFrame =
-    Ivf.topK(Tables.embeddings(s, d), k = 3, nCells = 16, iters = 2,
-      nprobe = 4, queryPred = col("vec_id") < 100).orderBy("qid", "rank")
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    ensureIvfIndex(s, d)
+    Ivf.probeIndex(annIvfDir(d), annQueries(s, d), k = 3, nprobe = 4)
+      .orderBy("qid", "rank")
+  }
 
-  /** Product-quantization ANN ([[Pq.topK]]): candidates stored as
-    * m=32 subspace codes (~20 bytes standing in for the 64-dim
-    * vector), scored by ADC table lookups — approximate by design
-    * (rows-only); its recall floor vs [[annTopk]] is the oracle-exact
-    * [[annPqRecall]] gate.
+  /** Product-quantization ANN probe against the persisted index:
+    * candidates stored as m=32 subspace codes (~20 bytes standing in
+    * for the 64-dim vector), scored by ADC table lookups — approximate
+    * by design (rows-only); its recall floor vs [[annTopk]] is the
+    * oracle-exact [[annPqRecall]] gate.
     */
-  def annPq(s: SparkSession, d: String): DataFrame =
-    Pq.topK(Tables.embeddings(s, d), k = 3, m = 32, ks = 32, iters = 2,
-      queryPred = col("vec_id") < 100).orderBy("qid", "rank")
+  def annPq(s: SparkSession, d: String): DataFrame = {
+    ensurePqIndex(s, d)
+    Pq.probeIndex(annPqDir(d), annQueries(s, d), k = 3, m = 32)
+      .orderBy("qid", "rank")
+  }
 
   /** Recall gate for BOTH PQ paths against one exact computation
-    * (the [[annRecall]] two-path pattern): flat PQ floor 60%
-    * (RecallProbe-measured 69.0/66.7/65.7% at sf0.001/0.01/0.1 — the
-    * strongest approximate path on these thin-margin embeddings) and
-    * IVF-PQ floor 42% (measured 54.0/49.0/47.3% — cell-boundary loss
-    * x quantization reorder compound, which is exactly why the
-    * composition carries its own measured floor). Both floors sit ~5
-    * points under their per-SF minima. The k-means replay is
-    * impractical in SQL, so the oracle derives the population and the
-    * expected all-pass booleans.
+    * (the [[annRecall]] two-path pattern), probing the PERSISTED
+    * indexes: flat PQ floor 60% (RecallProbe-measured 69.0/66.7/65.7%
+    * at sf0.001/0.01/0.1 — the strongest approximate path on these
+    * thin-margin embeddings) and IVF-PQ floor 50% (residual encoding +
+    * nprobe=8: measured 64.7/62.3/55.3% — up from 54.0/49.0/47.3% at
+    * the r8 raw-vector nprobe=4 composition; see [[annIvfPq]] for the
+    * calibration). Both floors sit ~5 points under their per-SF
+    * minima. The k-means replay is impractical in SQL, so the oracle
+    * derives the population and the expected all-pass booleans.
     */
   def annPqRecall(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
+    ensurePqIndex(s, d); ensureIvfPqIndex(s, d)
     val exact = Similarity.bruteForceTopK(emb, k = 3, queryPred = annQueryPred)
       .select("qid", "nid").cache()
-    val pq = Pq.topK(emb, k = 3, m = 32, ks = 32, iters = 2,
-      queryPred = annQueryPred).select("qid", "nid")
-    val ivfpq = Pq.topKIvf(emb, k = 3, m = 32, ks = 32, iters = 2,
-      nCells = 16, nprobe = 4, queryPred = annQueryPred).select("qid", "nid")
+    val pq = Pq.probeIndex(annPqDir(d), annQueries(s, d), k = 3, m = 32)
+      .select("qid", "nid")
+    val ivfpq = Pq.probeIndexIvf(annIvfPqDir(d), annQueries(s, d),
+      k = 3, m = 32, nprobe = 8).select("qid", "nid")
     val tot = exact.agg(count(lit(1)).as("n_exact"))
     val ph = exact.intersect(pq).agg(count(lit(1)).as("pq_hits"))
     val ih = exact.intersect(ivfpq).agg(count(lit(1)).as("ivfpq_hits"))
     val out = tot.crossJoin(ph).crossJoin(ih).select(
       col("n_exact").cast("long").as("n_exact"),
       (col("pq_hits") * 100L >= col("n_exact") * 60L).as("recall_ok"),
-      (col("ivfpq_hits") * 100L >= col("n_exact") * 42L).as("ivfpq_recall_ok"))
+      (col("ivfpq_hits") * 100L >= col("n_exact") * 50L).as("ivfpq_recall_ok"))
     materializedAndReleased(s, out, exact)
   }
 
-  /** IVF-PQ top-k ([[Pq.topKIvf]]): the standard production index —
-    * coarse cells bound the candidate stream, packed codes bound the
-    * per-candidate cost. Rows-only; gated through [[annPqRecall]].
+  /** IVF-PQ probe against the persisted index — the standard
+    * production composition (IVFADC): coarse cells bound the candidate
+    * stream, packed RESIDUAL codes (v − c_cell, Jegou et al. §V) bound
+    * the per-candidate cost, and the exact per-cell bias <q, c_cell>
+    * completes the score. Probes nprobe=8 cells: ADC candidates cost
+    * an m-entry lookup-sum (~free next to an exact dot), so IVFADC
+    * conventionally probes wider than exact-ranking IVF —
+    * [[graft.tools.IvfPqSweep]] measured recall 45/52/55% at nprobe=4
+    * vs 65/62/55% at nprobe=8 across SFs. The 8-of-16 ratio is an
+    * artifact of the toy cell count at driver scale; production sizes
+    * nCells ~ sqrt(corpus) (e.g. 4096 cells at 1e9 vectors), where the
+    * same curve sits at nprobe/nCells well under 1%. Rows-only; gated
+    * through [[annPqRecall]].
     */
-  def annIvfPq(s: SparkSession, d: String): DataFrame =
-    Pq.topKIvf(Tables.embeddings(s, d), k = 3, m = 32, ks = 32, iters = 2,
-      nCells = 16, nprobe = 4, queryPred = col("vec_id") < 100)
-      .orderBy("qid", "rank")
+  def annIvfPq(s: SparkSession, d: String): DataFrame = {
+    ensureIvfPqIndex(s, d)
+    Pq.probeIndexIvf(annIvfPqDir(d), annQueries(s, d), k = 3, m = 32,
+      nprobe = 8).orderBy("qid", "rank")
+  }
 
   /** Packed-int8 quantized top-k — [[annTopk]] on the 1-byte-per-dim
     * `binary` representation ([[Similarity.quantizedTopK]]): 8x less
@@ -473,8 +556,12 @@ object PipelineQueries {
       .select("qid", "nid").cache()
     val lsh = Similarity.lshTopK(emb, k = 3, bands = 16, r = 6,
       queryPred = queryPred).select("qid", "nid")
-    val ivf = Ivf.topK(emb, k = 3, nCells = 16, iters = 2, nprobe = 4,
-      queryPred = queryPred).select("qid", "nid")
+    // the IVF side probes the same persisted index as [[annIvf]]
+    // (identical results to inline training — the floors carry over)
+    ensureIvfIndex(s, d)
+    val ivf = Ivf.probeIndex(annIvfDir(d),
+      Similarity.prepared(emb).filter(queryPred), k = 3, nprobe = 4)
+      .select("qid", "nid")
     val tot = exact.agg(count(lit(1)).as("n_exact"),
       countDistinct(col("qid")).as("n_queries"))
     val lh = exact.intersect(lsh).agg(count(lit(1)).as("lsh_hits"))
@@ -973,8 +1060,11 @@ object PipelineQueries {
     "ann_filtered" -> annFiltered,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
+    "ann_ivf_build" -> annIvfBuild,
     "ann_pq" -> annPq,
+    "ann_pq_build" -> annPqBuild,
     "ann_ivfpq" -> annIvfPq,
+    "ann_ivfpq_build" -> annIvfPqBuild,
     "ann_pq_recall" -> annPqRecall,
     "ann_quantized" -> annQuantized,
     "ann_quantized_recall" -> annQuantizedRecall,
@@ -1029,6 +1119,24 @@ object PipelineQueries {
     * path.
     */
   val planOnlyQueries: Map[String, Q] = Map(
+    // build entries retrain+rewrite unconditionally by design; for plan
+    // inspection, ensure (build only if missing) and return the same
+    // read-back summary plan
+    "ann_ivf_build" -> ((s, d) => {
+      ensureIvfIndex(s, d)
+      s.read.parquet(s"${annIvfDir(d)}/lists")
+        .groupBy("cell").agg(count(lit(1)).as("n_members")).orderBy("cell")
+    }),
+    "ann_pq_build" -> ((s, d) => {
+      ensurePqIndex(s, d)
+      s.read.parquet(s"${annPqDir(d)}/codes")
+        .agg(count(lit(1)).as("n_codes"))
+    }),
+    "ann_ivfpq_build" -> ((s, d) => {
+      ensureIvfPqIndex(s, d)
+      s.read.parquet(s"${annIvfPqDir(d)}/codes")
+        .groupBy("cell").agg(count(lit(1)).as("n_codes")).orderBy("cell")
+    }),
     "dedup_clusters" -> dedupClustersPlan,
     "pipeline_prep_full" -> pipelinePrepFullPlan,
     "pipeline_prep_emb" -> pipelinePrepEmbPlan,

@@ -50,9 +50,11 @@ object RecallProbe {
       val pqHits = exactTopk.intersect(
         Pq.topK(emb, k = 3, m = 32, ks = 32, iters = 2,
           queryPred = col("vec_id") < 100).select("qid", "nid")).count()
+      // nprobe=8 matches the driver's IVFADC composition (residual
+      // codes probe wider than exact-ranking IVF — see IvfPqSweep)
       val ivfpqHits = exactTopk.intersect(
         Pq.topKIvf(emb, k = 3, m = 32, ks = 32, iters = 2,
-          nCells = 16, nprobe = 4,
+          nCells = 16, nprobe = 8,
           queryPred = col("vec_id") < 100).select("qid", "nid")).count()
       exactTopk.unpersist()
       val exactPairs = Similarity.cosinePairs(emb, tnum = 9, tden = 20).cache()

@@ -33,6 +33,32 @@ class IvfSpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF recall $recall (${ivf.size} vs ${exact.size})")
   }
 
+  test("persisted index probe equals inline topK; freshness check catches drift") {
+    val emb = clustered().cache()
+    val dir = java.nio.file.Files.createTempDirectory("ivf-idx").toString
+    val pred = col("vec_id") < 40
+    Ivf.buildIndex(emb, dir, nCells = 8, iters = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "nid").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    // training is deterministic -> build-then-probe replays inline exactly
+    assert(rows(Ivf.probeIndex(dir, Similarity.prepared(emb).filter(pred),
+        k = 5, nprobe = 2)) ==
+      rows(Ivf.topK(emb, k = 5, nCells = 8, iters = 2, nprobe = 2,
+        queryPred = pred)))
+    // current corpus + params -> current; changed params or corpus -> stale
+    assert(graft.pipeline.AnnIndex.isCurrent(emb, dir, Seq(8L, 2L)))
+    assert(!graft.pipeline.AnnIndex.isCurrent(emb, dir, Seq(8L, 3L)))
+    assert(!graft.pipeline.AnnIndex.isCurrent(
+      emb.filter(col("vec_id") < 100), dir, Seq(8L, 2L)))
+    // ensure on a current index must NOT rebuild (meta untouched)
+    val metaDir = new java.io.File(s"$dir/meta")
+    def metaStamp() = metaDir.listFiles().map(f => f.getName -> f.lastModified).toSet
+    val before = metaStamp()
+    Ivf.ensureIndex(emb, dir, nCells = 8, iters = 2)
+    assert(metaStamp() == before, "ensure rebuilt a current index")
+  }
+
   test("IVF ranking within probed cells matches exact dot order") {
     val emb = clustered()
     val res = Ivf.topK(emb, k = 3, nCells = 8, iters = 1, nprobe = 8,
