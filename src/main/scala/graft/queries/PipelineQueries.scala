@@ -1004,15 +1004,22 @@ object PipelineQueries {
         col("n_types"), col("cents"))
       .orderBy("user_id")
 
-  /** Event-time in epoch millis, robust to how the parquet ns timestamps
-    * surface: LongType nanos (with spark.sql.legacy.parquet.nanosAsLong)
-    * or TimestampType. Integral division keeps full precision (a double
-    * division would lose bits above 2^53).
+  /** Event-time in epoch millis, robust to how the parquet timestamps
+    * surface across testdata generations: LongType nanos (with
+    * spark.sql.legacy.parquet.nanosAsLong), TIMESTAMP_NTZ (what Spark 4.1
+    * infers for `Timestamp(isAdjustedToUTC=false)` µs parquet), or
+    * TimestampType. The NTZ cast to TimestampType is exact because the
+    * session timezone is pinned to UTC (build.sbt), matching the DuckDB
+    * oracle's `epoch_ms(ts)` which also treats naive timestamps as UTC.
+    * Integral division keeps full precision (a double division would
+    * lose bits above 2^53).
     */
   private[queries] def eventMs(e: DataFrame): org.apache.spark.sql.Column =
     e.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         call_function("div", col("ts"), lit(1000000L))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_millis(col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => unix_millis(col("ts"))
     }
 
