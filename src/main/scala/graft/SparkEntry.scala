@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{AnalyticsQueries, ParityQueries, PipelineQueries}
+import graft.queries.{AnalyticsQueries, ParityQueries, PipelineQueries, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,11 +22,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParityQueries.queries ++ PipelineQueries.queries ++
-      AnalyticsQueries.queries
+      AnalyticsQueries.queries ++ StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ParityQueries.oracles ++ PipelineQueries.oracles ++
-      AnalyticsQueries.oracles
+      AnalyticsQueries.oracles ++ StreamQueries.oracles
 }

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Bounded micro-batch replay — the correctness seam for the streaming
+  * layer. A production deployment binds the [[DocStreams]] /
+  * [[EventStreams]] transforms to live `readStream` sources; replay
+  * drives the SAME transform with a finite, explicitly-ordered sequence
+  * of micro-batches from the driver's parquet corpus and returns the
+  * accumulated append-mode output as a batch DataFrame, so a DuckDB
+  * batch query can replay the semantics exactly (the `stream_*` entries
+  * in [[graft.SparkEntry.oracleSql]]).
+  *
+  * The feed data crosses the driver by construction — that is the
+  * point, not a leak: a replay harness must own the batch boundaries to
+  * make the stateful semantics deterministic (which rows share a
+  * micro-batch decides what the state store sees together), and the
+  * corpora it replays are the verify-scale tables (1e4–1e5 rows). The
+  * production path never collects: it is the transform under test, not
+  * this feeder. Same division as a golden-file test harness.
+  */
+object Replay {
+
+  /** Feed `batches` through a MemoryStream in order — one micro-batch
+    * per element, fully processed before the next is admitted (so event
+    * time and watermarks advance exactly as the caller laid the chunks
+    * out) — run `transform`'s streaming query to completion, and return
+    * everything the append-mode sink saw.
+    */
+  def replay[A: Encoder](spark: SparkSession, batches: Seq[Seq[A]])(
+      transform: DataFrame => DataFrame): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[A]
+    val name = "replay_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = transform(in.toDF()).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      batches.filter(_.nonEmpty).foreach { b =>
+        in.addData(b)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  /** Split `rows` into `n` contiguous micro-batches preserving order. */
+  def chunks[A](rows: Seq[A], n: Int): Seq[Seq[A]] = {
+    require(n >= 1, s"chunk count must be positive, got $n")
+    if (rows.isEmpty) Seq.empty
+    else rows.grouped(math.max(1, (rows.size + n - 1) / n)).toSeq
+  }
+}
