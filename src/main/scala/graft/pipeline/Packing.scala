@@ -93,26 +93,57 @@ object Packing {
     * corpus-sized single task; the widest corpus shuffle is the hash
     * partition on the key.
     *
-    * Skew note: one giant key value (half the corpus at quality = 0)
-    * concentrates its per-key window in one task. If a real corpus
-    * concentrates that hard, pre-split the key (append
-    * `tiebreak mod s` salt to the grouping, merge offsets arithmetically)
-    * — at the driver corpora the per-key groups are small and AQE
-    * handles the imbalance.
+    * Skew: one giant key value (half the corpus at quality = 0)
+    * concentrates its per-key window in one task. `salt > 1` pre-splits
+    * every key into that many contiguous TIEBREAK RANGES — contiguity
+    * (every tie in range g sorts before every tie in g+1) is what makes
+    * the merge pure arithmetic: the phase-1 offsets just run over
+    * `(key, range)` instead of `key` and the concatenated local ranks
+    * ARE the global rank. (A `tiebreak mod s` salt would interleave the
+    * groups and need a cross-group merge — that is why the salt cuts
+    * ranges.) Costs one extra bounds aggregate and multiplies the
+    * offsets table by `salt`; requires a numeric tiebreak. Output is
+    * identical for every salt.
     */
   def keyedRank(df: DataFrame, keyCol: String,
-                tieCol: String = "doc_id"): DataFrame = {
-    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
-    val ord = Window.orderBy(col(keyCol))
+                tieCol: String = "doc_id", salt: Int = 1): DataFrame = {
+    val (g, grpCols) = saltGroups(df, keyCol, tieCol, salt)
+    val counts = g.groupBy(grpCols.map(col): _*).agg(count(lit(1)).as("c"))
+    val ord = Window.orderBy(grpCols.map(col): _*)
     val offs = counts
       .withColumn("offset", coalesce(
         sum(col("c")).over(ord.rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
-      .select(col(keyCol), col("offset"))
-    val w = Window.partitionBy(keyCol).orderBy(tieCol)
-    df.join(broadcast(offs), keyCol)
+      .select(grpCols.map(col) :+ col("offset"): _*)
+    val w = Window.partitionBy(grpCols.map(col): _*).orderBy(tieCol)
+    g.join(broadcast(offs), grpCols)
       .withColumn("rank", col("offset") + row_number().over(w).cast("long"))
       .select(col(tieCol), col(keyCol), col("rank"))
+  }
+
+  /** Salt-range grouping for [[keyedRank]]/[[keyedQuantiles]]: cut the
+    * tiebreak's VALUE RANGE into `salt` equal sub-ranges (order-
+    * preserving integer arithmetic, the [[tokenShards]] bucket pattern)
+    * and append the range id to the grouping columns. One singleton
+    * bounds row crosses the driver; `salt <= 1` is the identity.
+    */
+  private def saltGroups(df: DataFrame, keyCol: String, tieCol: String,
+                         salt: Int): (DataFrame, Seq[String]) = {
+    require(salt >= 1, s"salt must be positive, got $salt")
+    if (salt == 1) return (df, Seq(keyCol))
+    val b = df.agg(min(col(tieCol).cast("long")),
+      max(col(tieCol).cast("long"))).head()
+    if (b.isNullAt(0)) return (df.withColumn("__salt", lit(0)),
+      Seq(keyCol, "__salt"))
+    val mn = b.getLong(0)
+    val span = b.getLong(1) - mn + 1
+    require(span > 0,
+      s"$tieCol range [$mn, ${b.getLong(1)}] too wide for salt arithmetic")
+    val width = (span + salt - 1) / salt
+    (df.withColumn("__salt",
+      expr(s"(CAST(`$tieCol` AS BIGINT) - ${mn}L) div ${width}L")
+        .cast("int")),
+      Seq(keyCol, "__salt"))
   }
 
   /** Quality-decile assignment — the curriculum/filter bucketing step:
@@ -121,22 +152,23 @@ object Packing {
     * (pure integer arithmetic, so a SQL oracle replays it without
     * matching any engine's ntile size-split convention). Built on
     * [[keyedRank]]; the corpus total rides the broadcast offsets, not
-    * a second scan.
+    * a second scan. `salt` as in [[keyedRank]].
     */
   def keyedQuantiles(df: DataFrame, keyCol: String, n: Int,
-                     tieCol: String = "doc_id"): DataFrame = {
+                     tieCol: String = "doc_id", salt: Int = 1): DataFrame = {
     require(n >= 1, s"quantile count must be positive, got $n")
-    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
-    val ord = Window.orderBy(col(keyCol))
+    val (g, grpCols) = saltGroups(df, keyCol, tieCol, salt)
+    val counts = g.groupBy(grpCols.map(col): _*).agg(count(lit(1)).as("c"))
+    val ord = Window.orderBy(grpCols.map(col): _*)
     val offs = counts
       .withColumn("offset", coalesce(
         sum(col("c")).over(ord.rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
       .withColumn("total", sum(col("c")).over(
         ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .select(col(keyCol), col("offset"), col("total"))
-    val w = Window.partitionBy(keyCol).orderBy(tieCol)
-    df.join(broadcast(offs), keyCol)
+      .select(grpCols.map(col) :+ col("offset") :+ col("total"): _*)
+    val w = Window.partitionBy(grpCols.map(col): _*).orderBy(tieCol)
+    g.join(broadcast(offs), grpCols)
       .withColumn("rank", col("offset") + row_number().over(w).cast("long"))
       .select(col(tieCol), col(keyCol), col("rank"),
         (expr(s"((rank - 1) * $n) div total") + 1).cast("int").as("bucket"))

@@ -77,6 +77,35 @@ class PackingSpec extends SparkSpec {
     assert(one == expect)
   }
 
+  test("salted keyedRank/keyedQuantiles match unsalted on a giant-key corpus") {
+    val spark0 = spark
+    import spark0.implicits._
+    // the documented skew shape: half the corpus at one key value,
+    // non-contiguous doc_ids so the salt ranges cut mid-key
+    val rows = (0L until 600L).map(i =>
+      (i * 7 + 3, if (i % 2 == 0) 0L else 1 + i % 11))
+    val df = rows.toDF("doc_id", "k").repartition(5)
+    val plain = Packing.keyedRank(df, keyCol = "k")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq.sorted
+    for (s <- Seq(2, 8, 601)) {
+      val salted = Packing.keyedRank(df, keyCol = "k", salt = s)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq.sorted
+      assert(salted == plain, s"salt=$s diverges")
+    }
+    val plainQ = Packing.keyedQuantiles(df, keyCol = "k", n = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
+      .toSeq.sorted
+    val saltedQ = Packing.keyedQuantiles(df, keyCol = "k", n = 10, salt = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
+      .toSeq.sorted
+    assert(saltedQ == plainQ)
+    // and the salt is real: the per-row window partitions on the salt
+    // range, so the giant key's rows no longer share one task
+    val plan = Packing.keyedRank(df, keyCol = "k", salt = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), plan)
+  }
+
   test("keyedQuantiles buckets by exact integer arithmetic") {
     val spark0 = spark
     import spark0.implicits._
