@@ -83,6 +83,49 @@ class DedupSpec extends SparkSpec {
     assert(noStore == Set(21L, 22L))
   }
 
+  test("incrementalNearPersisted probes prebuilt store tables, same result") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def doc(): String = (0 until 8).map(_ => words(rnd.nextInt(10))).mkString(" ")
+    val storeTexts = (0 until 40).map(i => (i.toLong, doc()))
+    val batchTexts = (0 until 40).map { i =>
+      val id = 1000L + i
+      i % 4 match {
+        case 0 => (id, storeTexts(i)._2)            // exact store dup
+        case 1 => (id, storeTexts(i)._2 + " kappa") // near store dup
+        case _ => (id, doc())                        // fresh (may self-near-dup)
+      }
+    }
+    val store = storeTexts.toDF("doc_id", "text")
+    val batch = batchTexts.toDF("doc_id", "text")
+    val inline = Dedup.incrementalNear(store, batch, n = 3,
+      tnum = 1, tden = 2).collect().map(_.getLong(0)).toSet
+    // build the persisted tables once, round-trip them through parquet
+    // (what a real store layout does), and probe WITHOUT the store df
+    val dir = tmpDir("dedup-store")
+    Dedup.exactKeys(store).write.parquet(s"$dir/keys")
+    Dedup.shingles(store, 3).write.parquet(s"$dir/shingles")
+    val persisted = Dedup.incrementalNearPersisted(
+      spark.read.parquet(s"$dir/keys"),
+      spark.read.parquet(s"$dir/shingles"),
+      batch, n = 3, tnum = 1, tden = 2)
+    assert(persisted.collect().map(_.getLong(0)).toSet == inline)
+    // the probe genuinely reads the persisted layouts (and by
+    // construction never sees the store corpus: it isn't an input)
+    val scans = persisted.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.mkString(",")
+          case other => other.toString
+        }
+    }
+    assert(scans.exists(_.contains(s"$dir/keys")) &&
+      scans.exists(_.contains(s"$dir/shingles")), scans.mkString("; "))
+  }
+
   test("hash-keyed exact dedup equals by-text exact dedup") {
     import spark.implicits._
     // duplicates, a near-miss (one char off), and empty/whitespace texts
