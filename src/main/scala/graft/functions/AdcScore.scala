@@ -48,6 +48,10 @@ object IntArrayPack8 {
     val out = new Array[Byte](n)
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"$name: null code at position $i — a null element would " +
+            "silently read as 0 and select the wrong ADC entry")
       val v = a.getInt(i)
       if (v < 0 || v > 255)
         throw new IllegalArgumentException(
@@ -133,7 +137,12 @@ object AdcScore {
       if (code >= stride)
         throw new IllegalArgumentException(
           s"$name: code $code at subspace $s outside table stride $stride")
-      acc += tbl.getLong(s * stride + code)
+      val ix = s * stride + code
+      if (tbl.isNullAt(ix))
+        throw new IllegalArgumentException(
+          s"$name: null ADC table entry at index $ix — a null would " +
+            "silently score as 0 and corrupt the ranking")
+      acc += tbl.getLong(ix)
       s += 1
     }
     acc

@@ -76,6 +76,10 @@ object FloatArrayQuantize8 {
     var ma = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"$name: null vector element at position $i — a null would " +
+            "silently quantize as 0 and skew the scale")
       val v = Math.abs(a.getFloat(i).toDouble)
       if (v > ma) ma = v
       i += 1

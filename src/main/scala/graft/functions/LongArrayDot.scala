@@ -51,7 +51,11 @@ case class LongArrayDot(left: Expression, right: Expression)
       throw LongArrayDot.dimMismatch(n, y.numElements())
     var i = 0
     var s = 0L
-    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) throw LongArrayDot.nullElement(i)
+      s += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
     s
   }
 
@@ -68,6 +72,9 @@ case class LongArrayDot(left: Expression, right: Expression)
          |}
          |long $s = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |    throw $cls.nullElement($i);
+         |  }
          |  $s += $a.getLong($i) * $b.getLong($i);
          |}
          |${ev.value} = $s;
@@ -85,6 +92,14 @@ object LongArrayDot {
   /** Shared by interpreted and generated code (codegen calls it
     * statically — keep the signature stable).
     */
+  /** Shared by interpreted and generated code (codegen calls it
+    * statically — keep the signature stable).
+    */
+  def nullElement(i: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"$name: null vector element at position $i — a null would " +
+        "silently multiply as 0 against the fail-loud contract")
+
   def dimMismatch(a: Int, b: Int): IllegalArgumentException =
     new IllegalArgumentException(
       s"$name: vector dimensions differ ($a vs $b) — upstream " +
