@@ -34,8 +34,24 @@ object Replay {
     val in = MemoryStream[A]
     val name = "replay_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = transform(in.toDF()).writeStream
-      .format("memory").queryName(name).outputMode("append").start()
+    // The shuffle-partition count is frozen into the checkpoint at query
+    // start and sizes the STATE STORE: every micro-batch maintains
+    // (partitions x stores-per-operator) state files regardless of how
+    // little state each holds. At replay scale (1e4-1e5 rows) the batch
+    // session's 32 partitions are pure per-batch overhead — a stream-
+    // stream join carries 4 stores, so 32 partitions cost ~128 file
+    // maintenances per micro-batch. 4 partitions keep the same
+    // semantics (state is hash-partitioned either way) at a fraction of
+    // the fixed cost; a production deployment sizes this to its
+    // executor count, exactly like batch shuffle partitions.
+    val pKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(pKey)
+    val q =
+      try {
+        spark.conf.set(pKey, "4")
+        transform(in.toDF()).writeStream
+          .format("memory").queryName(name).outputMode("append").start()
+      } finally spark.conf.set(pKey, prev)
     try {
       batches.filter(_.nonEmpty).foreach { b =>
         in.addData(b)
