@@ -94,19 +94,35 @@ object Dedup {
     * division as the span/embedding drop policies). Ids must be
     * globally unique across the two inputs.
     *
-    * Scale shape: this inline form recomputes the store's keys and
-    * shingles per call — the oracle-checked baseline, fine for a
-    * one-shot dedup. A production ingest builds the store tables ONCE
-    * per snapshot ([[exactKeys]] + [[shingles]], persisted via the
+    * Scale shape: two formulations for two cost regimes, equality-
+    * pinned by DedupSpec. This inline form is the ONE-SHOT shape: a
+    * single cached shingle table over store ∪ batch and one
+    * co-occurrence self-join — fewest stages, right when the store is
+    * never probed again (and the oracle-checked baseline). A production
+    * ingest loop instead builds the store tables ONCE per snapshot
+    * ([[exactKeys]] + [[shingles]], persisted via the
     * [[graft.operators.Layout]] pattern) and calls
-    * [[incrementalNearPersisted]] per batch, whose plan touches the
-    * store only through those prebuilt tables — per-batch cost is
-    * batch-proportional as a daily-ingest loop requires.
+    * [[incrementalNearPersisted]] per batch — batch-proportional
+    * per-batch cost, and the store×store co-occurrence this form pays
+    * (then discards) never forms at all there.
     */
   def incrementalNear(store: DataFrame, batch: DataFrame, n: Int,
-                      tnum: Long, tden: Long): DataFrame =
-    incrementalNearPersisted(exactKeys(store), shingles(store, n),
-      batch, n, tnum, tden)
+                      tnum: Long, tden: Long): DataFrame = {
+    val exactSurv = incrementalKeyed(exactKeys(store), batch)
+    val all = store.select(col("doc_id"), col("text"))
+      .unionByName(batch.select(col("doc_id"), col("text")))
+    val pairs = ngramJaccardPairs(all, n, tnum, tden)
+    val isBatch = store.select(col("doc_id"), lit(0).as("isb"))
+      .unionByName(batch.select(col("doc_id"), lit(1).as("isb")))
+    val drops = pairs
+      .join(isBatch.select(col("doc_id").as("da"), col("isb").as("fa")), "da")
+      .join(isBatch.select(col("doc_id").as("db"), col("isb").as("fb")), "db")
+      .select(
+        when(col("fa") === 1 && col("fb") === 0, col("da"))
+          .when(col("fb") === 1, col("db")).as("doc_id"))
+      .filter(col("doc_id").isNotNull).distinct()
+    exactSurv.join(drops, Seq("doc_id"), "left_anti")
+  }
 
   /** [[incrementalNear]] probing PRE-BUILT store tables: `storeKeys` is
     * [[exactKeys]] output, `storeShingles` is [[shingles]] output (same
@@ -128,17 +144,26 @@ object Dedup {
     val sizes = bsh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       .unionByName(
         storeShingles.groupBy("doc_id").agg(count(lit(1)).as("sz")))
-    val crossInter = bsh.select(col("doc_id").as("da"), col("g"))
-      .join(storeShingles.select(col("doc_id").as("db"), col("g")), "g")
-      .groupBy("da", "db").agg(count(lit(1)).as("i"))
-    val crossDrops = jaccardThreshold(crossInter, sizes, tnum, tden)
-      .select(col("da").as("doc_id"))
-    val withinInter = bsh.select(col("doc_id").as("da"), col("g"))
-      .join(bsh.select(col("doc_id").as("db"), col("g")), "g")
-      .filter(col("da") < col("db"))
-      .groupBy("da", "db").agg(count(lit(1)).as("i"))
-    val withinDrops = jaccardThreshold(withinInter, sizes, tnum, tden)
-      .select(col("db").as("doc_id"))
+    // ONE co-occurrence join: batch shingles against batch ∪ store, the
+    // origin flag riding the group key. Left side is batch-only (the
+    // whole point of the persisted split — vs the union self-join this
+    // is a strictly smaller probe AND store×store pairs never form);
+    // within-batch pairs orient da < db, cross pairs keep every
+    // (batch, store) hit.
+    val right = bsh.select(col("doc_id").as("db"), col("g"), lit(1).as("rb"))
+      .unionByName(storeShingles.select(
+        col("doc_id").as("db"), col("g"), lit(0).as("rb")))
+    val inter = bsh.select(col("doc_id").as("da"), col("g"))
+      .join(right, "g")
+      .filter(col("rb") === 0 || col("da") < col("db"))
+      .groupBy("da", "db", "rb").agg(count(lit(1)).as("i"))
+      .cache()
+    val crossDrops = jaccardThreshold(
+      inter.filter(col("rb") === 0).select("da", "db", "i"), sizes,
+      tnum, tden).select(col("da").as("doc_id"))
+    val withinDrops = jaccardThreshold(
+      inter.filter(col("rb") === 1).select("da", "db", "i"), sizes,
+      tnum, tden).select(col("db").as("doc_id"))
     val drops = crossDrops.unionByName(withinDrops).distinct()
     exactSurv.join(drops, Seq("doc_id"), "left_anti")
   }

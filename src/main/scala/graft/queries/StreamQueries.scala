@@ -96,9 +96,116 @@ object StreamQueries {
       .orderBy("user_id", "l_event_id", "r_event_id")
   }
 
+  /** Time-ordered event feed TRUNCATED to millisecond event time: the
+    * corpus carries µs timestamps, but the session/window oracles
+    * compute on `epoch_ms`, and GAP comparisons (unlike hour bucketing,
+    * whose boundaries are whole ms) can flip within 1 ms of the gap
+    * width if one side truncates and the other doesn't. Feeding ms
+    * precision makes engine and oracle compute on identical values.
+    */
+  private def eventRows(s: SparkSession, d: String): Seq[Event] =
+    Tables.events(s, d).select(
+        col("user_id").cast("long"), col("event_id").cast("long"),
+        col("event_type"), col("ts").cast(TimestampType).as("ts"),
+        col("value").cast("double"))
+      .orderBy("ts", "event_id")
+      .collect() // bounded replay feed (verify-scale corpus; see Replay)
+      .map(r => Event(r.getLong(0), r.getLong(1), r.getString(2),
+        new Timestamp(r.getTimestamp(3).getTime), r.getDouble(4)))
+      .toSeq
+
+  /** The time-ordered replay feed chunked into micro-batches, followed
+    * by two future SENTINEL events (user_id −1, far past the corpus),
+    * each in its OWN batch. Closed-window/session operators only EMIT
+    * once the watermark passes them, and batch N runs under the
+    * watermark computed from data through batch N−1 — so the first
+    * sentinel's batch advances the watermark beyond every real event,
+    * and the second sentinel's batch is where all real windows/sessions
+    * (and flatMapGroupsWithState's event-time timeouts) actually flush.
+    * Sentinel rows are filtered from every output; the sentinels' own
+    * windows stay open and unemitted by construction.
+    */
+  private def eventFeedBatches(s: SparkSession, d: String): Seq[Seq[Event]] = {
+    val rows = eventRows(s, d)
+    val horizon = rows.last.ts.getTime
+    Replay.chunks(rows, 8) ++ Seq(
+      Seq(Event(-1L, -1L, "sentinel",
+        new Timestamp(horizon + 100L * 86400000L), 0.0)),
+      Seq(Event(-1L, -2L, "sentinel",
+        new Timestamp(horizon + 200L * 86400000L), 0.0)))
+  }
+
+  /** Watermarked tumbling-window aggregation replayed end-to-end
+    * ([[EventStreams.windowedStats]], 1-hour windows): append-mode
+    * emission means only watermark-CLOSED windows reach the sink — the
+    * sentinels close every real window. The oracle replays the exact
+    * columns (counts and integer cents; the operator's HLL type count
+    * is projected out — approximate by design, gated separately via
+    * `agg_approx_gate`'s HLL machinery). Windows surface as epoch-ms
+    * longs: exact, and DuckDB-comparable without timestamp-type drift.
+    */
+  def streamWindow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = Replay.replay(s, eventFeedBatches(s, d)) { in =>
+      EventStreams.windowedStats(in, windowDur = "1 hour",
+        lateness = "30 minutes")
+    }
+    out.filter(col("user_id") >= 0)
+      .select(col("user_id"), unix_millis(col("w_start")).as("w_start_ms"),
+        col("n_events"), col("cents"))
+      .orderBy("user_id", "w_start_ms")
+  }
+
+  /** Declarative session windows replayed end-to-end
+    * ([[EventStreams.sessionStats]], 30-minute gap): the sentinels close
+    * every real session, so the sink holds exactly the batch
+    * gaps-and-islands sessionization — session end = last event +
+    * gap, Spark's session_window contract, replayed verbatim in the
+    * oracle SQL.
+    */
+  def streamSessionize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = Replay.replay(s, eventFeedBatches(s, d)) { in =>
+      EventStreams.sessionStats(in, gap = "30 minutes",
+        lateness = "30 minutes")
+    }
+    out.filter(col("user_id") >= 0)
+      .select(col("user_id"), unix_millis(col("s_start")).as("s_start_ms"),
+        unix_millis(col("s_end")).as("s_end_ms"), col("n_events"))
+      .orderBy("user_id", "s_start_ms")
+  }
+
+  /** The CUSTOM flatMapGroupsWithState sessionizer
+    * ([[EventStreams.sessionizeCustom]]) replayed against the SAME
+    * oracle as [[streamSessionize]] — the strongest pin available for
+    * imperative state code: custom merge logic == declarative
+    * session_window == batch SQL, on real data. Emission here needs the
+    * event-time TIMEOUT path (sessions close when the watermark passes
+    * last + gap), which the second sentinel's batch triggers. End
+    * conventions differ — the custom operator reports the LAST EVENT
+    * time where session_window reports last + gap — so the projection
+    * adds the gap to align on one convention and the two entries share
+    * one oracle text verbatim.
+    */
+  def streamSessionizeCustom(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = Replay.replay(s, eventFeedBatches(s, d)) { in =>
+      EventStreams.sessionizeCustom(in.as[Event], gapMs = 1800000L,
+        lateness = "30 minutes").toDF()
+    }
+    out.filter(col("user_id") >= 0)
+      .select(col("user_id"), unix_millis(col("s_start")).as("s_start_ms"),
+        (unix_millis(col("s_end")) + 1800000L).as("s_end_ms"),
+        col("n_events").cast("long").as("n_events"))
+      .orderBy("user_id", "s_start_ms")
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_dedup" -> streamDedup,
-    "stream_interval_join" -> streamIntervalJoin)
+    "stream_interval_join" -> streamIntervalJoin,
+    "stream_window" -> streamWindow,
+    "stream_sessionize" -> streamSessionize,
+    "stream_sessionize_custom" -> streamSessionizeCustom)
 
   val oracles: Map[String, String] = Map(
     "stream_dedup" ->
@@ -123,5 +230,33 @@ object StreamQueries {
         |FROM events l JOIN events r ON l.user_id = r.user_id
         | AND l.event_type = 'click' AND r.event_type = 'purchase'
         | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR
-        |ORDER BY user_id, l_event_id, r_event_id""".stripMargin)
+        |ORDER BY user_id, l_event_id, r_event_id""".stripMargin,
+    "stream_window" ->
+      """SELECT CAST(user_id AS BIGINT) AS user_id,
+        |  (epoch_ms(ts) // 3600000) * 3600000 AS w_start_ms,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, w_start_ms""".stripMargin,
+    "stream_sessionize" -> sessionOracle,
+    "stream_sessionize_custom" -> sessionOracle)
+
+  /** One oracle text for BOTH sessionizers: gaps-and-islands over
+    * epoch-ms event time, new session at gap >= 30 min (session_window's
+    * end-exclusive contract; no gap in the shipped corpora lands within
+    * 10 ms of the boundary, verified 2026-08-13), session end = last
+    * event + gap.
+    */
+  private lazy val sessionOracle: String =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+      |g AS (SELECT user_id, ms,
+      |    CASE WHEN lag(ms) OVER w IS NULL
+      |         OR ms - lag(ms) OVER w >= 1800000 THEN 1 ELSE 0 END AS brk
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+      |s AS (SELECT user_id, ms, sum(brk) OVER (
+      |    PARTITION BY user_id ORDER BY ms ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM g)
+      |SELECT CAST(user_id AS BIGINT) AS user_id, min(ms) AS s_start_ms,
+      |  max(ms) + 1800000 AS s_end_ms, CAST(count(*) AS BIGINT) AS n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, s_start_ms""".stripMargin
 }
