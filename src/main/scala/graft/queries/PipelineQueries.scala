@@ -1382,7 +1382,7 @@ object PipelineQueries {
   /** DuckDB twin of [[textChunks]]: list slicing over the same token
     * array — `list_slice` clamps at the end like Spark's `slice`.
     */
-  private def chunksSql(width: Int, stride: Int): String =
+  private[queries] def chunksSql(width: Int, stride: Int): String =
     s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
        |  FROM documents WHERE length(trim(text)) > 0),
        |c AS (SELECT doc_id, w,
@@ -1482,7 +1482,7 @@ object PipelineQueries {
   /** The language-ID scoring CTEs (`p`, `sc` with per-language integer
     * scores) — shared by the langid, prep, and corpus-mix oracles.
     */
-  private val langScoreCtes: String =
+  private[queries] val langScoreCtes: String =
     """p AS (SELECT doc_id,
       |  ' ' || regexp_replace(lower(text), '\s+', '  ', 'g') || ' ' AS t FROM documents),
       |sc AS (SELECT doc_id,
@@ -1503,7 +1503,7 @@ object PipelineQueries {
   /** The per-doc language argmax select (same tie order as the Spark
     * expression), usable after [[langScoreCtes]].
     */
-  private val langArgmaxSelect: String =
+  private[queries] val langArgmaxSelect: String =
     """SELECT doc_id, CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'unknown'
       |  WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
       |  WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
@@ -1511,9 +1511,13 @@ object PipelineQueries {
       |  ELSE 'fr' END AS lang_pred
       |FROM sc""".stripMargin
 
-  private val prepCtes: String =
-    s"""keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
-       |q AS (SELECT doc_id, text,
+  /** Shared quality-gate CTEs (`q` token counts + `good` keep filter) —
+    * the SQL twin of [[graft.pipeline.TextAnalysis.keepExpr]], reused by
+    * the prep oracles and [[StreamQueries]]'s quality-filter oracle so
+    * the keep policy cannot drift between them.
+    */
+  private[queries] val qualityGateCtes: String =
+    s"""q AS (SELECT doc_id, text,
        |  CASE WHEN length(trim(text)) = 0 THEN 0
        |    ELSE length(string_split_regex(trim(text), '\\s+')) END AS nt FROM documents),
        |good AS (SELECT doc_id FROM q
@@ -1521,7 +1525,20 @@ object PipelineQueries {
        |    AND CASE WHEN nt = 0 THEN 0
        |      ELSE CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) * 100 // nt
        |      END BETWEEN 200 AND 1200
-       |    AND length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 2 >= length(text)),
+       |    AND length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 2 >= length(text))""".stripMargin
+
+  /** DuckDB total-PII-count expression over `text`, generated from the
+    * SAME [[graft.pipeline.TextAnalysis.piiPatterns]] list as the Spark
+    * side (the [[piiSql]] pattern, reduced to one sum).
+    */
+  private[queries] def piiTotalSql: String =
+    TextAnalysis.piiPatterns
+      .map { case (_, re) => s"len(regexp_extract_all(text, '$re'))" }
+      .mkString(" + ")
+
+  private val prepCtes: String =
+    s"""keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+       |$qualityGateCtes,
        |$langScoreCtes,
        |en AS (SELECT doc_id FROM sc
        |  WHERE greatest(s_en, s_es, s_de, s_fr) > 0 AND s_en = greatest(s_en, s_es, s_de, s_fr))""".stripMargin

@@ -200,12 +200,59 @@ object StreamQueries {
       .orderBy("user_id", "s_start_ms")
   }
 
+  private def docBatches(s: SparkSession, d: String): Seq[Seq[Doc]] =
+    Replay.chunks(
+      Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .orderBy("doc_id")
+        .collect() // bounded replay feed (verify-scale corpus; see Replay)
+        .map(r => Doc(r.getLong(0), r.getString(1),
+          new Timestamp(1704067200000L + r.getLong(0) * 1000L)))
+        .toSeq, 4)
+
+  /** The stateless ingest quality filter replayed end-to-end
+    * ([[DocStreams.qualityFilter]], keep flag + language prediction +
+    * PII counts in one projection, dirty rows dropped): stateless means
+    * no watermark and no state store, so the replay is a pure
+    * micro-batched map — and the oracle is the SAME quality-gate /
+    * langid / PII SQL the batch text operators verify against
+    * ([[PipelineQueries.qualityGateCtes]] etc.), so stream and batch
+    * policy provably cannot drift.
+    */
+  def streamQuality(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = Replay.replay(s, docBatches(s, d)) { in =>
+      DocStreams.qualityFilter(in, dropPii = false)
+    }
+    out.select(col("doc_id"), col("lang_pred"), col("n_pii"))
+      .orderBy("doc_id")
+  }
+
+  /** The streaming chunker replayed end-to-end ([[DocStreams.chunkFlow]]
+    * = the batch `tokenChunks` transform over a stream): stateless
+    * explode, verified against the IDENTICAL generated SQL as the batch
+    * `text_chunks` entry ([[PipelineQueries.chunksSql]]) — chunk-for-
+    * chunk stream/batch agreement, on the driver's gate rather than
+    * only in the spec.
+    */
+  def streamChunks(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = Replay.replay(s, docBatches(s, d)) { in =>
+      DocStreams.chunkFlow(in, width = 64, stride = 48)
+    }
+    out.select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        col("n_tokens"), col("chunk_fp"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_dedup" -> streamDedup,
     "stream_interval_join" -> streamIntervalJoin,
     "stream_window" -> streamWindow,
     "stream_sessionize" -> streamSessionize,
-    "stream_sessionize_custom" -> streamSessionizeCustom)
+    "stream_sessionize_custom" -> streamSessionizeCustom,
+    "stream_quality" -> streamQuality,
+    "stream_chunks" -> streamChunks)
 
   val oracles: Map[String, String] = Map(
     "stream_dedup" ->
@@ -238,7 +285,18 @@ object StreamQueries {
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY 1, 2 ORDER BY user_id, w_start_ms""".stripMargin,
     "stream_sessionize" -> sessionOracle,
-    "stream_sessionize_custom" -> sessionOracle)
+    "stream_sessionize_custom" -> sessionOracle,
+    "stream_quality" ->
+      s"""WITH ${PipelineQueries.qualityGateCtes},
+         |${PipelineQueries.langScoreCtes},
+         |l AS (${PipelineQueries.langArgmaxSelect}),
+         |pii AS (SELECT doc_id,
+         |  CAST(${PipelineQueries.piiTotalSql} AS BIGINT) AS n_pii
+         |  FROM documents)
+         |SELECT CAST(good.doc_id AS BIGINT) AS doc_id, l.lang_pred, pii.n_pii
+         |FROM good JOIN l USING (doc_id) JOIN pii USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "stream_chunks" -> PipelineQueries.chunksSql(width = 64, stride = 48))
 
   /** One oracle text for BOTH sessionizers: gaps-and-islands over
     * epoch-ms event time, new session at gap >= 30 min (session_window's
