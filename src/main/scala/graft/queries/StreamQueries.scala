@@ -84,7 +84,7 @@ object StreamQueries {
         r.getTimestamp(3), r.getDouble(4)))
       .toSeq
     import s.implicits._
-    val out = Replay.replay(s, Replay.chunks(feed, 8)) { in =>
+    val out = Replay.replay(s, Replay.chunks(feed, 4)) { in =>
       EventStreams.intervalJoin(
         in.filter(col("event_type") === "click"),
         in.filter(col("event_type") === "purchase"),
@@ -128,7 +128,11 @@ object StreamQueries {
   private def eventFeedBatches(s: SparkSession, d: String): Seq[Seq[Event]] = {
     val rows = eventRows(s, d)
     val horizon = rows.last.ts.getTime
-    Replay.chunks(rows, 8) ++ Seq(
+    // 4 real batches: each micro-batch pays a fixed state-maintenance
+    // cost, and 4 exercises the same cross-batch state handoff as more
+    // would — results are chunking-independent (sorted feed, nothing
+    // late) for every operator fed from here
+    Replay.chunks(rows, 4) ++ Seq(
       Seq(Event(-1L, -1L, "sentinel",
         new Timestamp(horizon + 100L * 86400000L), 0.0)),
       Seq(Event(-1L, -2L, "sentinel",
