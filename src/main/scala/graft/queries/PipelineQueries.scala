@@ -917,18 +917,27 @@ object PipelineQueries {
     * redacted fingerprint therefore differ per row and any Java-vs-RE2
     * divergence in match boundaries or replacement fails the hash compare.
     */
-  def textPii(s: SparkSession, d: String): DataFrame = {
+  def textPii(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.piiScan(
+      Tables.documents(s, d).select(col("doc_id"),
+        piiDecorationCol.as("text")))
+      .orderBy("doc_id")
+
+  /** The doc_id-derived PII decoration over (`doc_id`, `text`) — the
+    * driver corpus has no organic PII, so the spans that exercise the
+    * cross-engine regex semantics are synthesized deterministically.
+    * Shared by [[textPii]] and [[StreamQueries.streamQuality]]; its SQL
+    * twin is [[piiDecorationSql]].
+    */
+  private[queries] def piiDecorationCol: org.apache.spark.sql.Column = {
     val id = col("doc_id")
     def on(mod: Int, frag: org.apache.spark.sql.Column) =
       when(pmod(id, lit(mod.toLong)) === 0L, frag).otherwise(lit(""))
-    val decorated = concat(col("text"),
+    concat(col("text"),
       on(3, concat(lit(" contact u"), id.cast("string"), lit("@example.org"))),
       on(4, concat(lit(" from 10.0.0."), pmod(id, lit(250L)).cast("string"))),
       on(5, lit(" call 555-123-4567")),
       on(7, lit(" ssn 987-65-4321")))
-    TextAnalysis.piiScan(
-      Tables.documents(s, d).select(id, decorated.as("text")))
-      .orderBy("doc_id")
   }
 
   /** Per-doc top-3 TF-IDF terms (rational raw-idf scoring — engine-exact). */
@@ -1559,18 +1568,20 @@ object PipelineQueries {
     val red = TextAnalysis.piiPatterns.foldLeft("text") { case (t, (name, re)) =>
       s"regexp_replace($t, '$re', '[${name.toUpperCase}]', 'g')"
     }
-    // the SAME doc_id-derived decoration the Spark query applies (see
-    // [[textPii]]): the driver corpus has no organic PII, so the spans
-    // that exercise the cross-engine semantics are synthesized
-    val dec =
-      """text
-        |  || CASE WHEN doc_id % 3 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.org' ELSE '' END
-        |  || CASE WHEN doc_id % 4 = 0 THEN ' from 10.0.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END
-        |  || CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-4567' ELSE '' END
-        |  || CASE WHEN doc_id % 7 = 0 THEN ' ssn 987-65-4321' ELSE '' END""".stripMargin
-    s"WITH dec AS (SELECT doc_id, $dec AS text FROM documents)\n" +
+    s"WITH dec AS (SELECT doc_id, $piiDecorationSql AS text FROM documents)\n" +
       s"SELECT doc_id,\n$counts,\n  md5($red) AS red_fp\nFROM dec ORDER BY doc_id"
   }
+
+  /** SQL twin of [[piiDecorationCol]]. Operators sit at line ENDS so the
+    * fragment survives interpolation into an outer `stripMargin` string
+    * (a leading `||` would lose its first bar to the outer margin strip).
+    */
+  private[queries] val piiDecorationSql: String =
+    "text || " +
+      "CASE WHEN doc_id % 3 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.org' ELSE '' END || " +
+      "CASE WHEN doc_id % 4 = 0 THEN ' from 10.0.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END || " +
+      "CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-4567' ELSE '' END || " +
+      "CASE WHEN doc_id % 7 = 0 THEN ' ssn 987-65-4321' ELSE '' END"
 
   val oracles: Map[String, String] = Map(
     "sample_reservoir" -> reservoirSql(k = 16, seed = 42L),

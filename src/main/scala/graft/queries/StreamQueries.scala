@@ -225,7 +225,18 @@ object StreamQueries {
     */
   def streamQuality(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val out = Replay.replay(s, docBatches(s, d)) { in =>
+    // decorate the feed with the SAME doc_id-derived synthetic PII
+    // spans as the batch text_pii entry (the corpus has no organic
+    // PII), so the per-row PII counting is actually exercised
+    val decorated = Tables.documents(s, d)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        PipelineQueries.piiDecorationCol.as("text"))
+      .orderBy("doc_id")
+      .collect() // bounded replay feed (verify-scale corpus; see Replay)
+      .map(r => Doc(r.getLong(0), r.getString(1),
+        new Timestamp(1704067200000L + r.getLong(0) * 1000L)))
+      .toSeq
+    val out = Replay.replay(s, Replay.chunks(decorated, 4)) { in =>
       DocStreams.qualityFilter(in, dropPii = false)
     }
     out.select(col("doc_id"), col("lang_pred"), col("n_pii"))
@@ -291,12 +302,14 @@ object StreamQueries {
     "stream_sessionize" -> sessionOracle,
     "stream_sessionize_custom" -> sessionOracle,
     "stream_quality" ->
-      s"""WITH ${PipelineQueries.qualityGateCtes},
-         |${PipelineQueries.langScoreCtes},
+      s"""WITH dec AS (SELECT doc_id,
+         |  ${PipelineQueries.piiDecorationSql} AS text FROM documents),
+         |${PipelineQueries.qualityGateCtes.replace("FROM documents", "FROM dec")},
+         |${PipelineQueries.langScoreCtes.replace("FROM documents", "FROM dec")},
          |l AS (${PipelineQueries.langArgmaxSelect}),
          |pii AS (SELECT doc_id,
          |  CAST(${PipelineQueries.piiTotalSql} AS BIGINT) AS n_pii
-         |  FROM documents)
+         |  FROM dec)
          |SELECT CAST(good.doc_id AS BIGINT) AS doc_id, l.lang_pred, pii.n_pii
          |FROM good JOIN l USING (doc_id) JOIN pii USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
