@@ -78,7 +78,13 @@ object AnnScaleProbe {
       val path = scaledCorpus(spark, sfDir, f, root)
       val emb = spark.read.parquet(path)
       val n = emb.count()
-      val nCells = 16 * f
+      // attribution experiment: SPARK_GRAFT_ANN_CELLS pins nCells
+      // instead of growing it with f — constant cell COUNT but f×
+      // larger cells, so probe candidates grow ∝ f. Comparing the two
+      // modes at the same f separates candidate-volume cost from
+      // centroid-count/dir-listing cost.
+      val nCells = sys.env.get("SPARK_GRAFT_ANN_CELLS")
+        .flatMap(_.toIntOption).getOrElse(16 * f)
       val ivfDir = s"$root/idx-ivfpq-f$f"
       val flatDir = s"$root/idx-pq-f$f"
       val buildT = timeIt {
