@@ -72,16 +72,43 @@ object PipelineQueries {
     Similarity.cosinePairs(Tables.embeddings(s, d), tnum = 9, tden = 20)
       .orderBy("da", "db")
 
-  /** Bucketed (banded-LSH) embedding near-dup — the 100 TB shape;
-    * approximate recall (~87% at the synthetic tables' low planted
+  /** The raw banded-LSH near-dup pair stream (the 100 TB shape;
+    * approximate recall ~87% at the synthetic tables' low planted
     * similarity, ~99%+ at production thresholds — see
     * [[Similarity.lshCosinePairs]]), exactly-verified candidates.
-    * Rows-only output by design; its recall floor against the exact
-    * pairs is the oracle-exact [[embeddingLshRecall]] gate.
     */
-  def dedupEmbeddingLsh(s: SparkSession, d: String): DataFrame =
+  private[graft] def dedupEmbeddingLshRows(s: SparkSession,
+                                           d: String): DataFrame =
     Similarity.lshCosinePairs(Tables.embeddings(s, d),
       bands = 64, r = 8, tnum = 9, tden = 20).orderBy("da", "db")
+
+  /** Bucketed (banded-LSH) embedding near-dup, held to an oracle-EXACT
+    * invariant row: the full LSH pipeline runs
+    * ([[dedupEmbeddingLshRows]]), and the emitted singleton asserts the
+    * two properties the approximate output guarantees by construction —
+    * every LSH pair is a true exact-cosine pair (candidates are
+    * verified exactly, so LSH ⊆ exact; `subset_ok`), and recall over
+    * the exact pair set clears the measured floor (66%, the
+    * [[embeddingLshRecall]] calibration; `recall_ok`). `n_exact` is the
+    * exact-pair population, which the DuckDB oracle recomputes from the
+    * [[dedupEmbedding]] pair SQL — so a broken verify step, a recall
+    * collapse, or an exact-path drift each flip a hashed value.
+    */
+  def dedupEmbeddingLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val exact = Similarity.cosinePairs(emb, tnum = 9, tden = 20).cache()
+    val lshp = Similarity.lshCosinePairs(emb, bands = 64, r = 8,
+      tnum = 9, tden = 20).cache()
+    val ne = exact.agg(count(lit(1)).as("ne"))
+    val nl = lshp.agg(count(lit(1)).as("nl"))
+    val extra = lshp.join(exact, Seq("da", "db"), "left_anti")
+      .agg(count(lit(1)).as("nx"))
+    val out = ne.crossJoin(nl).crossJoin(extra).select(
+      col("ne").cast("long").as("n_exact"),
+      (col("nx") === 0L).as("subset_ok"),
+      ((col("nl") - col("nx")) * 100L >= col("ne") * 66L).as("recall_ok"))
+    materializedAndReleased(s, out, exact, lshp)
+  }
 
   /** Near-dup cluster assignment: connected components over the exact
     * n-gram Jaccard pair graph (same edges as [[dedupNgram]]), one
@@ -299,9 +326,22 @@ object PipelineQueries {
     * production corpora with cos >= 0.85 neighbors run higher r at the
     * same recall for far fewer candidates.
     */
-  def annLsh(s: SparkSession, d: String): DataFrame =
+  private[graft] def annLshRows(s: SparkSession, d: String): DataFrame =
     Similarity.lshTopK(Tables.embeddings(s, d), k = 3, bands = 16, r = 6,
       queryPred = col("vec_id") < 100).orderBy("qid", "rank")
+
+  /** [[annLshRows]] under the probe-invariant gate
+    * ([[probeInvariants]]): the full LSH search runs, and the emitted
+    * singleton is oracle-exact — `n_queries` must equal the query
+    * population the oracle counts, every query must return exactly k
+    * distinct non-self neighbors ranked 1..k with monotone scores, and
+    * (LSH ranks by EXACT dots over its candidates) every emitted score
+    * must equal the recomputed exact dot. Recall floors stay with the
+    * [[annRecall]] gate.
+    */
+  def annLsh(s: SparkSession, d: String): DataFrame =
+    probeInvariants(s, d, annLshRows(s, d), k = 3, scoreCol = "dot",
+      exactDots = true)
 
   // --- persisted ANN index lifecycle (build once → probe many) ---
   // The trained-ANN paths (IVF / PQ / IVF-PQ) run k-means at BUILD time
@@ -331,53 +371,197 @@ object PipelineQueries {
   private def annQueries(s: SparkSession, d: String): DataFrame =
     Similarity.prepared(Tables.embeddings(s, d)).filter(annQueryPred)
 
+  /** Oracle-exact invariant gate over a top-k probe output — the
+    * `agg_approx_gate` pattern applied to the approximate ANN entries:
+    * the probe's full search runs (it feeds every aggregate below), and
+    * the singleton emitted instead of the raw approximate rows holds
+    * the properties a correct probe guarantees BY CONSTRUCTION, so the
+    * DuckDB oracle can derive the expected row in plain SQL:
+    *
+    *  - `n_queries` — distinct qids in the output; must equal the
+    *    query population (`vec_id < 100`) the oracle counts. A query
+    *    that loses all its candidates (broken bucketing/cells) shrinks
+    *    this and fails the hash compare. Deterministic seeds + corpora
+    *    make the full-coverage expectation exact at every driver SF
+    *    (measured: 300 = 100×k rows at sf0.001/0.01/0.1 for all four
+    *    probe paths).
+    *  - `rows_ok` — every query returns exactly k distinct non-self
+    *    neighbors ranked 1..k.
+    *  - `monotone_ok` — scores are non-increasing in rank per query
+    *    (the (score desc, nid asc) ranking contract).
+    *  - `neighbors_ok` — every returned nid exists in the corpus (a
+    *    stale persisted index surfaces here).
+    *  - `scores_exact_ok` (exact-dot paths only: LSH and IVF rank
+    *    their candidates by true integer dots) — every emitted score
+    *    equals the dot recomputed from the corpus vectors.
+    *
+    * WHICH neighbors the probe returns is the one thing invariants
+    * cannot pin (that is approximation quality) — that stays with the
+    * measured-floor recall gates ([[annRecall]]/[[annPqRecall]]).
+    */
+  private def probeInvariants(s: SparkSession, d: String, raw: DataFrame,
+                              k: Int, scoreCol: String,
+                              exactDots: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+    val probe = raw.cache()
+    val w = Window.partitionBy("qid").orderBy("rank")
+    val per = probe
+      .withColumn("m",
+        coalesce(col(scoreCol) <= lag(col(scoreCol), 1).over(w), lit(true)))
+      .groupBy("qid").agg(
+        count(lit(1)).as("n"), countDistinct(col("nid")).as("dn"),
+        min(col("rank")).as("rmin"), max(col("rank")).as("rmax"),
+        min(col("m").cast("int")).as("mono"),
+        max((col("nid") === col("qid")).cast("int")).as("self"))
+    val shape = per.agg(
+      count(lit(1)).cast("long").as("n_queries"),
+      coalesce(min((col("n") === k && col("dn") === k &&
+        col("rmin") === 1 && col("rmax") === k &&
+        col("self") === 0).cast("int")) === 1, lit(false)).as("rows_ok"),
+      coalesce(min(col("mono")) === 1, lit(false)).as("monotone_ok"))
+    val inCorpus = probe
+      .join(emb.select(col("vec_id").as("nid")), Seq("nid"), "left_anti")
+      .agg((count(lit(1)) === 0).as("neighbors_ok"))
+    val base = shape.crossJoin(inCorpus)
+    val out =
+      if (!exactDots) base
+      else {
+        val p = Similarity.prepared(emb)
+        val bad = probe
+          .join(p.select(col("vec_id").as("qid"), col("q").as("eq")), "qid")
+          .join(p.select(col("vec_id").as("nid"), col("q").as("en")), "nid")
+          .filter(col(scoreCol) =!= Similarity.intDot(col("eq"), col("en")))
+          .agg((count(lit(1)) === 0).as("scores_exact_ok"))
+        base.crossJoin(bad)
+      }
+    materializedAndReleased(s, out, probe)
+  }
+
   /** Unconditional IVF index (re)build — the index-maintenance job a
-    * production pipeline schedules per corpus snapshot. Emits the
-    * inverted-list layout (members per cell) read back from the
-    * persisted index, so the result row-checks that the build landed.
-    * Rows-only: the k-means replay is impractical in SQL.
+    * production pipeline schedules per corpus snapshot — emitting an
+    * oracle-EXACT invariant row read back from the PERSISTED parquet
+    * (never from in-memory state, so a half-written index fails):
+    * `coded_once_ok` — every corpus vector appears in exactly one
+    * inverted list (list rows = distinct nids = corpus N, which also
+    * pins the cell-size sum); `cells_ok` — the centroid codebook holds
+    * exactly nCells entries and every list row's cell id is in range;
+    * `vectors_match_ok` — each stored list vector is byte-equal to the
+    * corpus vector it claims to be. `n_vectors` itself is the corpus
+    * count the DuckDB oracle derives, so a build that drops, dups, or
+    * corrupts any vector flips a hashed value. (The k-means replay
+    * stays impractical in SQL — centroid QUALITY is what the
+    * [[annRecall]] floor gates.)
     */
   def annIvfBuild(s: SparkSession, d: String): DataFrame = {
-    Ivf.buildIndex(Tables.embeddings(s, d), annIvfDir(d),
-      nCells = 16, iters = 2)
-    s.read.parquet(s"${annIvfDir(d)}/lists")
-      .groupBy("cell").agg(count(lit(1)).as("n_members")).orderBy("cell")
+    val emb = Tables.embeddings(s, d)
+    Ivf.buildIndex(emb, annIvfDir(d), nCells = 16, iters = 2)
+    val lists = s.read.parquet(s"${annIvfDir(d)}/lists")
+    val cents = s.read.parquet(s"${annIvfDir(d)}/centroids")
+    val p = Similarity.prepared(emb)
+    val nv = emb.agg(count(lit(1)).as("nv"))
+    val la = lists.agg(count(lit(1)).as("nl"),
+      countDistinct(col("nid")).as("dl"),
+      min(col("cell")).as("cmin"), max(col("cell")).as("cmax"))
+    val ca = cents.agg(count(lit(1)).as("nc"))
+    val vm = lists
+      .join(p.select(col("vec_id").as("nid"), col("q").as("pq")), "nid")
+      .agg(sum(when(col("nq") === col("pq"), 1L).otherwise(0L)).as("nm"))
+    val out = nv.crossJoin(la).crossJoin(ca).crossJoin(vm).select(
+      col("nv").cast("long").as("n_vectors"),
+      (col("nl") === col("nv") && col("dl") === col("nv")).as("coded_once_ok"),
+      (col("nc") === 16 &&
+        coalesce(col("cmin") >= 0 && col("cmax") < 16, lit(false))).as("cells_ok"),
+      (coalesce(col("nm"), lit(0L)) === col("nv")).as("vectors_match_ok"))
+    materializedAndReleased(s, out)
   }
 
-  /** Unconditional flat-PQ index (re)build; emits (n_centroids,
-    * n_codes) read back from the persisted index. Rows-only.
+  /** Unconditional flat-PQ index (re)build; oracle-EXACT invariant row
+    * read back from the persisted parquet: `coded_once_ok` — one packed
+    * code row per corpus vector (rows = distinct nids = N);
+    * `codebook_ok` — exactly m×ks centroids, all m subspaces present,
+    * cid range exactly 0..ks−1 (which bounds every stored code, since
+    * codes are min_by cids of this codebook); `code_len_ok` — every
+    * packed code is exactly m bytes. Same rationale as [[annIvfBuild]].
     */
   def annPqBuild(s: SparkSession, d: String): DataFrame = {
-    Pq.buildIndex(Tables.embeddings(s, d), annPqDir(d),
-      m = 32, ks = 32, iters = 2)
+    val emb = Tables.embeddings(s, d)
+    Pq.buildIndex(emb, annPqDir(d), m = 32, ks = 32, iters = 2)
     val cb = s.read.parquet(s"${annPqDir(d)}/codebook")
-      .agg(count(lit(1)).as("n_centroids"))
     val codes = s.read.parquet(s"${annPqDir(d)}/codes")
-      .agg(count(lit(1)).as("n_codes"))
-    cb.crossJoin(codes)
+    val nv = emb.agg(count(lit(1)).as("nv"))
+    val cba = cb.agg(count(lit(1)).as("ncb"),
+      countDistinct(col("sub")).as("ds"),
+      min(col("cid")).as("cidmin"), max(col("cid")).as("cidmax"))
+    val coa = codes.agg(count(lit(1)).as("nco"),
+      countDistinct(col("nid")).as("dco"),
+      min(length(col("codes"))).as("lmin"),
+      max(length(col("codes"))).as("lmax"))
+    val out = nv.crossJoin(cba).crossJoin(coa).select(
+      col("nv").cast("long").as("n_vectors"),
+      (col("nco") === col("nv") && col("dco") === col("nv")).as("coded_once_ok"),
+      (col("ncb") === 32 * 32 && col("ds") === 32 &&
+        coalesce(col("cidmin") === 0 && col("cidmax") === 31,
+          lit(false))).as("codebook_ok"),
+      coalesce(col("lmin") === 32 && col("lmax") === 32,
+        lit(false)).as("code_len_ok"))
+    materializedAndReleased(s, out)
   }
 
-  /** Unconditional IVF-PQ index (re)build; emits packed-code counts
-    * per coarse cell read back from the persisted index. Rows-only.
+  /** Unconditional IVF-PQ index (re)build; oracle-EXACT invariant row
+    * read back from the persisted parquet — the [[annPqBuild]]
+    * invariants plus the coarse layer's: exactly nCells coarse
+    * centroids and every packed-code row's cell id in range
+    * (`cells_ok`). `coded_once_ok` spanning the cell-partitioned codes
+    * pins the per-cell size sum to the corpus count.
     */
   def annIvfPqBuild(s: SparkSession, d: String): DataFrame = {
-    Pq.buildIndexIvf(Tables.embeddings(s, d), annIvfPqDir(d),
-      m = 32, ks = 32, iters = 2, nCells = 16)
-    s.read.parquet(s"${annIvfPqDir(d)}/codes")
-      .groupBy("cell").agg(count(lit(1)).as("n_codes")).orderBy("cell")
+    val emb = Tables.embeddings(s, d)
+    Pq.buildIndexIvf(emb, annIvfPqDir(d), m = 32, ks = 32, iters = 2,
+      nCells = 16)
+    val coarse = s.read.parquet(s"${annIvfPqDir(d)}/coarse")
+    val cb = s.read.parquet(s"${annIvfPqDir(d)}/codebook")
+    val codes = s.read.parquet(s"${annIvfPqDir(d)}/codes")
+    val nv = emb.agg(count(lit(1)).as("nv"))
+    val ga = coarse.agg(count(lit(1)).as("ng"))
+    val cba = cb.agg(count(lit(1)).as("ncb"),
+      countDistinct(col("sub")).as("ds"),
+      min(col("cid")).as("cidmin"), max(col("cid")).as("cidmax"))
+    val coa = codes.agg(count(lit(1)).as("nco"),
+      countDistinct(col("nid")).as("dco"),
+      min(length(col("codes"))).as("lmin"),
+      max(length(col("codes"))).as("lmax"),
+      min(col("cell")).as("cmin"), max(col("cell")).as("cmax"))
+    val out = nv.crossJoin(ga).crossJoin(cba).crossJoin(coa).select(
+      col("nv").cast("long").as("n_vectors"),
+      (col("nco") === col("nv") && col("dco") === col("nv")).as("coded_once_ok"),
+      (col("ng") === 16 &&
+        coalesce(col("cmin") >= 0 && col("cmax") < 16, lit(false))).as("cells_ok"),
+      (col("ncb") === 32 * 32 && col("ds") === 32 &&
+        coalesce(col("cidmin") === 0 && col("cidmax") === 31,
+          lit(false))).as("codebook_ok"),
+      coalesce(col("lmin") === 32 && col("lmax") === 32,
+        lit(false)).as("code_len_ok"))
+    materializedAndReleased(s, out)
   }
 
-  /** IVF-bucketed ANN probe against the persisted index — coarse cells
-    * + nprobe search at probe-only cost; results identical to the
-    * inline [[Ivf.topK]] (deterministic training), so the
-    * [[annRecall]] floor carries over unchanged. Rows-only
-    * (approximate by design). See [[graft.pipeline.Ivf]].
-    */
-  def annIvf(s: SparkSession, d: String): DataFrame = {
+  private[graft] def annIvfRows(s: SparkSession, d: String): DataFrame = {
     ensureIvfIndex(s, d)
     Ivf.probeIndex(annIvfDir(d), annQueries(s, d), k = 3, nprobe = 4)
       .orderBy("qid", "rank")
   }
+
+  /** IVF-bucketed ANN probe against the persisted index — coarse cells
+    * + nprobe search at probe-only cost; results identical to the
+    * inline [[Ivf.topK]] (deterministic training). The full probe runs
+    * ([[annIvfRows]]) and the entry emits the oracle-exact
+    * [[probeInvariants]] singleton; IVF ranks its cell candidates by
+    * EXACT dots, so `scores_exact_ok` holds every emitted score to the
+    * recomputed dot. The recall floor stays with [[annRecall]].
+    */
+  def annIvf(s: SparkSession, d: String): DataFrame =
+    probeInvariants(s, d, annIvfRows(s, d), k = 3, scoreCol = "dot",
+      exactDots = true)
 
   /** Product-quantization ANN probe against the persisted index:
     * candidates stored as m=32 subspace codes (~20 bytes standing in
@@ -385,11 +569,20 @@ object PipelineQueries {
     * by design (rows-only); its recall floor vs [[annTopk]] is the
     * oracle-exact [[annPqRecall]] gate.
     */
-  def annPq(s: SparkSession, d: String): DataFrame = {
+  private[graft] def annPqRows(s: SparkSession, d: String): DataFrame = {
     ensurePqIndex(s, d)
     Pq.probeIndex(annPqDir(d), annQueries(s, d), k = 3, m = 32)
       .orderBy("qid", "rank")
   }
+
+  /** The driver entry: the full ADC probe runs ([[annPqRows]]) and the
+    * emitted singleton is the oracle-exact [[probeInvariants]] row (no
+    * exact-dot check — ADC scores are approximate by design; ranking
+    * fidelity is the [[annPqRecall]] floor).
+    */
+  def annPq(s: SparkSession, d: String): DataFrame =
+    probeInvariants(s, d, annPqRows(s, d), k = 3, scoreCol = "score",
+      exactDots = false)
 
   /** Recall gate for BOTH PQ paths against one exact computation
     * (the [[annRecall]] two-path pattern), probing the PERSISTED
@@ -435,11 +628,20 @@ object PipelineQueries {
     * same curve sits at nprobe/nCells well under 1%. Rows-only; gated
     * through [[annPqRecall]].
     */
-  def annIvfPq(s: SparkSession, d: String): DataFrame = {
+  private[graft] def annIvfPqRows(s: SparkSession, d: String): DataFrame = {
     ensureIvfPqIndex(s, d)
     Pq.probeIndexIvf(annIvfPqDir(d), annQueries(s, d), k = 3, m = 32,
       nprobe = 8).orderBy("qid", "rank")
   }
+
+  /** The driver entry: the full IVFADC probe runs ([[annIvfPqRows]])
+    * and the emitted singleton is the oracle-exact [[probeInvariants]]
+    * row (bias + ADC scores are approximate by design; ranking
+    * fidelity is the [[annPqRecall]] floor).
+    */
+  def annIvfPq(s: SparkSession, d: String): DataFrame =
+    probeInvariants(s, d, annIvfPqRows(s, d), k = 3, scoreCol = "score",
+      exactDots = false)
 
   /** Packed-int8 quantized top-k — [[annTopk]] on the 1-byte-per-dim
     * `binary` representation ([[Similarity.quantizedTopK]]): 8x less
@@ -1135,9 +1337,10 @@ object PipelineQueries {
     * path.
     */
   val planOnlyQueries: Map[String, Q] = Map(
-    // build entries retrain+rewrite unconditionally by design; for plan
-    // inspection, ensure (build only if missing) and return the same
-    // read-back summary plan
+    // build entries retrain+rewrite unconditionally by design (and now
+    // emit collected invariant singletons); for plan inspection, ensure
+    // (build only if missing) and return a representative read-back
+    // aggregation over the persisted index
     "ann_ivf_build" -> ((s, d) => {
       ensureIvfIndex(s, d)
       s.read.parquet(s"${annIvfDir(d)}/lists")
@@ -1822,16 +2025,61 @@ object PipelineQueries {
          |SELECT CAST(tot.n AS BIGINT) AS n_exact, CAST(hits.h AS BIGINT) AS q8_hits,
          |       hits.h * 100 >= tot.n * 50 AS recall_ok
          |FROM tot, hits""".stripMargin,
-    // ann_pq / ann_ivfpq: approximate by design -> rows-only; recall
-    // gated below
+    // Approximate ANN entries emit oracle-exact invariant singletons
+    // (see probeInvariants / the *_build scaladocs): the oracle derives
+    // the query/corpus population and the expected all-pass booleans.
+    "ann_lsh" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS rows_ok,
+        |  TRUE AS monotone_ok, TRUE AS neighbors_ok, TRUE AS scores_exact_ok
+        |FROM embeddings WHERE vec_id < 100""".stripMargin,
+    "ann_ivf" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS rows_ok,
+        |  TRUE AS monotone_ok, TRUE AS neighbors_ok, TRUE AS scores_exact_ok
+        |FROM embeddings WHERE vec_id < 100""".stripMargin,
+    "ann_pq" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS rows_ok,
+        |  TRUE AS monotone_ok, TRUE AS neighbors_ok
+        |FROM embeddings WHERE vec_id < 100""".stripMargin,
+    "ann_ivfpq" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS rows_ok,
+        |  TRUE AS monotone_ok, TRUE AS neighbors_ok
+        |FROM embeddings WHERE vec_id < 100""".stripMargin,
+    "ann_ivf_build" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors, TRUE AS coded_once_ok,
+        |  TRUE AS cells_ok, TRUE AS vectors_match_ok
+        |FROM embeddings""".stripMargin,
+    "ann_pq_build" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors, TRUE AS coded_once_ok,
+        |  TRUE AS codebook_ok, TRUE AS code_len_ok
+        |FROM embeddings""".stripMargin,
+    "ann_ivfpq_build" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors, TRUE AS coded_once_ok,
+        |  TRUE AS cells_ok, TRUE AS codebook_ok, TRUE AS code_len_ok
+        |FROM embeddings""".stripMargin,
+    // dedup_embedding_lsh emits (n_exact, subset_ok, recall_ok): the
+    // oracle recomputes the exact cosine-pair population (the
+    // dedup_embedding SQL, aggregated) and expects both booleans true
+    // (LSH pairs are exactly verified, so subset holds by construction;
+    // the 66% floor is the embedding_lsh_recall calibration).
+    "dedup_embedding_lsh" ->
+      s"""WITH q AS (SELECT vec_id, $quantSql AS qe FROM embeddings),
+         |n AS (SELECT vec_id, CAST(list_dot_product(qe, qe) AS BIGINT) AS n2, qe FROM q),
+         |pairs AS (
+         |  SELECT a.vec_id AS da, b.vec_id AS db
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |  WHERE CAST(list_dot_product(a.qe, b.qe) AS BIGINT) > 0
+         |    AND CAST(list_dot_product(a.qe, b.qe) AS BIGINT) * CAST(list_dot_product(a.qe, b.qe) AS BIGINT) * 400
+         |        >= 81 * a.n2 * b.n2)
+         |SELECT CAST(count(*) AS BIGINT) AS n_exact, TRUE AS subset_ok,
+         |       TRUE AS recall_ok
+         |FROM pairs""".stripMargin,
     "ann_pq_recall" ->
       """SELECT CAST(count(*) * 3 AS BIGINT) AS n_exact, TRUE AS recall_ok,
         |  TRUE AS ivfpq_recall_ok
         |FROM embeddings WHERE vec_id < 100""".stripMargin,
-    // ann_lsh / ann_ivf: approximate by design -> rows-only; their
-    // recall floors are oracle-checked through ann_recall instead
-    // (dedup_embedding_lsh likewise through embedding_lsh_recall, whose
-    // n_exact the oracle derives from the full exact-pairs SQL)
+    // recall floors for ann_lsh/ann_ivf are oracle-checked through
+    // ann_recall; dedup_embedding_lsh's through its own entry and
+    // embedding_lsh_recall (n_exact derived from the exact-pairs SQL)
     "embedding_lsh_recall" ->
       s"""WITH q AS (SELECT vec_id, $quantSql AS qe FROM embeddings),
          |n AS (SELECT vec_id, CAST(list_dot_product(qe, qe) AS BIGINT) AS n2, qe FROM q),

@@ -85,7 +85,7 @@ class PqSpec extends SparkSpec {
 
   test("IVF-PQ candidates are a subset ranked consistently") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
-    val out = PipelineQueries.annIvfPq(spark, sf).collect()
+    val out = PipelineQueries.annIvfPqRows(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
     assert(out.nonEmpty)
     out.groupBy(_._1).foreach { case (qid, rs) =>
