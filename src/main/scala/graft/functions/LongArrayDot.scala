@@ -92,9 +92,6 @@ object LongArrayDot {
   /** Shared by interpreted and generated code (codegen calls it
     * statically — keep the signature stable).
     */
-  /** Shared by interpreted and generated code (codegen calls it
-    * statically — keep the signature stable).
-    */
   def nullElement(i: Int): IllegalArgumentException =
     new IllegalArgumentException(
       s"$name: null vector element at position $i — a null would " +

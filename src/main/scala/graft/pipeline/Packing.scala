@@ -139,10 +139,21 @@ object Packing {
     val span = b.getLong(1) - mn + 1
     require(span > 0,
       s"$tieCol range [$mn, ${b.getLong(1)}] too wide for salt arithmetic")
-    val width = (span + salt - 1) / salt
+    // ceil-div WITHOUT the (span + salt - 1) add — that form overflows
+    // to a negative width when span is within salt of Long.MaxValue
+    // (the require above passes) and ranks would come out silently
+    // wrong instead of failing loud
+    val width = span / salt + (if (span % salt == 0) 0L else 1L)
+    // a NULL tiebreak must land in a real range (bucket 0, where the
+    // window's nulls-first ordering puts it globally too) — a NULL
+    // __salt would be dropped by the equi-join on (key, __salt) and
+    // the "identical for every salt" contract would break on null
+    // tiebreaks
     (df.withColumn("__salt",
-      expr(s"(CAST(`$tieCol` AS BIGINT) - ${mn}L) div ${width}L")
-        .cast("int")),
+      coalesce(
+        expr(s"(CAST(`$tieCol` AS BIGINT) - ${mn}L) div ${width}L")
+          .cast("int"),
+        lit(0))),
       Seq(keyCol, "__salt"))
   }
 

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.TimestampType
+import org.apache.spark.sql.types.{LongType, TimestampType}
 import graft.pipeline.TextAnalysis
 import graft.streaming.{DocStreams, EventStreams, Replay}
 import graft.streaming.EventStreams.Event
@@ -72,11 +72,27 @@ object StreamQueries {
     * semantics DuckDB replays — while state eviction still runs for
     * real as the watermark sweeps the month of events.
     */
+  /** Event-time as a TimestampType column, robust to the same parquet
+    * generations [[PipelineQueries.eventMs]] handles: LongType nanos
+    * (under `spark.sql.legacy.parquet.nanosAsLong`) convert via
+    * integral ns→µs division into `timestamp_micros` — a bare
+    * `cast(long → timestamp)` would interpret nanos as SECONDS and
+    * every stream entry would silently compute garbage event times.
+    * TIMESTAMP_NTZ and TIMESTAMP cast exactly under the UTC-pinned
+    * session timezone.
+    */
+  private def eventTsCol(e: DataFrame): org.apache.spark.sql.Column =
+    e.schema("ts").dataType match {
+      case LongType =>
+        timestamp_micros(call_function("div", col("ts"), lit(1000L)))
+      case _ => col("ts").cast(TimestampType)
+    }
+
   def streamIntervalJoin(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val feed = ev.select(
         col("user_id").cast("long"), col("event_id").cast("long"),
-        col("event_type"), col("ts").cast(TimestampType).as("ts"),
+        col("event_type"), eventTsCol(ev).as("ts"),
         col("value").cast("double"))
       .orderBy("ts", "event_id")
       .collect() // bounded replay feed (verify-scale corpus; see Replay)
@@ -103,16 +119,18 @@ object StreamQueries {
     * width if one side truncates and the other doesn't. Feeding ms
     * precision makes engine and oracle compute on identical values.
     */
-  private def eventRows(s: SparkSession, d: String): Seq[Event] =
-    Tables.events(s, d).select(
+  private def eventRows(s: SparkSession, d: String): Seq[Event] = {
+    val ev = Tables.events(s, d)
+    ev.select(
         col("user_id").cast("long"), col("event_id").cast("long"),
-        col("event_type"), col("ts").cast(TimestampType).as("ts"),
+        col("event_type"), eventTsCol(ev).as("ts"),
         col("value").cast("double"))
       .orderBy("ts", "event_id")
       .collect() // bounded replay feed (verify-scale corpus; see Replay)
       .map(r => Event(r.getLong(0), r.getLong(1), r.getString(2),
         new Timestamp(r.getTimestamp(3).getTime), r.getDouble(4)))
       .toSeq
+  }
 
   /** The time-ordered replay feed chunked into micro-batches, followed
     * by two future SENTINEL events (user_id −1, far past the corpus),
@@ -317,9 +335,10 @@ object StreamQueries {
 
   /** One oracle text for BOTH sessionizers: gaps-and-islands over
     * epoch-ms event time, new session at gap >= 30 min (session_window's
-    * end-exclusive contract; no gap in the shipped corpora lands within
-    * 10 ms of the boundary, verified 2026-08-13), session end = last
-    * event + gap.
+    * end-exclusive contract — [[graft.streaming.EventStreams
+    * .sessionizeCustom]] now merges strictly-under-gap too, so both
+    * Spark sessionizers share this convention BY CONSTRUCTION, not by
+    * corpus luck), session end = last event + gap.
     */
   private lazy val sessionOracle: String =
     """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),

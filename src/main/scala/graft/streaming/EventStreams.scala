@@ -121,8 +121,14 @@ object EventStreams {
             val ivs = (state.getOption.toSeq ++
                 it.map(e => SessionState(e.ts.getTime, e.ts.getTime, 1)))
               .sortBy(s => (s.start, s.last))
+            // merge is STRICT (< gapMs): session_window's contract is
+            // end-exclusive — a window spans [start, last + gap), so an
+            // event at exactly last + gap starts a NEW session. A <=
+            // here would disagree with the declarative sessionizer at
+            // the exact-gap boundary and the two entries' shared oracle
+            // would only hold by corpus luck.
             val merged = ivs.foldLeft(List.empty[SessionState]) {
-              case (h :: t, iv) if iv.start - h.last <= gapMs =>
+              case (h :: t, iv) if iv.start - h.last < gapMs =>
                 SessionState(h.start, math.max(h.last, iv.last), h.n + iv.n) :: t
               case (acc, iv) => iv :: acc
             } // reversed: head is the latest interval

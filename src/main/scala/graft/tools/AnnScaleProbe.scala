@@ -20,7 +20,7 @@ import graft.queries.Tables
   *    once-per-snapshot job), with nCells grown ∝ f so the per-cell
   *    list stays constant-size (how a production deployment scales the
   *    coarse quantizer);
-  *  - persisted IVF-PQ probe (100 fixed queries, nprobe=8): the
+  *  - persisted IVF-PQ probe (1000 fixed queries, nprobe=8): the
   *    per-query scan is nprobe cells x constant cell size, so this
   *    should stay ~flat as f grows;
   *  - persisted flat-PQ probe as the contrast: ADC-scores ALL fN

@@ -106,6 +106,22 @@ class PackingSpec extends SparkSpec {
     assert(plan.contains("__salt"), plan)
   }
 
+  test("salted keyedRank keeps NULL-tiebreak rows (coalesced to range 0)") {
+    val spark0 = spark
+    import spark0.implicits._
+    // a NULL __salt would vanish in the (key, __salt) equi-join; the
+    // coalesce pins null tiebreaks to range 0, where the window's
+    // nulls-first ordering ranks them exactly as the unsalted form does
+    val df = Seq[(java.lang.Long, Long)]((null, 0L), (10L, 0L), (20L, 0L),
+      (null, 1L), (30L, 1L)).toDF("doc_id", "k")
+    val plain = Packing.keyedRank(df, keyCol = "k")
+      .collect().map(r => (Option(r.get(0)), r.getLong(2))).toSet
+    val salted = Packing.keyedRank(df, keyCol = "k", salt = 3)
+      .collect().map(r => (Option(r.get(0)), r.getLong(2))).toSet
+    assert(salted.size == 5, s"null-tiebreak rows dropped: $salted")
+    assert(salted == plain)
+  }
+
   test("keyedQuantiles buckets by exact integer arithmetic") {
     val spark0 = spark
     import spark0.implicits._

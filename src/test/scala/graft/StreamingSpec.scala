@@ -264,6 +264,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeCustom: event at EXACTLY last+gap starts a new session") {
+    // session_window's end-exclusive contract: a window spans
+    // [start, last + gap), so an exact-gap successor does NOT merge.
+    // Pins the custom sessionizer to the same boundary convention the
+    // declarative path and the shared DuckDB oracle use (>= gap breaks)
+    // instead of relying on the corpus avoiding the boundary.
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionizeCustom(in.toDS(), gapMs = 10 * 60000L,
+        lateness = "30 minutes")
+      .writeStream.format("memory").queryName("exactgap")
+      .outputMode("append").start()
+    try {
+      // minutes 20 and 30: exactly gap apart, same batch
+      in.addData(ev(1, 1, 20), ev(1, 2, 30))
+      q.processAllAvailable()
+      in.addData(ev(1, 3, 500)) // advance watermark, flush both
+      q.processAllAvailable()
+      val rows = spark.table("exactgap")
+        .select("s_start", "s_end", "n_events").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000,
+          r.getTimestamp(1).getTime / 60000, r.getLong(2))).toSet
+      assert(rows.contains((20L, 20L, 1L)), s"first session splits: $rows")
+      assert(rows.contains((30L, 30L, 1L)), s"second session splits: $rows")
+      assert(!rows.contains((20L, 30L, 2L)), s"exact-gap merge leak: $rows")
+    } finally q.stop()
+  }
+
   test("sessionizeCustom: flatMapGroupsWithState closes sessions on gap") {
     val spark0 = spark
     import spark0.implicits._
