@@ -42,15 +42,70 @@ object AnnIndex {
     (r.getLong(0), r.getLong(1))
   }
 
-  /** Write the freshness record; call LAST in every build so partial
-    * builds read as stale.
+  /** The freshness record as data: corpus fingerprint, build params,
+    * and `nTrained` — the corpus size the codebooks/centroids were
+    * TRAINED on. Appends advance the fingerprint arithmetically but
+    * never touch `nTrained`, so `n / nTrained` is the index's staleness
+    * ratio: how far the corpus has drifted from what the quantizers
+    * were fit to.
     */
-  def writeMeta(emb: DataFrame, dir: String, params: Seq[Long]): Unit = {
-    val spark = emb.sparkSession
+  final case class Meta(n: Long, idSum: Long, params: Seq[Long],
+                        nTrained: Long)
+
+  /** Read the freshness record, or None if absent/unreadable (a
+    * pre-append-era meta defaults `nTrained` to its corpus count — a
+    * fresh build trains on everything it indexes).
+    */
+  def readMeta(spark: org.apache.spark.sql.SparkSession,
+               dir: String): Option[Meta] =
+    try {
+      val m = spark.read.parquet(s"$dir/meta").head()
+      val n = m.getLong(m.fieldIndex("n"))
+      val nt =
+        if (m.schema.fieldNames.contains("n_trained"))
+          m.getLong(m.fieldIndex("n_trained"))
+        else n
+      Some(Meta(n, m.getLong(m.fieldIndex("id_sum")),
+        m.getSeq[Long](m.fieldIndex("params")).toSeq, nt))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Write the freshness record; call LAST in every build/append so
+    * partial writes read as stale.
+    */
+  def writeMetaValues(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      meta: Meta): Unit = {
     import spark.implicits._
-    val (n, idSum) = fingerprint(emb)
-    Seq((n, idSum, params)).toDF("n", "id_sum", "params")
+    Seq((meta.n, meta.idSum, meta.params, meta.nTrained))
+      .toDF("n", "id_sum", "params", "n_trained")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Build-time freshness record: trained-on = indexed corpus. */
+  def writeMeta(emb: DataFrame, dir: String, params: Seq[Long]): Unit = {
+    val (n, idSum) = fingerprint(emb)
+    writeMetaValues(emb.sparkSession, dir, Meta(n, idSum, params, n))
+  }
+
+  /** Shared append gate: read the live meta, fingerprint the batch, and
+    * decide whether an in-place append keeps the index healthy.
+    * Returns `Some(updatedMeta)` — what the appender must write LAST
+    * after landing the batch — or None when the post-append corpus
+    * would exceed `maxGrowth` × the trained size and the caller should
+    * retrain ([[graft.pipeline.Ivf.buildIndex]]/
+    * [[graft.pipeline.Pq.buildIndexIvf]]) instead: quantizers fit to a
+    * corpus a fraction of the current one lose recall, and the
+    * threshold makes that drift a loud decision, not silent decay.
+    */
+  def appendGate(batch: DataFrame, dir: String, params: Seq[Long],
+                 maxGrowth: Double): Option[Meta] = {
+    val spark = batch.sparkSession
+    val meta = readMeta(spark, dir).getOrElse(throw new IllegalStateException(
+      s"no current index at $dir to append to — build first"))
+    require(meta.params == params,
+      s"index at $dir built with params ${meta.params}, append asked $params")
+    val (bn, bSum) = fingerprint(batch)
+    if (meta.n + bn > maxGrowth * meta.nTrained) None
+    else Some(meta.copy(n = meta.n + bn, idSum = meta.idSum + bSum))
   }
 
   /** True iff `dir` holds an index built from the CURRENT corpus with

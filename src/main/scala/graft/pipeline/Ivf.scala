@@ -142,6 +142,41 @@ object Ivf {
     if (!AnnIndex.isCurrent(emb, dir, Seq(nCells, iters)))
       buildIndex(emb, dir, nCells, iters)
 
+  /** INCREMENTAL index maintenance — the daily-ingest path: assign the
+    * new batch to the EXISTING centroids (one broadcast-assign pass,
+    * KB codebook against batch rows only) and append the resulting
+    * list rows to the cell-partitioned parquet. Cost is proportional
+    * to the BATCH, never the corpus — no retraining, no rewrite of
+    * existing cells; the meta fingerprint advances arithmetically and
+    * is written LAST, so a crashed append reads as stale and triggers
+    * a rebuild rather than serving half a batch.
+    *
+    * Returns false WITHOUT touching the index when the post-append
+    * corpus would exceed `maxGrowth` × the size the centroids were
+    * trained on ([[AnnIndex.appendGate]]) — the caller should
+    * [[buildIndex]] (retrain) instead. Probes need no change: the
+    * appended rows live in the same cell partitions a probe already
+    * prunes to, and a batch vector is exactly as findable as a built
+    * one ([[probeIndex]] over append == probe over assign-at-build for
+    * the same centroids, since assignment is the same deterministic
+    * argmin either way).
+    */
+  def appendIndex(batch: DataFrame, dir: String, nCells: Int, iters: Int,
+                  maxGrowth: Double = 2.0): Boolean =
+    AnnIndex.appendGate(batch, dir, Seq(nCells, iters), maxGrowth) match {
+      case None => false
+      case Some(updated) =>
+        val spark = batch.sparkSession
+        LongArrayDot.register(spark)
+        val centroids = spark.read.parquet(s"$dir/centroids")
+        assign(Similarity.prepared(batch), centroids)
+          .select(col("vec_id").as("nid"), col("q").as("nq"),
+            col("cid").as("cell"))
+          .write.mode("append").partitionBy("cell").parquet(s"$dir/lists")
+        AnnIndex.writeMetaValues(spark, dir, updated)
+        true
+    }
+
   /** Probe the persisted index: identical results to [[topK]] (training
     * is deterministic, so build-then-probe replays the inline
     * composition exactly) at probe-only cost. `queries` is prepared

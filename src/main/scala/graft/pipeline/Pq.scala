@@ -345,6 +345,49 @@ object Pq {
     if (!AnnIndex.isCurrent(emb, dir, Seq(m, ks, iters, nCells)))
       buildIndexIvf(emb, dir, m, ks, iters, nCells)
 
+  /** INCREMENTAL IVF-PQ maintenance — [[Ivf.appendIndex]]'s contract
+    * for the production composition: the batch is coarse-assigned,
+    * residual-encoded against the EXISTING codebooks (two broadcast
+    * joins, KB tables against batch rows only), and its packed codes
+    * appended to the cell-partitioned parquet. Batch-proportional
+    * cost; nothing existing is retrained or rewritten; meta written
+    * LAST. Returns false untouched when growth past `maxGrowth` × the
+    * trained size demands a retrain ([[AnnIndex.appendGate]]) —
+    * residual codebooks fit to a drifted corpus are exactly the silent
+    * recall decay the threshold turns into a loud rebuild decision.
+    */
+  def appendIndexIvf(batch: DataFrame, dir: String, m: Int, ks: Int,
+                     iters: Int, nCells: Int,
+                     maxGrowth: Double = 2.0): Boolean =
+    AnnIndex.appendGate(batch, dir, Seq(m, ks, iters, nCells),
+        maxGrowth) match {
+      case None => false
+      case Some(updated) =>
+        encodeIvf(batch, dir, m)
+          .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+        AnnIndex.writeMetaValues(batch.sparkSession, dir, updated)
+        true
+    }
+
+  /** Residual-encode a batch against the index's EXISTING coarse
+    * centroids and PQ codebooks (both KB broadcasts): `(nid, codes,
+    * cell)` exactly as [[buildIndexIvf]] would store it — the same
+    * deterministic argmin, so append-then-probe equals
+    * build-time-assign for the same quantizers. Shared by
+    * [[appendIndexIvf]] and the driver append entry's
+    * recompute-equality invariant.
+    */
+  def encodeIvf(batch: DataFrame, dir: String, m: Int): DataFrame = {
+    val spark = batch.sparkSession
+    IntArrayPack8.register(spark)
+    val coarse = spark.read.parquet(s"$dir/coarse")
+    val codebook = spark.read.parquet(s"$dir/codebook")
+    val res = residuals(Similarity.prepared(batch), coarse)
+    packedCodes(subvectors(res, m), codebook)
+      .join(res.select(col("vec_id"), col("cell")), "vec_id")
+      .select(col("vec_id").as("nid"), col("codes"), col("cell"))
+  }
+
   /** Probe the persisted IVF-PQ index — identical results to
     * [[topKIvf]] at probe-only cost. `queries` is prepared query rows
     * `(vec_id, q, n2)`.

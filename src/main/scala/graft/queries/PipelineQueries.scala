@@ -545,6 +545,90 @@ object PipelineQueries {
     materializedAndReleased(s, out)
   }
 
+  private def annIvfAppendDir(d: String) =
+    s"${AnnIndex.rootFor(d)}/ivf-append-c16-i2"
+  private def annIvfPqAppendDir(d: String) =
+    s"${AnnIndex.rootFor(d)}/ivfpq-append-m32-ks32-i2-c16"
+
+  /** INCREMENTAL index maintenance, driver-gated: build the IVF index
+    * on the even half of the corpus, [[Ivf.appendIndex]] the odd half
+    * (one broadcast-assign pass against the EXISTING centroids —
+    * batch-proportional, no retrain), and emit an oracle-exact
+    * invariant singleton over the PERSISTED result: the append was
+    * taken (`append_applied_ok` — the corpus doubles, inside the
+    * maxGrowth=3 gate), every corpus vector is coded exactly once
+    * across build+append (`coded_once_ok`), every appended row's cell
+    * and stored vector equal an independent re-assignment under the
+    * stored centroids (`assign_match_ok` — append is the same
+    * deterministic argmin as build-time assign), and the advanced meta
+    * fingerprint matches the FULL corpus (`meta_current_ok` — ensure
+    * would not rebuild). Uses its own index dir so the shared
+    * [[annIvf]] lifecycle entries never see appended state.
+    */
+  def annIvfAppend(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val dir = annIvfAppendDir(d)
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+    Ivf.buildIndex(base, dir, nCells = 16, iters = 2)
+    val applied = Ivf.appendIndex(batch, dir, nCells = 16, iters = 2,
+      maxGrowth = 3.0)
+    val lists = s.read.parquet(s"$dir/lists")
+    val cents = s.read.parquet(s"$dir/centroids")
+    val nv = emb.agg(count(lit(1)).as("nv"))
+    val nb = batch.agg(count(lit(1)).as("nb"))
+    val la = lists.agg(count(lit(1)).as("nl"),
+      countDistinct(col("nid")).as("dl"))
+    val am = lists.filter(col("nid") % 2 === 1)
+      .join(Ivf.assign(Similarity.prepared(batch), cents)
+        .select(col("vec_id").as("nid"), col("cid"), col("q")), "nid")
+      .agg(sum(when(col("cell") === col("cid") && col("nq") === col("q"),
+        1L).otherwise(0L)).as("nmatch"))
+    val out = nv.crossJoin(nb).crossJoin(la).crossJoin(am).select(
+      col("nv").cast("long").as("n_vectors"),
+      lit(applied).as("append_applied_ok"),
+      (col("nl") === col("nv") && col("dl") === col("nv")).as("coded_once_ok"),
+      (coalesce(col("nmatch"), lit(0L)) === col("nb")).as("assign_match_ok"),
+      lit(AnnIndex.isCurrent(emb, dir, Seq(16, 2))).as("meta_current_ok"))
+    materializedAndReleased(s, out)
+  }
+
+  /** [[annIvfAppend]] for the production IVF-PQ composition:
+    * [[Pq.appendIndexIvf]] residual-encodes the odd half against the
+    * EXISTING coarse centroids and codebooks and appends the packed
+    * codes; `codes_match_ok` holds every appended row byte-equal to an
+    * independent [[Pq.encodeIvf]] re-encoding under the stored
+    * quantizers. Same gate/meta invariants as the IVF entry.
+    */
+  def annIvfPqAppend(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val dir = annIvfPqAppendDir(d)
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+    Pq.buildIndexIvf(base, dir, m = 32, ks = 32, iters = 2, nCells = 16)
+    val applied = Pq.appendIndexIvf(batch, dir, m = 32, ks = 32, iters = 2,
+      nCells = 16, maxGrowth = 3.0)
+    val codes = s.read.parquet(s"$dir/codes")
+    val nv = emb.agg(count(lit(1)).as("nv"))
+    val nb = batch.agg(count(lit(1)).as("nb"))
+    val la = codes.agg(count(lit(1)).as("nl"),
+      countDistinct(col("nid")).as("dl"))
+    val cm = codes.filter(col("nid") % 2 === 1)
+      .join(Pq.encodeIvf(batch, dir, m = 32)
+        .select(col("nid"), col("codes").as("codes2"),
+          col("cell").as("cell2")), "nid")
+      .agg(sum(when(col("cell") === col("cell2") &&
+        col("codes") === col("codes2"), 1L).otherwise(0L)).as("nmatch"))
+    val out = nv.crossJoin(nb).crossJoin(la).crossJoin(cm).select(
+      col("nv").cast("long").as("n_vectors"),
+      lit(applied).as("append_applied_ok"),
+      (col("nl") === col("nv") && col("dl") === col("nv")).as("coded_once_ok"),
+      (coalesce(col("nmatch"), lit(0L)) === col("nb")).as("codes_match_ok"),
+      lit(AnnIndex.isCurrent(emb, dir, Seq(32, 32, 2, 16)))
+        .as("meta_current_ok"))
+    materializedAndReleased(s, out)
+  }
+
   private[graft] def annIvfRows(s: SparkSession, d: String): DataFrame = {
     ensureIvfIndex(s, d)
     Ivf.probeIndex(annIvfDir(d), annQueries(s, d), k = 3, nprobe = 4)
@@ -1283,6 +1367,8 @@ object PipelineQueries {
     "ann_pq_build" -> annPqBuild,
     "ann_ivfpq" -> annIvfPq,
     "ann_ivfpq_build" -> annIvfPqBuild,
+    "ann_ivf_append" -> annIvfAppend,
+    "ann_ivfpq_append" -> annIvfPqAppend,
     "ann_pq_recall" -> annPqRecall,
     "ann_quantized" -> annQuantized,
     "ann_quantized_recall" -> annQuantizedRecall,
@@ -1355,6 +1441,20 @@ object PipelineQueries {
       ensureIvfPqIndex(s, d)
       s.read.parquet(s"${annIvfPqDir(d)}/codes")
         .groupBy("cell").agg(count(lit(1)).as("n_codes")).orderBy("cell")
+    }),
+    // append entries build+append eagerly; the plan that matters is the
+    // batch-side broadcast assign/encode pass against the stored
+    // quantizers — inspect it against the shared (ensured) index
+    "ann_ivf_append" -> ((s, d) => {
+      ensureIvfIndex(s, d)
+      Ivf.assign(Similarity.prepared(
+          Tables.embeddings(s, d).filter(col("vec_id") % 2 === 1)),
+        s.read.parquet(s"${annIvfDir(d)}/centroids"))
+    }),
+    "ann_ivfpq_append" -> ((s, d) => {
+      ensureIvfPqIndex(s, d)
+      Pq.encodeIvf(Tables.embeddings(s, d).filter(col("vec_id") % 2 === 1),
+        annIvfPqDir(d), m = 32)
     }),
     "dedup_clusters" -> dedupClustersPlan,
     "pipeline_prep_full" -> pipelinePrepFullPlan,
@@ -2055,6 +2155,16 @@ object PipelineQueries {
     "ann_ivfpq_build" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_vectors, TRUE AS coded_once_ok,
         |  TRUE AS cells_ok, TRUE AS codebook_ok, TRUE AS code_len_ok
+        |FROM embeddings""".stripMargin,
+    "ann_ivf_append" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+        |  TRUE AS append_applied_ok, TRUE AS coded_once_ok,
+        |  TRUE AS assign_match_ok, TRUE AS meta_current_ok
+        |FROM embeddings""".stripMargin,
+    "ann_ivfpq_append" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+        |  TRUE AS append_applied_ok, TRUE AS coded_once_ok,
+        |  TRUE AS codes_match_ok, TRUE AS meta_current_ok
         |FROM embeddings""".stripMargin,
     // dedup_embedding_lsh emits (n_exact, subset_ok, recall_ok): the
     // oracle recomputes the exact cosine-pair population (the

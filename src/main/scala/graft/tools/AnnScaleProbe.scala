@@ -36,9 +36,11 @@ object AnnScaleProbe {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** f tiled copies of the base corpus, written once per factor. */
-  private def scaledCorpus(spark: SparkSession, sfDir: String, f: Int,
-                           root: String): String = {
+  /** f tiled copies of the base corpus, written once per factor
+    * (shared with [[AnnAppendProbe]]).
+    */
+  private[tools] def scaledCorpus(spark: SparkSession, sfDir: String, f: Int,
+                                  root: String): String = {
     val path = s"$root/corpus-f$f"
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
       val base = Tables.embeddings(spark, sfDir)

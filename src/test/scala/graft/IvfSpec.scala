@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Ivf, Similarity}
+import graft.pipeline.{AnnIndex, Ivf, Similarity}
 
 /** IVF ANN vs exact brute force on synthetic clustered vectors: recall@k
   * must be high when the data actually clusters (the IVF assumption).
@@ -70,5 +70,45 @@ class IvfSpec extends SparkSpec {
       .collect().toSeq ==
       exact.select("qid", "rank", "nid").orderBy("qid", "rank")
         .collect().toSeq)
+  }
+
+  test("appendIndex equals build-time assignment and advances the meta") {
+    val emb = clustered().cache()
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-app").toString
+    Ivf.buildIndex(base, dir, nCells = 8, iters = 2)
+    assert(Ivf.appendIndex(batch, dir, nCells = 8, iters = 2,
+      maxGrowth = 3.0))
+    // probe over the appended index == probing an index whose batch
+    // rows were assigned at build time under the SAME centroids: the
+    // whole-corpus probe with nprobe = nCells must equal brute force,
+    // which can only hold if every appended vector landed findable in
+    // its argmin cell
+    val pred = col("vec_id") < 20
+    val probed = Ivf.probeIndex(dir, Similarity.prepared(emb).filter(pred),
+        k = 3, nprobe = 8)
+      .select("qid", "rank", "nid").orderBy("qid", "rank").collect().toSeq
+    val exact = Similarity.bruteForceTopK(emb, k = 3, queryPred = pred)
+      .select("qid", "rank", "nid").orderBy("qid", "rank").collect().toSeq
+    assert(probed == exact)
+    // meta fingerprint advanced to the FULL corpus (ensure won't
+    // rebuild) while nTrained still records the build-time corpus
+    assert(AnnIndex.isCurrent(emb, dir, Seq(8, 2)))
+    val meta = AnnIndex.readMeta(spark, dir).get
+    assert(meta.n == 400L && meta.nTrained == 200L, meta.toString)
+  }
+
+  test("appendIndex refuses growth past maxGrowth and leaves the index intact") {
+    val emb = clustered().cache()
+    val base = emb.filter(col("vec_id") < 100)
+    val batch = emb.filter(col("vec_id") >= 100) // 3x the trained size
+    val dir = java.nio.file.Files.createTempDirectory("ivf-stale").toString
+    Ivf.buildIndex(base, dir, nCells = 8, iters = 2)
+    assert(!Ivf.appendIndex(batch, dir, nCells = 8, iters = 2,
+      maxGrowth = 2.0))
+    // untouched: still current for the BASE corpus, counts unchanged
+    assert(AnnIndex.isCurrent(base, dir, Seq(8, 2)))
+    assert(spark.read.parquet(s"$dir/lists").count() == 100L)
   }
 }

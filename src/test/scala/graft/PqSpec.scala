@@ -83,6 +83,43 @@ class PqSpec extends SparkSpec {
         nCells = 16, nprobe = 4, queryPred = pred)))
   }
 
+  test("appendIndexIvf encodes the batch under the stored quantizers") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 200).cache()
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-app").toString
+    Pq.buildIndexIvf(base, dir, m = 32, ks = 32, iters = 2, nCells = 8)
+    assert(Pq.appendIndexIvf(batch, dir, m = 32, ks = 32, iters = 2,
+      nCells = 8, maxGrowth = 3.0))
+    // every corpus vector coded exactly once across build + append
+    val codes = spark.read.parquet(s"$dir/codes").cache()
+    assert(codes.count() == emb.count())
+    assert(codes.select("nid").distinct().count() == emb.count())
+    // appended rows byte-equal an independent re-encoding under the
+    // stored coarse centroids + codebooks (same deterministic argmin)
+    val stored = codes.filter(col("nid") % 2 === 1)
+      .collect().map(r => (r.getLong(r.fieldIndex("nid")),
+        r.getAs[Array[Byte]]("codes").toSeq,
+        r.getInt(r.fieldIndex("cell")))).toSet
+    val recoded = Pq.encodeIvf(batch, dir, m = 32)
+      .collect().map(r => (r.getLong(r.fieldIndex("nid")),
+        r.getAs[Array[Byte]]("codes").toSeq,
+        r.getInt(r.fieldIndex("cell")))).toSet
+    assert(stored == recoded)
+    // probes need no change: every query still gets k ranked rows and
+    // appended vectors are reachable candidates
+    val probed = Pq.probeIndexIvf(dir,
+      Similarity.prepared(emb).filter(col("vec_id") < 20), k = 3, m = 32,
+      nprobe = 8).collect()
+    assert(probed.length == 20 * 3)
+    assert(probed.exists(_.getLong(2) % 2 == 1), "no appended nid surfaced")
+    // growth gate: a batch tripling the trained size is refused untouched
+    assert(!Pq.appendIndexIvf(emb, dir,
+      m = 32, ks = 32, iters = 2, nCells = 8, maxGrowth = 1.0))
+    codes.unpersist(); emb.unpersist()
+  }
+
   test("IVF-PQ candidates are a subset ranked consistently") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val out = PipelineQueries.annIvfPqRows(spark, sf).collect()
