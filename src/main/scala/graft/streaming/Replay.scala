@@ -40,18 +40,28 @@ object Replay {
     // little state each holds. At replay scale (1e4-1e5 rows) the batch
     // session's 32 partitions are pure per-batch overhead — a stream-
     // stream join carries 4 stores, so 32 partitions cost ~128 file
-    // maintenances per micro-batch. 4 partitions keep the same
-    // semantics (state is hash-partitioned either way) at a fraction of
-    // the fixed cost; a production deployment sizes this to its
-    // executor count, exactly like batch shuffle partitions.
+    // maintenances per micro-batch. 2 partitions keep the same
+    // semantics (state is hash-partitioned either way, and 2 still
+    // exercises multi-partition state) at a fraction of the fixed
+    // cost; a production deployment sizes this to its executor count,
+    // exactly like batch shuffle partitions.
     val pKey = "spark.sql.shuffle.partitions"
+    val rKey = "spark.sql.streaming.minBatchesToRetain"
     val prev = spark.conf.get(pKey)
+    val prevR = spark.conf.getOption(rKey)
     val q =
       try {
-        spark.conf.set(pKey, "4")
+        spark.conf.set(pKey, "2")
+        // a bounded replay never restarts from its throwaway
+        // checkpoint — retaining the default 100 batches of state
+        // files is pure write amplification here
+        spark.conf.set(rKey, "1")
         transform(in.toDF()).writeStream
           .format("memory").queryName(name).outputMode("append").start()
-      } finally spark.conf.set(pKey, prev)
+      } finally {
+        spark.conf.set(pKey, prev)
+        prevR.fold(spark.conf.unset(rKey))(spark.conf.set(rKey, _))
+      }
     try {
       batches.filter(_.nonEmpty).foreach { b =>
         in.addData(b)
