@@ -125,8 +125,9 @@ object ColumnOps {
     val outCols = lOut ++ rOut
     // session skew knob: spread known-hot value keys over salt buckets
     // (left side salted, right side replicated; result multiset
-    // identical). Broadcast (treejoin) has no shuffle to salt.
-    val buckets = SkewJoin.bucketsOf(l)
+    // identical); "auto" samples the left key column for a heavy
+    // hitter first. Broadcast (treejoin) has no shuffle to salt.
+    val buckets = SkewJoin.resolveBuckets(l, "v")
     val joined =
       if (buckets > 1 && jtype != TreeJoin)
         SkewJoin.saltedInnerJoin(lf, rf, "v", buckets)

@@ -28,14 +28,66 @@ object SkewJoin {
   /** Session knob (Spark SQL conf): when set to an int > 1, the engine's
     * join keywords route through [[saltedInnerJoin]] with that many salt
     * buckets (treejoin excepted — a broadcast probe has no shuffle to
-    * skew). Read at plan-build time; same result multiset either way.
+    * skew); when set to `auto`, the sampled heavy-hitter pre-pass
+    * ([[detectHotKey]]) decides per join. Read at plan-build time; same
+    * result multiset either way.
     */
   val BucketsKey = "graft.join.saltBuckets"
 
-  def bucketsOf(df: DataFrame): Int = {
-    val raw = df.sparkSession.conf.get(BucketsKey, "0")
-    raw.toIntOption.getOrElse(throw new IllegalArgumentException(
-      s"$BucketsKey must be an integer, got '$raw'"))
+  /** Bucket count `auto` mode salts with when it finds a hot key —
+    * override via conf. One fixed count (not derived from the measured
+    * share) keeps auto's plan identical to the manual knob at the same
+    * value, so the two modes are mutually auditable.
+    */
+  val AutoBucketsKey = "graft.join.autoSaltBuckets"
+
+  /** A key is hot when it holds at least this share of the sampled
+    * rows. 0.1 sits far above uniform-key shares (1/|keys|) and far
+    * below the 50%-on-one-key corpora where the salt measurably wins
+    * (SkewScaleProbe) — sampling noise at either end cannot cross it.
+    */
+  val AutoHotShare = 0.1
+
+  /** Resolve the salt bucket count for a join's large side: an integer
+    * knob is explicit manual salting, `auto` runs [[detectHotKey]] on
+    * `key` and salts (with [[AutoBucketsKey]] buckets, default 8) only
+    * when a heavy hitter is actually present — so uniform-key joins
+    * keep the plain hash-join plan and never pay the small-side
+    * replication.
+    */
+  def resolveBuckets(large: DataFrame, key: String): Int = {
+    val conf = large.sparkSession.conf
+    conf.get(BucketsKey, "0") match {
+      case "auto" =>
+        if (detectHotKey(large, key))
+          conf.get(AutoBucketsKey, "8").toIntOption.getOrElse(
+            throw new IllegalArgumentException(
+              s"$AutoBucketsKey must be an integer"))
+        else 0
+      case raw => raw.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"$BucketsKey must be an integer or 'auto', got '$raw'"))
+    }
+  }
+
+  /** Sampled heavy-hitter pre-pass: does any single `key` value hold at
+    * least `threshold` of the rows? One narrow aggregate over a
+    * deterministic Bernoulli sample of the KEY COLUMN only (column
+    * pruning reaches the scan, so at 100 TB this reads `fraction` of
+    * one column, not of the table), run at plan-build time — the same
+    * cost class as AQE's runtime statistics, but it sees KEY frequency,
+    * which input-size heuristics cannot (the hot key's M×N blowup is at
+    * join OUTPUT; see SkewScaleProbe in SCALE.md). Deterministic seed:
+    * the same corpus always makes the same salt decision.
+    */
+  def detectHotKey(large: DataFrame, key: String,
+                   fraction: Double = 0.01,
+                   threshold: Double = AutoHotShare): Boolean = {
+    val r = large.select(col(key).as("k")).sample(fraction, 42L)
+      .groupBy("k").agg(count(lit(1)).as("c"))
+      .agg(coalesce(max(col("c")), lit(0L)).as("mx"),
+        coalesce(sum(col("c")), lit(0L)).as("n")).head()
+    val (mx, n) = (r.getLong(0), r.getLong(1))
+    n > 0 && mx.toDouble / n >= threshold
   }
 
   /** Inner equi-join of `large` and `small` on `key`, salted into

@@ -60,6 +60,56 @@ class SkewJoinSpec extends SparkSpec {
     } finally spark.conf.unset(SkewJoin.BucketsKey)
   }
 
+  test("auto mode salts a hot-key corpus exactly like the manual knob") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.lang.Op.HashJoin
+    import graft.operators.ColumnOps
+    // 20k rows, half on one hot value: the sampled share (~0.5) clears
+    // the 0.1 hot threshold with huge margin at a 1% sample
+    val l = (0L until 20000L)
+      .map(i => (i, i, if (i % 2 == 0) 7 else (i % 97).toInt))
+      .toDF("a", "id", "v")
+    val r = (0L until 300L).map(i => (i, i, (i % 97).toInt)).toDF("a", "id", "v")
+    assert(SkewJoin.detectHotKey(l, "v"), "hot key not detected")
+    assert(SkewJoin.resolveBuckets(l, "v") == 0, "salt without knob")
+    def run(): (String, Seq[(Long, Long)]) = {
+      val (p, _) = ColumnOps.join(HashJoin, l, r, Seq("a"), Seq("a"))
+      (p.queryExecution.optimizedPlan.toString,
+        p.select("lid", "rid").collect()
+          .map(x => (x.getLong(0), x.getLong(1))).toSeq.sorted)
+    }
+    spark.conf.set(SkewJoin.BucketsKey, "8")
+    val (manualPlan, manualPairs) = try run()
+      finally spark.conf.unset(SkewJoin.BucketsKey)
+    spark.conf.set(SkewJoin.BucketsKey, "auto")
+    val (autoPlan, autoPairs) = try {
+      assert(SkewJoin.resolveBuckets(l, "v") == 8)
+      run()
+    } finally spark.conf.unset(SkewJoin.BucketsKey)
+    assert(manualPlan.contains("_salt") && autoPlan.contains("_salt"))
+    assert(autoPairs == manualPairs)
+  }
+
+  test("auto mode leaves uniform keys unsalted") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.lang.Op.HashJoin
+    import graft.operators.ColumnOps
+    val l = (0L until 20000L).map(i => (i, i, (i % 97).toInt))
+      .toDF("a", "id", "v")
+    val r = (0L until 300L).map(i => (i, i, (i % 97).toInt)).toDF("a", "id", "v")
+    assert(!SkewJoin.detectHotKey(l, "v"), "uniform keys read as hot")
+    spark.conf.set(SkewJoin.BucketsKey, "auto")
+    try {
+      assert(SkewJoin.resolveBuckets(l, "v") == 0)
+      val (p, _) = ColumnOps.join(HashJoin, l, r, Seq("a"), Seq("a"))
+      val plan = p.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("_salt"),
+        "uniform corpus paid small-side replication: " + plan.take(1000))
+    } finally spark.conf.unset(SkewJoin.BucketsKey)
+  }
+
   test("single-column large side salts without error") {
     val spark0 = spark
     import spark0.implicits._
