@@ -200,6 +200,52 @@ object Similarity {
       .groupBy("vec_id", "band").agg(sum(col("bit")).as("bh"))
   }
 
+  /** Corpus-adaptive band WIDTH: the bits-per-band `r` that keeps
+    * expected LSH bucket occupancy constant as the corpus grows —
+    * `rBase` up to `nBase` vectors, plus one bit per corpus doubling
+    * beyond it (bucket count per band is 2^r, so doubling both keeps
+    * buckets the same size).
+    *
+    * This is the same sizing law as IVF's nCells ∝ corpus (whose
+    * ablation is in SCALE.md): with FIXED r, background candidate
+    * pairs are ~bands/2^r of all n² pairs — quadratic in the corpus no
+    * matter how the buckets hash. The sf1 probe measured exactly that:
+    * fixed r=8 grew the banded near-dup 77× at 10× vectors. Growing r
+    * by log2 of the corpus growth pins expected background candidates
+    * per vector, restoring ~linear growth ([[graft.tools.EmbLshScaleProbe]]).
+    *
+    * Recall price: each +1 bit multiplies the per-band hit rate p^r by
+    * p. At production near-dup thresholds (cos >= 0.85 → p >= 0.82),
+    * +4 bits (a 16× corpus) keeps recall ≈ 1-(1-0.45·p^rBase)^bands —
+    * still ~0.99+ at bands=64. At LOW similarity thresholds p shrinks
+    * and bands must grow alongside r to hold recall; that trade stays
+    * with the caller, which is why the fixed-r overloads remain.
+    */
+  def adaptiveR(n: Long, rBase: Int, nBase: Long = 2000L): Int = {
+    var r = rBase
+    var cap = nBase
+    while (cap < n && r < 24) { cap *= 2; r += 1 }
+    r
+  }
+
+  /** [[lshCosinePairs]] with [[adaptiveR]] band width — the form a
+    * growing corpus calls (one column-pruned count to size `r`; a
+    * production deployment with versioned corpus snapshots reads the
+    * count from snapshot metadata instead, like [[AnnIndex]]'s
+    * freshness note). Identical to `lshCosinePairs(_, bands, rBase, …)`
+    * for corpora up to `nBase` — every shipped verify scale.
+    */
+  def lshCosinePairsAuto(emb: DataFrame, bands: Int, rBase: Int,
+                         tnum: Long, tden: Long): DataFrame =
+    lshCosinePairs(emb, bands, adaptiveR(emb.count(), rBase), tnum, tden)
+
+  /** [[lshTopK]] with [[adaptiveR]] band width — see
+    * [[lshCosinePairsAuto]].
+    */
+  def lshTopKAuto(emb: DataFrame, k: Int, bands: Int, rBase: Int,
+                  queryPred: Column): DataFrame =
+    lshTopK(emb, k, bands, adaptiveR(emb.count(), rBase), queryPred)
+
   /** Scale path for top-k: banded random-hyperplane LSH. Candidates are
     * the union over bands of bucket equi-joins (never all-pairs), then
     * scored exactly and ranked. Approximate by design — neighbors

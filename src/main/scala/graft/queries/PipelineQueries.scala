@@ -79,8 +79,8 @@ object PipelineQueries {
     */
   private[graft] def dedupEmbeddingLshRows(s: SparkSession,
                                            d: String): DataFrame =
-    Similarity.lshCosinePairs(Tables.embeddings(s, d),
-      bands = 64, r = 8, tnum = 9, tden = 20).orderBy("da", "db")
+    Similarity.lshCosinePairsAuto(Tables.embeddings(s, d),
+      bands = 64, rBase = 8, tnum = 9, tden = 20).orderBy("da", "db")
 
   /** Bucketed (banded-LSH) embedding near-dup, held to an oracle-EXACT
     * invariant row: the full LSH pipeline runs
@@ -97,7 +97,7 @@ object PipelineQueries {
   def dedupEmbeddingLsh(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val exact = Similarity.cosinePairs(emb, tnum = 9, tden = 20).cache()
-    val lshp = Similarity.lshCosinePairs(emb, bands = 64, r = 8,
+    val lshp = Similarity.lshCosinePairsAuto(emb, bands = 64, rBase = 8,
       tnum = 9, tden = 20).cache()
     val ne = exact.agg(count(lit(1)).as("ne"))
     val nl = lshp.agg(count(lit(1)).as("nl"))
@@ -241,7 +241,25 @@ object PipelineQueries {
   private def pipelinePrepEmbPlan(s: SparkSession, d: String): DataFrame =
     pipelinePrepEmbWith(Cluster.planOf)(s, d)
 
-  private def pipelinePrepEmbWith(clusterFn: DataFrame => DataFrame)
+  /** The documented production swap of [[pipelinePrepEmb]]: identical
+    * composition with the exact all-pairs vector stage replaced by the
+    * bucketed [[Similarity.lshCosinePairsAuto]] pair stream (both emit
+    * `(da, db)`). LSH pairs are exactly-verified candidates, so they
+    * are a SUBSET of the exact pairs — this variant can only drop
+    * fewer documents, never different ones (kept_exact ⊆ kept_lsh;
+    * pinned in SimilaritySpec). Not a driver entry: its output is
+    * recall-dependent, and its correctness claim is carried by the
+    * subset relation plus the `embedding_lsh_recall` gates.
+    */
+  private[graft] def pipelinePrepEmbLsh(s: SparkSession,
+                                        d: String): DataFrame =
+    pipelinePrepEmbWith(Cluster.connectedComponents(s, _),
+      emb => Similarity.lshCosinePairsAuto(emb, bands = 64, rBase = 8,
+        tnum = 9, tden = 20))(s, d)
+
+  private def pipelinePrepEmbWith(clusterFn: DataFrame => DataFrame,
+                                  pairFn: DataFrame => DataFrame =
+                                    Similarity.cosinePairs(_, tnum = 9, tden = 20))
                                  (s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val clusters = clusterFn(
@@ -250,8 +268,8 @@ object PipelineQueries {
       .select("doc_id")
     val exactKeepers = docs.groupBy("text").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    val embDrop = Similarity.cosinePairs(Tables.embeddings(s, d),
-      tnum = 9, tden = 20).select(col("db").as("doc_id")).distinct()
+    val embDrop = pairFn(Tables.embeddings(s, d))
+      .select(col("db").as("doc_id")).distinct()
     corpusStats(prepFiltered(
       docs.join(exactKeepers, "doc_id")
         .join(nonKeepers, Seq("doc_id"), "left_anti")
@@ -327,8 +345,8 @@ object PipelineQueries {
     * same recall for far fewer candidates.
     */
   private[graft] def annLshRows(s: SparkSession, d: String): DataFrame =
-    Similarity.lshTopK(Tables.embeddings(s, d), k = 3, bands = 16, r = 6,
-      queryPred = col("vec_id") < 100).orderBy("qid", "rank")
+    Similarity.lshTopKAuto(Tables.embeddings(s, d), k = 3, bands = 16,
+      rBase = 6, queryPred = col("vec_id") < 100).orderBy("qid", "rank")
 
   /** [[annLshRows]] under the probe-invariant gate
     * ([[probeInvariants]]): the full LSH search runs, and the emitted
@@ -840,7 +858,7 @@ object PipelineQueries {
     // scoring — cache the k*|queries| rows for the duration of this call
     val exact = Similarity.bruteForceTopK(emb, k = 3, queryPred = queryPred)
       .select("qid", "nid").cache()
-    val lsh = Similarity.lshTopK(emb, k = 3, bands = 16, r = 6,
+    val lsh = Similarity.lshTopKAuto(emb, k = 3, bands = 16, rBase = 6,
       queryPred = queryPred).select("qid", "nid")
     // the IVF side probes the same persisted index as [[annIvf]]
     // (identical results to inline training — the floors carry over)
@@ -931,8 +949,8 @@ object PipelineQueries {
                                      docPred: Column): DataFrame = {
     val emb = Tables.embeddings(s, d).filter(docPred)
     val exact = Similarity.cosinePairs(emb, tnum = 9, tden = 20).cache()
-    val lsh = Similarity.lshCosinePairs(emb,
-      bands = 64, r = 8, tnum = 9, tden = 20)
+    val lsh = Similarity.lshCosinePairsAuto(emb,
+      bands = 64, rBase = 8, tnum = 9, tden = 20)
     val tot = exact.agg(count(lit(1)).as("n_exact"))
     val hits = exact.intersect(lsh).agg(count(lit(1)).as("lsh_hits"))
     val out = tot.crossJoin(hits).select(
