@@ -177,6 +177,50 @@ object Ivf {
         true
     }
 
+  /** RETRAIN the index at `dir` from its own stored lists plus a new
+    * batch — the loud decision [[AnnIndex.appendGate]]'s refusal calls
+    * for, without re-reading the raw corpus: the inverted lists already
+    * hold every indexed vector in quantized form (`nq`), and training,
+    * assignment, and probing all operate on quantized vectors, so the
+    * IVF index is SELF-CONTAINED for retraining. (IVF only: PQ codes
+    * are lossy, so the PQ family retrains from the corpus snapshot.)
+    *
+    * The union of store + batch is staged to a durable scratch parquet
+    * under `dir` before the lists are overwritten — the rebuild never
+    * has a live plan reading a path it is rewriting (a persist()-only
+    * guard could still recompute from deleted files after cache
+    * eviction). Meta is written LAST with `nTrained` = the full merged
+    * corpus, so a crash mid-rebuild reads stale and the next `ensure*`
+    * or append refuses loudly instead of serving half an index.
+    */
+  def rebuildFromStore(dir: String, batch: DataFrame, nCells: Int,
+                       iters: Int): Unit = {
+    val spark = batch.sparkSession
+    LongArrayDot.register(spark)
+    val staged = s"$dir/retrain_input"
+    spark.read.parquet(s"$dir/lists")
+      .select(col("nid").as("vec_id"), col("nq").as("q"))
+      .unionByName(Similarity.prepared(batch).select("vec_id", "q"))
+      .write.mode("overwrite").parquet(staged)
+    val all = spark.read.parquet(staged)
+      .withColumn("n2", Similarity.intDot(col("q"), col("q")))
+    val centroids = train(all, nCells, iters)
+    centroids.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    assign(all, centroids)
+      .select(col("vec_id").as("nid"), col("q").as("nq"), col("cid").as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/lists")
+    val fp = all.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("vec_id")), lit(0L)).as("s")).head()
+    AnnIndex.writeMetaValues(spark, dir, AnnIndex.Meta(
+      fp.getLong(0), fp.getLong(1), Seq(nCells, iters), fp.getLong(0)))
+    // scratch gone after commit (best-effort: a leftover is re-staged
+    // with overwrite on the next rebuild, never read as index data)
+    try {
+      val p = new org.apache.hadoop.fs.Path(staged)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
+
   /** Probe the persisted index: identical results to [[topK]] (training
     * is deterministic, so build-then-probe replays the inline
     * composition exactly) at probe-only cost. `queries` is prepared

@@ -5,8 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, TimestampType}
-import graft.pipeline.TextAnalysis
-import graft.streaming.{DocStreams, EventStreams, Replay}
+import graft.pipeline.{AnnIndex, Ivf, Similarity, TextAnalysis}
+import graft.streaming.{DocStreams, EventStreams, Replay, VectorIngest}
 import graft.streaming.EventStreams.Event
 
 /** Driver-gated entries for the streaming layer: each replays a real
@@ -302,7 +302,65 @@ object StreamQueries {
       .orderBy("doc_id", "chunk_id")
   }
 
+  private final case class Vec(vec_id: Long, embedding: Seq[Float])
+
+  /** Streaming ANN ingest replayed end-to-end: the embedding corpus
+    * fed in vec_id order through THREE micro-batches into
+    * [[VectorIngest.toIvfIndex]] — batch 0 bootstraps the persisted
+    * IVF index (train + build), batches 1-2 append against the stored
+    * centroids (batch-proportional, no retrain; the corpus triples
+    * against the bootstrap training set, inside the maxGrowth=4 gate).
+    * The emitted singleton holds the PERSISTED index to oracle-exact
+    * invariants: all three micro-batches durably applied (the
+    * idempotence markers), every corpus vector coded exactly once,
+    * every stored row equal to an independent re-assignment under the
+    * stored centroids (bootstrap assign and streaming append are the
+    * same deterministic argmin), and the meta fingerprint current for
+    * the FULL corpus (an `ensure*` would not rebuild). Own index dir,
+    * wiped per run — the replay is the index's entire history.
+    */
+  def streamAnnIngest(s: SparkSession, d: String): DataFrame = {
+    val dir = s"${AnnIndex.rootFor(d)}/ivf-ingest-c16-i2"
+    val ckpt = s"$dir-ckpt"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    val feed = memoFeed(s"emb-ingest:$d") {
+      Tables.embeddings(s, d)
+        .select(col("vec_id").cast("long"), col("embedding"))
+        .orderBy("vec_id")
+        .collect() // bounded replay feed (verify-scale corpus; see Replay)
+        .map(r => Vec(r.getLong(0), r.getSeq[Float](1)))
+        .toSeq
+    }
+    import s.implicits._
+    Replay.replayTo(s, Replay.chunks(feed, 3))(in =>
+      VectorIngest.toIvfIndex(in, dir, ckpt, nCells = 16, iters = 2,
+        maxGrowth = 4.0))
+    val emb = Tables.embeddings(s, d)
+    val lists = s.read.parquet(s"$dir/lists")
+    val cents = s.read.parquet(s"$dir/centroids")
+    val nv = emb.agg(count(lit(1)).as("nv"))
+    val la = lists.agg(count(lit(1)).as("nl"),
+      countDistinct(col("nid")).as("dl"))
+    val am = lists.join(
+        Ivf.assign(Similarity.prepared(emb), cents)
+          .select(col("vec_id").as("nid"), col("cid"), col("q")), "nid")
+      .agg(sum(when(col("cell") === col("cid") && col("nq") === col("q"),
+        1L).otherwise(0L)).as("nmatch"))
+    val applied = (0 until 3).forall(i =>
+      fs.exists(new org.apache.hadoop.fs.Path(dir, s"_applied_$i")))
+    nv.crossJoin(la).crossJoin(am).select(
+      col("nv").cast("long").as("n_vectors"),
+      lit(applied).as("batches_applied_ok"),
+      (col("nl") === col("nv") && col("dl") === col("nv")).as("coded_once_ok"),
+      (coalesce(col("nmatch"), lit(0L)) === col("nv")).as("assign_match_ok"),
+      lit(AnnIndex.isCurrent(emb, dir, Seq(16, 2))).as("meta_current_ok"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_ann_ingest" -> streamAnnIngest,
     "stream_dedup" -> streamDedup,
     "stream_interval_join" -> streamIntervalJoin,
     "stream_window" -> streamWindow,
@@ -312,6 +370,14 @@ object StreamQueries {
     "stream_chunks" -> streamChunks)
 
   val oracles: Map[String, String] = Map(
+    // the singleton's booleans are construction-guaranteed; the oracle
+    // pins the corpus population and expects every invariant to hold
+    // (same pattern as the ann_*_append entries)
+    "stream_ann_ingest" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+        |  TRUE AS batches_applied_ok, TRUE AS coded_once_ok,
+        |  TRUE AS assign_match_ok, TRUE AS meta_current_ok
+        |FROM embeddings""".stripMargin,
     "stream_dedup" ->
       """WITH fpd AS (SELECT doc_id, text,
         |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp

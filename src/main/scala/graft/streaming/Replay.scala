@@ -71,6 +71,27 @@ object Replay {
     spark.table(name)
   }
 
+  /** [[replay]] for SINK-side transforms (foreachBatch maintenance like
+    * [[VectorIngest]]): feed `batches` through a MemoryStream in order,
+    * each fully processed before the next is admitted, with the caller
+    * starting the query from the streamed DataFrame (so the caller owns
+    * sink, checkpoint, and options). Returns after the last batch is
+    * processed and the query stopped; the observable result is whatever
+    * the sink wrote (e.g. the persisted index).
+    */
+  def replayTo[A: Encoder](spark: SparkSession, batches: Seq[Seq[A]])(
+      start: DataFrame => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[A]
+    val q = start(in.toDF())
+    try {
+      batches.filter(_.nonEmpty).foreach { b =>
+        in.addData(b)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+  }
+
   /** Split `rows` into `n` contiguous micro-batches preserving order. */
   def chunks[A](rows: Seq[A], n: Int): Seq[Seq[A]] = {
     require(n >= 1, s"chunk count must be positive, got $n")
