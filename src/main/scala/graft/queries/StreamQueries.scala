@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, TimestampType}
-import graft.pipeline.{AnnIndex, Ivf, Similarity, TextAnalysis}
+import graft.pipeline.{AnnIndex, Ivf, Pq, Similarity, TextAnalysis}
 import graft.streaming.{DocStreams, EventStreams, Replay, VectorIngest}
 import graft.streaming.EventStreams.Event
 
@@ -359,8 +359,57 @@ object StreamQueries {
       lit(AnnIndex.isCurrent(emb, dir, Seq(16, 2))).as("meta_current_ok"))
   }
 
+  /** [[streamAnnIngest]] for the production IVF-PQ composition
+    * ([[VectorIngest.toIvfPqIndex]]): same three-micro-batch history
+    * (bootstrap + 2 in-gate appends), with `codes_match_ok` holding
+    * every stored row — bootstrap and streamed alike — byte-equal to an
+    * independent [[Pq.encodeIvf]] re-encoding under the stored coarse
+    * centroids and codebooks.
+    */
+  def streamAnnIngestPq(s: SparkSession, d: String): DataFrame = {
+    val dir = s"${AnnIndex.rootFor(d)}/ivfpq-ingest-m32-ks32-i2-c16"
+    val ckpt = s"$dir-ckpt"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    val feed = memoFeed(s"emb-ingest:$d") {
+      Tables.embeddings(s, d)
+        .select(col("vec_id").cast("long"), col("embedding"))
+        .orderBy("vec_id")
+        .collect() // bounded replay feed (verify-scale corpus; see Replay)
+        .map(r => Vec(r.getLong(0), r.getSeq[Float](1)))
+        .toSeq
+    }
+    import s.implicits._
+    Replay.replayTo(s, Replay.chunks(feed, 3))(in =>
+      VectorIngest.toIvfPqIndex(in, dir, ckpt, m = 32, ks = 32, iters = 2,
+        nCells = 16, maxGrowth = 4.0))
+    val emb = Tables.embeddings(s, d)
+    val codes = s.read.parquet(s"$dir/codes")
+    val nv = emb.agg(count(lit(1)).as("nv"))
+    val la = codes.agg(count(lit(1)).as("nl"),
+      countDistinct(col("nid")).as("dl"))
+    val cm = codes.join(
+        Pq.encodeIvf(emb, dir, m = 32)
+          .select(col("nid"), col("codes").as("codes2"),
+            col("cell").as("cell2")), "nid")
+      .agg(sum(when(col("cell") === col("cell2") &&
+        col("codes") === col("codes2"), 1L).otherwise(0L)).as("nmatch"))
+    val applied = (0 until 3).forall(i =>
+      fs.exists(new org.apache.hadoop.fs.Path(dir, s"_applied_$i")))
+    nv.crossJoin(la).crossJoin(cm).select(
+      col("nv").cast("long").as("n_vectors"),
+      lit(applied).as("batches_applied_ok"),
+      (col("nl") === col("nv") && col("dl") === col("nv")).as("coded_once_ok"),
+      (coalesce(col("nmatch"), lit(0L)) === col("nv")).as("codes_match_ok"),
+      lit(AnnIndex.isCurrent(emb, dir, Seq(32, 32, 2, 16)))
+        .as("meta_current_ok"))
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_ann_ingest" -> streamAnnIngest,
+    "stream_ann_ingest_pq" -> streamAnnIngestPq,
     "stream_dedup" -> streamDedup,
     "stream_interval_join" -> streamIntervalJoin,
     "stream_window" -> streamWindow,
@@ -377,6 +426,11 @@ object StreamQueries {
       """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
         |  TRUE AS batches_applied_ok, TRUE AS coded_once_ok,
         |  TRUE AS assign_match_ok, TRUE AS meta_current_ok
+        |FROM embeddings""".stripMargin,
+    "stream_ann_ingest_pq" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+        |  TRUE AS batches_applied_ok, TRUE AS coded_once_ok,
+        |  TRUE AS codes_match_ok, TRUE AS meta_current_ok
         |FROM embeddings""".stripMargin,
     "stream_dedup" ->
       """WITH fpd AS (SELECT doc_id, text,

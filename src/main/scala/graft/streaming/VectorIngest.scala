@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.StreamingQuery
-import graft.pipeline.{AnnIndex, Ivf}
+import graft.pipeline.{AnnIndex, Ivf, Pq}
 
 /** Streaming face of the incremental ANN index lifecycle: a vector
   * stream `(vec_id, embedding)` bound to a persisted IVF index, one
@@ -68,6 +68,43 @@ object VectorIngest {
       }
     }
 
+  /** [[ivfBatchSink]] for the production IVF-PQ composition
+    * ([[Pq.buildIndexIvf]]/[[Pq.appendIndexIvf]]) — the same bootstrap
+    * / append / marker protocol with one structural difference on gate
+    * refusal: PQ codes are LOSSY, so unlike IVF the index cannot
+    * retrain from its own contents. `corpusForRetrain` supplies the
+    * full current corpus at refusal time — in the realistic
+    * composition the SAME foreachBatch first appends the micro-batch
+    * to the corpus table (lakehouse ingest) and then maintains the
+    * index, so the snapshot the thunk reads already contains the
+    * refused batch (VectorIngestSpec wires exactly that). With
+    * `None`, refusal surfaces as a query failure — the deployment
+    * schedules retrains instead of paying one inline.
+    */
+  def pqBatchSink(dir: String, m: Int, ks: Int, iters: Int, nCells: Int,
+                  maxGrowth: Double = 2.0,
+                  corpusForRetrain: Option[() => DataFrame] = None): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val spark = batch.sparkSession
+      val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val marker = new Path(dir, s"_applied_$batchId")
+      if (!fs.exists(marker) && !batch.isEmpty) {
+        if (AnnIndex.readMeta(spark, dir).isEmpty)
+          Pq.buildIndexIvf(batch, dir, m, ks, iters, nCells)
+        else if (!Pq.appendIndexIvf(batch, dir, m, ks, iters, nCells,
+            maxGrowth)) {
+          corpusForRetrain match {
+            case Some(corpus) =>
+              Pq.buildIndexIvf(corpus(), dir, m, ks, iters, nCells)
+            case None => throw new IllegalStateException(
+              s"append of batch $batchId would grow the corpus past " +
+                s"$maxGrowth x the trained size at $dir — retrain required")
+          }
+        }
+        fs.create(marker, true).close()
+      }
+    }
+
   /** Start the ingest query: every micro-batch of `vectors` flows
     * through [[ivfBatchSink]]. The checkpoint carries the source
     * offsets (exactly-once source progress; sink idempotence is the
@@ -81,5 +118,17 @@ object VectorIngest {
       .outputMode("append")
       .foreachBatch(ivfBatchSink(dir, nCells, iters, maxGrowth,
         retrainOnRefusal))
+      .start()
+
+  /** [[toIvfIndex]] for the IVF-PQ composition ([[pqBatchSink]]). */
+  def toIvfPqIndex(vectors: DataFrame, dir: String, checkpoint: String,
+                   m: Int, ks: Int, iters: Int, nCells: Int,
+                   maxGrowth: Double = 2.0,
+                   corpusForRetrain: Option[() => DataFrame] = None): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch(pqBatchSink(dir, m, ks, iters, nCells, maxGrowth,
+        corpusForRetrain))
       .start()
 }

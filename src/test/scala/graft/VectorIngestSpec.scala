@@ -19,6 +19,7 @@ class VectorIngestSpec extends SparkSpec {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(dir), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir-ckpt"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir-corpus"), true)
     dir
   }
 
@@ -86,6 +87,44 @@ class VectorIngestSpec extends SparkSpec {
       if (t == null) Seq.empty else t +: causes(t.getCause)
     assert(causes(ex).exists(c =>
       Option(c.getMessage).exists(_.contains("retrain required"))))
+  }
+
+  test("PQ ingest: bootstrap + appends code every vector exactly once") {
+    val dir = freshDir("pq")
+    import spark.implicits._
+    Replay.replayTo(spark, Replay.chunks(feed, 3))(in =>
+      VectorIngest.toIvfPqIndex(in, dir, s"$dir-ckpt", m = 32, ks = 16,
+        iters = 2, nCells = 8, maxGrowth = 4.0))
+    val codes = spark.read.parquet(s"$dir/codes")
+    val n = emb.count()
+    assert(codes.count() == n && codes.select("nid").distinct().count() == n)
+    assert(AnnIndex.isCurrent(emb, dir, Seq(32, 16, 2, 8)))
+  }
+
+  test("PQ gate refusal retrains from the corpus-table snapshot") {
+    // the realistic composition: ONE foreachBatch first lands the
+    // micro-batch in the corpus table, then maintains the index — so
+    // the retrain snapshot already contains the refused batch (PQ codes
+    // are lossy; unlike IVF the index cannot retrain from itself)
+    val dir = freshDir("pqretrain")
+    val corpusPath = s"$dir-corpus"
+    import spark.implicits._
+    val base = VectorIngest.pqBatchSink(dir, m = 32, ks = 16, iters = 2,
+      nCells = 8, maxGrowth = 1.5,
+      corpusForRetrain = Some(() => spark.read.parquet(corpusPath)))
+    val sink: (DataFrame, Long) => Unit = (b, id) => {
+      b.write.mode("append").parquet(corpusPath) // lakehouse ingest first
+      base(b, id)
+    }
+    Replay.replayTo(spark, Replay.chunks(feed, 3))(in =>
+      in.writeStream.option("checkpointLocation", s"$dir-ckpt")
+        .outputMode("append").foreachBatch(sink).start())
+    val n = emb.count()
+    val meta = AnnIndex.readMeta(spark, dir).get
+    assert(meta.n == n)
+    assert(meta.nTrained > n / 3, s"retrain never happened: ${meta.nTrained}")
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.count() == n && codes.select("nid").distinct().count() == n)
   }
 
   test("a replayed batch id is idempotent under the applied marker") {
