@@ -161,6 +161,18 @@ final class Session(val engine: Engine) {
     env(name) = value
   }
 
+  /** End-of-connection cleanup: release every cached binding this
+    * session still holds and clear the environment. The reference frees
+    * the session env when its connection dies (server.c:72-78); our
+    * equivalent leak would be engine-refcounted cache entries pinned by
+    * a dead env — long-running topologies (TcpServer) call this when the
+    * client disconnects. Idempotent; the session stays usable (empty).
+    */
+  def dispose(): Unit = {
+    env.values.foreach { v => if (!joinLineage(v)) engine.releaseCache(dfOf(v)) }
+    env.clear()
+  }
+
   /** Join-bounded intermediates are never cached (their size can be
     * quadratic in the inputs — see the policy above). That is: join
     * output lists (`ordered`), anything aligned by a join's pair order

@@ -139,15 +139,34 @@ object ParityQueries {
 
   // --- create/load: full engine round-trip through headered CSV ---
 
-  def createLoad(s: SparkSession, d: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_load").toString
+  /** Write lineitem's (l_orderkey, l_linenumber, l_quantity) as the
+    * reference's headered-int CSV shape under `tmp/csv`; returns the file
+    * path. Shared by the load and client/server round-trip entries.
+    */
+  private def writeRefCsv(s: SparkSession, d: String, tmp: String): String = {
     val csvDir = s"$tmp/csv"
     Tables.lineitem(s, d)
       .select(col("l_orderkey").cast(IntegerType).as("ra"),
         lnum.cast(IntegerType).as("rb"), qty.cast(IntegerType).as("rc"))
       .coalesce(1).write.option("header", "true").csv(csvDir)
-    val csv = new java.io.File(csvDir).listFiles()
+    new java.io.File(csvDir).listFiles()
       .find(_.getName.endsWith(".csv")).get.getAbsolutePath
+  }
+
+  /** The returned plans/results may lazily read the temp dir, so the tree
+    * can only go at JVM exit — register it (dirs first: deleteOnExit
+    * deletes in reverse registration order) so repeated bench/verify runs
+    * don't accumulate lineitem-sized CSVs under /tmp.
+    */
+  private def registerCleanup(f: java.io.File): Unit = {
+    f.deleteOnExit()
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(registerCleanup)
+  }
+
+  def createLoad(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_load").toString
+    val csv = writeRefCsv(s, d, tmp)
     val engine = new Engine(s, s"$tmp/db")
     engine.execute(
       s"""create(ra,"unsorted")
@@ -166,18 +185,54 @@ object ParityQueries {
     // the returned plans only READ the throwaway db; release the writer
     // lock now or every bench rep leaks an open lock-file channel
     engine.close()
-    // the returned plan lazily reads the temp db, so the tree can only
-    // go at JVM exit — register it now (dirs first: deleteOnExit deletes
-    // in reverse registration order) so repeated bench/verify runs don't
-    // accumulate lineitem-sized CSVs under /tmp
-    def registerCleanup(f: java.io.File): Unit = {
-      f.deleteOnExit()
-      val kids = f.listFiles()
-      if (kids != null) kids.foreach(registerCleanup)
-    }
     registerCleanup(new java.io.File(tmp))
     ColumnOps.tupleZip(vals, Seq("id"))
       .select("v1", "v2", "v3").orderBy("v1", "v2", "v3")
+  }
+
+  // --- client/server topology: the same round-trip through a real TCP
+  //     socket (graft.server.TcpServer / NetClient — the reference's
+  //     client/TCP/threadpool architecture, server.c:967-1006) ---
+
+  /** The canonical select->fetch->tuple chain executed by a socket CLIENT
+    * against a TcpServer: CSV load, range select, two fetches, tuple
+    * emission — all results streamed over the wire in the reference text
+    * formats, then parsed back into rows. The driver-local parse is the
+    * SINK (the reference client's stdout, client.c:106-128), bounded by
+    * the emitted result, not a distributed hot path.
+    */
+  def serverTcp(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tcp").toString
+    val csv = writeRefCsv(s, d, tmp)
+    val engine = new Engine(s, s"$tmp/db")
+    val server = new graft.server.TcpServer(engine)
+    val port = server.start()
+    val out = collection.mutable.Buffer[String]()
+    try {
+      val failed = graft.server.NetClient.run("127.0.0.1", port,
+        s"""create(ra,"unsorted")
+           |create(rb,"unsorted")
+           |create(rc,"sorted")
+           |load("$csv")
+           |p=select(rc,10,20)
+           |a=fetch(ra,p)
+           |b=fetch(rb,p)
+           |tuple(a,b)
+           |""".stripMargin.linesIterator,
+        out += _,
+        e => throw new IllegalStateException(s"server error: $e"))
+      require(!failed, "server_tcp script failed")
+    } finally {
+      server.close()
+      engine.close()
+      registerCleanup(new java.io.File(tmp))
+    }
+    val rows = out.toSeq.map { l =>
+      val p = l.stripPrefix("(").stripSuffix(")").split(',')
+      (p(0).trim.toInt, p(1).trim.toInt)
+    }
+    import s.implicits._
+    rows.toDF("v1", "v2").orderBy("v1", "v2")
   }
 
   // --- flagship: the reference's canonical join-aggregate
@@ -236,6 +291,7 @@ object ParityQueries {
     "delete_op" -> deleteOp,
     "update_op" -> updateOp,
     "create_load" -> createLoad,
+    "server_tcp" -> serverTcp,
   )
 
   private def joinSql: String =
@@ -296,5 +352,9 @@ object ParityQueries {
     "create_load" ->
       """SELECT CAST(l_orderkey AS INTEGER) AS v1, CAST(l_linenumber AS INTEGER) AS v2,
         |  CAST(trunc(l_quantity) AS INTEGER) AS v3 FROM lineitem ORDER BY v1, v2, v3""".stripMargin,
+    "server_tcp" ->
+      """SELECT CAST(l_orderkey AS INTEGER) AS v1, CAST(l_linenumber AS INTEGER) AS v2
+        |FROM lineitem WHERE CAST(trunc(l_quantity) AS INTEGER) BETWEEN 10 AND 20
+        |ORDER BY v1, v2""".stripMargin,
   )
 }

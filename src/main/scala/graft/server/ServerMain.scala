@@ -1,0 +1,50 @@
+package graft.server
+
+import org.apache.spark.sql.SparkSession
+import graft.core.Engine
+
+/** Standalone server binary — the reference's `./server` role
+  * (/root/reference/src/server/server.c:967-1006): owns the store and
+  * serves [[TcpServer]]'s wire protocol until killed. One server process
+  * per dbDir (the engine's single-writer lock enforces it).
+  *
+  * Usage: ServerMain <dbDir> [port]   (port 0 or omitted -> ephemeral;
+  * the bound port is printed as `graft-server listening on <port>`).
+  */
+object ServerMain {
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: ServerMain <dbDir> [port]")
+      sys.exit(2)
+    }
+    val dbDir = args(0)
+    val port = if (args.length > 1) args(1).toInt else 0
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("GRAFT_MASTER", "local[*]"))
+      .appName("graft-server")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.maxResultSize",
+        sys.env.getOrElse("GRAFT_MAX_RESULT_SIZE", "1g"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val engine = new Engine(spark, dbDir)
+    val server = new TcpServer(engine,
+      port = port,
+      threads = sys.env.getOrElse("GRAFT_SERVER_THREADS", "16").toInt)
+    val bound = server.start()
+    println(s"graft-server listening on $bound")
+    Console.flush()
+    // release the store and the port on SIGTERM/SIGINT, like the
+    // reference's graceful stop (restart pattern: close() + new Engine)
+    sys.addShutdownHook {
+      server.close()
+      engine.close()
+      spark.stop()
+    }
+    // serve until killed
+    Thread.currentThread().join()
+  }
+}

@@ -1,0 +1,126 @@
+package graft.server
+
+import java.io.{BufferedReader, BufferedWriter, InputStreamReader, OutputStreamWriter}
+import java.net.{ServerSocket, Socket, SocketException}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.Executors
+import scala.util.control.NonFatal
+
+import graft.core.{DbException, Engine}
+import graft.lang.Parser
+
+/** TCP server: the reference's client/server topology over the Spark
+  * engine.
+  *
+  * The reference is a threaded TCP server — an accept loop hands each
+  * connection to a threadpool worker that owns the connection's session
+  * environment for its lifetime (/root/reference/src/server/server.c:967-1006,
+  * one thread per session server.c:795-871). This is the same topology on
+  * the JVM: an accept thread, a fixed worker pool (default 16, the
+  * reference's default threadpool size, README.md:63-66), and one
+  * [[graft.core.Session]] per connection over the SHARED SparkSession —
+  * the pattern Spark's own Thrift Server uses for concurrent clients.
+  * Sessions are isolated (per-connection variable environments); the
+  * catalog is shared and synchronized; Spark schedules the concurrent
+  * jobs.
+  *
+  * Wire protocol (line-oriented; the framed-RPC analog of
+  * /root/reference/src/common/rpc.c:16-31 without the binary header):
+  *
+  *   request  :=  one operator line, '\n'-terminated
+  *   response :=  zero or more data lines, each prefixed '|',
+  *                then exactly one status line: `+OK` or `-ERR <DBE msg>`
+  *
+  * Data lines carry the reference client's text formats (ids / values one
+  * per line, `(a,b,c)` tuples — client.c:44-128); the '|' prefix exists so
+  * a negative value line can never be confused with an `-ERR` status. As
+  * in the reference, results STREAM: each data line is written as the
+  * engine's emission iterator produces it (rpc.c:209-357 streams over the
+  * socket), so server memory is bounded by one Spark partition regardless
+  * of result size. Errors are per-line and non-fatal — the server renders
+  * the DBE* message and stays in its request loop (server.c:856-859).
+  * `quit` (or closing the connection) ends the session.
+  */
+final class TcpServer(engine: Engine, port: Int = 0, threads: Int = 16)
+    extends AutoCloseable {
+
+  private val serverSocket = new ServerSocket(port)
+  private val pool = Executors.newFixedThreadPool(threads, r => {
+    val t = new Thread(r, "graft-tcp-worker"); t.setDaemon(true); t
+  })
+  @volatile private var closed = false
+
+  /** The bound port (useful with port=0: an ephemeral port for tests). */
+  def boundPort: Int = serverSocket.getLocalPort
+
+  private val acceptor = new Thread(() => {
+    try while (!closed) {
+      val sock = serverSocket.accept()
+      pool.execute(() => serve(sock))
+    } catch {
+      // close() closes the listening socket to break accept()
+      case _: SocketException if closed => ()
+    }
+  }, "graft-tcp-accept")
+  acceptor.setDaemon(true)
+
+  /** Start accepting connections; returns the bound port. */
+  def start(): Int = { acceptor.start(); boundPort }
+
+  private def serve(sock: Socket): Unit = {
+    val session = engine.newSession()
+    try {
+      val in = new BufferedReader(new InputStreamReader(sock.getInputStream, UTF_8))
+      val out = new BufferedWriter(new OutputStreamWriter(sock.getOutputStream, UTF_8))
+
+      def status(s: String): Unit = { out.write(s); out.newLine(); out.flush() }
+
+      var line = in.readLine()
+      while (line != null) {
+        val t = line.trim
+        if (t == "quit") { line = null }
+        else {
+          if (t.nonEmpty && !t.startsWith("#")) {
+            Parser.parseLine(t) match {
+              case Some(op) =>
+                try {
+                  session.eval(op).foreach { l =>
+                    out.write("|"); out.write(l); out.newLine()
+                  }
+                  status("+OK")
+                } catch {
+                  case e: DbException => status(s"-ERR ${e.getMessage}")
+                  case NonFatal(e) =>
+                    // same per-line contract as Cli.runScript: non-DBE
+                    // engine failures render as DBEFILE and the session
+                    // survives; a stopped SparkSession ends the service
+                    if (session.engine.spark.sparkContext.isStopped) throw e
+                    status(s"-ERR DBEFILE: ${e.getMessage}")
+                }
+              case None => status(s"-ERR DBEPARSE: cannot parse: $t")
+            }
+          } else status("+OK") // blank / comment: acknowledged, no work
+          if (line != null) line = in.readLine()
+        }
+      }
+    } catch {
+      case _: java.io.IOException => () // client went away mid-response
+      case NonFatal(_) if closed  => ()
+    } finally {
+      try sock.close() catch { case _: java.io.IOException => () }
+      // the session env dies with the connection (server.c:72-78) —
+      // release any cached bindings it still holds
+      session.dispose()
+    }
+  }
+
+  /** Stop accepting and drop the worker pool. In-flight responses are
+    * cut, matching a server process stop; the engine/catalog are NOT
+    * closed — the owner decides the store's lifetime.
+    */
+  override def close(): Unit = {
+    closed = true
+    try serverSocket.close() catch { case _: java.io.IOException => () }
+    pool.shutdownNow()
+  }
+}

@@ -1,0 +1,141 @@
+package graft
+
+import graft.core.Engine
+import graft.server.{NetClient, TcpServer}
+import graft.tools.Cli
+
+/** The client/server topology end-to-end over real sockets: the engine
+  * behind [[TcpServer]] must behave byte-identically to the in-process
+  * CLI — same output lines, same DBE* error text, same error-then-continue
+  * session semantics — and concurrent connections must get isolated
+  * variable environments over the shared catalog (the reference's
+  * one-thread-per-session contract, server.c:795-871).
+  */
+class TcpServerSpec extends SparkSpec {
+
+  private def withServer[A](engine: Engine)(f: Int => A): A = {
+    val server = new TcpServer(engine, port = 0, threads = 8)
+    val port = server.start()
+    try f(port) finally server.close()
+  }
+
+  private def netRun(port: Int, script: String)
+      : (Boolean, Seq[String], Seq[String]) = {
+    val out = collection.mutable.Buffer[String]()
+    val err = collection.mutable.Buffer[String]()
+    val failed = NetClient.run("127.0.0.1", port, script.linesIterator,
+      out += _, err += _)
+    (failed, out.toSeq, err.toSeq)
+  }
+
+  test("a script over the socket matches the in-process CLI byte for byte") {
+    val script =
+      """create(na,"unsorted")
+        |create(nb,"sorted")
+        |insert(na,-5,nb,2)
+        |insert(na,7,nb,4)
+        |insert(na,3,nb,6)
+        |s=select(nb,2,6)
+        |af=fetch(na,s)
+        |print(af)
+        |tot=sum(af)
+        |print(tot)
+        |tuple(af,af)
+        |""".stripMargin
+
+    // in-process reference run
+    val cliEngine = new Engine(spark, tmpDir("tcp_cli_db"))
+    val cliOut = collection.mutable.Buffer[String]()
+    val cliFailed = Cli.runScript(cliEngine.newSession(),
+      script.linesIterator, cliOut += _, _ => ())
+    cliEngine.close()
+    assert(!cliFailed)
+
+    // socket run against a fresh store
+    val engine = new Engine(spark, tmpDir("tcp_db"))
+    try withServer(engine) { port =>
+      val (failed, out, err) = netRun(port, script)
+      assert(!failed)
+      assert(err.isEmpty)
+      assert(out == cliOut.toSeq)
+      // the negative value streamed as a data line, not a status
+      assert(out.contains("-5"))
+    } finally engine.close()
+  }
+
+  test("errors arrive as -ERR with exact DBE text and the session continues") {
+    val engine = new Engine(spark, tmpDir("tcp_err_db"))
+    try withServer(engine) { port =>
+      val script =
+        """create(ea,"unsorted")
+          |insert(ea,8)
+          |garbage(((
+          |z=select(nope)
+          |a=select(ea)
+          |af=fetch(ea,a)
+          |mx=max(af)
+          |print(mx)
+          |""".stripMargin
+      val (failed, out, err) = netRun(port, script)
+      assert(failed)
+      assert(err == Seq(
+        "DBEPARSE: cannot parse: garbage(((",
+        "DBECOLSELECT: no such column nope"))
+      // lines after the failures still ran in the same session
+      assert(out == Seq("8"))
+    } finally engine.close()
+  }
+
+  test("concurrent connections get isolated sessions over the shared catalog") {
+    val engine = new Engine(spark, tmpDir("tcp_conc_db"))
+    try withServer(engine) { port =>
+      // shared data, written once
+      val (setupFailed, _, setupErr) = netRun(port,
+        """create(ca,"unsorted")
+          |insert(ca,1)
+          |insert(ca,2)
+          |insert(ca,3)
+          |insert(ca,4)
+          |""".stripMargin)
+      assert(!setupFailed, setupErr.mkString("; "))
+
+      // 4 clients concurrently bind the SAME variable names to different
+      // selections; each must read back its own value
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val runs = (1 to 4).map { k =>
+        Future {
+          val (failed, out, err) = netRun(port,
+            s"""x=select(ca,$k)
+               |xf=fetch(ca,x)
+               |print(xf)
+               |""".stripMargin)
+          (k, failed, out, err)
+        }
+      }
+      Await.result(Future.sequence(runs), 120.seconds).foreach {
+        case (k, failed, out, err) =>
+          assert(!failed, s"client $k: ${err.mkString("; ")}")
+          assert(out == Seq(k.toString), s"client $k saw $out")
+      }
+    } finally engine.close()
+  }
+
+  test("a second connection does not see the first connection's variables") {
+    val engine = new Engine(spark, tmpDir("tcp_env_db"))
+    try withServer(engine) { port =>
+      val (f1, _, _) = netRun(port,
+        """create(va,"unsorted")
+          |insert(va,9)
+          |v=select(va)
+          |""".stripMargin)
+      assert(!f1)
+      // new connection, same server: `v` must be gone (per-connection env)
+      val (f2, out2, err2) = netRun(port, "print(v)\n")
+      assert(f2)
+      assert(out2.isEmpty)
+      assert(err2 == Seq("DBENOVAR: no such variable v"))
+    } finally engine.close()
+  }
+}
