@@ -157,6 +157,68 @@ object Similarity {
       .select("da", "db")
   }
 
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    * arXiv:2303.09540 — the published embedding-dedup recipe for
+    * web-scale pretraining corpora): a coarse k-means quantizer
+    * ([[Ivf.train]]/[[Ivf.assign]], deterministic seeds) partitions the
+    * embedding space into `nCells` clusters, and the pairwise cosine
+    * check runs only WITHIN each cluster — a cell equi-join, so the
+    * quadratic term drops from n^2 to Σ cell² ≈ n²/nCells, and each
+    * cell's block is an independent hash-partitioned join task.
+    *
+    * Same pair contract as [[cosinePairs]] (`da < db`, quantized cosine
+    * >= tnum/tden, dot > 0): every emitted pair is exact-verified, so
+    * semantic ⊆ exact always holds; what the clustering trades away is
+    * RECALL of cross-cluster pairs (near-dups almost always co-cluster —
+    * that is the paper's premise — but a pair split by a cell boundary
+    * is not seen). `nCells = 1` degenerates to exactly [[cosinePairs]]
+    * (pinned in SemanticDedupSpec). Size `nCells` ∝ corpus like the IVF
+    * index ([[Ivf]] scaladoc): constant expected cell size keeps the
+    * per-cell block bounded as the corpus grows.
+    *
+    * `nAssign > 1` is the recall lever — the IVF-nprobe analog on the
+    * indexing side: each vector joins its `nAssign` NEAREST cells
+    * (overlapping clusters), so a pair survives unless the two vectors
+    * share none of their cells. Cost bound scales by ≤ nAssign² per
+    * cell block while staying ≪ n²; near-threshold pairs that straddle
+    * one Voronoi boundary (the dominant loss mode at low similarity)
+    * are recovered. Output pairs are de-duplicated when cells overlap.
+    */
+  def semanticPairs(emb: DataFrame, nCells: Int, iters: Int,
+                    tnum: Long, tden: Long, nAssign: Int = 1): DataFrame = {
+    // cached through training's Lloyd's iterations AND the returned
+    // plan's two sides (same convention as Ivf.topK — memory-and-disk,
+    // LRU-evictable)
+    val p = prepared(emb).cache()
+    val centroids = Ivf.train(p, nCells, iters)
+    val assigned =
+      if (nAssign <= 1) Ivf.assign(p, centroids)
+      else {
+        // nAssign nearest cells per vector: an AGGREGATE (map-side
+        // partials, one row per vector crossing the shuffle with a
+        // ≤nCells-entry state), not a window over the n×k expansion;
+        // sort key (d2, cid) matches Ivf.assign's tie-break exactly
+        val d2 = col("n2") + col("cn2") - lit(2L) * intDot(col("q"), col("c"))
+        p.crossJoin(broadcast(centroids))
+          .groupBy("vec_id")
+          .agg(first(col("q")).as("q"), first(col("n2")).as("n2"),
+            slice(sort_array(collect_list(struct(d2.as("d2"), col("cid")))),
+              1, nAssign).as("cells"))
+          .select(col("vec_id"), col("q"), col("n2"),
+            explode(col("cells.cid")).as("cid"))
+      }
+    val a = assigned.select(col("cid"), col("vec_id").as("da"),
+      col("q").as("qa"), col("n2").as("na"))
+    val b = assigned.select(col("cid"), col("vec_id").as("db"),
+      col("q").as("qb"), col("n2").as("nb"))
+    val pairs = a.join(b, Seq("cid")).filter(col("da") < col("db"))
+      .withColumn("dot", intDot(col("qa"), col("qb")))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * (tden * tden) >= lit(tnum * tnum) * col("na") * col("nb"))
+      .select("da", "db")
+    if (nAssign <= 1) pairs else pairs.distinct()
+  }
+
   /** Deterministic +-1 hyperplane weight table `(pl, w)` for `planes`
     * planes, dimensioned from `vecCol` of `df` — broadcast-sized at any
     * corpus scale.

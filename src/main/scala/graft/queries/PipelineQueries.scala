@@ -110,6 +110,51 @@ object PipelineQueries {
     materializedAndReleased(s, out, exact, lshp)
   }
 
+  /** SemDeDup-style semantic near-dup ([[Similarity.semanticPairs]]:
+    * k-means cells bound the pairwise-cosine blocks), held to the same
+    * oracle-EXACT invariant standard as [[dedupEmbeddingLsh]]: the full
+    * cluster-then-verify pipeline runs, and the singleton asserts
+    * semantic ⊆ exact (each pair is exact-verified inside its cell, so
+    * the subset holds by construction) and recall over the exact pair
+    * set clears the measured floor. The entry runs `nAssign = 2`
+    * (overlapping cells — the IVF-nprobe analog): this corpus's planted
+    * pairs sit at cosine 0.45-0.51, right at the threshold, where
+    * single-cell assignment loses boundary-straddling pairs (RecallProbe
+    * nAssign=1: 42.9/66.7/41.8% at sf0.001/0.01/0.1) while two-cell
+    * assignment recovers them (85.7/93.3/78.7%, deterministic seeds).
+    * Floor 72 follows the [[embeddingLshRecall]] convention: ONE lost
+    * pair at sf0.001 (7-pair population, 14.3 points) trips, and
+    * deterministic seeds mean there is no variance to absorb. `n_exact`
+    * is oracle-derived from the [[dedupEmbedding]] pair SQL, so
+    * exact-path drift also flips the hash.
+    */
+  def dedupSemantic(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val exact = Similarity.cosinePairs(emb, tnum = 9, tden = 20).cache()
+    val sem = Similarity.semanticPairs(emb, nCells = 8, iters = 4,
+      tnum = 9, tden = 20, nAssign = 2).cache()
+    val ne = exact.agg(count(lit(1)).as("ne"))
+    val ns = sem.agg(count(lit(1)).as("ns"))
+    val extra = sem.join(exact, Seq("da", "db"), "left_anti")
+      .agg(count(lit(1)).as("nx"))
+    val out = ne.crossJoin(ns).crossJoin(extra).select(
+      col("ne").cast("long").as("n_exact"),
+      (col("nx") === 0L).as("subset_ok"),
+      ((col("ns") - col("nx")) * 100L >= col("ne") * 72L).as("recall_ok"))
+    materializedAndReleased(s, out, exact, sem)
+  }
+
+  /** Embedding near-dup cluster assignment: [[Cluster.connectedComponents]]
+    * over the EXACT cosine pair graph (same edges as [[dedupEmbedding]]) —
+    * the vector-side twin of [[dedupClusters]], fully oracle-exact via the
+    * same recursive-CTE closure over the quantized-cosine pair SQL.
+    */
+  def dedupEmbeddingClusters(s: SparkSession, d: String): DataFrame =
+    Cluster.connectedComponents(s,
+      Similarity.cosinePairs(Tables.embeddings(s, d), tnum = 9, tden = 20))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+      .orderBy("vec_id")
+
   /** Near-dup cluster assignment: connected components over the exact
     * n-gram Jaccard pair graph (same edges as [[dedupNgram]]), one
     * `(doc_id, cluster_id = component min)` row per document appearing in
@@ -1376,6 +1421,8 @@ object PipelineQueries {
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,
+    "dedup_semantic" -> dedupSemantic,
+    "dedup_embedding_clusters" -> dedupEmbeddingClusters,
     "ann_topk" -> annTopk,
     "ann_filtered" -> annFiltered,
     "ann_lsh" -> annLsh,
@@ -1441,6 +1488,13 @@ object PipelineQueries {
     * path.
     */
   val planOnlyQueries: Map[String, Q] = Map(
+    // the embedding-cluster closure driver-iterates like dedup_clusters:
+    // one representative contraction round (see dedupClustersPlan)
+    "dedup_embedding_clusters" -> ((s, d) =>
+      Cluster.planOf(
+        Similarity.cosinePairs(Tables.embeddings(s, d), tnum = 9, tden = 20))
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+        .orderBy("vec_id")),
     // build entries retrain+rewrite unconditionally by design (and now
     // emit collected invariant singletons); for plan inspection, ensure
     // (build only if missing) and return a representative read-back
@@ -2201,6 +2255,40 @@ object PipelineQueries {
          |SELECT CAST(count(*) AS BIGINT) AS n_exact, TRUE AS subset_ok,
          |       TRUE AS recall_ok
          |FROM pairs""".stripMargin,
+    // dedup_semantic mirrors dedup_embedding_lsh's invariant singleton:
+    // n_exact recomputed from the exact cosine-pair SQL; semantic pairs
+    // are exact-verified within their k-means cell (subset by
+    // construction); the 80% floor is the RecallProbe calibration.
+    "dedup_semantic" ->
+      s"""WITH q AS (SELECT vec_id, $quantSql AS qe FROM embeddings),
+         |n AS (SELECT vec_id, CAST(list_dot_product(qe, qe) AS BIGINT) AS n2, qe FROM q),
+         |pairs AS (
+         |  SELECT a.vec_id AS da, b.vec_id AS db
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |  WHERE CAST(list_dot_product(a.qe, b.qe) AS BIGINT) > 0
+         |    AND CAST(list_dot_product(a.qe, b.qe) AS BIGINT) * CAST(list_dot_product(a.qe, b.qe) AS BIGINT) * 400
+         |        >= 81 * a.n2 * b.n2)
+         |SELECT CAST(count(*) AS BIGINT) AS n_exact, TRUE AS subset_ok,
+         |       TRUE AS recall_ok
+         |FROM pairs""".stripMargin,
+    // the vector-side clusterSql twin: recursive closure over the exact
+    // quantized-cosine pair graph
+    "dedup_embedding_clusters" ->
+      s"""WITH RECURSIVE q AS (SELECT vec_id, $quantSql AS qe FROM embeddings),
+         |n AS (SELECT vec_id, CAST(list_dot_product(qe, qe) AS BIGINT) AS n2, qe FROM q),
+         |pairs AS (
+         |  SELECT a.vec_id AS da, b.vec_id AS db
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |  WHERE CAST(list_dot_product(a.qe, b.qe) AS BIGINT) > 0
+         |    AND CAST(list_dot_product(a.qe, b.qe) AS BIGINT) * CAST(list_dot_product(a.qe, b.qe) AS BIGINT) * 400
+         |        >= 81 * a.n2 * b.n2),
+         |e AS (SELECT da AS u, db AS v FROM pairs UNION SELECT db, da FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u)
+         |SELECT CAST(u AS BIGINT) AS vec_id, CAST(min(v) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY u ORDER BY vec_id""".stripMargin,
     "ann_pq_recall" ->
       """SELECT CAST(count(*) * 3 AS BIGINT) AS n_exact, TRUE AS recall_ok,
         |  TRUE AS ivfpq_recall_ok

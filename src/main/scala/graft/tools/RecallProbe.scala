@@ -62,6 +62,15 @@ object RecallProbe {
       val pairHits = exactPairs.intersect(
         Similarity.lshCosinePairs(emb, bands = 64, r = 8,
           tnum = 9, tden = 20)).count()
+      // SemDeDup cells (dedup_semantic floor): nAssign=1 is the paper's
+      // single-cell form; nAssign=2 (the driver entry's config) recovers
+      // pairs straddling one Voronoi boundary
+      val semHits = exactPairs.intersect(
+        Similarity.semanticPairs(emb, nCells = 8, iters = 4,
+          tnum = 9, tden = 20)).count()
+      val sem2Hits = exactPairs.intersect(
+        Similarity.semanticPairs(emb, nCells = 8, iters = 4,
+          tnum = 9, tden = 20, nAssign = 2)).count()
       exactPairs.unpersist()
       // the SAMPLED gate populations (the driver entries run num/den =
       // 1/2): raw hit counts so floors can be chosen against the actual
@@ -91,7 +100,7 @@ object RecallProbe {
       def pct(h: Long, n: Long): String = String.format(
         java.util.Locale.ROOT, "%.1f",
         Double.box(if (n == 0) 100.0 else h * 100.0 / n))
-      println(s"""{"probe":"recall","sf":"$d","ann_lsh":${pct(lshHits, nExact)},"ann_ivf":${pct(ivfHits, nExact)},"ann_q8":${pct(q8Hits, nExact)},"ann_pq":${pct(pqHits, nExact)},"ann_ivfpq":${pct(ivfpqHits, nExact)},"embedding_lsh":${pct(pairHits, nPairs)},"n_exact_topk":$nExact,"n_exact_pairs":$nPairs,"s_ann_lsh":$sLsh/$sN,"s_ann_ivf":$sIvf/$sN,"s_emb_lsh":$sPH/$sNP}""")
+      println(s"""{"probe":"recall","sf":"$d","ann_lsh":${pct(lshHits, nExact)},"ann_ivf":${pct(ivfHits, nExact)},"ann_q8":${pct(q8Hits, nExact)},"ann_pq":${pct(pqHits, nExact)},"ann_ivfpq":${pct(ivfpqHits, nExact)},"embedding_lsh":${pct(pairHits, nPairs)},"semantic":${pct(semHits, nPairs)},"semantic2":${pct(sem2Hits, nPairs)},"n_exact_topk":$nExact,"n_exact_pairs":$nPairs,"s_ann_lsh":$sLsh/$sN,"s_ann_ivf":$sIvf/$sN,"s_emb_lsh":$sPH/$sNP}""")
       spark.catalog.clearCache()
     }
     spark.stop()
