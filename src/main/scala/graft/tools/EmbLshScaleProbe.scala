@@ -64,7 +64,8 @@ object EmbLshScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     println(f"${"factor"}%7s ${"vecs"}%7s ${"r_auto"}%7s ${"fixed_s"}%8s " +
-      f"${"fixed_pairs"}%12s ${"auto_s"}%7s ${"auto_pairs"}%11s")
+      f"${"fixed_pairs"}%12s ${"auto_s"}%7s ${"auto_pairs"}%11s " +
+      f"${"sem_s"}%7s ${"sem_pairs"}%10s")
     for (f <- factors) {
       // materialize the tiled corpus so tiling cost is not in the timings
       val path = s"${sys.props("java.io.tmpdir")}/graft-emb-scale/f$f"
@@ -85,8 +86,18 @@ object EmbLshScaleProbe {
         timeIt { autoPairs = Similarity.lshCosinePairsAuto(emb, bands = 64,
           rBase = 8, tnum = 9, tden = 20).count() }
       }.min
+      // SemDeDup cells under the sizing rule (nCells ∝ corpus, constant
+      // expected cell size — the same rule AnnScaleProbe ablates for
+      // IVF): per-cell blocks stay bounded, so cost ~linear in f; the
+      // driver entry's nAssign=2 overlap is included in the cost
+      var semPairs = -1L
+      val semT = (1 to reps).map { _ =>
+        spark.catalog.clearCache()
+        timeIt { semPairs = Similarity.semanticPairs(emb, nCells = 8 * f,
+          iters = 4, tnum = 9, tden = 20, nAssign = 2).count() }
+      }.min
       println(f"$f%7d $n%7d $rAuto%7d $fixedT%8.2f $fixedPairs%12d " +
-        f"$autoT%7.2f $autoPairs%11d")
+        f"$autoT%7.2f $autoPairs%11d $semT%7.2f $semPairs%10d")
     }
     prepDir.foreach { d =>
       val t = (1 to reps).map { _ =>
