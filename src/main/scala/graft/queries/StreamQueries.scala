@@ -302,6 +302,57 @@ object StreamQueries {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** The composed text ingest loop replayed end-to-end
+    * ([[DocStreams.toCorpus]]: quality gate -> watermark-horizon dedup
+    * -> idempotent persisted-corpus sink): the pre-deduplicated corpus
+    * feeds in doc_id order, then the [[streamDedup]] re-fetch wave
+    * (every 5th doc re-ingested under a new id, every 25th arriving
+    * EDITED and admissible). What lands in the partitioned parquet
+    * corpus must be exactly: quality-passing documents, first arrival
+    * per content fingerprint — quality-rejects never reach storage OR
+    * dedup state, re-fetches die in dedup state or on the sink's store
+    * probe, and edits are admitted with their language partition and
+    * PII counts. The oracle replays the whole composition (shared
+    * quality/langid/PII SQL + first-per-fingerprint over base ∪ wave)
+    * so a drift in ANY stage — gate policy, dedup, sink admission —
+    * changes the hashed row set. Own corpus dir, wiped per run: the
+    * replay is the corpus's entire history.
+    */
+  def streamCorpusSink(s: SparkSession, d: String): DataFrame = {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft-corpus-sink/" +
+      d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val ckpt = s"$dir-ckpt"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    val base = memoFeed(s"docs-dedup:$d") {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .withColumn("fp", TextAnalysis.fingerprintExpr(col("text")))
+      val rn = Window.partitionBy("fp").orderBy("doc_id")
+      docs
+        .withColumn("rn", row_number().over(rn)).filter(col("rn") === 1)
+        .select("doc_id", "text").orderBy("doc_id")
+        .collect() // bounded replay feed (verify-scale corpus; see Replay)
+        .map(r => (r.getLong(0), r.getString(1)))
+    }
+    val wave = base.filter(_._1 % 5 == 0).map { case (id, text) =>
+      (id + 1000000L, if (id % 25 == 0) text + " v2" else text)
+    }
+    def toDocs(rows: Array[(Long, String)]): Seq[Doc] = rows.map {
+      case (id, text) => Doc(id, text, new Timestamp(1704067200000L + id * 1000L))
+    }.toSeq
+    import s.implicits._
+    Replay.replayTo(s,
+      Replay.chunks(toDocs(base), 2) ++ Replay.chunks(toDocs(wave), 2))(in =>
+      DocStreams.toCorpus(in, dir, ckpt, lateness = "30 days"))
+    s.read.parquet(s"$dir/data")
+      .select(col("doc_id"), col("fp"), col("lang_pred"),
+        col("n_pii").cast("long").as("n_pii"))
+      .orderBy("doc_id")
+  }
+
   private final case class Vec(vec_id: Long, embedding: Seq[Float])
 
   /** Streaming ANN ingest replayed end-to-end: the embedding corpus
@@ -410,6 +461,7 @@ object StreamQueries {
   val queries: Map[String, Q] = Map(
     "stream_ann_ingest" -> streamAnnIngest,
     "stream_ann_ingest_pq" -> streamAnnIngestPq,
+    "stream_corpus_sink" -> streamCorpusSink,
     "stream_dedup" -> streamDedup,
     "stream_interval_join" -> streamIntervalJoin,
     "stream_window" -> streamWindow,
@@ -432,6 +484,38 @@ object StreamQueries {
         |  TRUE AS batches_applied_ok, TRUE AS coded_once_ok,
         |  TRUE AS codes_match_ok, TRUE AS meta_current_ok
         |FROM embeddings""".stripMargin,
+    // the corpus-sink oracle replays the full toCorpus composition:
+    // base pre-dedup (feed construction), the re-fetch wave, the shared
+    // quality gate (rejects never reach storage), langid + PII on
+    // admitted text, and first-arrival-per-fingerprint admission (base
+    // ids < wave ids, so ORDER BY doc_id is arrival order)
+    "stream_corpus_sink" ->
+      s"""WITH fpd AS (SELECT doc_id, text,
+         |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents),
+         |base AS (SELECT doc_id, text, fp FROM fpd
+         |  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+         |wave AS (SELECT doc_id + 1000000 AS doc_id,
+         |    CASE WHEN doc_id % 25 = 0 THEN text || ' v2' ELSE text END AS text
+         |  FROM base WHERE doc_id % 5 = 0),
+         |un AS (
+         |  SELECT doc_id, text, fp FROM base
+         |  UNION ALL
+         |  SELECT doc_id, text,
+         |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM wave),
+         |${PipelineQueries.qualityGateCtes.replace("FROM documents", "FROM un")},
+         |${PipelineQueries.langScoreCtes.replace("FROM documents", "FROM un")},
+         |l AS (${PipelineQueries.langArgmaxSelect}),
+         |pii AS (SELECT doc_id,
+         |  CAST(${PipelineQueries.piiTotalSql} AS BIGINT) AS n_pii FROM un),
+         |adm AS (SELECT un.doc_id, un.fp FROM un JOIN good USING (doc_id)
+         |  QUALIFY row_number() OVER (PARTITION BY un.fp ORDER BY un.doc_id) = 1)
+         |SELECT CAST(adm.doc_id AS BIGINT) AS doc_id, adm.fp,
+         |  l.lang_pred, pii.n_pii
+         |FROM adm JOIN l ON adm.doc_id = l.doc_id
+         |  JOIN pii ON adm.doc_id = pii.doc_id
+         |ORDER BY doc_id""".stripMargin,
     "stream_dedup" ->
       """WITH fpd AS (SELECT doc_id, text,
         |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp

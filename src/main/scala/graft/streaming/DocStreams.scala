@@ -1,7 +1,10 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 import graft.pipeline.TextAnalysis
 
 /** Streaming counterpart of the dedup family's exact path: content-
@@ -76,6 +79,73 @@ object DocStreams {
       .filter(col("keep") === 1)
     if (dropPii) flagged.filter(col("n_pii") === 0L) else flagged
   }
+
+  /** Per-micro-batch corpus-sink function — the text-side twin of
+    * [[VectorIngest.ivfBatchSink]]: admit a batch into a persisted
+    * partitioned-parquet corpus at `dir/data`, exactly once per
+    * content fingerprint. Batch rows must carry `doc_id` and `fp`
+    * ([[dedupExact]]'s output contract). Per batch, in order:
+    *
+    *  1. **Idempotence marker**: `_applied_<batchId>` in `dir` skips a
+    *     batch already absorbed (foreachBatch is at-least-once).
+    *  2. **Within-batch dedup** (defense in depth — [[dedupExact]]
+    *     upstream already collapses the stream): first `doc_id` per
+    *     `fp`, so admission is deterministic whatever the upstream.
+    *  3. **Store probe**: LEFT ANTI against the persisted corpus's
+    *     fingerprints — the streaming face of
+    *     [[graft.pipeline.Dedup.incremental]], and the reason the sink
+    *     is idempotent EVEN ACROSS the crash window the marker cannot
+    *     close (a replayed batch whose rows were written but whose
+    *     marker was lost re-probes the store and admits nothing).
+    *     Per-batch cost is O(micro-batch) joined against the store's
+    *     fp column (store scans prune to that column; bucket the store
+    *     by fp at production scale to probe without shuffling it).
+    *  4. **Append** the admitted rows partitioned by `partCol`
+    *     (default `lang_pred`, [[qualityFilter]]'s output — corpus
+    *     layout by predicted language, the shape mixture/resample
+    *     reads), then drop the marker.
+    */
+  def corpusBatchSink(dir: String,
+                      partCol: String = "lang_pred"): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val spark = batch.sparkSession
+      val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val marker = new Path(dir, s"_applied_$batchId")
+      val data = s"$dir/data"
+      if (!fs.exists(marker) && !batch.isEmpty) {
+        val one = batch
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy("fp").orderBy("doc_id")))
+          .filter(col("__rn") === 1).drop("__rn")
+        val admitted =
+          if (fs.exists(new Path(data)))
+            one.join(spark.read.parquet(data).select(col("fp")),
+              Seq("fp"), "left_anti")
+          else one
+        admitted.write.mode("append")
+          .partitionBy(partCol).parquet(data)
+        fs.create(marker, true).close()
+      }
+    }
+
+  /** The composed streaming ingest loop for TEXT — quality gate, then
+    * watermark-horizon dedup, then the idempotent persisted-corpus sink:
+    * `docs -> qualityFilter -> dedupExact -> corpusBatchSink`. The gate
+    * runs FIRST so rejected documents never occupy dedup state, and the
+    * sink's store probe extends dedup across the watermark horizon and
+    * across restarts — together the full division of labor this module
+    * documents, in one query. The checkpoint carries source offsets;
+    * sink idempotence is the marker + store probe above.
+    */
+  def toCorpus(docs: DataFrame, dir: String, checkpoint: String,
+               lateness: String, dropPii: Boolean = false,
+               partCol: String = "lang_pred"): StreamingQuery =
+    dedupExact(qualityFilter(docs, dropPii), lateness)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch(corpusBatchSink(dir, partCol))
+      .start()
 
   /** Streaming chunker — the online RAG/embedding ingest path: each
     * arriving document explodes into its strided token windows via the
