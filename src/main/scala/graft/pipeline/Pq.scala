@@ -402,4 +402,38 @@ object Pq {
     val codes = spark.read.parquet(s"$dir/codes")
     scoreIvf(queries, coarse, codebook, codes, k, m, nprobe)
   }
+
+  /** [[probeIndexIvf]] with an exact REFINE (re-ranking) stage — Jegou
+    * et al. 2011 §VI's IVFADC+R, the standard production
+    * recall-recovery step: the ADC probe nominates `rerank` candidates
+    * per query (rerank >= k), which are then re-scored EXACTLY against
+    * the full-precision corpus vectors and the top k by true integer
+    * dot are emitted (dot desc, nid asc — [[Similarity.bruteForceTopK]]'s
+    * deterministic contract, so emitted scores are exact and
+    * invariant-checkable, unlike ADC estimates).
+    *
+    * Cost: one candidate-id equi-join against the corpus at
+    * |queries| × rerank rows — the full-precision vectors are touched
+    * ONLY for nominated candidates, so the index payload stays codes
+    * (the point of PQ) while ADC's quantization error is evicted from
+    * the final ranking. The remaining loss is a true neighbor absent
+    * from the rerank pool (coarse-cell loss or a deep ADC misrank) —
+    * measured in RecallProbe and gated via the `ann_ivfpq_refine`
+    * entry's recall floor. Saturated regime (`nprobe` = all cells,
+    * `rerank` >= corpus) is EXACTLY brute force — pinned in PqSpec.
+    */
+  def probeIndexIvfRefined(dir: String, queries: DataFrame, emb: DataFrame,
+                           k: Int, m: Int, nprobe: Int,
+                           rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val cands = probeIndexIvf(dir, queries, rerank, m, nprobe)
+      .select(col("qid"), col("nid"))
+    val p = Similarity.prepared(emb)
+    val scored = cands
+      .join(p.select(col("vec_id").as("qid"), col("q").as("qq")), "qid")
+      .join(p.select(col("vec_id").as("nid"), col("q").as("nq")), "nid")
+      .withColumn("score", Similarity.intDot(col("qq"), col("nq")))
+      .select("qid", "nid", "score")
+    rankTopK(scored, k)
+  }
 }

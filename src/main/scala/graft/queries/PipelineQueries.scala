@@ -738,9 +738,12 @@ object PipelineQueries {
     * thin-margin embeddings) and IVF-PQ floor 50% (residual encoding +
     * nprobe=8: measured 64.7/62.3/55.3% — up from 54.0/49.0/47.3% at
     * the r8 raw-vector nprobe=4 composition; see [[annIvfPq]] for the
-    * calibration). Both floors sit ~5 points under their per-SF
-    * minima. The k-means replay is impractical in SQL, so the oracle
-    * derives the population and the expected all-pass booleans.
+    * calibration), plus the refined path ([[Pq.probeIndexIvfRefined]],
+    * same pool exactly re-ranked) at floor 75% (measured
+    * 87.7/83.7/82.7% — the +20-27 point IVFADC+R gain). All floors sit
+    * ~5-8 points under their per-SF minima. The k-means replay is
+    * impractical in SQL, so the oracle derives the population and the
+    * expected all-pass booleans.
     */
   def annPqRecall(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
@@ -751,13 +754,17 @@ object PipelineQueries {
       .select("qid", "nid")
     val ivfpq = Pq.probeIndexIvf(annIvfPqDir(d), annQueries(s, d),
       k = 3, m = 32, nprobe = 8).select("qid", "nid")
+    val refined = Pq.probeIndexIvfRefined(annIvfPqDir(d), annQueries(s, d),
+      emb, k = 3, m = 32, nprobe = 8, rerank = 12).select("qid", "nid")
     val tot = exact.agg(count(lit(1)).as("n_exact"))
     val ph = exact.intersect(pq).agg(count(lit(1)).as("pq_hits"))
     val ih = exact.intersect(ivfpq).agg(count(lit(1)).as("ivfpq_hits"))
-    val out = tot.crossJoin(ph).crossJoin(ih).select(
+    val rh = exact.intersect(refined).agg(count(lit(1)).as("refine_hits"))
+    val out = tot.crossJoin(ph).crossJoin(ih).crossJoin(rh).select(
       col("n_exact").cast("long").as("n_exact"),
       (col("pq_hits") * 100L >= col("n_exact") * 60L).as("recall_ok"),
-      (col("ivfpq_hits") * 100L >= col("n_exact") * 50L).as("ivfpq_recall_ok"))
+      (col("ivfpq_hits") * 100L >= col("n_exact") * 50L).as("ivfpq_recall_ok"),
+      (col("refine_hits") * 100L >= col("n_exact") * 75L).as("refine_recall_ok"))
     materializedAndReleased(s, out, exact)
   }
 
@@ -789,6 +796,31 @@ object PipelineQueries {
   def annIvfPq(s: SparkSession, d: String): DataFrame =
     probeInvariants(s, d, annIvfPqRows(s, d), k = 3, scoreCol = "score",
       exactDots = false)
+
+  /** IVF-PQ probe + exact refine ([[Pq.probeIndexIvfRefined]], IVFADC+R):
+    * ADC nominates rerank=12 candidates per query, full-precision
+    * re-scoring emits the top 3 by TRUE integer dot. Because refined
+    * scores are exact, this entry's invariant singleton carries the
+    * STRONG `scores_exact_ok` check the plain IVF-PQ entry cannot
+    * (every emitted score equals the dot recomputed from the corpus) —
+    * and the refine's recall gain over raw IVFADC is large and
+    * measured: RecallProbe refined 87.7/83.7/82.7% vs raw
+    * 64.7/62.3/55.3% at sf0.001/0.01/0.1 (+20-27 points — most of raw
+    * IVFADC's loss here is ADC misranking inside the pool, exactly what
+    * re-scoring evicts; refined recall can only be >= the same-pool ADC
+    * ranking's, pinned in PqSpec). Recall is floor-gated at 75 in
+    * [[annPqRecall]]'s `refine_recall_ok`.
+    */
+  private[graft] def annIvfPqRefineRows(s: SparkSession, d: String): DataFrame = {
+    ensureIvfPqIndex(s, d)
+    Pq.probeIndexIvfRefined(annIvfPqDir(d), annQueries(s, d),
+      Tables.embeddings(s, d), k = 3, m = 32, nprobe = 8, rerank = 12)
+      .orderBy("qid", "rank")
+  }
+
+  def annIvfPqRefine(s: SparkSession, d: String): DataFrame =
+    probeInvariants(s, d, annIvfPqRefineRows(s, d), k = 3,
+      scoreCol = "score", exactDots = true)
 
   /** Packed-int8 quantized top-k — [[annTopk]] on the 1-byte-per-dim
     * `binary` representation ([[Similarity.quantizedTopK]]): 8x less
@@ -1431,6 +1463,7 @@ object PipelineQueries {
     "ann_pq" -> annPq,
     "ann_pq_build" -> annPqBuild,
     "ann_ivfpq" -> annIvfPq,
+    "ann_ivfpq_refine" -> annIvfPqRefine,
     "ann_ivfpq_build" -> annIvfPqBuild,
     "ann_ivf_append" -> annIvfAppend,
     "ann_ivfpq_append" -> annIvfPqAppend,
@@ -2216,6 +2249,12 @@ object PipelineQueries {
       """SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS rows_ok,
         |  TRUE AS monotone_ok, TRUE AS neighbors_ok
         |FROM embeddings WHERE vec_id < 100""".stripMargin,
+    // the refined probe re-scores with exact dots, so unlike raw IVFADC
+    // it also carries scores_exact_ok
+    "ann_ivfpq_refine" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS rows_ok,
+        |  TRUE AS monotone_ok, TRUE AS neighbors_ok, TRUE AS scores_exact_ok
+        |FROM embeddings WHERE vec_id < 100""".stripMargin,
     "ann_ivf_build" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_vectors, TRUE AS coded_once_ok,
         |  TRUE AS cells_ok, TRUE AS vectors_match_ok
@@ -2291,7 +2330,7 @@ object PipelineQueries {
          |FROM reach GROUP BY u ORDER BY vec_id""".stripMargin,
     "ann_pq_recall" ->
       """SELECT CAST(count(*) * 3 AS BIGINT) AS n_exact, TRUE AS recall_ok,
-        |  TRUE AS ivfpq_recall_ok
+        |  TRUE AS ivfpq_recall_ok, TRUE AS refine_recall_ok
         |FROM embeddings WHERE vec_id < 100""".stripMargin,
     // recall floors for ann_lsh/ann_ivf are oracle-checked through
     // ann_recall; dedup_embedding_lsh's through its own entry and

@@ -56,6 +56,21 @@ object RecallProbe {
         Pq.topKIvf(emb, k = 3, m = 32, ks = 32, iters = 2,
           nCells = 16, nprobe = 8,
           queryPred = col("vec_id") < 100).select("qid", "nid")).count()
+      // IVFADC+R (ann_ivfpq_refine floor): the same probe's top-12 pool
+      // exactly re-ranked to top-3 — refined recall >= the same-pool
+      // ADC ranking's by construction
+      val pool = Pq.topKIvf(emb, k = 12, m = 32, ks = 32, iters = 2,
+        nCells = 16, nprobe = 8,
+        queryPred = col("vec_id") < 100).select("qid", "nid")
+      val p3 = Similarity.prepared(emb)
+      val rw = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("dot").desc, col("nid").asc)
+      val refineHits = exactTopk.intersect(pool
+        .join(p3.select(col("vec_id").as("qid"), col("q").as("qq")), "qid")
+        .join(p3.select(col("vec_id").as("nid"), col("q").as("nq")), "nid")
+        .withColumn("dot", Similarity.intDot(col("qq"), col("nq")))
+        .withColumn("rk", row_number().over(rw)).filter(col("rk") <= 3)
+        .select("qid", "nid")).count()
       exactTopk.unpersist()
       val exactPairs = Similarity.cosinePairs(emb, tnum = 9, tden = 20).cache()
       val nPairs = exactPairs.count()
@@ -100,7 +115,7 @@ object RecallProbe {
       def pct(h: Long, n: Long): String = String.format(
         java.util.Locale.ROOT, "%.1f",
         Double.box(if (n == 0) 100.0 else h * 100.0 / n))
-      println(s"""{"probe":"recall","sf":"$d","ann_lsh":${pct(lshHits, nExact)},"ann_ivf":${pct(ivfHits, nExact)},"ann_q8":${pct(q8Hits, nExact)},"ann_pq":${pct(pqHits, nExact)},"ann_ivfpq":${pct(ivfpqHits, nExact)},"embedding_lsh":${pct(pairHits, nPairs)},"semantic":${pct(semHits, nPairs)},"semantic2":${pct(sem2Hits, nPairs)},"n_exact_topk":$nExact,"n_exact_pairs":$nPairs,"s_ann_lsh":$sLsh/$sN,"s_ann_ivf":$sIvf/$sN,"s_emb_lsh":$sPH/$sNP}""")
+      println(s"""{"probe":"recall","sf":"$d","ann_lsh":${pct(lshHits, nExact)},"ann_ivf":${pct(ivfHits, nExact)},"ann_q8":${pct(q8Hits, nExact)},"ann_pq":${pct(pqHits, nExact)},"ann_ivfpq":${pct(ivfpqHits, nExact)},"ann_ivfpq_refine":${pct(refineHits, nExact)},"embedding_lsh":${pct(pairHits, nPairs)},"semantic":${pct(semHits, nPairs)},"semantic2":${pct(sem2Hits, nPairs)},"n_exact_topk":$nExact,"n_exact_pairs":$nPairs,"s_ann_lsh":$sLsh/$sN,"s_ann_ivf":$sIvf/$sN,"s_emb_lsh":$sPH/$sNP}""")
       spark.catalog.clearCache()
     }
     spark.stop()

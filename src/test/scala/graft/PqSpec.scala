@@ -63,6 +63,38 @@ class PqSpec extends SparkSpec {
         queryPred = col("vec_id") < 8)))
   }
 
+  test("refined probe in the saturated regime equals brute force; refine beats or ties ADC on the same pool") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 24).cache()
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-ref").toString
+    // LOSSY codebook (ks = 4 << 24): ADC ordering is genuinely
+    // approximate, so the refine stage has real work to do
+    Pq.buildIndexIvf(emb, dir, m = 32, ks = 4, iters = 2, nCells = 4)
+    val pred = col("vec_id") < 8
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "nid").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // nprobe = all cells, rerank >= corpus: the pool is the whole corpus
+    // and exact re-scoring IS brute force, whatever the codes lost
+    assert(rows(Pq.probeIndexIvfRefined(dir,
+        Similarity.prepared(emb).filter(pred), emb,
+        k = 3, m = 32, nprobe = 4, rerank = 24)) ==
+      rows(Similarity.bruteForceTopK(emb, k = 3, queryPred = pred)))
+    // bounded pool: refined top-k hits >= the ADC ranking's on the same
+    // (nprobe, rerank) pool — exact re-scoring can only fix misranks
+    val exact = rows(Similarity.bruteForceTopK(emb, k = 3, queryPred = pred))
+      .map(t => (t._1, t._3))
+    val adc = rows(Pq.probeIndexIvf(dir,
+        Similarity.prepared(emb).filter(pred), k = 3, m = 32, nprobe = 2))
+      .map(t => (t._1, t._3))
+    val ref = rows(Pq.probeIndexIvfRefined(dir,
+        Similarity.prepared(emb).filter(pred), emb,
+        k = 3, m = 32, nprobe = 2, rerank = 12))
+      .map(t => (t._1, t._3))
+    assert((ref & exact).size >= (adc & exact).size,
+      s"refine ${(ref & exact).size} < adc ${(adc & exact).size}")
+  }
+
   test("persisted flat-PQ and IVF-PQ probes equal their inline forms") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val pred = col("vec_id") < 40
