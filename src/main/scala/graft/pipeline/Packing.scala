@@ -185,9 +185,16 @@ object Packing {
         (expr(s"((rank - 1) * $n) div total") + 1).cast("int").as("bucket"))
   }
 
-  def tokenShards(docs: DataFrame, budget: Long,
-                  buckets: Int = 64): DataFrame = {
-    require(budget >= 1, s"budget must be positive, got $budget")
+  /** The shared two-phase global prefix sum over doc token counts:
+    * `(doc_id, n_tokens, before)` where `before` is the EXCLUSIVE
+    * running token total in doc_id order — exact, distributed, and
+    * never a single-partition window (order-preserving arithmetic id
+    * buckets; per-bucket totals cross the driver as ≤ `buckets` rows;
+    * local cumsum + broadcast offset). Returns None for an empty
+    * corpus. [[tokenShards]] and [[sequencePack]] both build on it.
+    */
+  private def globalTokenOffsets(docs: DataFrame,
+                                 buckets: Int): Option[DataFrame] = {
     require(buckets >= 1, s"buckets must be positive, got $buckets")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -195,9 +202,7 @@ object Packing {
       TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
     // phase 0: id range — one singleton aggregate row to the driver
     val bounds = toks.agg(min("doc_id"), max("doc_id")).head()
-    if (bounds.isNullAt(0))
-      return toks.select(col("doc_id"), col("n_tokens").cast("int"),
-        lit(0L).as("shard")).limit(0)
+    if (bounds.isNullAt(0)) return None
     val mn = bounds.getLong(0)
     val span = bounds.getLong(1) - mn + 1
     // an id range wider than Long.MaxValue (e.g. a negative hash-derived
@@ -218,12 +223,72 @@ object Packing {
     var acc = 0L
     val offs = totals.map { case (b, t) => val o = acc; acc += t; (b, o) }
     val offDf = broadcast(offs.toSeq.toDF("bucket", "offset"))
-    // phase 2: local exclusive cumsum + offset; shard by integer div
+    // phase 2: local exclusive cumsum + offset
     val w = Window.partitionBy("bucket").orderBy("doc_id")
-    withB.join(offDf, "bucket")
+    Some(withB.join(offDf, "bucket")
       .withColumn("before",
         sum(col("n_tokens")).over(w) - col("n_tokens") + col("offset"))
-      .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
-        expr(s"before div ${budget}L").cast("long").as("shard"))
+      .select(col("doc_id"), col("n_tokens"), col("before")))
   }
+
+  def tokenShards(docs: DataFrame, budget: Long,
+                  buckets: Int = 64): DataFrame = {
+    require(budget >= 1, s"budget must be positive, got $budget")
+    globalTokenOffsets(docs, buckets) match {
+      case None =>
+        docs.select(col("doc_id").cast("long").as("doc_id"),
+          lit(0).as("n_tokens"), lit(0L).as("shard")).limit(0)
+      case Some(off) =>
+        off.select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
+          expr(s"before div ${budget}L").cast("long").as("shard"))
+    }
+  }
+
+  /** Concat-and-chunk sequence packing — the LLM-pretraining packer:
+    * the corpus's token stream (docs concatenated in doc_id order) is
+    * cut into fixed-length training sequences of `seqLen` tokens, and
+    * each (document × sequence) intersection is emitted with its
+    * boundary metadata:
+    *
+    *   `(seq_id, doc_id, doc_start, seq_start, len)`
+    *
+    * — tokens `[doc_start, doc_start+len)` of `doc_id` occupy positions
+    * `[seq_start, seq_start+len)` of sequence `seq_id`. Every sequence
+    * except the last is exactly `seqLen` tokens; a long document spans
+    * consecutive sequences; attention-mask/document-boundary info for
+    * the trainer is precisely this row set.
+    *
+    * Execution shape: the [[globalTokenOffsets]] two-phase prefix sum
+    * (never a single-partition window), then per-row ARITHMETIC — each
+    * doc explodes into `n_tokens/seqLen + 1` rows via a sequence range,
+    * with no join at all. Zero-token documents occupy no sequence and
+    * are absent, like empty files in a real tokenizer pipeline.
+    */
+  def sequencePack(docs: DataFrame, seqLen: Long,
+                   buckets: Int = 64): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be positive, got $seqLen")
+    val empty = docs.sparkSession.emptyDataFrame
+      .select(lit(0L).as("seq_id"), lit(0L).as("doc_id"),
+        lit(0L).as("doc_start"), lit(0L).as("seq_start"), lit(0L).as("len"))
+      .limit(0)
+    globalTokenOffsets(docs, buckets) match {
+      case None => empty
+      case Some(off) =>
+        val first = expr(s"before div ${seqLen}L")
+        val last = expr(s"(before + n_tokens - 1) div ${seqLen}L")
+        off.filter(col("n_tokens") > 0)
+          .withColumn("seq_id", explode(sequence(first, last)))
+          .select(
+            col("seq_id").cast("long").as("seq_id"),
+            col("doc_id"),
+            greatest(lit(0L), col("seq_id") * seqLen - col("before"))
+              .cast("long").as("doc_start"),
+            greatest(lit(0L), col("before") - col("seq_id") * seqLen)
+              .cast("long").as("seq_start"),
+            (least((col("seq_id") + 1L) * seqLen, col("before") + col("n_tokens"))
+              - greatest(col("seq_id") * seqLen, col("before")))
+              .cast("long").as("len"))
+    }
+  }
+
 }

@@ -1238,6 +1238,17 @@ object PipelineQueries {
     Packing.tokenShards(Tables.documents(s, d), budget = 2048L, buckets = 8)
       .orderBy("doc_id")
 
+  /** Concat-and-chunk sequence packing ([[Packing.sequencePack]],
+    * seqLen 512): the corpus token stream cut into fixed-length
+    * training sequences, one row per document × sequence intersection
+    * with boundary metadata — the actual LLM-pretraining packer shape
+    * (every sequence full at seqLen except the last; the row set IS
+    * the trainer's attention/document-boundary mask input).
+    */
+  def corpusPackSequences(s: SparkSession, d: String): DataFrame =
+    Packing.sequencePack(Tables.documents(s, d), seqLen = 512L, buckets = 8)
+      .orderBy("seq_id", "doc_id")
+
   /** Deterministic pseudorandom permutation of the corpus (seed 42) —
     * the shuffle-before-sharding step, exact global rank via the
     * priority-bucketed two-phase scan.
@@ -1501,6 +1512,7 @@ object PipelineQueries {
     "dedup_spans_apply" -> dedupSpansApply,
     "text_chunks" -> textChunks,
     "shard_pack" -> shardPack,
+    "corpus_pack_sequences" -> corpusPackSequences,
     "corpus_shuffle" -> corpusShuffle,
     "corpus_deciles" -> corpusDeciles,
     "corpus_split" -> corpusSplit,
@@ -1829,6 +1841,28 @@ object PipelineQueries {
        |  CAST(bef // $budget AS BIGINT) AS shard
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** DuckDB twin of [[corpusPackSequences]]: the prefix sum collapses
+    * to one window at oracle scale; each doc unnests its covering
+    * sequence range and the slice bounds are the same arithmetic.
+    */
+  private def packSequencesSql(seqLen: Long): String =
+    s"""WITH t AS (SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |    ELSE length(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS nt
+       |  FROM documents),
+       |c AS (SELECT doc_id, nt,
+       |    CAST(coalesce(sum(nt) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bef
+       |  FROM t),
+       |s AS (SELECT doc_id, nt, bef,
+       |    unnest(range(bef // $seqLen, (bef + nt - 1) // $seqLen + 1)) AS seq_id
+       |  FROM c WHERE nt > 0)
+       |SELECT CAST(seq_id AS BIGINT) AS seq_id, CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(greatest(0, seq_id * $seqLen - bef) AS BIGINT) AS doc_start,
+       |  CAST(greatest(0, bef - seq_id * $seqLen) AS BIGINT) AS seq_start,
+       |  CAST(least((seq_id + 1) * $seqLen, bef + nt)
+       |    - greatest(seq_id * $seqLen, bef) AS BIGINT) AS len
+       |FROM s ORDER BY seq_id, doc_id""".stripMargin
+
   /** DuckDB twin of [[corpusShuffle]]: one window rank over the
     * md5-derived priority at oracle scale.
     */
@@ -2096,6 +2130,7 @@ object PipelineQueries {
     "dedup_spans_apply" -> spansApplySql(k = 5, w = 8, minShared = 2L),
     "text_chunks" -> chunksSql(width = 64, stride = 48),
     "shard_pack" -> shardPackSql(budget = 2048L),
+    "corpus_pack_sequences" -> packSequencesSql(seqLen = 512L),
     "corpus_shuffle" -> corpusShuffleSql(seed = 42L),
     "corpus_split" ->
       s"""WITH ph AS (SELECT doc_id,

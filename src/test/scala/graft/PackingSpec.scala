@@ -205,4 +205,57 @@ class PackingSpec extends SparkSpec {
       seed = 1L).collect()
     assert(out.map(_.getLong(0)).toSeq == Seq(1L))
   }
+
+  test("sequencePack cuts the token stream with exact boundary metadata") {
+    // token counts 3, 2, 4 at seqLen 4 -> before: 0, 3, 5; total 9
+    val d = docs(1L -> "a b c", 2L -> "a b", 3L -> "a b c d")
+    val out = Packing.sequencePack(d, seqLen = 4L, buckets = 2)
+      .orderBy("seq_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (0L, 1L, 0L, 0L, 3L), // doc1 fills seq0[0,3)
+      (0L, 2L, 0L, 3L, 1L), // doc2 token 0 closes seq0
+      (1L, 2L, 1L, 0L, 1L), // doc2 token 1 opens seq1
+      (1L, 3L, 0L, 1L, 3L), // doc3 tokens 0-2 fill seq1
+      (2L, 3L, 3L, 0L, 1L))) // doc3 token 3 opens the final sequence
+  }
+
+  test("sequencePack invariants: full sequences, per-doc coverage, bucket-invariance") {
+    val d = docs((0L until 120L).map(i =>
+      i * 3 -> (0 to (i % 17).toInt).map(j => s"t$j").mkString(" ")): _*)
+    val L = 32L
+    val out = Packing.sequencePack(d, seqLen = L, buckets = 1)
+      .orderBy("seq_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val total = out.map(_._5).sum
+    // every sequence holds exactly L tokens except the last
+    val bySeq = out.groupBy(_._1).view.mapValues(_.map(_._5).sum).toMap
+    val lastSeq = bySeq.keys.max
+    assert(bySeq.filterKeys(_ != lastSeq).values.forall(_ == L), s"$bySeq")
+    assert(bySeq(lastSeq) == (if (total % L == 0) L else total % L))
+    // every doc's slices cover [0, n_tokens) contiguously
+    for ((docId, slices) <- out.groupBy(_._2)) {
+      val sorted = slices.sortBy(_._3)
+      assert(sorted.head._3 == 0L, s"doc $docId starts at ${sorted.head._3}")
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._3 + a._5 == b._3,
+          s"doc $docId gap between slices $a $b")
+        case _ => ()
+      }
+      // within a sequence, seq positions line up with the slice length
+      slices.foreach { sl => assert(sl._4 + sl._5 <= L) }
+    }
+    // bucket count never changes the result
+    for (b <- Seq(2, 8, 64))
+      assert(Packing.sequencePack(d, seqLen = L, buckets = b)
+        .orderBy("seq_id", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSeq == out, s"buckets=$b diverges")
+    // empty corpus and zero-token docs
+    assert(Packing.sequencePack(docs(), seqLen = 8L).count() == 0)
+    assert(Packing.sequencePack(docs(1L -> "  ", 2L -> "a b"), seqLen = 8L)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
 }

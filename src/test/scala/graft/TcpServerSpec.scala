@@ -122,6 +122,36 @@ class TcpServerSpec extends SparkSpec {
     } finally engine.close()
   }
 
+  test("a 400k-row result streams over the socket complete") {
+    // volume case for the network sink: the server writes each emission
+    // line as the iterator produces it (SCALE.md's streaming bound —
+    // the cap-exceeding guarantee itself is EngineSpec's
+    // emission-streams case; serve() consumes the same iterator)
+    val engine = new Engine(spark, tmpDir("tcp_big_db"))
+    try withServer(engine) { port =>
+      val csv = new java.io.File(tmpDir("tcp_big_csv"), "big.csv")
+      val pw = new java.io.PrintWriter(csv)
+      pw.println("ba")
+      (0 until 400000).foreach(i => pw.println(i % 1000000))
+      pw.close()
+      val script =
+        s"""create(ba,"unsorted")
+           |load("${csv.getAbsolutePath}")
+           |v=select(ba)
+           |vals=fetch(ba,v)
+           |print(vals)
+           |""".stripMargin
+      var n = 0L
+      var sum = 0L
+      val failed = NetClient.run("127.0.0.1", port, script.linesIterator,
+        line => { n += 1; sum += line.toLong }, e => fail(s"error: $e"))
+      assert(!failed)
+      assert(n == 400000L)
+      // 400k rows of i % 1000000 with i < 400k: sum = 0+1+...+399999
+      assert(sum == 399999L * 400000L / 2L)
+    } finally engine.close()
+  }
+
   test("a second connection does not see the first connection's variables") {
     val engine = new Engine(spark, tmpDir("tcp_env_db"))
     try withServer(engine) { port =>
