@@ -57,6 +57,50 @@ object Mixture {
         .otherwise("test").as("split"))
   }
 
+  /** Epoch-weighted corpus expansion — [[resample]]'s complement for
+    * mixture weights ABOVE one epoch (resample deliberately caps each
+    * quota at the language's population): `epochsBp(lang)` basis points
+    * of an epoch (25000 = 2.5 epochs) expand every document of that
+    * language into `bp div 10000` full copies, plus one more iff its
+    * md5-derived priority mod 10000 lands under `bp mod 10000` — the
+    * standard pretraining mixture recipe ("2 epochs of wiki, 0.3 of
+    * web"). Copy count is a pure per-row function of (seed, doc_id)
+    * (the [[split]] consistent-hash contract): growing the corpus never
+    * changes an existing document's repetition, and the realized
+    * fraction converges to `bp mod 10000 / 10000` over the corpus.
+    * Languages absent from the map contribute nothing.
+    *
+    * Output `(doc_id, lang, copy)` with copy in `[0, copies)` — the
+    * repetition-aware manifest downstream shuffling/packing consumes
+    * ([[Packing.deterministicShuffle]] keys can salt in `copy`).
+    * Scale shape: one corpus scan + a languages-sized broadcast; the
+    * expansion is a per-row sequence explode — no shuffle at all.
+    */
+  def epochMix(docs: DataFrame, epochsBp: Map[String, Int],
+               seed: Long): DataFrame = {
+    require(epochsBp.values.forall(_ >= 0),
+      s"epoch weights must be non-negative basis points: $epochsBp")
+    // sequence() materializes `copies` entries per row; an absurd weight
+    // would be a per-row memory bomb, so bound it loudly (1000 epochs)
+    require(epochsBp.values.forall(_ <= 10000000),
+      s"epoch weights above 1000 epochs look like a unit error: $epochsBp")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val targets = broadcast(epochsBp.toSeq.toDF("lang", "bp"))
+    val scored = docs.select(col("doc_id").cast("long").as("doc_id"),
+      TextAnalysis.langPredExpr(col("text")).as("lang"),
+      conv(substring(md5(concat(lit(s"$seed:"), col("doc_id").cast("string"))),
+        1, 15), 16, 10).cast("long").as("pri"))
+    scored.join(targets, Seq("lang"))
+      .withColumn("copies",
+        expr("bp div 10000").cast("long") +
+          when(pmod(col("pri"), lit(10000L)) < (col("bp") % 10000).cast("long"),
+            1L).otherwise(0L))
+      .filter(col("copies") > 0)
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(0L), col("copies") - 1L)).as("copy"))
+  }
+
   def resample(docs: DataFrame, targetsBp: Map[String, Int], budget: Long,
                seed: Long, saltBuckets: Int = 1): DataFrame = {
     require(saltBuckets >= 1, s"saltBuckets must be positive, got $saltBuckets")

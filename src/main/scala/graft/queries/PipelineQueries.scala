@@ -1249,6 +1249,17 @@ object PipelineQueries {
     Packing.sequencePack(Tables.documents(s, d), seqLen = 512L, buckets = 8)
       .orderBy("seq_id", "doc_id")
 
+  /** Epoch-weighted mixture expansion ([[Mixture.epochMix]]): 2.5
+    * epochs of English, 1 of German, 0.4 of French — every document
+    * expands into its deterministic copy count, the repetition-aware
+    * manifest a pretraining run consumes (the weights-above-one-epoch
+    * complement of [[corpusResample]]).
+    */
+  def corpusEpochMix(s: SparkSession, d: String): DataFrame =
+    Mixture.epochMix(Tables.documents(s, d),
+      Map("en" -> 25000, "de" -> 10000, "fr" -> 4000), seed = 42L)
+      .orderBy("doc_id", "copy")
+
   /** Deterministic pseudorandom permutation of the corpus (seed 42) —
     * the shuffle-before-sharding step, exact global rank via the
     * priority-bucketed two-phase scan.
@@ -1513,6 +1524,7 @@ object PipelineQueries {
     "text_chunks" -> textChunks,
     "shard_pack" -> shardPack,
     "corpus_pack_sequences" -> corpusPackSequences,
+    "corpus_epoch_mix" -> corpusEpochMix,
     "corpus_shuffle" -> corpusShuffle,
     "corpus_deciles" -> corpusDeciles,
     "corpus_split" -> corpusSplit,
@@ -1863,6 +1875,27 @@ object PipelineQueries {
        |    - greatest(seq_id * $seqLen, bef) AS BIGINT) AS len
        |FROM s ORDER BY seq_id, doc_id""".stripMargin
 
+  /** DuckDB twin of [[corpusEpochMix]]: lang argmax + md5 priority +
+    * integer copy arithmetic + range unnest, replayed bit-for-bit.
+    */
+  private def epochMixSql(targets: Seq[(String, Int)], seed: Long): String = {
+    val vals = targets.map { case (l, bp) => s"('$l', $bp)" }.mkString(", ")
+    s"""WITH $langScoreCtes,
+       |l AS ($langArgmaxSelect),
+       |hp AS (SELECT doc_id, lang_pred AS lang,
+       |    md5(concat('$seed:', CAST(doc_id AS VARCHAR))) AS h FROM l),
+       |pp AS (SELECT doc_id, lang, $md5Priority60Sql AS pri FROM hp),
+       |cc AS (SELECT doc_id, lang,
+       |    (bp // 10000) + CASE WHEN pri % 10000 < bp % 10000
+       |      THEN 1 ELSE 0 END AS copies
+       |  FROM pp JOIN (VALUES $vals) AS t(lang, bp) USING (lang)),
+       |e AS (SELECT doc_id, lang, unnest(range(0, copies)) AS copy
+       |  FROM cc WHERE copies > 0)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       |  CAST(copy AS BIGINT) AS copy
+       |FROM e ORDER BY doc_id, copy""".stripMargin
+  }
+
   /** DuckDB twin of [[corpusShuffle]]: one window rank over the
     * md5-derived priority at oracle scale.
     */
@@ -2131,6 +2164,8 @@ object PipelineQueries {
     "text_chunks" -> chunksSql(width = 64, stride = 48),
     "shard_pack" -> shardPackSql(budget = 2048L),
     "corpus_pack_sequences" -> packSequencesSql(seqLen = 512L),
+    "corpus_epoch_mix" -> epochMixSql(
+      Seq("en" -> 25000, "de" -> 10000, "fr" -> 4000), seed = 42L),
     "corpus_shuffle" -> corpusShuffleSql(seed = 42L),
     "corpus_split" ->
       s"""WITH ph AS (SELECT doc_id,

@@ -206,6 +206,35 @@ class PackingSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("epochMix expands by whole epochs plus a deterministic fraction") {
+    val en = "the cat and the dog of a to the house"
+    val es = "el perro y la casa de que el"
+    val d = docs((0L until 200L).map(i =>
+      i -> (if (i % 2 == 0) en else es)): _*)
+    // en at 2.5 epochs, es absent (weight 0 -> dropped)
+    val out = Mixture.epochMix(d, Map("en" -> 25000), seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.forall(_._2 == "en"))
+    // every en doc appears at least twice (floor 2), copies are 0..n-1
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    assert(byDoc.keySet == (0L until 200L by 2).toSet)
+    assert(byDoc.values.forall(cs => cs == (0L until cs.size).toSeq))
+    assert(byDoc.values.forall(cs => cs.size == 2 || cs.size == 3))
+    // the fractional half lands near 50% of the 100 en docs, and the
+    // total is exactly reproducible (consistent hash, fixed seed)
+    val three = byDoc.values.count(_.size == 3)
+    assert(three > 25 && three < 75, s"fractional selection count $three")
+    val again = Mixture.epochMix(d, Map("en" -> 25000), seed = 7L).count()
+    assert(again == out.length.toLong)
+    // growing the corpus never changes an existing doc's copy count
+    val grown = Mixture.epochMix(
+      d.union(docs(1000L -> en, 1001L -> en)), Map("en" -> 25000), seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .filter(_._1 < 200L).groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(grown == byDoc)
+  }
+
   test("sequencePack cuts the token stream with exact boundary metadata") {
     // token counts 3, 2, 4 at seqLen 4 -> before: 0, 3, 5; total 9
     val d = docs(1L -> "a b c", 2L -> "a b", 3L -> "a b c d")
