@@ -112,7 +112,11 @@ final class Engine(val spark: SparkSession, val dbDir: String)
       case Left(bad) => throw DbError.parse(bad)
     }
     val s = newSession()
-    ops.flatMap(op => s.eval(op).toSeq)
+    // output is materialized, so the one-shot session's cached bindings
+    // can be released immediately (a leaked env would pin CacheManager
+    // entries for the SparkSession's lifetime)
+    try ops.flatMap(op => s.eval(op).toSeq)
+    finally s.dispose()
   }
 }
 

@@ -426,8 +426,19 @@ object Pq {
                            k: Int, m: Int, nprobe: Int,
                            rerank: Int): DataFrame = {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
-    val cands = probeIndexIvf(dir, queries, rerank, m, nprobe)
-      .select(col("qid"), col("nid"))
+    refineExact(probeIndexIvf(dir, queries, rerank, m, nprobe)
+      .select(col("qid"), col("nid")), emb, k)
+  }
+
+  /** The refine stage alone: exact re-ranking of a `(qid, nid)`
+    * candidate pool against the full-precision corpus — true integer
+    * dot, top k per query under the (dot desc, nid asc) contract.
+    * Shared by [[probeIndexIvfRefined]] and the RecallProbe
+    * calibration, so the published floors always measure the SHIPPED
+    * refine semantics (a tie-break or scoring change here moves both).
+    */
+  private[graft] def refineExact(cands: DataFrame, emb: DataFrame,
+                                 k: Int): DataFrame = {
     val p = Similarity.prepared(emb)
     val scored = cands
       .join(p.select(col("vec_id").as("qid"), col("q").as("qq")), "qid")

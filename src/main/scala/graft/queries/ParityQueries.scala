@@ -183,7 +183,11 @@ object ParityQueries {
         |""".stripMargin).toOption.get.foreach(session.eval)
     val vals = Seq("a", "b", "c").map(v => session.getVals(v).df)
     // the returned plans only READ the throwaway db; release the writer
-    // lock now or every bench rep leaks an open lock-file channel
+    // lock now or every bench rep leaks an open lock-file channel — and
+    // release the session's cached bindings (Session.dispose), or every
+    // bench/verify rep leaks 4 CacheManager entries in the shared
+    // SparkSession (the plans recompute fine without the cache)
+    session.dispose()
     engine.close()
     registerCleanup(new java.io.File(tmp))
     ColumnOps.tupleZip(vals, Seq("id"))

@@ -2367,7 +2367,8 @@ object PipelineQueries {
     // dedup_semantic mirrors dedup_embedding_lsh's invariant singleton:
     // n_exact recomputed from the exact cosine-pair SQL; semantic pairs
     // are exact-verified within their k-means cell (subset by
-    // construction); the 80% floor is the RecallProbe calibration.
+    // construction); the 72% floor is the RecallProbe calibration
+    // (one lost pair at sf0.001's 7-pair population trips).
     "dedup_semantic" ->
       s"""WITH q AS (SELECT vec_id, $quantSql AS qe FROM embeddings),
          |n AS (SELECT vec_id, CAST(list_dot_product(qe, qe) AS BIGINT) AS n2, qe FROM q),

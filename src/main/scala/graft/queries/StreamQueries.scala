@@ -49,8 +49,14 @@ object StreamQueries {
     * (epoch + doc_id seconds) stays inside the 30-day horizon, so no
     * key is evicted mid-replay.
     */
-  def streamDedup(s: SparkSession, d: String): DataFrame = {
-    val base = memoFeed(s"docs-dedup:$d") {
+  /** The pre-deduplicated (first doc per fingerprint) replay feed and
+    * its re-fetch/edit wave, shared by [[streamDedup]] and
+    * [[streamCorpusSink]] — ONE builder under the memo key, so the two
+    * entries (and their oracles' shared CTE text) can never diverge on
+    * the feed's construction.
+    */
+  private def dedupBaseFeed(s: SparkSession, d: String): Array[(Long, String)] =
+    memoFeed(s"docs-dedup:$d") {
       val docs = Tables.documents(s, d)
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
         .withColumn("fp", TextAnalysis.fingerprintExpr(col("text")))
@@ -61,9 +67,15 @@ object StreamQueries {
         .collect() // bounded replay feed (verify-scale corpus; see Replay)
         .map(r => (r.getLong(0), r.getString(1)))
     }
-    val wave = base.filter(_._1 % 5 == 0).map { case (id, text) =>
+
+  private def refetchWave(base: Array[(Long, String)]): Array[(Long, String)] =
+    base.filter(_._1 % 5 == 0).map { case (id, text) =>
       (id + 1000000L, if (id % 25 == 0) text + " v2" else text)
     }
+
+  def streamDedup(s: SparkSession, d: String): DataFrame = {
+    val base = dedupBaseFeed(s, d)
+    val wave = refetchWave(base)
     // synthetic event time: 2024-01-01 + doc_id seconds. The base offset
     // matters — a ts of exactly epoch 0 ties Spark's initial watermark
     // value and is discarded as late before it ever reaches state.
@@ -326,20 +338,8 @@ object StreamQueries {
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(dir), true)
     fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
-    val base = memoFeed(s"docs-dedup:$d") {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-        .withColumn("fp", TextAnalysis.fingerprintExpr(col("text")))
-      val rn = Window.partitionBy("fp").orderBy("doc_id")
-      docs
-        .withColumn("rn", row_number().over(rn)).filter(col("rn") === 1)
-        .select("doc_id", "text").orderBy("doc_id")
-        .collect() // bounded replay feed (verify-scale corpus; see Replay)
-        .map(r => (r.getLong(0), r.getString(1)))
-    }
-    val wave = base.filter(_._1 % 5 == 0).map { case (id, text) =>
-      (id + 1000000L, if (id % 25 == 0) text + " v2" else text)
-    }
+    val base = dedupBaseFeed(s, d)
+    val wave = refetchWave(base)
     def toDocs(rows: Array[(Long, String)]): Seq[Doc] = rows.map {
       case (id, text) => Doc(id, text, new Timestamp(1704067200000L + id * 1000L))
     }.toSeq

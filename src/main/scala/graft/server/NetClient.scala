@@ -24,9 +24,15 @@ object NetClient {
       val in = new BufferedReader(new InputStreamReader(sock.getInputStream, UTF_8))
       val w = new BufferedWriter(new OutputStreamWriter(sock.getOutputStream, UTF_8))
       var failed = false
-      lines.foreach { line =>
-        val t = line.trim
-        if (t.nonEmpty && !t.startsWith("#")) {
+      var quit = false
+      val it = lines.iterator
+      while (!quit && it.hasNext) {
+        val t = it.next().trim
+        // a user-authored `quit` ends the session exactly like the
+        // client's own shutdown: the server sends NO status for it, so
+        // waiting for one would misreport a clean exit as an error
+        if (t == "quit") quit = true
+        else if (t.nonEmpty && !t.startsWith("#")) {
           w.write(t); w.newLine(); w.flush()
           var done = false
           while (!done) {
@@ -70,9 +76,15 @@ object NetClient {
           val in = new BufferedReader(new InputStreamReader(sock.getInputStream, UTF_8))
           val w = new BufferedWriter(new OutputStreamWriter(sock.getOutputStream, UTF_8))
           print("graft> "); Console.flush()
-          scala.io.Source.stdin.getLines().foreach { line =>
-            val t = line.trim
-            if (t.nonEmpty && !t.startsWith("#")) {
+          val stdin = scala.io.Source.stdin.getLines()
+          var quit = false
+          while (!quit && stdin.hasNext) {
+            val t = stdin.next().trim
+            if (t == "quit") {
+              // clean user exit — the server acknowledges with nothing
+              w.write("quit"); w.newLine(); w.flush()
+              quit = true
+            } else if (t.nonEmpty && !t.startsWith("#")) {
               w.write(t); w.newLine(); w.flush()
               var done = false
               while (!done) {
@@ -85,7 +97,7 @@ object NetClient {
                 } else { System.err.println(s"malformed: $resp"); sys.exit(1) }
               }
             }
-            print("graft> "); Console.flush()
+            if (!quit) { print("graft> "); Console.flush() }
           }
           println()
         } finally sock.close()

@@ -33,7 +33,8 @@ object ServerMain {
     val engine = new Engine(spark, dbDir)
     val server = new TcpServer(engine,
       port = port,
-      threads = sys.env.getOrElse("GRAFT_SERVER_THREADS", "16").toInt)
+      threads = sys.env.getOrElse("GRAFT_SERVER_THREADS", "16").toInt,
+      idleTimeoutMs = sys.env.getOrElse("GRAFT_IDLE_TIMEOUT_MS", "0").toInt)
     val bound = server.start()
     println(s"graft-server listening on $bound")
     Console.flush()

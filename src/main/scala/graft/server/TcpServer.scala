@@ -40,8 +40,18 @@ import graft.lang.Parser
   * of result size. Errors are per-line and non-fatal — the server renders
   * the DBE* message and stays in its request loop (server.c:856-859).
   * `quit` (or closing the connection) ends the session.
+  *
+  * Concurrency bound: like the reference's threadpool (16 workers,
+  * README.md:63-66), `threads` caps concurrent SESSIONS — an idle
+  * connection holds its worker (the reference blocks its thread on the
+  * socket the same way), and connection 17 queues until one frees.
+  * Deployments serving untrusted or flaky clients should set
+  * `idleTimeoutMs` > 0: a connection silent that long is treated as
+  * gone (session disposed, worker released), which is what bounds the
+  * half-open-connection exposure the pure-blocking model has.
   */
-final class TcpServer(engine: Engine, port: Int = 0, threads: Int = 16)
+final class TcpServer(engine: Engine, port: Int = 0, threads: Int = 16,
+                      idleTimeoutMs: Int = 0)
     extends AutoCloseable {
 
   private val serverSocket = new ServerSocket(port)
@@ -70,6 +80,7 @@ final class TcpServer(engine: Engine, port: Int = 0, threads: Int = 16)
   private def serve(sock: Socket): Unit = {
     val session = engine.newSession()
     try {
+      if (idleTimeoutMs > 0) sock.setSoTimeout(idleTimeoutMs)
       val in = new BufferedReader(new InputStreamReader(sock.getInputStream, UTF_8))
       val out = new BufferedWriter(new OutputStreamWriter(sock.getOutputStream, UTF_8))
 

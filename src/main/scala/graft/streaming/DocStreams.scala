@@ -112,19 +112,27 @@ object DocStreams {
       val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
       val marker = new Path(dir, s"_applied_$batchId")
       val data = s"$dir/data"
-      if (!fs.exists(marker) && !batch.isEmpty) {
-        val one = batch
-          .withColumn("__rn", row_number().over(
-            Window.partitionBy("fp").orderBy("doc_id")))
-          .filter(col("__rn") === 1).drop("__rn")
-        val admitted =
-          if (fs.exists(new Path(data)))
-            one.join(spark.read.parquet(data).select(col("fp")),
-              Seq("fp"), "left_anti")
-          else one
-        admitted.write.mode("append")
-          .partitionBy(partCol).parquet(data)
-        fs.create(marker, true).close()
+      if (!fs.exists(marker)) {
+        // two actions consume the batch (the isEmpty probe and the
+        // write job) — persist so the upstream gate/langid/PII
+        // projections evaluate once per batch, not per action
+        batch.persist()
+        try {
+          if (!batch.isEmpty) {
+            val one = batch
+              .withColumn("__rn", row_number().over(
+                Window.partitionBy("fp").orderBy("doc_id")))
+              .filter(col("__rn") === 1).drop("__rn")
+            val admitted =
+              if (fs.exists(new Path(data)))
+                one.join(spark.read.parquet(data).select(col("fp")),
+                  Seq("fp"), "left_anti")
+              else one
+            admitted.write.mode("append")
+              .partitionBy(partCol).parquet(data)
+            fs.create(marker, true).close()
+          }
+        } finally batch.unpersist()
       }
     }
 

@@ -57,20 +57,15 @@ object RecallProbe {
           nCells = 16, nprobe = 8,
           queryPred = col("vec_id") < 100).select("qid", "nid")).count()
       // IVFADC+R (ann_ivfpq_refine floor): the same probe's top-12 pool
-      // exactly re-ranked to top-3 — refined recall >= the same-pool
-      // ADC ranking's by construction
+      // exactly re-ranked to top-3 via the SHIPPED refine stage
+      // (Pq.refineExact — a tie-break/scoring change there moves this
+      // calibration too); refined recall >= the same-pool ADC ranking's
+      // by construction
       val pool = Pq.topKIvf(emb, k = 12, m = 32, ks = 32, iters = 2,
         nCells = 16, nprobe = 8,
         queryPred = col("vec_id") < 100).select("qid", "nid")
-      val p3 = Similarity.prepared(emb)
-      val rw = org.apache.spark.sql.expressions.Window
-        .partitionBy("qid").orderBy(col("dot").desc, col("nid").asc)
-      val refineHits = exactTopk.intersect(pool
-        .join(p3.select(col("vec_id").as("qid"), col("q").as("qq")), "qid")
-        .join(p3.select(col("vec_id").as("nid"), col("q").as("nq")), "nid")
-        .withColumn("dot", Similarity.intDot(col("qq"), col("nq")))
-        .withColumn("rk", row_number().over(rw)).filter(col("rk") <= 3)
-        .select("qid", "nid")).count()
+      val refineHits = exactTopk.intersect(
+        Pq.refineExact(pool, emb, k = 3).select("qid", "nid")).count()
       exactTopk.unpersist()
       val exactPairs = Similarity.cosinePairs(emb, tnum = 9, tden = 20).cache()
       val nPairs = exactPairs.count()
