@@ -152,6 +152,27 @@ class TcpServerSpec extends SparkSpec {
     } finally engine.close()
   }
 
+  test("a user-authored quit ends the session cleanly, skipping later lines") {
+    val engine = new Engine(spark, tmpDir("tcp_quit_db"))
+    try withServer(engine) { port =>
+      val (failed, out, err) = netRun(port,
+        """create(qa,"unsorted")
+          |insert(qa,5)
+          |p=select(qa)
+          |v=fetch(qa,p)
+          |print(v)
+          |quit
+          |print(v)
+          |garbage(((
+          |""".stripMargin)
+      // clean exit: no error for the quit itself, and nothing after it
+      // ran (the second print emits nothing, the garbage never parses)
+      assert(!failed, err.mkString("; "))
+      assert(err.isEmpty)
+      assert(out == Seq("5"))
+    } finally engine.close()
+  }
+
   test("a second connection does not see the first connection's variables") {
     val engine = new Engine(spark, tmpDir("tcp_env_db"))
     try withServer(engine) { port =>
