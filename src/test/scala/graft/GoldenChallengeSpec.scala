@@ -47,6 +47,34 @@ class GoldenChallengeSpec extends SparkSpec {
     assert(out == expectedLines("p4.expected"))
   }
 
+  /** The same golden scripts through the CLIENT/SERVER topology: a real
+    * socket client ([[graft.server.NetClient]]) drives the p3 challenge
+    * against a [[graft.server.TcpServer]], and stdout must STILL
+    * byte-diff against the vendored `.expected` — the reference's own
+    * deployment shape (client ⇄ TCP ⇄ server), end to end.
+    */
+  test("p3challenge through TcpServer/NetClient byte-diffs the same golden") {
+    val engine = new Engine(spark, tmpDir("golden_tcp_db"))
+    val server = new graft.server.TcpServer(engine)
+    val port = server.start()
+    try {
+      val out = collection.mutable.Buffer[String]()
+      val err = collection.mutable.Buffer[String]()
+      def run(script: String): Unit = {
+        val failed = graft.server.NetClient.run("127.0.0.1", port,
+          script.linesIterator, out += _, err += _)
+        assert(!failed, err.mkString("; "))
+      }
+      run(referenceScript("p3challenge/load.txt"))
+      out.clear()
+      run(referenceScript("p3challenge/p3challenge.txt"))
+      assert(out.toSeq == expectedLines("p3.expected"))
+    } finally {
+      server.close()
+      engine.close()
+    }
+  }
+
   /** The reference ships p4 as per-statement splits too
     * (p4challenge/individual/p4c-{0-load,1..6}.txt) whose expecteds are
     * exactly the 6 lines of p4challenge.expected (its harness runs each
