@@ -190,7 +190,30 @@ object Similarity {
     // plan's two sides (same convention as Ivf.topK — memory-and-disk,
     // LRU-evictable)
     val p = prepared(emb).cache()
-    val centroids = Ivf.train(p, nCells, iters)
+    semanticPairsFrom(p, Ivf.train(p, nCells, iters), tnum, tden, nAssign)
+  }
+
+  /** [[semanticPairs]] against a PERSISTED coarse quantizer: the cells
+    * come from an existing IVF index's centroid table
+    * ([[Ivf.buildIndex]] layout, `dir/centroids`) instead of an inline
+    * k-means run — the production shape when the corpus already carries
+    * a similarity index: clustering is FREE (trained once in the index
+    * build job, reused for dedup) and dedup cell sizing stays
+    * consistent with search. Same pair contract and nAssign semantics;
+    * byte-equal to the inline form when the index was trained on the
+    * same corpus with the same (nCells, iters) — deterministic seeds,
+    * pinned in SemanticDedupSpec.
+    */
+  def semanticPairsWithIndex(emb: DataFrame, dir: String,
+                             tnum: Long, tden: Long,
+                             nAssign: Int = 1): DataFrame = {
+    val centroids = emb.sparkSession.read.parquet(s"$dir/centroids")
+    semanticPairsFrom(prepared(emb).cache(), centroids, tnum, tden, nAssign)
+  }
+
+  private def semanticPairsFrom(p: DataFrame, centroids: DataFrame,
+                                tnum: Long, tden: Long,
+                                nAssign: Int): DataFrame = {
     val assigned =
       if (nAssign <= 1) Ivf.assign(p, centroids)
       else {

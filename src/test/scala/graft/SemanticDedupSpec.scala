@@ -67,4 +67,18 @@ class SemanticDedupSpec extends SparkSpec {
     assert(sem1.subsetOf(sem2), s"${(sem1 -- sem2).size} pairs lost by nAssign=2")
     assert(sem2.subsetOf(exact), s"${(sem2 -- exact).size} non-exact pairs")
   }
+
+  test("a persisted IVF index's centroids reproduce the inline clustering") {
+    val emb = corpus().cache()
+    val dir = java.nio.file.Files.createTempDirectory("sem-idx").toString
+    // index built on the same corpus with the same (nCells, iters):
+    // deterministic training makes the stored centroids identical to an
+    // inline run, so index-reuse dedup == inline dedup exactly
+    graft.pipeline.Ivf.buildIndex(emb, dir, nCells = 6, iters = 4)
+    val inline = pairSet(Similarity.semanticPairs(emb, nCells = 6, iters = 4,
+      tnum = 9, tden = 10, nAssign = 2))
+    val reused = pairSet(Similarity.semanticPairsWithIndex(emb, dir,
+      tnum = 9, tden = 10, nAssign = 2))
+    assert(reused == inline)
+  }
 }
