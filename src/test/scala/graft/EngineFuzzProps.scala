@@ -177,6 +177,38 @@ object EngineFuzzProps extends Properties("EngineFuzz") {
     (lines.toSeq, m.out.toSeq, err)
   }
 
+  /** The same generated scripts through the CLIENT/SERVER topology: a
+    * real socket client against [[graft.server.TcpServer]] must produce
+    * the model's exact output lines and first error CODE (the wire
+    * renders `-ERR CODE: detail`; the client stops at the first error
+    * like the in-process harness above). Transitively with the first
+    * property this pins socket == engine == reference model across the
+    * fuzzed interaction space, not just the deterministic spec scripts.
+    */
+  property("random scripts over the socket match the reference model") =
+    Prop.forAll(Gen.choose(0L, Long.MaxValue)) { seed =>
+      val (lines, wantOut, wantErr) = genCase(seed)
+      val db = Files.createTempDirectory("fuzztcpdb").toString
+      val e = new Engine(spark, db)
+      e.execute(ColNames.map(c => s"""create($c,"unsorted")""").mkString("\n"))
+      val server = new graft.server.TcpServer(e, threads = 2)
+      val port = server.start()
+      val got = mutable.Buffer.empty[String]
+      var gotErr: Option[String] = None
+      try {
+        graft.server.NetClient.run("127.0.0.1", port,
+          lines.iterator.takeWhile(_ => gotErr.isEmpty),
+          got += _,
+          msg => if (gotErr.isEmpty) gotErr = Some(msg.takeWhile(_ != ':')))
+      } finally {
+        server.close()
+        e.close()
+      }
+      val ok = got.toSeq == wantOut && gotErr == wantErr
+      ok :| s"seed=$seed script=\n${lines.mkString("\n")}\n" +
+        s"socket=(${got.mkString(",")}, $gotErr) model=(${wantOut.mkString(",")}, $wantErr)"
+    }
+
   property("random scripts match the reference model line-for-line") =
     Prop.forAll(Gen.choose(0L, Long.MaxValue)) { seed =>
       val (lines, wantOut, wantErr) = genCase(seed)
