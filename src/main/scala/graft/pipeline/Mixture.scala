@@ -57,6 +57,33 @@ object Mixture {
         .otherwise("test").as("split"))
   }
 
+  /** Per-source document cap — web-curation's per-domain cap (a handful
+    * of sources dominate any crawl; capping bounds a single source's
+    * influence on the mixture before [[resample]]/[[epochMix]] weigh
+    * languages): keep at most `cap` documents per source, preferring
+    * quality-gate passers, then longer documents, ties by doc_id — all
+    * deterministic, so the kept set is stable and SQL-replayable.
+    *
+    * Scale shape: one corpus scan (keep flag and token count are
+    * per-row codegen'd expressions) + one per-source window. A
+    * pathological giant source concentrating a partition is the same
+    * skew class the bottom-k aggregate
+    * ([[graft.functions.ReservoirSample]]) or the Packing salt handles;
+    * at a sane source cardinality the window is the right plan.
+    */
+  def capPerSource(docs: DataFrame, cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be positive, got $cap")
+    val scored = docs.select(col("doc_id").cast("long").as("doc_id"),
+      col("source"),
+      TextAnalysis.keepExpr(col("text")).as("keep"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("keep").desc, col("n_tokens").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= cap)
+      .select("doc_id", "source", "rank")
+  }
+
   /** Epoch-weighted corpus expansion — [[resample]]'s complement for
     * mixture weights ABOVE one epoch (resample deliberately caps each
     * quota at the language's population): `epochsBp(lang)` basis points

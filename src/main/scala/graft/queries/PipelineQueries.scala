@@ -1249,6 +1249,15 @@ object PipelineQueries {
     Packing.sequencePack(Tables.documents(s, d), seqLen = 512L, buckets = 8)
       .orderBy("seq_id", "doc_id")
 
+  /** Per-source document cap ([[Mixture.capPerSource]], cap 10): the
+    * per-domain cap of web curation — keep the 10 best documents per
+    * source (quality-gate passers first, then longer, ties by id),
+    * bounding any single source's mixture influence.
+    */
+  def corpusSourceCap(s: SparkSession, d: String): DataFrame =
+    Mixture.capPerSource(Tables.documents(s, d), cap = 10)
+      .orderBy("source", "rank")
+
   /** Epoch-weighted mixture expansion ([[Mixture.epochMix]]): 2.5
     * epochs of English, 1 of German, 0.4 of French — every document
     * expands into its deterministic copy count, the repetition-aware
@@ -1525,6 +1534,7 @@ object PipelineQueries {
     "shard_pack" -> shardPack,
     "corpus_pack_sequences" -> corpusPackSequences,
     "corpus_epoch_mix" -> corpusEpochMix,
+    "corpus_source_cap" -> corpusSourceCap,
     "corpus_shuffle" -> corpusShuffle,
     "corpus_deciles" -> corpusDeciles,
     "corpus_split" -> corpusSplit,
@@ -1875,6 +1885,23 @@ object PipelineQueries {
        |    - greatest(seq_id * $seqLen, bef) AS BIGINT) AS len
        |FROM s ORDER BY seq_id, doc_id""".stripMargin
 
+  /** DuckDB twin of [[corpusSourceCap]]: the shared quality-gate CTEs
+    * provide the keep flag and token counts; one per-source window
+    * replays the (keep desc, nt desc, doc_id) ranking.
+    */
+  private def sourceCapSql(cap: Int): String =
+    s"""WITH $qualityGateCtes,
+       |k AS (SELECT q.doc_id, CAST(q.nt AS BIGINT) AS nt,
+       |    CASE WHEN good.doc_id IS NOT NULL THEN 1 ELSE 0 END AS keep
+       |  FROM q LEFT JOIN good ON q.doc_id = good.doc_id),
+       |r AS (SELECT d.doc_id, d.source,
+       |    row_number() OVER (PARTITION BY d.source
+       |      ORDER BY k.keep DESC, k.nt DESC, d.doc_id ASC) AS rn
+       |  FROM documents d JOIN k ON d.doc_id = k.doc_id)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       |  CAST(rn AS BIGINT) AS rank
+       |FROM r WHERE rn <= $cap ORDER BY source, rank""".stripMargin
+
   /** DuckDB twin of [[corpusEpochMix]]: lang argmax + md5 priority +
     * integer copy arithmetic + range unnest, replayed bit-for-bit.
     */
@@ -2166,6 +2193,7 @@ object PipelineQueries {
     "corpus_pack_sequences" -> packSequencesSql(seqLen = 512L),
     "corpus_epoch_mix" -> epochMixSql(
       Seq("en" -> 25000, "de" -> 10000, "fr" -> 4000), seed = 42L),
+    "corpus_source_cap" -> sourceCapSql(cap = 10),
     "corpus_shuffle" -> corpusShuffleSql(seed = 42L),
     "corpus_split" ->
       s"""WITH ph AS (SELECT doc_id,

@@ -206,6 +206,24 @@ class PackingSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("capPerSource keeps the best docs per source with a stable order") {
+    val spark0 = spark
+    import spark0.implicits._
+    val good = "the cat and the dog of a to the house today"
+    val longGood = good + " with several extra ordinary words appended here"
+    val d = Seq(
+      (1L, "s1", longGood), // passer, longest -> rank 1
+      (2L, "s1", good),     // passer -> rank 2
+      (3L, "s1", "x"),      // gate reject -> ranks below every passer
+      (4L, "s1", good),     // passer, same length as 2 -> higher id loses
+      (5L, "s2", "y"),      // reject but alone in its source -> still kept
+    ).toDF("doc_id", "source", "text")
+    val out = Mixture.capPerSource(d, cap = 2)
+      .orderBy("source", "rank").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(0)))
+    assert(out.toSeq == Seq(("s1", 1L, 1L), ("s1", 2L, 2L), ("s2", 1L, 5L)))
+  }
+
   test("epochMix expands by whole epochs plus a deterministic fraction") {
     val en = "the cat and the dog of a to the house"
     val es = "el perro y la casa de que el"

@@ -152,6 +152,40 @@ class TcpServerSpec extends SparkSpec {
     } finally engine.close()
   }
 
+  test("concurrent socket clients appending to one column never lose an insert") {
+    val engine = new Engine(spark, tmpDir("tcp_mut_db"))
+    try withServer(engine) { port =>
+      val (f0, _, e0) = netRun(port, "create(ma,\"unsorted\")\n")
+      assert(!f0, e0.mkString("; "))
+      // 4 clients interleave 5 appends each; the catalog serializes
+      // appends, so all 20 must land with distinct ids and sum intact
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val writers = (1 to 4).map { k =>
+        Future {
+          val script = (1 to 5).map(j => s"insert(ma,${k * 100 + j})")
+            .mkString("", "\n", "\n")
+          netRun(port, script)
+        }
+      }
+      Await.result(Future.sequence(writers), 300.seconds).foreach {
+        case (failed, _, err) => assert(!failed, err.mkString("; "))
+      }
+      val (f1, out, e1) = netRun(port,
+        """p=select(ma)
+          |v=fetch(ma,p)
+          |c=count(v)
+          |s=sum(v)
+          |print(c)
+          |print(s)
+          |""".stripMargin)
+      assert(!f1, e1.mkString("; "))
+      // sum over k=1..4, j=1..5 of (100k + j) = 100*5*(1+2+3+4) + 4*15
+      assert(out == Seq("20", (100 * 5 * 10 + 4 * 15).toString))
+    } finally engine.close()
+  }
+
   test("a user-authored quit ends the session cleanly, skipping later lines") {
     val engine = new Engine(spark, tmpDir("tcp_quit_db"))
     try withServer(engine) { port =>
