@@ -141,6 +141,32 @@ object StreamQueries {
       .orderBy("user_id", "l_event_id", "r_event_id")
   }
 
+  /** LEFT OUTER interval join replayed end-to-end
+    * ([[EventStreams.intervalJoinOuter]]): clicks with no purchase
+    * within the 6-hour horizon surface once with null right columns —
+    * but only after the watermark PROVES the horizon empty, so the feed
+    * rides [[eventFeedBatches]]' sentinel tail (the sentinels pass both
+    * type filters via the `user_id < 0` arm — a filtered-out sentinel
+    * would never reach the watermark operator and the unmatched rows
+    * would sit in state forever). Nulls are coalesced to -1 for the
+    * hash compare (engines stringify missing values differently).
+    */
+  def streamIntervalJoinOuter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = Replay.replay(s, eventFeedBatches(s, d)) { in =>
+      EventStreams.intervalJoinOuter(
+        in.filter(col("event_type") === "click" || col("user_id") < 0),
+        in.filter(col("event_type") === "purchase" || col("user_id") < 0),
+        horizon = "6 hours", lateness = "12 hours")
+    }
+    out.filter(col("user_id") >= 0)
+      .select(col("user_id"), col("l_event_id"),
+        coalesce(col("r_event_id"), lit(-1L)).as("r_event_id"),
+        unix_millis(col("l_ts")).as("l_ms"),
+        coalesce(unix_millis(col("r_ts")), lit(-1L)).as("r_ms"))
+      .orderBy("user_id", "l_event_id", "r_event_id")
+  }
+
   /** Time-ordered event feed TRUNCATED to millisecond event time: the
     * corpus carries µs timestamps, but the session/window oracles
     * compute on `epoch_ms`, and GAP comparisons (unlike hour bucketing,
@@ -464,6 +490,7 @@ object StreamQueries {
     "stream_corpus_sink" -> streamCorpusSink,
     "stream_dedup" -> streamDedup,
     "stream_interval_join" -> streamIntervalJoin,
+    "stream_interval_join_outer" -> streamIntervalJoinOuter,
     "stream_window" -> streamWindow,
     "stream_sessionize" -> streamSessionize,
     "stream_sessionize_custom" -> streamSessionizeCustom,
@@ -538,6 +565,15 @@ object StreamQueries {
         |FROM events l JOIN events r ON l.user_id = r.user_id
         | AND l.event_type = 'click' AND r.event_type = 'purchase'
         | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR
+        |ORDER BY user_id, l_event_id, r_event_id""".stripMargin,
+    "stream_interval_join_outer" ->
+      """SELECT l.user_id AS user_id, l.event_id AS l_event_id,
+        |  coalesce(r.event_id, -1) AS r_event_id, epoch_ms(l.ts) AS l_ms,
+        |  coalesce(epoch_ms(r.ts), -1) AS r_ms
+        |FROM events l LEFT JOIN events r ON l.user_id = r.user_id
+        | AND r.event_type = 'purchase'
+        | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR
+        |WHERE l.event_type = 'click'
         |ORDER BY user_id, l_event_id, r_event_id""".stripMargin,
     "stream_window" ->
       """SELECT CAST(user_id AS BIGINT) AS user_id,

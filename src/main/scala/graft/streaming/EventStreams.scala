@@ -83,6 +83,34 @@ object EventStreams {
         col("l_type"), col("r_type"), col("l_ts"), col("r_ts"))
   }
 
+  /** LEFT OUTER form of [[intervalJoin]] — the other half of the
+    * attribution question: clicks that saw NO purchase within the
+    * horizon surface once with null right columns, but only after the
+    * watermark proves the horizon empty (Spark emits the unmatched row
+    * when the watermark passes `l_ts + horizon + lateness` — correct by
+    * construction, late by that bound; state is the same O(rate ×
+    * horizon) as the inner form, the outer-ness costs no extra state).
+    * Both time bounds stay on the join condition — without them outer
+    * state would be unbounded and Spark rejects the query.
+    */
+  def intervalJoinOuter(left: DataFrame, right: DataFrame,
+                        horizon: String, lateness: String): DataFrame = {
+    val l = left.withWatermark("ts", lateness)
+      .select(col("user_id"), col("event_id").as("l_event_id"),
+        col("event_type").as("l_type"), col("ts").as("l_ts"))
+    val r = right.withWatermark("ts", lateness)
+      .select(col("user_id").as("r_user_id"),
+        col("event_id").as("r_event_id"),
+        col("event_type").as("r_type"), col("ts").as("r_ts"))
+    l.join(r,
+      col("user_id") === col("r_user_id") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizon"),
+      "left_outer")
+      .select(col("user_id"), col("l_event_id"), col("r_event_id"),
+        col("l_type"), col("r_type"), col("l_ts"), col("r_ts"))
+  }
+
   final case class Event(user_id: Long, event_id: Long, event_type: String,
                          ts: Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long)

@@ -118,6 +118,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoinOuter: unmatched clicks surface once the horizon provably closes") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.intervalJoinOuter(
+        in.toDF().filter(col("event_type") === "click" || col("user_id") < 0),
+        in.toDF().filter(col("event_type") === "purchase" || col("user_id") < 0),
+        horizon = "10 minutes", lateness = "5 minutes")
+      .writeStream.format("memory").queryName("outerjoin")
+      .outputMode("append").start()
+    try {
+      // user 1: click at min 1, purchase at min 5 (in horizon — matches);
+      // user 2: click at min 2, never purchases
+      in.addData(ev(1, 1, 1), ev(1, 2, 5, "purchase"), ev(2, 3, 2))
+      q.processAllAvailable()
+      // sentinel batches push the watermark far past every horizon —
+      // the second batch is where Spark actually emits the null-padded
+      // rows closed under the first batch's watermark
+      in.addData(ev(-1, -9, 2000, "sentinel"))
+      q.processAllAvailable()
+      in.addData(ev(-1, -8, 4000, "sentinel"))
+      q.processAllAvailable()
+      val rows = spark.table("outerjoin")
+        .filter(col("user_id") >= 0)
+        .select("user_id", "l_event_id", "r_event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(rows == Set((1L, 1L, 2L), (2L, 3L, -1L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("DocStreams.dedupAgainstStore: store hits drop, stream dups collapse") {
     val spark0 = spark
     import spark0.implicits._
