@@ -109,6 +109,13 @@ object EngineFuzzProps extends Properties("EngineFuzz") {
       else out ++= valVars(v).map(_.toString)
       None
     }
+
+    def tuple(vs: Seq[String]): Option[String] = {
+      val cols = vs.map(valVars)
+      if (cols.map(_.size).distinct.size > 1) return Some("DBEINTERMDIFFLEN")
+      out ++= cols.transpose.map(_.mkString("(", ",", ")"))
+      None
+    }
   }
 
   // ---- script generation (seeded, stateful validity tracking) ----
@@ -136,7 +143,7 @@ object EngineFuzzProps extends Properties("EngineFuzz") {
     while (i < steps && err.isEmpty) {
       val posAvail = m.posVars.keys.toSeq.sorted
       val valAvail = m.valVars.keys.toSeq.sorted
-      val choice = rnd.nextInt(10)
+      val choice = rnd.nextInt(11)
       val step: Option[(String, Option[String])] = choice match {
         case 0 | 1 =>
           val (v, c) = (freshP(), pick(ColNames))
@@ -169,6 +176,12 @@ object EngineFuzzProps extends Properties("EngineFuzz") {
         case 9 if posAvail.nonEmpty || valAvail.nonEmpty =>
           val v = pick(posAvail ++ valAvail)
           Some(s"print($v)" -> m.print(v))
+        case 10 if valAvail.nonEmpty =>
+          // ordinal zip across 1-3 value vars, possibly cross-lineage
+          // (differently-shaped fetches must raise DBEINTERMDIFFLEN)
+          val k = 1 + rnd.nextInt(math.min(3, valAvail.size))
+          val vs = Seq.fill(k)(pick(valAvail))
+          Some(s"tuple(${vs.mkString(",")})" -> m.tuple(vs))
         case _ => None
       }
       step.foreach { case (line, stepErr) => lines += line; err = stepErr }
