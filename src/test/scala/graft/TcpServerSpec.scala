@@ -152,6 +152,33 @@ class TcpServerSpec extends SparkSpec {
     } finally engine.close()
   }
 
+  test("idleTimeoutMs drops a silent connection, freeing its worker") {
+    val engine = new Engine(spark, tmpDir("tcp_idle_db"))
+    // ONE worker: a silent connection pins the whole server until the
+    // idle timeout disposes it — the second client's service IS the
+    // proof the worker was released
+    val server = new graft.server.TcpServer(engine, port = 0, threads = 1,
+      idleTimeoutMs = 1000)
+    val port = server.start()
+    try {
+      val idle = new java.net.Socket("127.0.0.1", port)
+      try {
+        val (failed, out, err) = netRun(port,
+          """create(ia,"unsorted")
+            |insert(ia,1)
+            |p=select(ia)
+            |v=fetch(ia,p)
+            |print(v)
+            |""".stripMargin)
+        assert(!failed, err.mkString("; "))
+        assert(out == Seq("1"))
+      } finally idle.close()
+    } finally {
+      server.close()
+      engine.close()
+    }
+  }
+
   test("concurrent socket clients appending to one column never lose an insert") {
     val engine = new Engine(spark, tmpDir("tcp_mut_db"))
     try withServer(engine) { port =>
