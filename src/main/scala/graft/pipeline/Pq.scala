@@ -427,21 +427,27 @@ object Pq {
                            rerank: Int): DataFrame = {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     refineExact(probeIndexIvf(dir, queries, rerank, m, nprobe)
-      .select(col("qid"), col("nid")), emb, k)
+      .select(col("qid"), col("nid")), queries, emb, k)
   }
 
   /** The refine stage alone: exact re-ranking of a `(qid, nid)`
-    * candidate pool against the full-precision corpus — true integer
-    * dot, top k per query under the (dot desc, nid asc) contract.
+    * candidate pool — true integer dot, top k per query under the
+    * (dot desc, nid asc) contract. The QUERY vector comes from the
+    * caller's prepared `queries` rows (same table every probe stage
+    * scores against), NOT a qid lookup in the corpus: out-of-corpus
+    * queries re-rank like any other, and a corpus row that happens to
+    * share a query's vec_id can never substitute its vector. Only the
+    * NEIGHBOR side touches `emb` — full-precision vectors are fetched
+    * for nominated candidates alone (the point of IVFADC+R).
     * Shared by [[probeIndexIvfRefined]] and the RecallProbe
     * calibration, so the published floors always measure the SHIPPED
     * refine semantics (a tie-break or scoring change here moves both).
     */
-  private[graft] def refineExact(cands: DataFrame, emb: DataFrame,
-                                 k: Int): DataFrame = {
+  private[graft] def refineExact(cands: DataFrame, queries: DataFrame,
+                                 emb: DataFrame, k: Int): DataFrame = {
     val p = Similarity.prepared(emb)
     val scored = cands
-      .join(p.select(col("vec_id").as("qid"), col("q").as("qq")), "qid")
+      .join(queries.select(col("vec_id").as("qid"), col("q").as("qq")), "qid")
       .join(p.select(col("vec_id").as("nid"), col("q").as("nq")), "nid")
       .withColumn("score", Similarity.intDot(col("qq"), col("nq")))
       .select("qid", "nid", "score")

@@ -44,6 +44,21 @@ object Similarity {
       .withColumn("n2", intDot(col("q"), col("q")))
   }
 
+  /** Release a corpus-sized internal cache before returning a result
+    * built on it: `out` is materialized eagerly (localCheckpoint — pair/
+    * top-k-sized blocks, lineage cut) and `p`'s CacheManager entry is
+    * dropped, so repeated calls in a long-lived process (ServerMain /
+    * TcpServer, the Bench loop) never accumulate corpus caches. Skipped
+    * under the plan-only flag so plan audits see the full unrun
+    * composition (same escape as the TextAnalysis/Pq training loops);
+    * `p` is still unpersisted there — the lazy plan recomputes it.
+    */
+  private def releasedAfter(out: DataFrame, p: DataFrame): DataFrame =
+    try {
+      if (sys.props.get("graft.plan.only").contains("true")) out
+      else out.localCheckpoint()
+    } finally p.unpersist()
+
   /** Exact top-k by integer dot product, brute force: each query joined
     * against all candidates, ranked (dot desc, id asc — deterministic
     * tie-break). `queryPred` restricts the query side (keep it small; the
@@ -186,11 +201,12 @@ object Similarity {
     */
   def semanticPairs(emb: DataFrame, nCells: Int, iters: Int,
                     tnum: Long, tden: Long, nAssign: Int = 1): DataFrame = {
-    // cached through training's Lloyd's iterations AND the returned
-    // plan's two sides (same convention as Ivf.topK — memory-and-disk,
-    // LRU-evictable)
+    // cached through training's Lloyd's iterations AND the pair plan's
+    // two sides, then released once the pair list is materialized
+    // ([[releasedAfter]])
     val p = prepared(emb).cache()
-    semanticPairsFrom(p, Ivf.train(p, nCells, iters), tnum, tden, nAssign)
+    releasedAfter(
+      semanticPairsFrom(p, Ivf.train(p, nCells, iters), tnum, tden, nAssign), p)
   }
 
   /** [[semanticPairs]] against a PERSISTED coarse quantizer: the cells
@@ -208,7 +224,8 @@ object Similarity {
                              tnum: Long, tden: Long,
                              nAssign: Int = 1): DataFrame = {
     val centroids = emb.sparkSession.read.parquet(s"$dir/centroids")
-    semanticPairsFrom(prepared(emb).cache(), centroids, tnum, tden, nAssign)
+    val p = prepared(emb).cache()
+    releasedAfter(semanticPairsFrom(p, centroids, tnum, tden, nAssign), p)
   }
 
   private def semanticPairsFrom(p: DataFrame, centroids: DataFrame,
@@ -354,9 +371,12 @@ object Similarity {
       .join(p.select(col("vec_id").as("nid"), col("q").as("nq")), "nid")
       .withColumn("dot", intDot(col("qq"), col("nq")))
     val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank").cast("int").as("rank"), col("nid"), col("dot"))
+    releasedAfter(
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("rank").cast("int").as("rank"),
+          col("nid"), col("dot")),
+      p)
   }
 
   /** Scale path for embedding near-dup: **banded** random-hyperplane LSH
@@ -389,14 +409,16 @@ object Similarity {
         Seq("band", "bh"))
       .filter(col("da") < col("db"))
       .select("da", "db").distinct()
-    cands
-      .join(p.select(col("vec_id").as("da"), col("q").as("qa"),
-        col("n2").as("na")), "da")
-      .join(p.select(col("vec_id").as("db"), col("q").as("qb"),
-        col("n2").as("nb")), "db")
-      .withColumn("dot", intDot(col("qa"), col("qb")))
-      .filter(col("dot") > 0 &&
-        col("dot") * col("dot") * (tden * tden) >= lit(tnum * tnum) * col("na") * col("nb"))
-      .select("da", "db")
+    releasedAfter(
+      cands
+        .join(p.select(col("vec_id").as("da"), col("q").as("qa"),
+          col("n2").as("na")), "da")
+        .join(p.select(col("vec_id").as("db"), col("q").as("qb"),
+          col("n2").as("nb")), "db")
+        .withColumn("dot", intDot(col("qa"), col("qb")))
+        .filter(col("dot") > 0 &&
+          col("dot") * col("dot") * (tden * tden) >= lit(tnum * tnum) * col("na") * col("nb"))
+        .select("da", "db"),
+      p)
   }
 }

@@ -239,6 +239,56 @@ object ParityQueries {
     rows.toDF("v1", "v2").orderBy("v1", "v2")
   }
 
+  /** [[serverTcp]] with the CLIENT-STREAMED load (the reference's
+    * rpc_write_file path, rpc.c:181-206): NetClient ships the CSV body
+    * as a FILE frame, the server loads its own spool, and the client
+    * file is DELETED before any query runs — so the emitted tuples can
+    * only have come from data that crossed the socket. Separate
+    * connections for load and query double as the catalog-durability
+    * check (session variables are per-connection; the loaded columns
+    * are not). The spool-cleanup invariant (no `.csv.tmp` retained
+    * under the dbdir) is asserted inline.
+    */
+  def serverTcpLoad(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tcpload").toString
+    val csv = writeRefCsv(s, d, tmp)
+    val engine = new Engine(s, s"$tmp/db")
+    val server = new graft.server.TcpServer(engine)
+    val port = server.start()
+    val out = collection.mutable.Buffer[String]()
+    try {
+      val err: String => Unit =
+        e => throw new IllegalStateException(s"server error: $e")
+      val f1 = graft.server.NetClient.run("127.0.0.1", port,
+        s"""create(ra,"unsorted")
+           |create(rb,"unsorted")
+           |create(rc,"sorted")
+           |load("$csv")
+           |""".stripMargin.linesIterator, _ => (), err)
+      require(!f1, "server_tcp_load load script failed")
+      java.nio.file.Files.delete(java.nio.file.Paths.get(csv))
+      require(new java.io.File(s"$tmp/db").listFiles()
+        .forall(!_.getName.endsWith(".csv.tmp")), "spool not cleaned up")
+      val f2 = graft.server.NetClient.run("127.0.0.1", port,
+        """p=select(rc,5,15)
+          |a=fetch(ra,p)
+          |b=fetch(rb,p)
+          |tuple(a,b)
+          |""".stripMargin.linesIterator, out += _, err)
+      require(!f2, "server_tcp_load query script failed")
+    } finally {
+      server.close()
+      engine.close()
+      registerCleanup(new java.io.File(tmp))
+    }
+    val rows = out.toSeq.map { l =>
+      val p = l.stripPrefix("(").stripSuffix(")").split(',')
+      (p(0).trim.toInt, p(1).trim.toInt)
+    }
+    import s.implicits._
+    rows.toDF("v1", "v2").orderBy("v1", "v2")
+  }
+
   // --- flagship: the reference's canonical join-aggregate
   //     (BASELINE.md query shape) over lineitem x orders ---
 
@@ -296,6 +346,7 @@ object ParityQueries {
     "update_op" -> updateOp,
     "create_load" -> createLoad,
     "server_tcp" -> serverTcp,
+    "server_tcp_load" -> serverTcpLoad,
   )
 
   private def joinSql: String =
@@ -359,6 +410,10 @@ object ParityQueries {
     "server_tcp" ->
       """SELECT CAST(l_orderkey AS INTEGER) AS v1, CAST(l_linenumber AS INTEGER) AS v2
         |FROM lineitem WHERE CAST(trunc(l_quantity) AS INTEGER) BETWEEN 10 AND 20
+        |ORDER BY v1, v2""".stripMargin,
+    "server_tcp_load" ->
+      """SELECT CAST(l_orderkey AS INTEGER) AS v1, CAST(l_linenumber AS INTEGER) AS v2
+        |FROM lineitem WHERE CAST(trunc(l_quantity) AS INTEGER) BETWEEN 5 AND 15
         |ORDER BY v1, v2""".stripMargin,
   )
 }

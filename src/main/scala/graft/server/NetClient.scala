@@ -3,6 +3,9 @@ package graft.server
 import java.io.{BufferedReader, BufferedWriter, IOException, InputStreamReader, OutputStreamWriter}
 import java.net.Socket
 import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import graft.lang.{Op, Parser}
 
 /** Socket client for [[TcpServer]] — the reference's client
   * (/root/reference/src/client/client.c) against our wire protocol.
@@ -17,10 +20,45 @@ import java.nio.charset.StandardCharsets.UTF_8
   */
 object NetClient {
 
+  /** Read timeout on the client socket: generous (a status line can lag
+    * a full Spark job behind a big query), but FINITE — a server that
+    * dies without closing the connection must surface as a connection
+    * error, not a client blocked forever in readLine. Overridable via
+    * GRAFT_NET_TIMEOUT_MS; 0 disables (the raw-blocking reference
+    * behavior, client.c reads with no timeout).
+    */
+  val DefaultTimeoutMs: Int =
+    sys.env.get("GRAFT_NET_TIMEOUT_MS").map(_.toInt).getOrElse(600000)
+
+  /** Write one request. A `load(...)` whose path is readable HERE ships
+    * the file body first as a FILE frame (the reference client always
+    * streams its local CSV to the server, rpc_write_file
+    * rpc.c:181-206 — the server loads the SPOOLED copy, so the path
+    * need not exist server-side). An unreadable path falls through as a
+    * bare load line for server-side resolution — a superset of the
+    * reference, which fails DBEIONOFILE when the client can't open it.
+    * Two passes over the file (count, then stream) keep client memory
+    * O(1) for the sized frame.
+    */
+  private def writeRequest(w: BufferedWriter, t: String): Unit = {
+    Parser.parseLine(t) match {
+      case Some(Op.Load(f)) if Files.isReadable(Paths.get(f)) =>
+        val p = Paths.get(f)
+        val n = { val s = Files.lines(p, UTF_8); try s.count() finally s.close() }
+        w.write(s"FILE $n"); w.newLine()
+        val s = Files.lines(p, UTF_8)
+        try s.forEach { l => w.write(l); w.newLine() } finally s.close()
+      case _ => ()
+    }
+    w.write(t); w.newLine(); w.flush()
+  }
+
   def run(host: String, port: Int, lines: Iterator[String],
-          out: String => Unit, err: String => Unit): Boolean = {
+          out: String => Unit, err: String => Unit,
+          timeoutMs: Int = DefaultTimeoutMs): Boolean = {
     val sock = new Socket(host, port)
     try {
+      if (timeoutMs > 0) sock.setSoTimeout(timeoutMs)
       val in = new BufferedReader(new InputStreamReader(sock.getInputStream, UTF_8))
       val w = new BufferedWriter(new OutputStreamWriter(sock.getOutputStream, UTF_8))
       var failed = false
@@ -33,7 +71,7 @@ object NetClient {
         // waiting for one would misreport a clean exit as an error
         if (t == "quit") quit = true
         else if (t.nonEmpty && !t.startsWith("#")) {
-          w.write(t); w.newLine(); w.flush()
+          writeRequest(w, t)
           var done = false
           while (!done) {
             val resp = in.readLine()
@@ -50,6 +88,10 @@ object NetClient {
       // polite shutdown: the server ends the session on `quit` or EOF
       w.write("quit"); w.newLine(); w.flush()
       failed
+    } catch {
+      case e: java.net.SocketTimeoutException =>
+        throw new IOException(
+          s"no response from server within ${timeoutMs}ms (server dead?)", e)
     } finally {
       try sock.close() catch { case _: IOException => () }
     }
@@ -73,6 +115,7 @@ object NetClient {
         // across prompts, like the reference's interactive client
         val sock = new Socket(host, port)
         try {
+          if (DefaultTimeoutMs > 0) sock.setSoTimeout(DefaultTimeoutMs)
           val in = new BufferedReader(new InputStreamReader(sock.getInputStream, UTF_8))
           val w = new BufferedWriter(new OutputStreamWriter(sock.getOutputStream, UTF_8))
           print("graft> "); Console.flush()
@@ -85,7 +128,7 @@ object NetClient {
               w.write("quit"); w.newLine(); w.flush()
               quit = true
             } else if (t.nonEmpty && !t.startsWith("#")) {
-              w.write(t); w.newLine(); w.flush()
+              writeRequest(w, t)
               var done = false
               while (!done) {
                 val resp = in.readLine()

@@ -3,11 +3,11 @@ package graft.server
 import java.io.{BufferedReader, BufferedWriter, InputStreamReader, OutputStreamWriter}
 import java.net.{ServerSocket, Socket, SocketException}
 import java.nio.charset.StandardCharsets.UTF_8
-import java.util.concurrent.Executors
+import java.util.concurrent.{LinkedBlockingQueue, RejectedExecutionException, ThreadPoolExecutor, TimeUnit}
 import scala.util.control.NonFatal
 
 import graft.core.{DbException, Engine}
-import graft.lang.Parser
+import graft.lang.{Op, Parser}
 
 /** TCP server: the reference's client/server topology over the Spark
   * engine.
@@ -28,8 +28,22 @@ import graft.lang.Parser
   * /root/reference/src/common/rpc.c:16-31 without the binary header):
   *
   *   request  :=  one operator line, '\n'-terminated
+  *              | "FILE" SP nLines '\n' <nLines lines> load-line '\n'
   *   response :=  zero or more data lines, each prefixed '|',
   *                then exactly one status line: `+OK` or `-ERR <DBE msg>`
+  *
+  * The FILE form is the reference's client-streamed CSV load
+  * (rpc.c:151-206 ships the CLIENT's file as a sized RPC_FILE payload;
+  * the server spools it under its dbdir, server.c:818-839, and the load
+  * evaluates against the SPOOL, never a server-side path): the client
+  * sends the CSV body — framed by line count, the lossless unit for the
+  * reference's line-oriented CSVs (csv.c reads by line) — immediately
+  * followed by the `load("...")` line it belongs to. The server spools
+  * the body to `dbDir/load-*.csv.tmp`, evaluates the load against the
+  * spool, deletes it, and answers ONE status for the whole request. A
+  * bare `load(...)` line without a preceding FILE frame still resolves
+  * the path server-side (a superset of the reference, which ALWAYS
+  * ships: in-process scripts and co-located files skip the copy).
   *
   * Data lines carry the reference client's text formats (ids / values one
   * per line, `(a,b,c)` tuples — client.c:44-128); the '|' prefix exists so
@@ -45,19 +59,27 @@ import graft.lang.Parser
   * README.md:63-66), `threads` caps concurrent SESSIONS — an idle
   * connection holds its worker (the reference blocks its thread on the
   * socket the same way), and connection 17 queues until one frees.
-  * Deployments serving untrusted or flaky clients should set
-  * `idleTimeoutMs` > 0: a connection silent that long is treated as
-  * gone (session disposed, worker released), which is what bounds the
-  * half-open-connection exposure the pure-blocking model has.
+  * The wait queue is BOUNDED by `backlog`: a connection beyond
+  * threads+backlog is answered `-ERR DBESERVER: at capacity` and closed
+  * immediately rather than parked invisibly — so the server's half-open
+  * exposure is at most threads+backlog sockets, loud past that, instead
+  * of an unbounded executor queue that `idleTimeoutMs` can never reap
+  * (the timeout arms only once a worker starts reading). Deployments
+  * serving untrusted or flaky clients should set `idleTimeoutMs` > 0: a
+  * connection silent that long is treated as gone (session disposed,
+  * worker released), which is what bounds the half-open-connection
+  * exposure of the ACTIVE workers.
   */
 final class TcpServer(engine: Engine, port: Int = 0, threads: Int = 16,
-                      idleTimeoutMs: Int = 0)
+                      idleTimeoutMs: Int = 0, backlog: Int = 32)
     extends AutoCloseable {
 
   private val serverSocket = new ServerSocket(port)
-  private val pool = Executors.newFixedThreadPool(threads, r => {
-    val t = new Thread(r, "graft-tcp-worker"); t.setDaemon(true); t
-  })
+  private val pool = new ThreadPoolExecutor(threads, threads,
+    0L, TimeUnit.MILLISECONDS, new LinkedBlockingQueue[Runnable](backlog max 1),
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-tcp-worker"); t.setDaemon(true); t
+    })
   @volatile private var closed = false
 
   /** The bound port (useful with port=0: an ephemeral port for tests). */
@@ -66,7 +88,21 @@ final class TcpServer(engine: Engine, port: Int = 0, threads: Int = 16,
   private val acceptor = new Thread(() => {
     try while (!closed) {
       val sock = serverSocket.accept()
-      pool.execute(() => serve(sock))
+      try pool.execute(() => serve(sock))
+      catch {
+        case _: RejectedExecutionException =>
+          // saturation is answered, not queued: one status line (the
+          // wire protocol's error form) then close — the client sees a
+          // DBE error instead of an indefinite hang
+          try {
+            val w = new BufferedWriter(
+              new OutputStreamWriter(sock.getOutputStream, UTF_8))
+            w.write(s"-ERR DBESERVER: at capacity ($threads sessions, " +
+              s"$backlog queued)")
+            w.newLine(); w.flush()
+          } catch { case _: java.io.IOException => () }
+          finally { try sock.close() catch { case _: java.io.IOException => () } }
+      }
     } catch {
       // close() closes the listening socket to break accept()
       case _: SocketException if closed => ()
@@ -86,12 +122,59 @@ final class TcpServer(engine: Engine, port: Int = 0, threads: Int = 16,
 
       def status(s: String): Unit = { out.write(s); out.newLine(); out.flush() }
 
+      // the reference's RPC_FILE arm (server.c:818-839): spool the
+      // client-streamed CSV body under the dbdir, evaluate the load
+      // that follows against the spool, answer one status, delete it
+      def fileLoad(header: String): Unit = {
+        val nLines = header.stripPrefix("FILE").trim.toLong
+        require(nLines >= 0, s"negative FILE line count: $nLines")
+        val spool = java.nio.file.Files.createTempFile(
+          java.nio.file.Paths.get(engine.dbDir), "load-", ".csv.tmp")
+        try {
+          val w = java.nio.file.Files.newBufferedWriter(spool, UTF_8)
+          try {
+            var i = 0L
+            while (i < nLines) {
+              val l = in.readLine()
+              if (l == null)
+                throw new java.io.EOFException(
+                  s"connection closed mid-FILE frame ($i of $nLines lines)")
+              w.write(l); w.write('\n')
+              i += 1
+            }
+          } finally w.close()
+          val opLine = in.readLine()
+          if (opLine == null)
+            throw new java.io.EOFException("connection closed after FILE frame")
+          Parser.parseLine(opLine.trim) match {
+            case Some(Op.Load(_)) =>
+              try { session.eval(Op.Load(spool.toString)); status("+OK") }
+              catch {
+                case e: DbException => status(s"-ERR ${e.getMessage}")
+                case NonFatal(e) => // same contract as the main dispatch
+                  if (session.engine.spark.sparkContext.isStopped) throw e
+                  status(s"-ERR DBEFILE: ${e.getMessage}")
+              }
+            case _ => status(
+              s"-ERR DBEPARSE: FILE frame must be followed by load(...), got: $opLine")
+          }
+        } finally java.nio.file.Files.deleteIfExists(spool)
+      }
+
       var line = in.readLine()
       while (line != null) {
         val t = line.trim
         if (t == "quit") { line = null }
         else {
-          if (t.nonEmpty && !t.startsWith("#")) {
+          if (t.startsWith("FILE ")) {
+            try fileLoad(t)
+            catch {
+              case _: NumberFormatException =>
+                status(s"-ERR DBEPARSE: malformed FILE frame: $t")
+              case e: IllegalArgumentException =>
+                status(s"-ERR DBEPARSE: ${e.getMessage}")
+            }
+          } else if (t.nonEmpty && !t.startsWith("#")) {
             Parser.parseLine(t) match {
               case Some(op) =>
                 try {

@@ -65,7 +65,8 @@ object RecallProbe {
         nCells = 16, nprobe = 8,
         queryPred = col("vec_id") < 100).select("qid", "nid")
       val refineHits = exactTopk.intersect(
-        Pq.refineExact(pool, emb, k = 3).select("qid", "nid")).count()
+        Pq.refineExact(pool, Similarity.prepared(emb).filter(col("vec_id") < 100),
+          emb, k = 3).select("qid", "nid")).count()
       exactTopk.unpersist()
       val exactPairs = Similarity.cosinePairs(emb, tnum = 9, tden = 20).cache()
       val nPairs = exactPairs.count()

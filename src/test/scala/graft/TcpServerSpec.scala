@@ -250,4 +250,113 @@ class TcpServerSpec extends SparkSpec {
       assert(err2 == Seq("DBENOVAR: no such variable v"))
     } finally engine.close()
   }
+
+  test("FILE frame loads a CSV that exists only client-side (on NO server path)") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val engine = new Engine(spark, tmpDir("tcp_fileload_db"))
+    try withServer(engine) { port =>
+      val sock = new java.net.Socket("127.0.0.1", port)
+      try {
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(sock.getInputStream, UTF_8))
+        val w = new java.io.BufferedWriter(
+          new java.io.OutputStreamWriter(sock.getOutputStream, UTF_8))
+        def req(lines: String*): (String, Seq[String]) = {
+          lines.foreach { l => w.write(l); w.newLine() }
+          w.flush()
+          val data = collection.mutable.Buffer[String]()
+          var status: String = null
+          while (status == null) {
+            val r = in.readLine()
+            assert(r != null, "server closed mid-response")
+            if (r.startsWith("|")) data += r.substring(1) else status = r
+          }
+          (status, data.toSeq)
+        }
+        assert(req("create(fa,\"unsorted\")")._1 == "+OK")
+        assert(req("create(fb,\"sorted\")")._1 == "+OK")
+        // the body crosses the wire; the load PATH exists on no filesystem
+        val (st, _) = req("FILE 4", "fa,fb", "10,1", "20,2", "30,3",
+          "load(\"/client-only/never-created.csv\")")
+        assert(st == "+OK")
+        assert(req("p=select(fb,2,3)")._1 == "+OK")
+        assert(req("v=fetch(fa,p)")._1 == "+OK")
+        assert(req("print(v)") == (("+OK", Seq("20", "30"))))
+        // a BARE load of the same path must fail server-side: the success
+        // above came from the spooled body, not path resolution
+        val (bare, _) = req("load(\"/client-only/never-created.csv\")")
+        assert(bare.startsWith("-ERR DBE"), bare)
+        // malformed frame: loud parse error, session survives
+        val (bad, _) = req("FILE notanumber")
+        assert(bad.startsWith("-ERR DBEPARSE"), bad)
+        assert(req("print(v)") == (("+OK", Seq("20", "30"))))
+        // spool cleaned up after the load
+        val leftovers = new java.io.File(engine.dbDir).listFiles()
+          .filter(_.getName.endsWith(".csv.tmp"))
+        assert(leftovers.isEmpty, leftovers.mkString(", "))
+      } finally sock.close()
+    } finally engine.close()
+  }
+
+  test("NetClient ships a client-local CSV; data survives the file's deletion") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val engine = new Engine(spark, tmpDir("tcp_ship_db"))
+    try withServer(engine) { port =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_client_csv")
+      val csv = dir.resolve("client.csv")
+      java.nio.file.Files.write(csv,
+        java.util.Arrays.asList("ca,cb", "5,50", "6,60"), UTF_8)
+      val (f1, _, e1) = netRun(port,
+        s"""create(ca,"unsorted")
+           |create(cb,"unsorted")
+           |load("$csv")
+           |""".stripMargin)
+      assert(!f1, e1.mkString("; "))
+      java.nio.file.Files.delete(csv)
+      java.nio.file.Files.delete(dir)
+      // fresh connection: the loaded columns are catalog-durable even
+      // though the client file is gone
+      val (f2, out2, e2) = netRun(port, "p=select(ca,6)\nv=fetch(cb,p)\nprint(v)\n")
+      assert(!f2, e2.mkString("; "))
+      assert(out2 == Seq("60"))
+      val leftovers = new java.io.File(engine.dbDir).listFiles()
+        .filter(_.getName.endsWith(".csv.tmp"))
+      assert(leftovers.isEmpty, leftovers.mkString(", "))
+    } finally engine.close()
+  }
+
+  test("connections beyond threads+backlog are rejected with a loud -ERR") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val engine = new Engine(spark, tmpDir("tcp_cap_db"))
+    val server = new TcpServer(engine, port = 0, threads = 1, backlog = 1)
+    val port = server.start()
+    try {
+      val s1 = new java.net.Socket("127.0.0.1", port)
+      val s2 = new java.net.Socket("127.0.0.1", port)
+      try {
+        // pin the single worker to s1 (round-trip one request)
+        val in1 = new java.io.BufferedReader(
+          new java.io.InputStreamReader(s1.getInputStream, UTF_8))
+        val w1 = new java.io.BufferedWriter(
+          new java.io.OutputStreamWriter(s1.getOutputStream, UTF_8))
+        w1.write("create(ka,\"unsorted\")"); w1.newLine(); w1.flush()
+        assert(in1.readLine() == "+OK")
+        // s2 sits in the bounded wait queue; give the acceptor a moment
+        Thread.sleep(300)
+        // the queue is full: s3 must be answered and closed, not parked
+        val s3 = new java.net.Socket("127.0.0.1", port)
+        try {
+          val in3 = new java.io.BufferedReader(
+            new java.io.InputStreamReader(s3.getInputStream, UTF_8))
+          val line = in3.readLine()
+          assert(line != null && line.startsWith("-ERR DBESERVER: at capacity"),
+            String.valueOf(line))
+          assert(in3.readLine() == null) // and the server closed it
+        } finally s3.close()
+      } finally { s1.close(); s2.close() }
+    } finally {
+      server.close()
+      engine.close()
+    }
+  }
 }
