@@ -113,12 +113,19 @@ object DocStreams {
       val marker = new Path(dir, s"_applied_$batchId")
       val data = s"$dir/data"
       if (!fs.exists(marker)) {
-        // two actions consume the batch (the isEmpty probe and the
+        // two actions consume the batch (the emptiness probe and the
         // write job) — persist so the upstream gate/langid/PII
-        // projections evaluate once per batch, not per action
+        // projections evaluate once per batch, not per action. The
+        // probe is count(), NOT isEmpty(): isEmpty is take(1), which
+        // computes the regex-heavy upstream on a single task AND
+        // abandons the partially-built cache blocks, so the write job
+        // re-evaluates everything (measured 3.5x the whole sink's cost
+        // at replay scale — graft.tools.StreamCostProbe). count()
+        // evaluates the batch once, in parallel, and leaves every
+        // partition cached for the write.
         batch.persist()
         try {
-          if (!batch.isEmpty) {
+          if (batch.count() > 0) {
             val one = batch
               .withColumn("__rn", row_number().over(
                 Window.partitionBy("fp").orderBy("doc_id")))
