@@ -99,7 +99,7 @@ object Pq {
     // (same policy and plan-only escape as the span/cluster loops)
     val svRaw = subvectors(p, m)
     val sv =
-      if (sys.props.get("graft.plan.only").contains("true")) svRaw
+      if (sys.props.contains("graft.plan.only")) svRaw
       else svRaw.localCheckpoint()
     for (_ <- 1 to iters) {
       val cdf = cents.toDF("sub", "cid", "c")

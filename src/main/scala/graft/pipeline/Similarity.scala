@@ -49,13 +49,23 @@ object Similarity {
     * top-k-sized blocks, lineage cut) and `p`'s CacheManager entry is
     * dropped, so repeated calls in a long-lived process (ServerMain /
     * TcpServer, the Bench loop) never accumulate corpus caches. Skipped
-    * under the plan-only flag so plan audits see the full unrun
-    * composition (same escape as the TextAnalysis/Pq training loops);
-    * `p` is still unpersisted there — the lazy plan recomputes it.
+    * under the plan-only flag (PRESENCE of `graft.plan.only`, the same
+    * convention as PipelineQueries and the TextAnalysis/Pq training
+    * loops) so plan audits see the full unrun composition; `p` is still
+    * unpersisted there — the lazy plan recomputes it.
+    *
+    * Contract shift callers must know: entry points routed through here
+    * (semanticPairs / lshTopK / lshCosinePairs and kin) EXECUTE eagerly
+    * at call time, and localCheckpoint blocks are NOT fault-tolerant —
+    * on a cluster, losing an executor holding checkpoint blocks fails
+    * the job instead of recomputing. The blocks are pair/top-k-sized
+    * (small), so the trade is deliberate: bounded cache lifetime in a
+    * long-lived server over executor-loss recomputability of a result
+    * the caller is about to drain anyway.
     */
   private def releasedAfter(out: DataFrame, p: DataFrame): DataFrame =
     try {
-      if (sys.props.get("graft.plan.only").contains("true")) out
+      if (sys.props.contains("graft.plan.only")) out
       else out.localCheckpoint()
     } finally p.unpersist()
 

@@ -559,7 +559,7 @@ object TextAnalysis {
     val pairsRaw = substringOverlapPairs(docs, k, w, minShared)
       .select(col("da"), col("db"))
     val pairsFirst =
-      if (sys.props.get("graft.plan.only").contains("true")) pairsRaw
+      if (sys.props.contains("graft.plan.only")) pairsRaw
       else pairsRaw.localCheckpoint()
     // policy = which side of each overlapping pair keeps its text.
     // keep-first (default): the lower doc_id (pairs arrive da < db).
@@ -673,7 +673,7 @@ object TextAnalysis {
     val spansRaw = substringSpans(docs, k, w, minShared, keepLongest)
       .select(col("doc_id"), col("start_tok"), col("end_tok"))
     val spans =
-      if (sys.props.get("graft.plan.only").contains("true")) spansRaw
+      if (sys.props.contains("graft.plan.only")) spansRaw
       else spansRaw.localCheckpoint()
     val spanDocs = spans.select("doc_id").distinct()
     val normFp = md5(to_binary(

@@ -204,6 +204,12 @@ object ParityQueries {
     * formats, then parsed back into rows. The driver-local parse is the
     * SINK (the reference client's stdout, client.c:106-128), bounded by
     * the emitted result, not a distributed hot path.
+    *
+    * `ship = false`: the CSV is co-located (same process), so this entry
+    * measures the bare server-side load + query round-trip; the
+    * client-STREAMED load path is [[serverTcpLoad]]'s dedicated entry.
+    * Without the knob this entry's measured work would silently include
+    * a second client-side CSV read plus the wire copy.
     */
   def serverTcp(s: SparkSession, d: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_tcp").toString
@@ -224,7 +230,8 @@ object ParityQueries {
            |tuple(a,b)
            |""".stripMargin.linesIterator,
         out += _,
-        e => throw new IllegalStateException(s"server error: $e"))
+        e => throw new IllegalStateException(s"server error: $e"),
+        ship = false)
       require(!failed, "server_tcp script failed")
     } finally {
       server.close()

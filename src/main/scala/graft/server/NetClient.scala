@@ -30,32 +30,63 @@ object NetClient {
   val DefaultTimeoutMs: Int =
     sys.env.get("GRAFT_NET_TIMEOUT_MS").map(_.toInt).getOrElse(600000)
 
-  /** Write one request. A `load(...)` whose path is readable HERE ships
-    * the file body first as a FILE frame (the reference client always
-    * streams its local CSV to the server, rpc_write_file
-    * rpc.c:181-206 — the server loads the SPOOLED copy, so the path
-    * need not exist server-side). An unreadable path falls through as a
-    * bare load line for server-side resolution — a superset of the
-    * reference, which fails DBEIONOFILE when the client can't open it.
-    * Two passes over the file (count, then stream) keep client memory
-    * O(1) for the sized frame.
+  /** Write one request. With `ship` on, a `load(...)` whose path is a
+    * readable regular file HERE ships the file body first as a FILE
+    * frame (the reference client always streams its local CSV to the
+    * server, rpc_write_file rpc.c:181-206 — the server loads the
+    * SPOOLED copy, so the path need not exist server-side). An
+    * unreadable path — or a directory, which `isReadable` passes but
+    * `Files.lines` throws on — falls through as a bare load line for
+    * server-side resolution, a superset of the reference, which fails
+    * DBEIONOFILE when the client can't open it.
+    *
+    * The frame is built in ONE pass over the source: the file streams
+    * into a client-side temp spool while counting lines, and the sized
+    * header + body are then framed from the SPOOL, which nothing else
+    * mutates — a source file changing between a count pass and a stream
+    * pass (the classic sized-frame TOCTOU) can no longer desync the
+    * protocol. Memory stays O(1); disk pays one extra copy, the price
+    * the reference's own spool already accepts server-side. A spool
+    * short-read (filesystem error mid-frame) is surfaced as a loud
+    * IOException — by then the sized header is committed, so the
+    * connection is unusable and the caller must abandon it.
     */
-  private def writeRequest(w: BufferedWriter, t: String): Unit = {
+  private def writeRequest(w: BufferedWriter, t: String, ship: Boolean): Unit = {
     Parser.parseLine(t) match {
-      case Some(Op.Load(f)) if Files.isReadable(Paths.get(f)) =>
-        val p = Paths.get(f)
-        val n = { val s = Files.lines(p, UTF_8); try s.count() finally s.close() }
-        w.write(s"FILE $n"); w.newLine()
-        val s = Files.lines(p, UTF_8)
-        try s.forEach { l => w.write(l); w.newLine() } finally s.close()
+      case Some(Op.Load(f)) if ship && Files.isRegularFile(Paths.get(f)) &&
+          Files.isReadable(Paths.get(f)) =>
+        val spool = Files.createTempFile("graft-send-", ".csv")
+        try {
+          var n = 0L
+          val src = Files.lines(Paths.get(f), UTF_8)
+          try {
+            val sw = Files.newBufferedWriter(spool, UTF_8)
+            try src.forEach { l => sw.write(l); sw.write('\n'); n += 1 }
+            finally sw.close()
+          } finally src.close()
+          w.write(s"FILE $n"); w.newLine()
+          var sent = 0L
+          val s = Files.lines(spool, UTF_8)
+          try s.forEach { l => w.write(l); w.newLine(); sent += 1 }
+          finally s.close()
+          if (sent != n)
+            throw new IOException(
+              s"FILE frame short: spooled $n lines, sent $sent — connection desynced, abandon it")
+        } finally Files.deleteIfExists(spool)
       case _ => ()
     }
     w.write(t); w.newLine(); w.flush()
   }
 
+  /** `ship=false` suppresses client-side CSV streaming: every
+    * `load(...)` goes to the server as a bare line for server-side path
+    * resolution, regardless of local readability. Use it when the file
+    * is known co-located (same host / shared FS) and the measurement of
+    * interest is the bare server-side load, not the wire transfer.
+    */
   def run(host: String, port: Int, lines: Iterator[String],
           out: String => Unit, err: String => Unit,
-          timeoutMs: Int = DefaultTimeoutMs): Boolean = {
+          timeoutMs: Int = DefaultTimeoutMs, ship: Boolean = true): Boolean = {
     val sock = new Socket(host, port)
     try {
       if (timeoutMs > 0) sock.setSoTimeout(timeoutMs)
@@ -71,7 +102,7 @@ object NetClient {
         // waiting for one would misreport a clean exit as an error
         if (t == "quit") quit = true
         else if (t.nonEmpty && !t.startsWith("#")) {
-          writeRequest(w, t)
+          writeRequest(w, t, ship)
           var done = false
           while (!done) {
             val resp = in.readLine()
@@ -128,7 +159,7 @@ object NetClient {
               w.write("quit"); w.newLine(); w.flush()
               quit = true
             } else if (t.nonEmpty && !t.startsWith("#")) {
-              writeRequest(w, t)
+              writeRequest(w, t, ship = true)
               var done = false
               while (!done) {
                 val resp = in.readLine()

@@ -34,7 +34,12 @@ object ServerMain {
     val server = new TcpServer(engine,
       port = port,
       threads = sys.env.getOrElse("GRAFT_SERVER_THREADS", "16").toInt,
-      idleTimeoutMs = sys.env.getOrElse("GRAFT_IDLE_TIMEOUT_MS", "0").toInt)
+      // non-zero by default: the server reads MULTI-LINE payloads (the
+      // FILE frame), so a client that lies about its line count would
+      // otherwise park a worker in readLine forever. 10 min is generous
+      // for any real inter-line gap; set 0 to restore the reference's
+      // raw-blocking behavior for trusted co-located clients.
+      idleTimeoutMs = sys.env.getOrElse("GRAFT_IDLE_TIMEOUT_MS", "600000").toInt)
     val bound = server.start()
     println(s"graft-server listening on $bound")
     Console.flush()

@@ -88,7 +88,7 @@ final class TcpServer(engine: Engine, port: Int = 0, threads: Int = 16,
   private val acceptor = new Thread(() => {
     try while (!closed) {
       val sock = serverSocket.accept()
-      try pool.execute(() => serve(sock))
+      try pool.execute(new SessionTask(sock, serve))
       catch {
         case _: RejectedExecutionException =>
           // saturation is answered, not queued: one status line (the
@@ -169,10 +169,17 @@ final class TcpServer(engine: Engine, port: Int = 0, threads: Int = 16,
           if (t.startsWith("FILE ")) {
             try fileLoad(t)
             catch {
+              // a header whose count is unparseable or negative leaves
+              // the framed body UNKNOWABLE — there is no count to drain,
+              // and staying in the loop would misparse CSV rows as
+              // operator lines, shifting every later response. Answer
+              // loud, then end the session (line = null -> socket close)
               case _: NumberFormatException =>
-                status(s"-ERR DBEPARSE: malformed FILE frame: $t")
+                status(s"-ERR DBEPARSE: malformed FILE frame: $t (closing)")
+                line = null
               case e: IllegalArgumentException =>
-                status(s"-ERR DBEPARSE: ${e.getMessage}")
+                status(s"-ERR DBEPARSE: ${e.getMessage} (closing)")
+                line = null
             }
           } else if (t.nonEmpty && !t.startsWith("#")) {
             Parser.parseLine(t) match {
@@ -219,6 +226,23 @@ final class TcpServer(engine: Engine, port: Int = 0, threads: Int = 16,
   override def close(): Unit = {
     closed = true
     try serverSocket.close() catch { case _: java.io.IOException => () }
-    pool.shutdownNow()
+    // queued (accepted but unserved) tasks are returned, not run: close
+    // their sockets so parked clients see an immediate EOF instead of
+    // hanging until their own read timeout
+    pool.shutdownNow().forEach {
+      case t: SessionTask =>
+        try t.sock.close() catch { case _: java.io.IOException => () }
+      case _ => ()
+    }
   }
+}
+
+/** A queued session carries its socket so [[TcpServer.close]] can EOF
+  * parked clients: `shutdownNow` merely discards queued Runnables, and
+  * a discarded bare lambda would leave its accepted-but-unserved socket
+  * open until the client's own read timeout.
+  */
+private final class SessionTask(val sock: Socket, serveFn: Socket => Unit)
+    extends Runnable {
+  override def run(): Unit = serveFn(sock)
 }

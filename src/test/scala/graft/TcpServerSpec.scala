@@ -286,14 +286,37 @@ class TcpServerSpec extends SparkSpec {
         // above came from the spooled body, not path resolution
         val (bare, _) = req("load(\"/client-only/never-created.csv\")")
         assert(bare.startsWith("-ERR DBE"), bare)
-        // malformed frame: loud parse error, session survives
-        val (bad, _) = req("FILE notanumber")
-        assert(bad.startsWith("-ERR DBEPARSE"), bad)
         assert(req("print(v)") == (("+OK", Seq("20", "30"))))
         // spool cleaned up after the load
         val leftovers = new java.io.File(engine.dbDir).listFiles()
           .filter(_.getName.endsWith(".csv.tmp"))
         assert(leftovers.isEmpty, leftovers.mkString(", "))
+        // malformed frame header: the body length is UNKNOWABLE, so the
+        // server answers loud and ENDS the session — staying in the loop
+        // would misparse body rows as operator lines, shifting every
+        // later response on the connection
+        val (bad, _) = req("FILE notanumber")
+        assert(bad.startsWith("-ERR DBEPARSE"), bad)
+        assert(in.readLine() == null, "session must close after unusable FILE header")
+      } finally sock.close()
+    } finally engine.close()
+  }
+
+  test("a negative FILE count is answered loud and the connection closes") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val engine = new Engine(spark, tmpDir("tcp_negframe_db"))
+    try withServer(engine) { port =>
+      val sock = new java.net.Socket("127.0.0.1", port)
+      try {
+        sock.setSoTimeout(10000)
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(sock.getInputStream, UTF_8))
+        val w = new java.io.BufferedWriter(
+          new java.io.OutputStreamWriter(sock.getOutputStream, UTF_8))
+        w.write("FILE -3"); w.newLine(); w.flush()
+        val st = in.readLine()
+        assert(st != null && st.startsWith("-ERR DBEPARSE"), String.valueOf(st))
+        assert(in.readLine() == null, "session must close after negative count")
       } finally sock.close()
     } finally engine.close()
   }
@@ -353,6 +376,15 @@ class TcpServerSpec extends SparkSpec {
             String.valueOf(line))
           assert(in3.readLine() == null) // and the server closed it
         } finally s3.close()
+        // close() must EOF the QUEUED connection (s2) promptly: a
+        // discarded-but-unclosed socket would park the client until its
+        // own read timeout
+        s2.setSoTimeout(10000)
+        val in2 = new java.io.BufferedReader(
+          new java.io.InputStreamReader(s2.getInputStream, UTF_8))
+        server.close()
+        assert(in2.readLine() == null,
+          "queued connection must see EOF on server close")
       } finally { s1.close(); s2.close() }
     } finally {
       server.close()
