@@ -1,7 +1,5 @@
 package graft.core
 
-import java.nio.file.{Files, Paths, Path, StandardCopyOption}
-import scala.jdk.CollectionConverters._
 import graft.lang.Op.StorageType
 
 /** Durable column catalog for a database directory.
@@ -38,15 +36,20 @@ final case class ColumnMeta(dbDir: String, name: String, stype: StorageType,
   def expectedFiles: Long = baseFiles + deltaRows
 }
 
-final class Catalog(val dbDir: String) {
+final class Catalog(val dbDir: String, store: CatalogStore) {
 
-  private val catalogFile: Path = Paths.get(dbDir, "catalog.txt")
-  private var cols: Map[String, ColumnMeta] = load()
+  /** Local-FS catalog (today's default topology). */
+  def this(dbDir: String) = this(dbDir, new RenameCatalogStore(dbDir))
 
-  private def load(): Map[String, ColumnMeta] = {
-    Files.createDirectories(Paths.get(dbDir, "cols"))
-    if (!Files.exists(catalogFile)) Map.empty
-    else Files.readAllLines(catalogFile).asScala.filter(_.nonEmpty).map { line =>
+  private var cols: Map[String, ColumnMeta] = parse(store.init())
+  // object mode: republish the loaded state under THIS writer's fencing
+  // epoch before serving anything — the takeover barrier that makes a
+  // deposed predecessor's late commits unable to win the catalog
+  // ordering (no-op for the local rename store)
+  store.barrier(render())
+
+  private def parse(bodyOpt: Option[String]): Map[String, ColumnMeta] =
+    bodyOpt.map(_.linesIterator.filter(_.nonEmpty).map { line =>
       // 4-field records predate the pristine flag; they may have seen
       // deletes, so read them conservatively as non-pristine
       val fields = line.split("\t")
@@ -67,18 +70,14 @@ final class Catalog(val dbDir: String) {
       val rowsAtVersion = fields.lift(6).flatMap(_.toLongOption).getOrElse(nextId)
       n -> ColumnMeta(dbDir, n, stype, version, nextId, pristine,
         baseFiles, rowsAtVersion)
-    }.toMap
-  }
+    }.toMap).getOrElse(Map.empty)
 
-  private def persist(): Unit = {
-    val tmp = Paths.get(dbDir, "catalog.txt.tmp")
-    val body = cols.values.toSeq.sortBy(_.name)
+  private def render(): String =
+    cols.values.toSeq.sortBy(_.name)
       .map(c => s"${c.name}\t${c.stype.name}\t${c.version}\t${c.nextId}\t${if (c.pristine) "1" else "0"}\t${c.baseFiles}\t${c.rowsAtVersion}")
       .mkString("", "\n", "\n")
-    Files.writeString(tmp, body)
-    Files.move(tmp, catalogFile, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
+
+  private def persist(): Unit = store.commit(render())
 
   def get(name: String): Option[ColumnMeta] = synchronized { cols.get(name) }
 

@@ -27,22 +27,44 @@ import graft.core.Align
 final class Engine(val spark: SparkSession, val dbDir: String)
     extends AutoCloseable {
   // acquired BEFORE the catalog touches anything: a second live engine
-  // must fail loudly without reading or writing a byte of the store
-  private val writerLock = Engine.acquireWriterLock(dbDir)
-  // a throwing catalog load (malformed catalog.txt) must release the
+  // must fail loudly without reading or writing a byte of the store.
+  // Store mode decides the mechanism: local dbDirs use the OS advisory
+  // file lock + rename-commit catalog; object-store dbDirs (hdfs://,
+  // s3a://, ... — or any path under `-Dgraft.store.object`) use the
+  // WriterLease + versioned-object catalog, which never renames
+  private val writerLock = Engine.acquireWriterLock(spark, dbDir)
+  // a throwing catalog load (malformed catalog record) must release the
   // lock on its way out — there is no Engine instance to close(), and a
   // leaked lock would turn every retry-after-repair into a misleading
   // DBELOCKED for the rest of the JVM's life
   val catalog: Catalog =
-    try new Catalog(dbDir)
+    try new Catalog(dbDir, writerLock match {
+      case Engine.LeaseLock(_, io, lease) =>
+        new VersionedCatalogStore(io, dbDir, lease)
+      case _: Engine.FileLock => new RenameCatalogStore(dbDir)
+    })
     catch { case e: Throwable =>
       Engine.releaseWriterLock(writerLock); throw e
     }
 
-  /** Release the single-writer lock. The restart pattern (stop one
-    * server process, start another on the same store) is modeled as
-    * close() + new Engine; a crashed PROCESS needs no close — the OS
-    * releases its file lock. Idempotent.
+  /** Where the TCP server spools client-streamed CSV bodies: the dbDir
+    * itself when it's a plain local directory (spool visibility matches
+    * the store's lifetime); the JVM temp dir when the store is remote
+    * (a spool is transient local scratch — it must never cost an
+    * object-store PUT, and `java.nio.Files` can't address s3a:// paths
+    * anyway).
+    */
+  def spoolDir: java.nio.file.Path = writerLock match {
+    case _: Engine.FileLock => java.nio.file.Paths.get(dbDir)
+    case _ => java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"))
+  }
+
+  /** Release the single-writer lock (file lock or lease). The restart
+    * pattern (stop one server process, start another on the same store)
+    * is modeled as close() + new Engine; a crashed PROCESS needs no
+    * close — the OS releases its file lock, and a lease simply stops
+    * being heartbeated and expires. Idempotent.
     */
   override def close(): Unit = Engine.releaseWriterLock(writerLock)
 
@@ -629,50 +651,88 @@ final class Session(val engine: Engine) {
 /** Single-writer lock machinery: the one-live-writer-per-dbDir assumption
   * (the reference's topology too — one server process owns the store,
   * /root/reference/src/server/server.c:967-1006) enforced LOUDLY instead
-  * of trusted. Cross-process: an OS advisory lock on `dbDir/.graft.lock`
-  * (released automatically if the process dies). In-process: a JVM-global
-  * set of canonical dbDir paths — `FileLock` is per-JVM, so without this
-  * a second same-JVM engine would hit an opaque
-  * `OverlappingFileLockException` instead of the engine's own error.
-  * Local-filesystem scope: on an object-store dbDir this would be a
-  * lease/heartbeat object instead; the catalog is local-FS today.
+  * of trusted, with a mechanism per store kind:
+  *
+  *   - LOCAL dbDirs: an OS advisory lock on `dbDir/.graft.lock`
+  *     (released automatically if the process dies).
+  *   - OBJECT-STORE dbDirs (any URI scheme other than file:, or forced
+  *     via `-Dgraft.store.object` for stores like NFS where advisory
+  *     locks are unreliable): a [[WriterLease]] — TTL'd heartbeat
+  *     object plus epoch fencing on every catalog commit. See
+  *     [[StoreIO]] and SCALE.md §"Object-store commit story".
+  *
+  * In-process, both modes also guard a JVM-global set of dbDir keys —
+  * `FileLock` is per-JVM, so without this a second same-JVM engine
+  * would hit an opaque `OverlappingFileLockException` instead of the
+  * engine's own error (and two same-JVM lease engines would race their
+  * own heartbeats).
   */
 object Engine {
-  private[core] final case class WriterLock(canonical: String,
-                                            channel: java.nio.channels.FileChannel,
-                                            lock: java.nio.channels.FileLock)
+  private[core] sealed trait WriterLock { def key: String }
+  private[core] final case class FileLock(key: String,
+                                          channel: java.nio.channels.FileChannel,
+                                          lock: java.nio.channels.FileLock)
+      extends WriterLock
+  private[core] final case class LeaseLock(key: String, io: StoreIO,
+                                           lease: WriterLease)
+      extends WriterLock
 
   private val jvmHeld = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  private def acquireWriterLock(dbDir: String): WriterLock = {
-    val dir = java.nio.file.Paths.get(dbDir)
-    java.nio.file.Files.createDirectories(dir)
-    val canonical = dir.toRealPath().toString
-    if (!jvmHeld.add(canonical)) throw DbError.locked(dbDir)
-    val channel =
-      try java.nio.channels.FileChannel.open(dir.resolve(".graft.lock"),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      catch { case e: java.io.IOException =>
-        jvmHeld.remove(canonical)
-        throw DbError.ioError(s"cannot open lock file in $dbDir: ${e.getMessage}")
-      }
-    val lock =
-      try channel.tryLock()
-      catch { case scala.util.control.NonFatal(e) =>
-        channel.close(); jvmHeld.remove(canonical)
-        throw DbError.ioError(s"cannot lock $dbDir: ${e.getMessage}")
-      }
-    if (lock == null) { // held by another process
-      channel.close(); jvmHeld.remove(canonical)
-      throw DbError.locked(dbDir)
+  /** Object mode iff the dbDir is a non-file URI (hdfs://, s3a://,
+    * gs://, abfs://, ...) or the override property is set.
+    */
+  private[core] def isObjectStore(dbDir: String): Boolean =
+    sys.props.contains("graft.store.object") || {
+      val i = dbDir.indexOf("://")
+      i > 0 && !dbDir.startsWith("file:")
     }
-    WriterLock(canonical, channel, lock)
-  }
+
+  private def acquireWriterLock(spark: SparkSession,
+                                dbDir: String): WriterLock =
+    if (isObjectStore(dbDir)) {
+      val key = s"uri:$dbDir"
+      if (!jvmHeld.add(key)) throw DbError.locked(dbDir)
+      val io = new HadoopStoreIO(spark.sparkContext.hadoopConfiguration)
+      val lease = new WriterLease(io, dbDir,
+        ttlMs = sys.props.get("graft.lease.ttl.ms").flatMap(_.toLongOption)
+          .getOrElse(60000L),
+        settleMs = sys.props.get("graft.lease.settle.ms").flatMap(_.toLongOption)
+          .getOrElse(200L))
+      try lease.acquire()
+      catch { case e: Throwable => jvmHeld.remove(key); throw e }
+      LeaseLock(key, io, lease)
+    } else {
+      val dir = java.nio.file.Paths.get(dbDir)
+      java.nio.file.Files.createDirectories(dir)
+      val canonical = dir.toRealPath().toString
+      if (!jvmHeld.add(canonical)) throw DbError.locked(dbDir)
+      val channel =
+        try java.nio.channels.FileChannel.open(dir.resolve(".graft.lock"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        catch { case e: java.io.IOException =>
+          jvmHeld.remove(canonical)
+          throw DbError.ioError(s"cannot open lock file in $dbDir: ${e.getMessage}")
+        }
+      val lock =
+        try channel.tryLock()
+        catch { case scala.util.control.NonFatal(e) =>
+          channel.close(); jvmHeld.remove(canonical)
+          throw DbError.ioError(s"cannot lock $dbDir: ${e.getMessage}")
+        }
+      if (lock == null) { // held by another process
+        channel.close(); jvmHeld.remove(canonical)
+        throw DbError.locked(dbDir)
+      }
+      FileLock(canonical, channel, lock)
+    }
 
   private def releaseWriterLock(wl: WriterLock): Unit =
-    if (jvmHeld.remove(wl.canonical)) {
-      if (wl.lock.isValid) wl.lock.release()
-      wl.channel.close()
+    if (jvmHeld.remove(wl.key)) wl match {
+      case FileLock(_, channel, lock) =>
+        if (lock.isValid) lock.release()
+        channel.close()
+      case LeaseLock(_, _, lease) => lease.release()
     }
 }

@@ -1,0 +1,204 @@
+package graft.core
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+/** Minimal whole-object I/O over a store directory — the control-plane
+  * surface the catalog and writer lease need, and NOTHING more. The
+  * trait deliberately has no rename and no append: object stores
+  * (s3a://, gs://, abfs://) give atomic whole-object PUT, GET, LIST and
+  * DELETE, but rename is a non-atomic copy+delete — so the object-mode
+  * commit protocol ([[VersionedCatalogStore]], [[WriterLease]]) is
+  * expressible, and a rename-commit is not, BY CONSTRUCTION.
+  *
+  * The data plane (parquet version dirs) never goes through this trait:
+  * Spark writes those through the path's Hadoop committer (see SCALE.md
+  * for the object-store committer story).
+  */
+trait StoreIO {
+  /** Full object body, or None if absent. A partially-visible object
+    * (HDFS create-in-progress) may return a prefix — the commit
+    * protocol tolerates that via trailing markers.
+    */
+  def read(path: String): Option[String]
+  /** Whole-object PUT: create or replace. Visible atomically on object
+    * stores (PUT-on-close); possibly progressively on HDFS — callers
+    * guard with commit markers, never with rename.
+    */
+  def write(path: String, body: String): Unit
+  /** Immediate child object NAMES of `dir` (not full paths); empty if
+    * the dir doesn't exist.
+    */
+  def list(dir: String): Seq[String]
+  /** Idempotent single-object delete. */
+  def delete(path: String): Unit
+}
+
+/** [[StoreIO]] over a Hadoop FileSystem — one implementation serves
+  * local paths (LocalFileSystem), hdfs:// and every object-store
+  * connector on the classpath, resolved per path from the Spark
+  * session's Hadoop configuration.
+  */
+final class HadoopStoreIO(conf: Configuration) extends StoreIO {
+  private def fsOf(p: HPath): FileSystem = p.getFileSystem(conf)
+
+  override def read(path: String): Option[String] = {
+    val p = new HPath(path); val fs = fsOf(p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        Some(new String(buf.toByteArray, UTF_8))
+      } finally in.close()
+    }
+  }
+
+  override def write(path: String, body: String): Unit = {
+    val p = new HPath(path); val fs = fsOf(p)
+    val parent = p.getParent
+    if (parent != null && !fs.exists(parent)) fs.mkdirs(parent)
+    val out = fs.create(p, true)
+    try out.write(body.getBytes(UTF_8)) finally out.close()
+  }
+
+  override def list(dir: String): Seq[String] = {
+    val p = new HPath(dir); val fs = fsOf(p)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+  }
+
+  override def delete(path: String): Unit = {
+    val p = new HPath(path)
+    fsOf(p).delete(p, false); ()
+  }
+}
+
+/** Single-writer LEASE over [[StoreIO]] — the object-store replacement
+  * for the local-FS advisory file lock, built from the public
+  * lease/fencing-token recipe (the ZooKeeper/Chubby pattern; GFS/HDFS
+  * lease recovery uses the same epoch idea):
+  *
+  *   - The lease lives at `dbDir/_lease` as one small object:
+  *     `epoch \t owner-uuid \t heartbeat-millis`.
+  *   - ACQUIRE reads it; a live lease (heartbeat within `ttlMs`) by
+  *     another owner is DBELOCKED. Absent or expired, the claimant
+  *     writes `epoch+1 / its uuid / now`, waits `settleMs`, and
+  *     re-reads: still its uuid -> acquired; someone else's -> lost the
+  *     race, DBELOCKED. Without store-side compare-and-swap the
+  *     write-settle-verify window is not zero — what makes the protocol
+  *     SAFE anyway is that every catalog commit is fenced by epoch (see
+  *     [[VersionedCatalogStore]]): a deposed writer's commits carry a
+  *     stale epoch and can never win the catalog ordering. On stores
+  *     with conditional PUT (S3 If-None-Match, GCS preconditions, ABFS
+  *     ETags) the claim write can be made atomic and the window closes
+  *     entirely; the Hadoop FileSystem API doesn't expose it, so this
+  *     implementation doesn't assume it.
+  *   - A daemon HEARTBEAT rewrites the lease every `ttlMs / 3`. If a
+  *     read-back ever shows a different owner or a higher epoch, the
+  *     lease marks itself FENCED — every later fencing check throws,
+  *     so a paused-then-resumed writer (GC pause, VM migration — the
+  *     classic fencing scenario) fails loudly instead of corrupting.
+  *   - Timestamps compare across processes, so TTL expiry assumes
+  *     bounded clock skew between writers (document ±ttl/3 headroom);
+  *     fencing does NOT depend on clocks, only on epoch ordering.
+  *
+  * RELEASE stops the heartbeat and deletes the lease object if still
+  * owned. A crashed process simply stops heartbeating: its lease
+  * expires after `ttlMs` and the next writer takes over with a higher
+  * epoch — no unlock step, matching how the OS releases a dead
+  * process's file lock in local mode.
+  */
+final class WriterLease(io: StoreIO, dbDir: String,
+                        ttlMs: Long, settleMs: Long) {
+  private val leasePath = s"$dbDir/_lease"
+  val owner: String = java.util.UUID.randomUUID().toString
+  @volatile private var myEpoch: Long = -1L
+  @volatile private var fenced = false
+  @volatile private var stopped = false
+  private var beat: Thread = _
+
+  /** The fencing token every catalog commit embeds. */
+  def epoch: Long = myEpoch
+
+  private def parse(body: String): Option[(Long, String, Long)] = {
+    val f = body.trim.split("\t")
+    if (f.length < 3) None
+    else for (e <- f(0).toLongOption; hb <- f(2).toLongOption)
+      yield (e, f(1), hb)
+  }
+
+  private def writeLease(epoch: Long): Unit =
+    io.write(leasePath, s"$epoch\t$owner\t${System.currentTimeMillis()}\n")
+
+  def acquire(): Unit = {
+    val now = System.currentTimeMillis()
+    val cur = io.read(leasePath).flatMap(parse)
+    cur match {
+      case Some((_, o, hb)) if o != owner && now - hb < ttlMs =>
+        throw DbError.locked(s"$dbDir (lease held by $o)")
+      case _ => ()
+    }
+    val nextEpoch = cur.map(_._1 + 1).getOrElse(1L)
+    writeLease(nextEpoch)
+    if (settleMs > 0) Thread.sleep(settleMs)
+    io.read(leasePath).flatMap(parse) match {
+      case Some((e, o, _)) if o == owner && e == nextEpoch => myEpoch = e
+      case other => throw DbError.locked(
+        s"$dbDir (lost lease race: ${other.map(_._2).getOrElse("<gone>")})")
+    }
+    beat = new Thread(() => {
+      while (!stopped && !fenced) {
+        try {
+          Thread.sleep(math.max(1L, ttlMs / 3))
+          if (!stopped) {
+            io.read(leasePath).flatMap(parse) match {
+              case Some((e, o, _)) if o == owner && e == myEpoch => writeLease(myEpoch)
+              case _ => fenced = true // deposed — stop renewing, fail loud
+            }
+          }
+        } catch {
+          case _: InterruptedException => () // release() interrupts
+          case scala.util.control.NonFatal(_) => () // transient IO: retry next beat
+        }
+      }
+    }, "graft-lease-heartbeat")
+    beat.setDaemon(true)
+    beat.start()
+  }
+
+  /** Commit-time fencing: re-read the lease and verify this writer still
+    * owns the CURRENT epoch. One small GET per catalog mutation —
+    * mutations are control-plane-rare next to data volume, and the read
+    * is what turns the no-CAS acquire window from a correctness hole
+    * into a liveness nuisance.
+    */
+  def checkFenced(): Unit = {
+    if (fenced) throw DbError.locked(s"$dbDir (lease fenced: deposed writer)")
+    io.read(leasePath).flatMap(parse) match {
+      case Some((e, o, _)) if o == owner && e == myEpoch => ()
+      case _ =>
+        fenced = true
+        throw DbError.locked(s"$dbDir (lease fenced: deposed writer)")
+    }
+  }
+
+  def release(): Unit = {
+    stopped = true
+    if (beat != null) { beat.interrupt(); beat.join(1000) }
+    if (!fenced) try {
+      // delete only a lease we still own — never clobber a successor's.
+      // Best-effort: a store error here just leaves the lease to expire
+      // by TTL, which is the crash path anyway
+      io.read(leasePath).flatMap(parse) match {
+        case Some((e, o, _)) if o == owner && e == myEpoch => io.delete(leasePath)
+        case _ => ()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
+}

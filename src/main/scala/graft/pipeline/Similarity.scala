@@ -64,7 +64,13 @@ object Similarity {
     * the caller is about to drain anyway.
     */
   private def releasedAfter(out: DataFrame, p: DataFrame): DataFrame =
-    try {
+    // measurement escape (tools.ReleaseAbProbe): `graft.release.skip`
+    // restores the pre-release semantics — lazy result, corpus cache
+    // RETAINED — so the eager-materialization cost can be A/B'd in one
+    // JVM. Probe-only: production callers must not set it (it
+    // reintroduces the cache accumulation this method exists to stop).
+    if (sys.props.contains("graft.release.skip")) out
+    else try {
       if (sys.props.contains("graft.plan.only")) out
       else out.localCheckpoint()
     } finally p.unpersist()

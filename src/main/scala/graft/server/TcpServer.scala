@@ -129,7 +129,7 @@ final class TcpServer(engine: Engine, port: Int = 0, threads: Int = 16,
         val nLines = header.stripPrefix("FILE").trim.toLong
         require(nLines >= 0, s"negative FILE line count: $nLines")
         val spool = java.nio.file.Files.createTempFile(
-          java.nio.file.Paths.get(engine.dbDir), "load-", ".csv.tmp")
+          engine.spoolDir, "load-", ".csv.tmp")
         try {
           val w = java.nio.file.Files.newBufferedWriter(spool, UTF_8)
           try {

@@ -1,0 +1,203 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import graft.core.{DbException, Engine}
+
+/** The object-store (rename-less) store protocol end-to-end: the Engine
+  * forced into object mode (`graft.store.object`) over a local path —
+  * the same HadoopStoreIO / WriterLease / VersionedCatalogStore code
+  * path an s3a:// dbDir takes, with Hadoop's LocalFileSystem supplying
+  * the store. Nothing here may depend on atomic rename: the catalog is
+  * versioned immutable objects, the writer lock is a TTL'd lease, and
+  * every stale-writer scenario must lose by EPOCH ordering, not by
+  * filesystem luck.
+  */
+class ObjectStoreSpec extends SparkSpec {
+
+  /** Run `body` in object mode with test-speed lease timings. */
+  private def objectMode[A](ttlMs: Long = 60000, settleMs: Long = 10)(body: => A): A = {
+    sys.props("graft.store.object") = "true"
+    sys.props("graft.lease.ttl.ms") = ttlMs.toString
+    sys.props("graft.lease.settle.ms") = settleMs.toString
+    try body
+    finally {
+      sys.props.remove("graft.store.object")
+      sys.props.remove("graft.lease.ttl.ms")
+      sys.props.remove("graft.lease.settle.ms")
+    }
+  }
+
+  private def writeCsv(dir: String): String = {
+    val p = Paths.get(dir, "in.csv")
+    Files.write(p, java.util.Arrays.asList("oa,ob", "1,10", "2,20", "3,30"), UTF_8)
+    p.toString
+  }
+
+  /** Lease manipulation through the SAME store API the engine uses —
+    * raw java.nio writes would leave LocalFileSystem's stale .crc
+    * sidecars behind and fail checksum on the engine's next read.
+    */
+  private def putLease(dbDir: String, body: String): Unit =
+    new graft.core.HadoopStoreIO(spark.sparkContext.hadoopConfiguration)
+      .write(s"$dbDir/_lease", body)
+
+  private def readLease(dbDir: String): Array[String] =
+    new graft.core.HadoopStoreIO(spark.sparkContext.hadoopConfiguration)
+      .read(s"$dbDir/_lease").get.trim.split("\t")
+
+  private def catalogObjects(dbDir: String): Seq[String] = {
+    val d = new java.io.File(s"$dbDir/catalog")
+    if (!d.exists()) Seq.empty
+    // LocalFileSystem is a ChecksumFileSystem: ignore its .crc sidecars
+    // (real object stores don't produce them; the engine's own list()
+    // regex-filters names anyway)
+    else d.listFiles().map(_.getName).filterNot(_.startsWith(".")).toSeq.sorted
+  }
+
+  test("object mode round-trips create/load/query/insert with a versioned catalog, no catalog.txt") {
+    objectMode() {
+      val dir = tmpDir("objstore_rt")
+      val csv = writeCsv(dir)
+      val dbDir = s"$dir/db"
+      val e1 = new Engine(spark, dbDir)
+      try {
+        val out = e1.execute(
+          s"""create(oa,"unsorted")
+             |create(ob,"sorted")
+             |load("$csv")
+             |p=select(ob,15,35)
+             |v=fetch(oa,p)
+             |print(v)
+             |insert(oa,9,ob,40)
+             |""".stripMargin)
+        assert(out == Seq("2", "3"))
+      } finally e1.close()
+      // the catalog is versioned objects under catalog/, never a
+      // rename-committed catalog.txt
+      assert(!Files.exists(Paths.get(dbDir, "catalog.txt")))
+      val objs = catalogObjects(dbDir)
+      assert(objs.nonEmpty && objs.forall(_.matches(raw"c\d{20}-e\d{10}\.txt")), objs)
+      // reopen: a fresh engine (new lease epoch, takeover barrier) sees
+      // the committed state, including the insert
+      val e2 = new Engine(spark, dbDir)
+      try assert(e2.execute("q=select(ob,40,40)\nw=fetch(oa,q)\nprint(w)") == Seq("9"))
+      finally e2.close()
+    }
+  }
+
+  test("a torn (markerless) catalog object is ignored; the last committed state stays live") {
+    objectMode() {
+      val dir = tmpDir("objstore_torn")
+      val csv = writeCsv(dir)
+      val dbDir = s"$dir/db"
+      val e1 = new Engine(spark, dbDir)
+      try e1.execute(s"""create(oa,"unsorted")
+                        |create(ob,"unsorted")
+                        |load("$csv")
+                        |""".stripMargin)
+      finally e1.close()
+      // simulate a writer dying mid-PUT on a progressively-visible
+      // store: a HIGHER-seq, higher-epoch object with no #commit marker
+      Files.writeString(Paths.get(dbDir, "catalog",
+        f"c${99999L}%020d-e${99L}%010d.txt"),
+        "oa\tunsorted\t77\t77\t1\t1\t77\n") // no marker: torn
+      val e2 = new Engine(spark, dbDir)
+      try {
+        val out = e2.execute("s=select(oa,1,3)\nprint(s)")
+        assert(out == Seq("0", "1", "2")) // real data, not the torn fake
+      } finally e2.close()
+    }
+  }
+
+  test("a stale-epoch commit can never win: epoch orders strictly before seq") {
+    objectMode() {
+      val dir = tmpDir("objstore_stale")
+      val csv = writeCsv(dir)
+      val dbDir = s"$dir/db"
+      val e1 = new Engine(spark, dbDir)
+      try e1.execute(s"""create(oa,"unsorted")
+                        |create(ob,"unsorted")
+                        |load("$csv")
+                        |""".stripMargin)
+      finally e1.close()
+      // a deposed writer (epoch 0 — below any real lease epoch) lands a
+      // committed object with an enormous seq AFTER the real commits
+      Files.writeString(Paths.get(dbDir, "catalog",
+        f"c${99999L}%020d-e${0L}%010d.txt"),
+        "oa\tunsorted\t77\t77\t1\t1\t77\n#commit\n")
+      val e2 = new Engine(spark, dbDir)
+      try {
+        val out = e2.execute("s=select(oa,1,3)\nprint(s)")
+        assert(out == Seq("0", "1", "2")) // the stale commit lost
+      } finally e2.close()
+    }
+  }
+
+  test("a live lease blocks a second writer; an expired lease is taken over with a higher epoch") {
+    objectMode(ttlMs = 60000) {
+      val dir = tmpDir("objstore_lease")
+      val dbDir = s"$dir/db"
+      val e1 = new Engine(spark, dbDir)
+      e1.execute("create(oa,\"unsorted\")")
+      e1.close()
+      // cross-process simulation: another owner's lease, heartbeat fresh
+      putLease(dbDir, s"5\tother-owner\t${System.currentTimeMillis()}\n")
+      val denied = intercept[DbException](new Engine(spark, dbDir))
+      assert(denied.getMessage.contains("DBELOCKED"), denied.getMessage)
+      // same lease, heartbeat far in the past: expired -> takeover
+      putLease(dbDir, s"5\tother-owner\t${System.currentTimeMillis() - 3600000L}\n")
+      val e2 = new Engine(spark, dbDir)
+      try {
+        // takeover bumped the epoch past the dead writer's
+        val lease = readLease(dbDir)
+        assert(lease(0).toLong == 6L, lease.mkString(","))
+        assert(lease(1) != "other-owner")
+        e2.execute("create(ob,\"unsorted\")") // and the store still works
+      } finally e2.close()
+    }
+  }
+
+  test("a deposed writer is fenced: its next catalog commit throws, it cannot corrupt") {
+    objectMode(ttlMs = 60000) {
+      val dir = tmpDir("objstore_fence")
+      val dbDir = s"$dir/db"
+      val e1 = new Engine(spark, dbDir)
+      try {
+        e1.execute("create(oa,\"unsorted\")")
+        // a successor takes the lease out from under e1 (higher epoch,
+        // different owner — what a TTL expiry during a long GC pause
+        // looks like from the deposed side)
+        putLease(dbDir, s"99\tusurper\t${System.currentTimeMillis()}\n")
+        val fenced = intercept[DbException](e1.execute("create(ob,\"unsorted\")"))
+        assert(fenced.getMessage.contains("DBELOCKED"), fenced.getMessage)
+        // and the fence is sticky: reads of the catalog map still work,
+        // but every further commit attempt stays dead
+        val again = intercept[DbException](e1.execute("create(oc,\"unsorted\")"))
+        assert(again.getMessage.contains("DBELOCKED"), again.getMessage)
+      } finally e1.close()
+      // the usurper's lease object survives e1's close (release must
+      // never delete a lease it no longer owns)
+      val lease = readLease(dbDir)
+      assert(lease(1) == "usurper", lease.mkString(","))
+    }
+  }
+
+  test("commit history is garbage-collected to a bounded tail") {
+    objectMode() {
+      val dir = tmpDir("objstore_gc")
+      val dbDir = s"$dir/db"
+      val e1 = new Engine(spark, dbDir)
+      try {
+        // every create is a commit; 20 of them must not leave 20 objects
+        (1 to 20).foreach(i => e1.execute(s"""create(c$i,"unsorted")"""))
+        assert(catalogObjects(dbDir).size <= 9, catalogObjects(dbDir))
+      } finally e1.close()
+      // and the survivors still carry the full 20-column state
+      val e2 = new Engine(spark, dbDir)
+      try assert(e2.catalog.all.size == 20)
+      finally e2.close()
+    }
+  }
+}
