@@ -62,6 +62,16 @@ object Similarity {
     * (small), so the trade is deliberate: bounded cache lifetime in a
     * long-lived server over executor-loss recomputability of a result
     * the caller is about to drain anyway.
+    *
+    * Measured cost (tools.ReleaseAbProbe, sf0.1, 6 order-balanced reps,
+    * an untouched control entry at 1.08x separating host/order noise):
+    * the eager materialization costs 1.20-1.34x on the three affected
+    * bench entries (dedup_embedding_lsh 4.73 vs 3.54s, dedup_semantic
+    * 5.12 vs 4.26s, embedding_lsh_recall 3.91 vs 3.17s) — ~2.5s across
+    * a 200s suite. ACCEPTED: the r13-flagged +42-47% was this plus host
+    * noise, and the alternative (release on a first-action callback)
+    * trades a bounded, measured cost for listener-ordering complexity
+    * on every consumer path.
     */
   private def releasedAfter(out: DataFrame, p: DataFrame): DataFrame =
     // measurement escape (tools.ReleaseAbProbe): `graft.release.skip`
