@@ -83,7 +83,20 @@ object ScaleData {
     if (new java.io.File(s"$out/_SUCCESS").exists()) return
     val base = spark.read.parquet(s"$src/$table.parquet")
     val tiled = (0 until f).map(copyOf(base, table, _)).reduce(_ unionByName _)
-    val parts = math.max(1, math.min(32, (base.count() * f / 50000).toInt))
+    // File-count scaling is part of data fidelity: a real 10x corpus has
+    // ~10x the files, and a scan's parallelism comes from file/row-group
+    // splits. A flat rows-per-file divisor sized for narrow int tables
+    // wrote documents and embeddings as ONE file (one row group — an
+    // unsplittable single scan task), which serialized the regex-heavy
+    // text scans onto one core at sf1 and showed up as the corpus_mix /
+    // pipeline_prep_full flatness tail. Wide, compute-heavy rows get
+    // proportionally more files.
+    val rowsPerFile = table match {
+      case "documents"  => 5000L  // heavy text + per-row regex downstream
+      case "embeddings" => 2000L  // 256-float vectors
+      case _            => 50000L
+    }
+    val parts = math.max(1, math.min(32, (base.count() * f / rowsPerFile).toInt))
     tiled.repartition(parts).write.mode("overwrite").parquet(out)
   }
 
