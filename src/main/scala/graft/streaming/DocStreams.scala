@@ -87,7 +87,9 @@ object DocStreams {
     * ([[dedupExact]]'s output contract). Per batch, in order:
     *
     *  1. **Idempotence marker**: `_applied_<batchId>` in `dir` skips a
-    *     batch already absorbed (foreachBatch is at-least-once).
+    *     batch already absorbed (foreachBatch is at-least-once). The
+    *     marker lands for EVERY applied batch, empty ones included —
+    *     an empty batch's "write" is a no-op append.
     *  2. **Within-batch dedup** (defense in depth — [[dedupExact]]
     *     upstream already collapses the stream): first `doc_id` per
     *     `fp`, so admission is deterministic whatever the upstream.
@@ -113,33 +115,38 @@ object DocStreams {
       val marker = new Path(dir, s"_applied_$batchId")
       val data = s"$dir/data"
       if (!fs.exists(marker)) {
-        // two actions consume the batch (the emptiness probe and the
-        // write job) — persist so the upstream gate/langid/PII
-        // projections evaluate once per batch, not per action. The
-        // probe is count(), NOT isEmpty(): isEmpty is take(1), which
-        // computes the regex-heavy upstream on a single task AND
-        // abandons the partially-built cache blocks, so the write job
-        // re-evaluates everything (measured 3.5x the whole sink's cost
-        // at replay scale — graft.tools.StreamCostProbe). count()
-        // evaluates the batch once, in parallel, and leaves every
-        // partition cached for the write.
-        batch.persist()
-        try {
-          if (batch.count() > 0) {
-            val one = batch
-              .withColumn("__rn", row_number().over(
-                Window.partitionBy("fp").orderBy("doc_id")))
-              .filter(col("__rn") === 1).drop("__rn")
-            val admitted =
-              if (fs.exists(new Path(data)))
-                one.join(spark.read.parquet(data).select(col("fp")),
-                  Seq("fp"), "left_anti")
-              else one
-            admitted.write.mode("append")
-              .partitionBy(partCol).parquet(data)
-            fs.create(marker, true).close()
+        // ONE action consumes the batch: the write job itself. Earlier
+        // shapes probed emptiness first (isEmpty, then persist+count —
+        // see graft.tools.StreamCostProbe history), but any probe is a
+        // second evaluation of the regex-heavy upstream or a cache
+        // round-trip of full text rows; skipping it entirely measured
+        // another 2.4s off the replay sink (probe variant `sink_1act`
+        // vs `sink`). An empty batch just writes nothing — and because
+        // the STORE probe below guards on part-file presence rather
+        // than directory existence, an empty append (dir with only
+        // _SUCCESS) can never break the next batch's store read.
+        val one = batch
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy("fp").orderBy("doc_id")))
+          .filter(col("__rn") === 1).drop("__rn")
+        // store non-empty = the data dir holds a partition dir or a
+        // bare part file; a dir carrying only _SUCCESS (what an empty
+        // append leaves) reads as no-store, so schema inference on an
+        // empty parquet dir can never throw here
+        val hasStore = {
+          val p = new Path(data)
+          fs.exists(p) && fs.listStatus(p).exists { st =>
+            st.isDirectory || st.getPath.getName.endsWith(".parquet")
           }
-        } finally batch.unpersist()
+        }
+        val admitted =
+          if (hasStore)
+            one.join(spark.read.parquet(data).select(col("fp")),
+              Seq("fp"), "left_anti")
+          else one
+        admitted.write.mode("append")
+          .partitionBy(partCol).parquet(data)
+        fs.create(marker, true).close()
       }
     }
 

@@ -86,6 +86,50 @@ object StreamCostProbe {
       finally spark.conf.unset(rKey)
     }
     best("quality") { run(in => DocStreams.qualityFilter(in)) }
+    // single-action sink candidate: no persist, no count — the ONLY
+    // action per batch is the write itself, so the regex-heavy upstream
+    // evaluates exactly once. The store probe guards on part-file
+    // presence (cheap listing) instead of dir existence, which makes
+    // empty appends harmless and removes the need for an emptiness
+    // probe entirely.
+    best("sink_1act") {
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-cost-probe-1act"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir-ckpt"), true)
+      val data = s"$dir/data"
+      Replay.replayTo(spark, batches)(in =>
+        DocStreams.dedupExact(DocStreams.qualityFilter(in), "30 days")
+          .writeStream
+          .option("checkpointLocation", s"$dir-ckpt")
+          .outputMode("append")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val marker = new org.apache.hadoop.fs.Path(dir, s"_applied_$batchId")
+            if (!fs.exists(marker)) {
+              val one = batch
+                .withColumn("__rn", row_number().over(
+                  Window.partitionBy("fp").orderBy("doc_id")))
+                .filter(col("__rn") === 1).drop("__rn")
+              val admitted = {
+                val p = new org.apache.hadoop.fs.Path(data)
+                val hasStore = fs.exists(p) && fs.listStatus(p).exists { st =>
+                  st.isDirectory || st.getPath.getName.endsWith(".parquet")
+                }
+                if (hasStore)
+                  one.join(spark.read.parquet(data).select(col("fp")),
+                    Seq("fp"), "left_anti")
+                else one
+              }
+              admitted.write.mode("append")
+                .partitionBy("lang_pred").parquet(data)
+              fs.create(marker, true).close()
+            }
+          }
+          .start())
+      spark.read.parquet(s"$data").count()
+      ()
+    }
     best("sink") {
       val dir = s"${sys.props("java.io.tmpdir")}/graft-cost-probe"
       val fs = new org.apache.hadoop.fs.Path(dir)
