@@ -34,6 +34,14 @@ trait StoreIO {
   def list(dir: String): Seq[String]
   /** Idempotent single-object delete. */
   def delete(path: String): Unit
+  /** Create-if-absent: returns false (writing nothing) when the object
+    * already exists. ATOMIC where the underlying store's exclusive
+    * create is (HDFS; local POSIX with O_EXCL); emulated
+    * (check-then-create, racy) on stores whose Hadoop connector lacks
+    * it (S3A) — callers must not rely on atomicity alone, which is why
+    * [[WriterLease]] still verify-reads after claiming.
+    */
+  def createExclusive(path: String, body: String): Boolean
 }
 
 /** [[StoreIO]] over a Hadoop FileSystem — one implementation serves
@@ -76,6 +84,22 @@ final class HadoopStoreIO(conf: Configuration) extends StoreIO {
   override def delete(path: String): Unit = {
     val p = new HPath(path)
     fsOf(p).delete(p, false); ()
+  }
+
+  override def createExclusive(path: String, body: String): Boolean = {
+    val p = new HPath(path); val fs = fsOf(p)
+    val parent = p.getParent
+    if (parent != null && !fs.exists(parent)) fs.mkdirs(parent)
+    try {
+      val out = fs.create(p, false) // overwrite=false: exclusive create
+      try out.write(body.getBytes(UTF_8)) finally out.close()
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case e: java.io.IOException
+          if e.getMessage != null && e.getMessage.contains("exists") => false
+    }
   }
 }
 
@@ -145,7 +169,17 @@ final class WriterLease(io: StoreIO, dbDir: String,
       case _ => ()
     }
     val nextEpoch = cur.map(_._1 + 1).getOrElse(1L)
-    writeLease(nextEpoch)
+    // claim. Absent lease: exclusive create — ATOMIC on stores with
+    // exclusive create (HDFS, local), so a simultaneous claimant loses
+    // immediately rather than at the verify read. Expired lease: delete
+    // then exclusive create — the delete reopens a small window (a
+    // racer's delayed delete can remove a fresh winner's claim), which
+    // the settle-verify below still catches; epoch fencing keeps even
+    // an undetected double-claim safe at the catalog.
+    val body = s"$nextEpoch\t$owner\t${System.currentTimeMillis()}\n"
+    if (cur.isDefined) io.delete(leasePath)
+    if (!io.createExclusive(leasePath, body))
+      throw DbError.locked(s"$dbDir (lost lease race at claim)")
     if (settleMs > 0) Thread.sleep(settleMs)
     io.read(leasePath).flatMap(parse) match {
       case Some((e, o, _)) if o == owner && e == nextEpoch => myEpoch = e

@@ -184,6 +184,15 @@ class ObjectStoreSpec extends SparkSpec {
     }
   }
 
+  test("createExclusive claims once: second claimant loses without writing") {
+    val dir = tmpDir("objstore_excl")
+    val io = new graft.core.HadoopStoreIO(spark.sparkContext.hadoopConfiguration)
+    assert(io.createExclusive(s"$dir/_lease", "1\ta\t0\n"))
+    assert(!io.createExclusive(s"$dir/_lease", "1\tb\t0\n"))
+    // loser wrote nothing: the winner's body is intact
+    assert(io.read(s"$dir/_lease").contains("1\ta\t0\n"))
+  }
+
   test("commit history is garbage-collected to a bounded tail") {
     objectMode() {
       val dir = tmpDir("objstore_gc")
