@@ -194,6 +194,59 @@ object ParityQueries {
       .select("v1", "v2", "v3").orderBy("v1", "v2", "v3")
   }
 
+  /** [[createLoad]] with the Engine forced into OBJECT-STORE mode
+    * (`graft.store.object`): the rename-less control plane — writer
+    * LEASE instead of the OS file lock, versioned epoch-fenced catalog
+    * objects instead of a rename-committed catalog.txt — carrying the
+    * same load->select->fetch->tuple chain to the same oracle. Two
+    * engines run in sequence (load, then a REOPEN for the query), so
+    * the result can only come from state that survived a full
+    * lease-release/takeover cycle and a catalog reload from the
+    * versioned objects; the mode's structural invariants (no
+    * catalog.txt, committed `c<seq>-e<epoch>` objects, lease cleaned
+    * up) are asserted inline.
+    */
+  def storeObject(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_objstore").toString
+    val csv = writeRefCsv(s, d, tmp)
+    val dbDir = s"$tmp/db"
+    sys.props("graft.store.object") = "true"
+    val vals =
+      try {
+        val e1 = new Engine(s, dbDir)
+        try e1.execute(
+          s"""create(ra,"unsorted")
+             |create(rb,"unsorted")
+             |create(rc,"sorted")
+             |load("$csv")
+             |""".stripMargin)
+        finally e1.close()
+        val e2 = new Engine(s, dbDir) // reopen: lease takeover + catalog reload
+        val session = e2.newSession()
+        graft.lang.Parser.parseScript(
+          """p=select(ra)
+            |a=fetch(ra,p)
+            |b=fetch(rb,p)
+            |c=fetch(rc,p)
+            |""".stripMargin).toOption.get.foreach(session.eval)
+        val out = Seq("a", "b", "c").map(v => session.getVals(v).df)
+        session.dispose()
+        e2.close()
+        out
+      } finally sys.props.remove("graft.store.object")
+    require(!new java.io.File(s"$dbDir/catalog.txt").exists(),
+      "object mode must not write a rename-committed catalog.txt")
+    val objs = Option(new java.io.File(s"$dbDir/catalog").listFiles())
+      .getOrElse(Array.empty).map(_.getName).filterNot(_.startsWith("."))
+    require(objs.nonEmpty && objs.forall(_.matches(raw"c\d{20}-e\d{10}\.txt")),
+      s"versioned catalog objects expected, got: ${objs.mkString(",")}")
+    require(!new java.io.File(s"$dbDir/_lease").exists(),
+      "lease must be released on clean close")
+    registerCleanup(new java.io.File(tmp))
+    ColumnOps.tupleZip(vals, Seq("id"))
+      .select("v1", "v2", "v3").orderBy("v1", "v2", "v3")
+  }
+
   // --- client/server topology: the same round-trip through a real TCP
   //     socket (graft.server.TcpServer / NetClient — the reference's
   //     client/TCP/threadpool architecture, server.c:967-1006) ---
@@ -352,6 +405,7 @@ object ParityQueries {
     "delete_op" -> deleteOp,
     "update_op" -> updateOp,
     "create_load" -> createLoad,
+    "store_object" -> storeObject,
     "server_tcp" -> serverTcp,
     "server_tcp_load" -> serverTcpLoad,
   )
@@ -412,6 +466,9 @@ object ParityQueries {
          |  CAST(CASE WHEN l_linenumber = 3 THEN 0 ELSE l_partkey END AS INTEGER) AS v
          |FROM lineitem ORDER BY id""".stripMargin,
     "create_load" ->
+      """SELECT CAST(l_orderkey AS INTEGER) AS v1, CAST(l_linenumber AS INTEGER) AS v2,
+        |  CAST(trunc(l_quantity) AS INTEGER) AS v3 FROM lineitem ORDER BY v1, v2, v3""".stripMargin,
+    "store_object" ->
       """SELECT CAST(l_orderkey AS INTEGER) AS v1, CAST(l_linenumber AS INTEGER) AS v2,
         |  CAST(trunc(l_quantity) AS INTEGER) AS v3 FROM lineitem ORDER BY v1, v2, v3""".stripMargin,
     "server_tcp" ->
