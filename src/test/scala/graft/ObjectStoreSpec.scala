@@ -184,6 +184,38 @@ class ObjectStoreSpec extends SparkSpec {
     }
   }
 
+  test("object-mode engine behind TcpServer: client-streamed load spools OUTSIDE the store") {
+    objectMode() {
+      val dir = tmpDir("objstore_tcp")
+      val csv = writeCsv(dir)
+      val dbDir = s"$dir/db"
+      val engine = new Engine(spark, dbDir)
+      val server = new graft.server.TcpServer(engine)
+      val port = server.start()
+      try {
+        val out = collection.mutable.Buffer[String]()
+        val failed = graft.server.NetClient.run("127.0.0.1", port,
+          s"""create(oa,"unsorted")
+             |create(ob,"unsorted")
+             |load("$csv")
+             |p=select(ob,20)
+             |v=fetch(oa,p)
+             |print(v)
+             |""".stripMargin.linesIterator,
+          out += _, e => throw new IllegalStateException(s"server error: $e"))
+        assert(!failed)
+        assert(out.toSeq == Seq("2"))
+        // remote-store contract: the CSV spool must land in the JVM
+        // temp dir (engine.spoolDir), never as objects under the store
+        assert(engine.spoolDir ==
+          Paths.get(System.getProperty("java.io.tmpdir")))
+        val leftovers = Option(new java.io.File(dbDir).listFiles())
+          .getOrElse(Array.empty).filter(_.getName.endsWith(".csv.tmp"))
+        assert(leftovers.isEmpty, leftovers.mkString(","))
+      } finally { server.close(); engine.close() }
+    }
+  }
+
   test("createExclusive claims once: second claimant loses without writing") {
     val dir = tmpDir("objstore_excl")
     val io = new graft.core.HadoopStoreIO(spark.sparkContext.hadoopConfiguration)
