@@ -86,6 +86,12 @@ final class VersionedCatalogStore(io: StoreIO, dbDir: String,
   private val Name = raw"c(\d{20})-e(\d{10})\.txt".r
   private val Marker = "#commit"
   private var nextSeq = 1L
+  // epoch of the winning COMMITTED object at load — a commit below it
+  // can never win the ordering, so publishing one would be silent data
+  // loss (possible only if the lease object was reset out-of-band);
+  // refuse loudly. Torn objects don't count: they never win, whatever
+  // their epoch.
+  private var committedEpoch = 0L
 
   private def parseName(n: String): Option[(Long, Long)] = n match {
     case Name(seq, ep) => Some((ep.toLong, seq.toLong))
@@ -104,15 +110,21 @@ final class VersionedCatalogStore(io: StoreIO, dbDir: String,
     // highest (epoch, seq) first; first object with an intact commit
     // marker wins, torn writes are skipped
     entries.sortBy(_._1).reverse.iterator
-      .flatMap { case (_, n) => io.read(s"$dir/$n") }
+      .flatMap { case (ep, n) => io.read(s"$dir/$n").map((ep._1, _)) }
       .collectFirst {
-        case body if body.linesIterator.toSeq.lastOption.contains(Marker) =>
+        case (ep, body)
+            if body.linesIterator.toSeq.lastOption.contains(Marker) =>
+          committedEpoch = ep
           body.linesIterator.takeWhile(_ != Marker).mkString("", "\n", "\n")
       }
   }
 
   override def commit(body: String): Unit = {
     lease.checkFenced() // the fencing GET: a deposed writer dies here
+    if (lease.epoch < committedEpoch)
+      throw DbError.locked(
+        s"lease epoch ${lease.epoch} behind catalog epoch $committedEpoch " +
+          "(lease object reset out-of-band?) — commit would be invisible")
     val seq = nextSeq
     val name = nameOf(seq, lease.epoch)
     io.write(s"$dir/$name", body + Marker + "\n")

@@ -679,14 +679,18 @@ object Engine {
 
   private val jvmHeld = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Object mode iff the dbDir is a non-file URI (hdfs://, s3a://,
-    * gs://, abfs://, ...) or the override property is set.
+  /** Object mode iff the dbDir is ANY URI form (hdfs://, s3a://,
+    * gs://, abfs://, and also file://) or the override property is
+    * set. file:// goes through the store protocol too — not because a
+    * local disk needs a lease, but because the local fast path is
+    * java.nio, which parses `file:///x` as a RELATIVE path whose first
+    * segment is literally `file:`; the lock and catalog would land in
+    * `./file:/x` while Spark's data plane resolves the same string to
+    * `/x`. HadoopStoreIO resolves every URI form consistently with the
+    * data plane. Plain paths (no scheme) keep the POSIX fast path.
     */
   private[core] def isObjectStore(dbDir: String): Boolean =
-    sys.props.contains("graft.store.object") || {
-      val i = dbDir.indexOf("://")
-      i > 0 && !dbDir.startsWith("file:")
-    }
+    sys.props.contains("graft.store.object") || dbDir.contains("://")
 
   private def acquireWriterLock(spark: SparkSession,
                                 dbDir: String): WriterLock =

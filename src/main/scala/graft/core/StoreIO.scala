@@ -128,15 +128,27 @@ final class HadoopStoreIO(conf: Configuration) extends StoreIO {
   *     lease marks itself FENCED — every later fencing check throws,
   *     so a paused-then-resumed writer (GC pause, VM migration — the
   *     classic fencing scenario) fails loudly instead of corrupting.
+  *     The heartbeat is also STALENESS-GUARDED: if more than `ttlMs`
+  *     has passed since this writer's last successful lease write, it
+  *     fences itself WITHOUT writing — a lease that old may legally
+  *     have been taken over, and writing would clobber the successor's
+  *     object (the read-then-write of a resumed pauser is exactly the
+  *     race a store without CAS cannot exclude; refusing to write when
+  *     the lease could have expired excludes it by the TTL contract).
   *   - Timestamps compare across processes, so TTL expiry assumes
   *     bounded clock skew between writers (document ±ttl/3 headroom);
   *     fencing does NOT depend on clocks, only on epoch ordering.
   *
-  * RELEASE stops the heartbeat and deletes the lease object if still
-  * owned. A crashed process simply stops heartbeating: its lease
-  * expires after `ttlMs` and the next writer takes over with a higher
-  * epoch — no unlock step, matching how the OS releases a dead
-  * process's file lock in local mode.
+  * RELEASE stops the heartbeat and TOMBSTONES the lease if still owned:
+  * the object is rewritten with heartbeat 0 — expired forever — rather
+  * than deleted, so the EPOCH SURVIVES a clean close and the next
+  * writer always claims a strictly higher one. (Deleting would reset
+  * the next claimant to epoch 1, whose catalog objects sort below
+  * everything an earlier higher-epoch writer committed — acknowledged
+  * writes would silently lose the ordering.) A crashed process simply
+  * stops heartbeating: its lease expires after `ttlMs` and the next
+  * writer takes over with a higher epoch — no unlock step, matching
+  * how the OS releases a dead process's file lock in local mode.
   */
 final class WriterLease(io: StoreIO, dbDir: String,
                         ttlMs: Long, settleMs: Long) {
@@ -145,6 +157,9 @@ final class WriterLease(io: StoreIO, dbDir: String,
   @volatile private var myEpoch: Long = -1L
   @volatile private var fenced = false
   @volatile private var stopped = false
+  // wall-clock of this writer's last successful lease write (claim or
+  // heartbeat) — the staleness guard's reference point
+  @volatile private var lastWriteOk = 0L
   private var beat: Thread = _
 
   /** The fencing token every catalog commit embeds. */
@@ -182,7 +197,9 @@ final class WriterLease(io: StoreIO, dbDir: String,
       throw DbError.locked(s"$dbDir (lost lease race at claim)")
     if (settleMs > 0) Thread.sleep(settleMs)
     io.read(leasePath).flatMap(parse) match {
-      case Some((e, o, _)) if o == owner && e == nextEpoch => myEpoch = e
+      case Some((e, o, _)) if o == owner && e == nextEpoch =>
+        myEpoch = e
+        lastWriteOk = System.currentTimeMillis()
       case other => throw DbError.locked(
         s"$dbDir (lost lease race: ${other.map(_._2).getOrElse("<gone>")})")
     }
@@ -192,7 +209,21 @@ final class WriterLease(io: StoreIO, dbDir: String,
           Thread.sleep(math.max(1L, ttlMs / 3))
           if (!stopped) {
             io.read(leasePath).flatMap(parse) match {
-              case Some((e, o, _)) if o == owner && e == myEpoch => writeLease(myEpoch)
+              case Some((e, o, _)) if o == owner && e == myEpoch =>
+                // staleness guard: past the TTL since our last write,
+                // the lease may LEGALLY have been taken over during a
+                // pause — even if the read above still showed us (we
+                // could be reading our own about-to-be-replaced object,
+                // or have raced the successor's claim). Refuse to
+                // write; fence. Within the TTL no legal takeover can
+                // have happened (the lease wasn't expired), so the
+                // rewrite cannot clobber a successor.
+                if (System.currentTimeMillis() - lastWriteOk > ttlMs)
+                  fenced = true
+                else {
+                  writeLease(myEpoch)
+                  lastWriteOk = System.currentTimeMillis()
+                }
               case _ => fenced = true // deposed — stop renewing, fail loud
             }
           }
@@ -214,6 +245,14 @@ final class WriterLease(io: StoreIO, dbDir: String,
     */
   def checkFenced(): Unit = {
     if (fenced) throw DbError.locked(s"$dbDir (lease fenced: deposed writer)")
+    // same staleness rule as the heartbeat: past the TTL since our last
+    // successful lease write we cannot PROVE the lease wasn't legally
+    // taken over during a pause (a resumed pauser may even be reading a
+    // lease object it clobbered) — fail loud rather than trust the read
+    if (System.currentTimeMillis() - lastWriteOk > ttlMs) {
+      fenced = true
+      throw DbError.locked(s"$dbDir (lease fenced: heartbeat stale past TTL)")
+    }
     io.read(leasePath).flatMap(parse) match {
       case Some((e, o, _)) if o == owner && e == myEpoch => ()
       case _ =>
@@ -226,11 +265,16 @@ final class WriterLease(io: StoreIO, dbDir: String,
     stopped = true
     if (beat != null) { beat.interrupt(); beat.join(1000) }
     if (!fenced) try {
-      // delete only a lease we still own — never clobber a successor's.
+      // TOMBSTONE (heartbeat 0 = expired forever), never delete: the
+      // epoch must survive a clean close so the next writer claims a
+      // strictly higher one — a deleted lease would reset epochs to 1
+      // and the new writer's catalog objects would sort below every
+      // earlier commit. Only a lease we still own is touched.
       // Best-effort: a store error here just leaves the lease to expire
       // by TTL, which is the crash path anyway
       io.read(leasePath).flatMap(parse) match {
-        case Some((e, o, _)) if o == owner && e == myEpoch => io.delete(leasePath)
+        case Some((e, o, _)) if o == owner && e == myEpoch =>
+          io.write(leasePath, s"$myEpoch\t$owner\t0\n")
         case _ => ()
       }
     } catch { case scala.util.control.NonFatal(_) => () }

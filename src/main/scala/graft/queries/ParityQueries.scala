@@ -222,17 +222,18 @@ object ParityQueries {
              |""".stripMargin)
         finally e1.close()
         val e2 = new Engine(s, dbDir) // reopen: lease takeover + catalog reload
-        val session = e2.newSession()
-        graft.lang.Parser.parseScript(
-          """p=select(ra)
-            |a=fetch(ra,p)
-            |b=fetch(rb,p)
-            |c=fetch(rc,p)
-            |""".stripMargin).toOption.get.foreach(session.eval)
-        val out = Seq("a", "b", "c").map(v => session.getVals(v).df)
-        session.dispose()
-        e2.close()
-        out
+        try {
+          val session = e2.newSession()
+          try {
+            graft.lang.Parser.parseScript(
+              """p=select(ra)
+                |a=fetch(ra,p)
+                |b=fetch(rb,p)
+                |c=fetch(rc,p)
+                |""".stripMargin).toOption.get.foreach(session.eval)
+            Seq("a", "b", "c").map(v => session.getVals(v).df)
+          } finally session.dispose() // else a failure leaks cache entries
+        } finally e2.close() // else a failure leaks the lease heartbeat + jvmHeld key
       } finally sys.props.remove("graft.store.object")
     require(!new java.io.File(s"$dbDir/catalog.txt").exists(),
       "object mode must not write a rename-committed catalog.txt")
@@ -240,8 +241,12 @@ object ParityQueries {
       .getOrElse(Array.empty).map(_.getName).filterNot(_.startsWith("."))
     require(objs.nonEmpty && objs.forall(_.matches(raw"c\d{20}-e\d{10}\.txt")),
       s"versioned catalog objects expected, got: ${objs.mkString(",")}")
-    require(!new java.io.File(s"$dbDir/_lease").exists(),
-      "lease must be released on clean close")
+    // clean close TOMBSTONES the lease (heartbeat 0, epoch preserved
+    // for the next writer) rather than deleting it
+    val lease = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dbDir/_lease")).trim.split("\t")
+    require(lease.length == 3 && lease(2) == "0",
+      s"lease must be tombstoned on clean close, got: ${lease.mkString(",")}")
     registerCleanup(new java.io.File(tmp))
     ColumnOps.tupleZip(vals, Seq("id"))
       .select("v1", "v2", "v3").orderBy("v1", "v2", "v3")

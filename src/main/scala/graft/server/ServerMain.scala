@@ -38,7 +38,12 @@ object ServerMain {
       // FILE frame), so a client that lies about its line count would
       // otherwise park a worker in readLine forever. 10 min is generous
       // for any real inter-line gap; set 0 to restore the reference's
-      // raw-blocking behavior for trusted co-located clients.
+      // raw-blocking behavior for trusted co-located clients. KNOWN
+      // TRADE: an interactive REPL user idle past the timeout is
+      // disconnected and loses their session variables — deployments
+      // serving humans at a prompt should set GRAFT_IDLE_TIMEOUT_MS=0
+      // (or high); the default favors not leaking workers to dead
+      // clients.
       idleTimeoutMs = sys.env.getOrElse("GRAFT_IDLE_TIMEOUT_MS", "600000").toInt)
     val bound = server.start()
     println(s"graft-server listening on $bound")

@@ -81,6 +81,13 @@ final class TcpServer(engine: Engine, port: Int = 0, threads: Int = 16,
       val t = new Thread(r, "graft-tcp-worker"); t.setDaemon(true); t
     })
   @volatile private var closed = false
+  // sockets of sessions a worker is CURRENTLY serving: close() must
+  // close these too — shutdownNow's interrupt does not wake a thread
+  // blocked in a socket read, so without this an idle-but-connected
+  // client would hang until its own read timeout while its worker
+  // keeps serving against an engine whose lock may already be released
+  private val active =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Socket]()
 
   /** The bound port (useful with port=0: an ephemeral port for tests). */
   def boundPort: Int = serverSocket.getLocalPort
@@ -115,6 +122,7 @@ final class TcpServer(engine: Engine, port: Int = 0, threads: Int = 16,
 
   private def serve(sock: Socket): Unit = {
     val session = engine.newSession()
+    active.add(sock)
     try {
       if (idleTimeoutMs > 0) sock.setSoTimeout(idleTimeoutMs)
       val in = new BufferedReader(new InputStreamReader(sock.getInputStream, UTF_8))
@@ -208,6 +216,7 @@ final class TcpServer(engine: Engine, port: Int = 0, threads: Int = 16,
       case _: java.io.IOException => () // client went away mid-response
       case NonFatal(_) if closed  => ()
     } finally {
+      active.remove(sock)
       try sock.close() catch { case _: java.io.IOException => () }
       // the session env dies with the connection (server.c:72-78) —
       // release any cached bindings it still holds. close() interrupts
@@ -233,6 +242,12 @@ final class TcpServer(engine: Engine, port: Int = 0, threads: Int = 16,
       case t: SessionTask =>
         try t.sock.close() catch { case _: java.io.IOException => () }
       case _ => ()
+    }
+    // ACTIVE sessions too: interrupt does not wake a blocked socket
+    // read; closing the socket does (the worker's readLine throws, the
+    // serve loop's IOException arm runs, the session is disposed)
+    active.forEach { s =>
+      try s.close() catch { case _: java.io.IOException => () }
     }
   }
 }

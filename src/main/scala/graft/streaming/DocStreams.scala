@@ -130,13 +130,16 @@ object DocStreams {
             Window.partitionBy("fp").orderBy("doc_id")))
           .filter(col("__rn") === 1).drop("__rn")
         // store non-empty = the data dir holds a partition dir or a
-        // bare part file; a dir carrying only _SUCCESS (what an empty
-        // append leaves) reads as no-store, so schema inference on an
-        // empty parquet dir can never throw here
+        // bare part file. Metadata entries — _SUCCESS (empty append),
+        // _temporary (a crashed write's committer scratch), dotfiles —
+        // must NOT count, or schema inference on a parquet-less dir
+        // would throw on every retry of a crashed first batch
         val hasStore = {
           val p = new Path(data)
           fs.exists(p) && fs.listStatus(p).exists { st =>
-            st.isDirectory || st.getPath.getName.endsWith(".parquet")
+            val n = st.getPath.getName
+            val meta = n.startsWith("_") || n.startsWith(".")
+            (st.isDirectory && !meta) || (!meta && n.endsWith(".parquet"))
           }
         }
         val admitted =

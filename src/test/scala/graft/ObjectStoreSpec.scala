@@ -216,6 +216,27 @@ class ObjectStoreSpec extends SparkSpec {
     }
   }
 
+  test("epoch survives a clean close: successors always claim strictly higher epochs") {
+    objectMode() {
+      val dbDir = s"${tmpDir("objstore_epoch")}/db"
+      val e1 = new Engine(spark, dbDir)
+      e1.execute("create(oa,\"unsorted\")"); e1.close()
+      // clean close TOMBSTONES the lease: epoch preserved, heartbeat 0
+      val l1 = readLease(dbDir)
+      assert(l1(0).toLong == 1L && l1(2) == "0", l1.mkString(","))
+      val e2 = new Engine(spark, dbDir)
+      e2.execute("create(ob,\"unsorted\")"); e2.close()
+      val l2 = readLease(dbDir)
+      // had the close DELETED the lease, e2 would have claimed epoch 1
+      // again and its commits would sort below nothing — later writers
+      // could resurrect pre-e2 state. Tombstoning forces 2.
+      assert(l2(0).toLong == 2L && l2(2) == "0", l2.mkString(","))
+      val e3 = new Engine(spark, dbDir)
+      try assert(e3.catalog.all.map(_.name).toSet == Set("oa", "ob"))
+      finally e3.close()
+    }
+  }
+
   test("createExclusive claims once: second claimant loses without writing") {
     val dir = tmpDir("objstore_excl")
     val io = new graft.core.HadoopStoreIO(spark.sparkContext.hadoopConfiguration)

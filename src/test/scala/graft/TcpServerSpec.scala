@@ -302,6 +302,35 @@ class TcpServerSpec extends SparkSpec {
     } finally engine.close()
   }
 
+  test("close() EOFs an ACTIVE idle connection promptly") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val engine = new Engine(spark, tmpDir("tcp_activeclose_db"))
+    val server = new TcpServer(engine)
+    val port = server.start()
+    try {
+      val sock = new java.net.Socket("127.0.0.1", port)
+      try {
+        sock.setSoTimeout(10000)
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(sock.getInputStream, UTF_8))
+        val w = new java.io.BufferedWriter(
+          new java.io.OutputStreamWriter(sock.getOutputStream, UTF_8))
+        // one round-trip pins a worker on this connection, then idle
+        w.write("create(za,\"unsorted\")"); w.newLine(); w.flush()
+        assert(in.readLine() == "+OK")
+        // shutdownNow's interrupt cannot wake a blocked socket read —
+        // close() must close the active socket so the client sees EOF
+        // now, not at its own read timeout
+        server.close()
+        assert(in.readLine() == null,
+          "active idle connection must see EOF on server close")
+      } finally sock.close()
+    } finally {
+      server.close()
+      engine.close()
+    }
+  }
+
   test("a negative FILE count is answered loud and the connection closes") {
     import java.nio.charset.StandardCharsets.UTF_8
     val engine = new Engine(spark, tmpDir("tcp_negframe_db"))
