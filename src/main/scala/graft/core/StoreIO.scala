@@ -177,22 +177,38 @@ final class WriterLease(io: StoreIO, dbDir: String,
 
   def acquire(): Unit = {
     val now = System.currentTimeMillis()
-    val cur = io.read(leasePath).flatMap(parse)
+    val raw = io.read(leasePath)
+    val cur = raw.flatMap(parse)
     cur match {
       case Some((_, o, hb)) if o != owner && now - hb < ttlMs =>
         throw DbError.locked(s"$dbDir (lease held by $o)")
       case _ => ()
     }
-    val nextEpoch = cur.map(_._1 + 1).getOrElse(1L)
+    // epoch monotonicity has TWO witnesses: the lease object and the
+    // committed catalog history (object names carry their epoch —
+    // VersionedCatalogStore's `c<seq>-e<epoch>.txt`). Flooring on both
+    // means even a deleted or torn lease object cannot make a new
+    // writer claim an epoch at-or-below anything ever committed
+    val catalogEpoch = io.list(s"$dbDir/catalog")
+      .flatMap(n => raw"-e(\d{10})\.txt$$".r.findFirstMatchIn(n)
+        .map(_.group(1).toLong))
+      .maxOption.getOrElse(0L)
+    val nextEpoch = math.max(cur.map(_._1).getOrElse(0L), catalogEpoch) + 1L
     // claim. Absent lease: exclusive create — ATOMIC on stores with
     // exclusive create (HDFS, local), so a simultaneous claimant loses
     // immediately rather than at the verify read. Expired lease: delete
     // then exclusive create — the delete reopens a small window (a
     // racer's delayed delete can remove a fresh winner's claim), which
     // the settle-verify below still catches; epoch fencing keeps even
-    // an undetected double-claim safe at the catalog.
+    // an undetected double-claim safe at the catalog. A lease object
+    // that EXISTS but doesn't parse (a torn claim write from a crashed
+    // process) is deleted like an expired one — it can never renew, and
+    // leaving it would lock the store out forever. Its epoch is
+    // unknowable, so the catalog's committed-epoch floor (see
+    // VersionedCatalogStore.commit) is the backstop if the torn object
+    // had hidden a higher epoch.
     val body = s"$nextEpoch\t$owner\t${System.currentTimeMillis()}\n"
-    if (cur.isDefined) io.delete(leasePath)
+    if (raw.isDefined) io.delete(leasePath)
     if (!io.createExclusive(leasePath, body))
       throw DbError.locked(s"$dbDir (lost lease race at claim)")
     if (settleMs > 0) Thread.sleep(settleMs)

@@ -237,6 +237,25 @@ class ObjectStoreSpec extends SparkSpec {
     }
   }
 
+  test("a torn (unparseable) lease object cannot lock the store out; catalog floors the epoch") {
+    objectMode() {
+      val dbDir = s"${tmpDir("objstore_tornlease")}/db"
+      val e1 = new Engine(spark, dbDir)
+      e1.execute("create(oa,\"unsorted\")"); e1.close() // commits at epoch 1
+      // simulate a claimant crashing mid-PUT: garbage where the lease goes
+      putLease(dbDir, "garb")
+      val e2 = new Engine(spark, dbDir) // must not be locked out forever
+      try {
+        assert(e2.catalog.all.map(_.name) == Seq("oa"))
+        // the torn lease's epoch was unknowable, but the CATALOG history
+        // (epoch-1 objects) floors the claim: e2 must be at epoch >= 2
+        val l = readLease(dbDir)
+        assert(l(0).toLong >= 2L, l.mkString(","))
+        e2.execute("create(ob,\"unsorted\")") // and commits still land
+      } finally e2.close()
+    }
+  }
+
   test("createExclusive claims once: second claimant loses without writing") {
     val dir = tmpDir("objstore_excl")
     val io = new graft.core.HadoopStoreIO(spark.sparkContext.hadoopConfiguration)
