@@ -690,7 +690,11 @@ object Engine {
     * data plane. Plain paths (no scheme) keep the POSIX fast path.
     */
   private[core] def isObjectStore(dbDir: String): Boolean =
-    sys.props.contains("graft.store.object") || dbDir.contains("://")
+    sys.props.contains("graft.store.object") ||
+      // any URI scheme, single- or double-slash (Hadoop accepts both
+      // `file:/x` and `file:///x`) — java.nio would parse either as a
+      // relative path whose first segment is literally `scheme:`
+      raw"^[A-Za-z][A-Za-z0-9+.\-]*:/.*".r.matches(dbDir)
 
   private def acquireWriterLock(spark: SparkSession,
                                 dbDir: String): WriterLock =

@@ -55,16 +55,21 @@ final class HadoopStoreIO(conf: Configuration) extends StoreIO {
   override def read(path: String): Option[String] = {
     val p = new HPath(path); val fs = fsOf(p)
     if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
+    else
+      // the exists->open pair is a TOCTOU against concurrent deletes
+      // (a deposed writer's GC, a racing lease claim): a file vanishing
+      // in between must read as absent, per this method's contract —
+      // not crash the caller with a raw FileNotFoundException
       try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val chunk = new Array[Byte](8192)
-        var n = in.read(chunk)
-        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-        Some(new String(buf.toByteArray, UTF_8))
-      } finally in.close()
-    }
+        val in = fs.open(p)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](8192)
+          var n = in.read(chunk)
+          while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+          Some(new String(buf.toByteArray, UTF_8))
+        } finally in.close()
+      } catch { case _: java.io.FileNotFoundException => None }
   }
 
   override def write(path: String, body: String): Unit = {
@@ -160,6 +165,12 @@ final class WriterLease(io: StoreIO, dbDir: String,
   // wall-clock of this writer's last successful lease write (claim or
   // heartbeat) — the staleness guard's reference point
   @volatile private var lastWriteOk = 0L
+  // serializes lease WRITES between the heartbeat and release(): the
+  // heartbeat's read can return just before release tombstones, and
+  // Hadoop store I/O ignores interrupts, so without mutual exclusion a
+  // straggling heartbeat write could stamp a fresh heartbeat OVER the
+  // tombstone and spuriously lock the next writer out for a TTL
+  private val writeMutex = new Object
   private var beat: Thread = _
 
   /** The fencing token every catalog commit embeds. */
@@ -184,16 +195,43 @@ final class WriterLease(io: StoreIO, dbDir: String,
         throw DbError.locked(s"$dbDir (lease held by $o)")
       case _ => ()
     }
-    // epoch monotonicity has TWO witnesses: the lease object and the
+    // epoch monotonicity has THREE witnesses: the lease object, the
     // committed catalog history (object names carry their epoch —
-    // VersionedCatalogStore's `c<seq>-e<epoch>.txt`). Flooring on both
-    // means even a deleted or torn lease object cannot make a new
-    // writer claim an epoch at-or-below anything ever committed
+    // VersionedCatalogStore's `c<seq>-e<epoch>.txt`), and the epoch
+    // CLAIM objects below. Flooring on all of them means even a
+    // deleted or torn lease object cannot make a new writer claim an
+    // epoch at-or-below anything ever committed
+    val epochsDir = s"$dbDir/_epochs"
+    val claimedEpoch = io.list(epochsDir)
+      .flatMap(n => raw"e(\d{10})".r.findFirstMatchIn(n).map(_.group(1).toLong))
+      .maxOption.getOrElse(0L)
     val catalogEpoch = io.list(s"$dbDir/catalog")
       .flatMap(n => raw"-e(\d{10})\.txt$$".r.findFirstMatchIn(n)
         .map(_.group(1).toLong))
       .maxOption.getOrElse(0L)
-    val nextEpoch = math.max(cur.map(_._1).getOrElse(0L), catalogEpoch) + 1L
+    val floor = math.max(math.max(cur.map(_._1).getOrElse(0L), catalogEpoch),
+      claimedEpoch)
+    // EPOCH UNIQUENESS via exclusive create: each epoch number is a
+    // one-shot claim object, so two racers that both saw the same
+    // expired lease can never end up sharing an epoch — without this,
+    // two claimants computing the same nextEpoch could both pass the
+    // settle-verify in an unlucky interleave, and same-epoch commits
+    // are outside what (epoch, seq) fencing can arbitrate (a later PUT
+    // could even overwrite the other's same-named committed object).
+    // Atomic where the store's exclusive create is; on emulated stores
+    // the verify-read below remains the arbiter. Claim objects are tiny
+    // and swept beyond a bounded tail.
+    var nextEpoch = floor + 1L
+    var tries = 0
+    while (!io.createExclusive(f"$epochsDir/e$nextEpoch%010d", owner) && {
+      tries += 1; tries < 64
+    }) nextEpoch += 1L
+    if (tries >= 64)
+      throw DbError.locked(s"$dbDir (cannot claim an epoch: 64 consecutive collisions)")
+    io.list(epochsDir)
+      .flatMap(n => raw"e(\d{10})".r.findFirstMatchIn(n).map(_.group(1).toLong -> n))
+      .filter(_._1 <= nextEpoch - 16)
+      .foreach { case (_, n) => io.delete(s"$epochsDir/$n") }
     // claim. Absent lease: exclusive create — ATOMIC on stores with
     // exclusive create (HDFS, local), so a simultaneous claimant loses
     // immediately rather than at the verify read. Expired lease: delete
@@ -236,9 +274,14 @@ final class WriterLease(io: StoreIO, dbDir: String,
                 // rewrite cannot clobber a successor.
                 if (System.currentTimeMillis() - lastWriteOk > ttlMs)
                   fenced = true
-                else {
-                  writeLease(myEpoch)
-                  lastWriteOk = System.currentTimeMillis()
+                else writeMutex.synchronized {
+                  // stopped is re-checked UNDER the mutex: release()
+                  // sets it before taking the mutex to tombstone, so a
+                  // heartbeat that lost the race can no longer write
+                  if (!stopped) {
+                    writeLease(myEpoch)
+                    lastWriteOk = System.currentTimeMillis()
+                  }
                 }
               case _ => fenced = true // deposed — stop renewing, fail loud
             }
@@ -278,9 +321,10 @@ final class WriterLease(io: StoreIO, dbDir: String,
   }
 
   def release(): Unit = {
-    stopped = true
+    stopped = true // set BEFORE taking the mutex: the heartbeat's
+    // under-mutex re-check then guarantees no lease write after ours
     if (beat != null) { beat.interrupt(); beat.join(1000) }
-    if (!fenced) try {
+    if (!fenced) try writeMutex.synchronized {
       // TOMBSTONE (heartbeat 0 = expired forever), never delete: the
       // epoch must survive a clean close so the next writer claims a
       // strictly higher one — a deleted lease would reset epochs to 1

@@ -123,6 +123,17 @@ final class TcpServer(engine: Engine, port: Int = 0, threads: Int = 16,
   private def serve(sock: Socket): Unit = {
     val session = engine.newSession()
     active.add(sock)
+    // re-check AFTER registering: a task dequeued just before close()
+    // is returned by neither shutdownNow (already running) nor the
+    // active sweep (not yet registered when it swept) — the add-then-
+    // check here against close()'s set-then-sweep covers every
+    // interleaving (one side is guaranteed to see the other)
+    if (closed) {
+      active.remove(sock)
+      try sock.close() catch { case _: java.io.IOException => () }
+      session.dispose()
+      return
+    }
     try {
       if (idleTimeoutMs > 0) sock.setSoTimeout(idleTimeoutMs)
       val in = new BufferedReader(new InputStreamReader(sock.getInputStream, UTF_8))

@@ -39,12 +39,16 @@ object ReleaseAbProbe {
     def runOne(name: String, skip: Boolean): Double = {
       if (skip) sys.props("graft.release.skip") = "true"
       else sys.props.remove("graft.release.skip")
-      val t0 = System.nanoTime()
-      fns(name)(spark, sfDir).count()
-      val dt = (System.nanoTime() - t0) / 1e9
-      sys.props.remove("graft.release.skip")
-      spark.catalog.clearCache() // drop anything the lazy arm leaked
-      dt
+      try {
+        val t0 = System.nanoTime()
+        fns(name)(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      } finally {
+        // ALWAYS clear the flag: a thrown rep must not leave later
+        // "shipped" runs silently measuring the lazy arm
+        sys.props.remove("graft.release.skip")
+        spark.catalog.clearCache() // drop anything the lazy arm leaked
+      }
     }
 
     // warmup both arms once (codegen, scan caches OS-side)
