@@ -222,6 +222,44 @@ object EngineFuzzProps extends Properties("EngineFuzz") {
         s"socket=(${got.mkString(",")}, $gotErr) model=(${wantOut.mkString(",")}, $wantErr)"
     }
 
+  /** The same differential property with the engine in OBJECT-STORE
+    * mode: every mutation in the fuzzed script drives a versioned
+    * epoch-fenced catalog commit (PUT + rank + GC) instead of a rename,
+    * and the load path runs under the writer LEASE — so the rename-less
+    * control plane is pinned to the reference model across the same
+    * random interaction space as the local fast path, not just the
+    * deterministic ObjectStoreSpec scenarios. settle=0 keeps the
+    * per-case acquire cheap; the protocol under test is the commit
+    * path, not the claim race (ObjectStoreSpec covers that).
+    */
+  property("random scripts in OBJECT-STORE mode match the reference model") =
+    Prop.forAll(Gen.choose(0L, Long.MaxValue)) { seed =>
+      val (lines, wantOut, wantErr) = genCase(seed)
+      val db = Files.createTempDirectory("fuzzobjdb").toString
+      sys.props("graft.store.object") = "true"
+      sys.props("graft.lease.settle.ms") = "0"
+      val e =
+        try new Engine(spark, db)
+        finally {
+          sys.props.remove("graft.store.object")
+          sys.props.remove("graft.lease.settle.ms")
+        }
+      e.execute(ColNames.map(c => s"""create($c,"unsorted")""").mkString("\n"))
+      val session = e.newSession()
+      val got = mutable.Buffer.empty[String]
+      var gotErr: Option[String] = None
+      lines.iterator.takeWhile(_ => gotErr.isEmpty).foreach { line =>
+        val op = Parser.parseLine(line).getOrElse(
+          sys.error(s"generator produced unparseable line: $line"))
+        try got ++= session.eval(op)
+        catch { case ex: DbException => gotErr = Some(ex.code) }
+      }
+      e.close() // releases the lease (tombstone) and the jvmHeld key
+      val ok = got.toSeq == wantOut && gotErr == wantErr
+      ok :| s"seed=$seed script=\n${lines.mkString("\n")}\n" +
+        s"objstore=(${got.mkString(",")}, $gotErr) model=(${wantOut.mkString(",")}, $wantErr)"
+    }
+
   property("random scripts match the reference model line-for-line") =
     Prop.forAll(Gen.choose(0L, Long.MaxValue)) { seed =>
       val (lines, wantOut, wantErr) = genCase(seed)
