@@ -81,10 +81,9 @@ final class RenameCatalogStore(dbDir: String) extends CatalogStore {
   */
 final class VersionedCatalogStore(io: StoreIO, dbDir: String,
                                   lease: WriterLease) extends CatalogStore {
+  import VersionedCatalogStore.{parseName, Marker}
   private val dir = s"$dbDir/catalog"
   private val Keep = 8
-  private val Name = raw"c(\d{20})-e(\d{10})\.txt".r
-  private val Marker = "#commit"
   private var nextSeq = 1L
   // epoch of the winning COMMITTED object at load — a commit below it
   // can never win the ordering, so publishing one would be silent data
@@ -92,11 +91,6 @@ final class VersionedCatalogStore(io: StoreIO, dbDir: String,
   // refuse loudly. Torn objects don't count: they never win, whatever
   // their epoch.
   private var committedEpoch = 0L
-
-  private def parseName(n: String): Option[(Long, Long)] = n match {
-    case Name(seq, ep) => Some((ep.toLong, seq.toLong))
-    case _             => None
-  }
 
   private def nameOf(seq: Long, epoch: Long): String =
     f"c$seq%020d-e$epoch%010d.txt"
@@ -107,16 +101,9 @@ final class VersionedCatalogStore(io: StoreIO, dbDir: String,
     // the next commit must outrank even torn/stale objects: seq beyond
     // everything ever listed
     nextSeq = entries.map(_._1._2).max + 1
-    // highest (epoch, seq) first; first object with an intact commit
-    // marker wins, torn writes are skipped
-    entries.sortBy(_._1).reverse.iterator
-      .flatMap { case (ep, n) => io.read(s"$dir/$n").map((ep._1, _)) }
-      .collectFirst {
-        case (ep, body)
-            if body.linesIterator.toSeq.lastOption.contains(Marker) =>
-          committedEpoch = ep
-          body.linesIterator.takeWhile(_ != Marker).mkString("", "\n", "\n")
-      }
+    VersionedCatalogStore.winningBody(io, dir, entries).map {
+      case (ep, body) => committedEpoch = ep; body
+    }
   }
 
   override def commit(body: String): Unit = {
@@ -145,4 +132,54 @@ final class VersionedCatalogStore(io: StoreIO, dbDir: String,
     ranked.drop(Keep).collect { case (_, n) if n != justWrote => n }
       .foreach(n => io.delete(s"$dir/$n"))
   }
+}
+
+object VersionedCatalogStore {
+  private val Name = raw"c(\d{20})-e(\d{10})\.txt".r
+  private val Marker = "#commit"
+
+  private[core] def parseName(n: String): Option[(Long, Long)] = n match {
+    case Name(seq, ep) => Some((ep.toLong, seq.toLong))
+    case _             => None
+  }
+
+  /** The winning committed body over a listed catalog dir: highest
+    * (epoch, seq) first, torn (markerless) objects skipped; an object
+    * vanishing under a concurrent GC reads as absent (StoreIO.read's
+    * contract) and is skipped the same way. Shared by the writer's
+    * [[VersionedCatalogStore.init]] and the lock-free
+    * [[ReadOnlyCatalogStore]].
+    */
+  private[core] def winningBody(io: StoreIO, dir: String,
+                                entries: Seq[((Long, Long), String)])
+      : Option[(Long, String)] =
+    entries.sortBy(_._1).reverse.iterator
+      .flatMap { case (ep, n) => io.read(s"$dir/$n").map((ep._1, _)) }
+      .collectFirst {
+        case (ep, body)
+            if body.linesIterator.toSeq.lastOption.contains(Marker) =>
+          (ep, body.linesIterator.takeWhile(_ != Marker)
+            .mkString("", "\n", "\n"))
+      }
+}
+
+/** Catalog strategy for LOCK-FREE READERS — the many-reader side of the
+  * one-writer topology. Every column version dir is immutable and the
+  * live catalog is selected by ordering over immutable commit objects
+  * (or read atomically from catalog.txt in local mode), so a reader
+  * needs NO lease and NO file lock: it loads the winning committed
+  * snapshot at open and serves reads from the version dirs that
+  * snapshot references — dirs a concurrent writer never rewrites
+  * (copy-on-write) and whose catalog GC never touches (GC sweeps only
+  * the catalog history, never data). Mutations through a read-only
+  * engine fail loudly (DBEUNSUPPORTED) at the commit seam. Snapshot
+  * semantics: the catalog is read ONCE at open; reopen to observe later
+  * commits — the natural object-store reader model.
+  */
+final class ReadOnlyCatalogStore(load: () => Option[String])
+    extends CatalogStore {
+  override def init(): Option[String] = load()
+  override def commit(body: String): Unit =
+    throw DbError.unsupported("catalog mutation on a read-only engine")
+  override def barrier(body: String): Unit = ()
 }

@@ -24,27 +24,53 @@ import graft.core.Align
   * single Spark jobs, and `.collect()` happens only at emission points
   * (print/tuple/bare ops) — never mid-pipeline.
   */
-final class Engine(val spark: SparkSession, val dbDir: String)
+final class Engine(val spark: SparkSession, val dbDir: String,
+                   val readOnly: Boolean = false)
     extends AutoCloseable {
-  // acquired BEFORE the catalog touches anything: a second live engine
-  // must fail loudly without reading or writing a byte of the store.
-  // Store mode decides the mechanism: local dbDirs use the OS advisory
-  // file lock + rename-commit catalog; object-store dbDirs (hdfs://,
-  // s3a://, ... — or any path under `-Dgraft.store.object`) use the
-  // WriterLease + versioned-object catalog, which never renames
-  private val writerLock = Engine.acquireWriterLock(spark, dbDir)
+  /** Writer engines only. Acquired BEFORE the catalog touches anything:
+    * a second live WRITER must fail loudly without reading or writing a
+    * byte of the store. Store mode decides the mechanism: local dbDirs
+    * use the OS advisory file lock + rename-commit catalog;
+    * object-store dbDirs (hdfs://, s3a://, ... — or any path under
+    * `-Dgraft.store.object`) use the WriterLease + versioned-object
+    * catalog, which never renames.
+    *
+    * READ-ONLY engines take NO lock and NO lease: column versions are
+    * immutable copy-on-write dirs and the live catalog is an atomic
+    * file (local) or an ordering over immutable commit objects
+    * (object mode), so any number of readers can open concurrently —
+    * with or without a live writer — each pinned to the committed
+    * SNAPSHOT at its open (reopen to observe later commits). Mutations
+    * through a read-only engine fail DBEUNSUPPORTED at the catalog
+    * commit seam.
+    */
+  private val writerLock: Option[Engine.WriterLock] =
+    if (readOnly) None else Some(Engine.acquireWriterLock(spark, dbDir))
   // a throwing catalog load (malformed catalog record) must release the
   // lock on its way out — there is no Engine instance to close(), and a
   // leaked lock would turn every retry-after-repair into a misleading
   // DBELOCKED for the rest of the JVM's life
   val catalog: Catalog =
     try new Catalog(dbDir, writerLock match {
-      case Engine.LeaseLock(_, io, lease) =>
+      case Some(Engine.LeaseLock(_, io, lease)) =>
         new VersionedCatalogStore(io, dbDir, lease)
-      case _: Engine.FileLock => new RenameCatalogStore(dbDir)
+      case Some(_: Engine.FileLock) => new RenameCatalogStore(dbDir)
+      case None => new ReadOnlyCatalogStore(() =>
+        if (Engine.isObjectStore(dbDir)) {
+          val io = new HadoopStoreIO(spark.sparkContext.hadoopConfiguration)
+          val dir = s"$dbDir/catalog"
+          val entries = io.list(dir)
+            .flatMap(n => VersionedCatalogStore.parseName(n).map(_ -> n))
+          VersionedCatalogStore.winningBody(io, dir, entries).map(_._2)
+        } else {
+          val f = java.nio.file.Paths.get(dbDir, "catalog.txt")
+          if (java.nio.file.Files.exists(f))
+            Some(java.nio.file.Files.readString(f))
+          else None
+        })
     })
     catch { case e: Throwable =>
-      Engine.releaseWriterLock(writerLock); throw e
+      writerLock.foreach(Engine.releaseWriterLock); throw e
     }
 
   /** Where the TCP server spools client-streamed CSV bodies: the dbDir
@@ -55,7 +81,7 @@ final class Engine(val spark: SparkSession, val dbDir: String)
     * anyway).
     */
   def spoolDir: java.nio.file.Path = writerLock match {
-    case _: Engine.FileLock => java.nio.file.Paths.get(dbDir)
+    case Some(_: Engine.FileLock) => java.nio.file.Paths.get(dbDir)
     case _ => java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"))
   }
@@ -66,7 +92,8 @@ final class Engine(val spark: SparkSession, val dbDir: String)
     * close — the OS releases its file lock, and a lease simply stops
     * being heartbeated and expires. Idempotent.
     */
-  override def close(): Unit = Engine.releaseWriterLock(writerLock)
+  override def close(): Unit =
+    writerLock.foreach(Engine.releaseWriterLock)
 
   def column(name: String): DataFrame =
     Storage.readColumn(spark, catalog.require(name))

@@ -16,7 +16,12 @@ import graft.lang.Parser
   * any line failed. `--interactive` gives the reference's REPL mode
   * (client.c:237-262): a prompt, one op per line, same session throughout.
   *
-  * Usage: Cli <dbDir> [scriptFile | --interactive]   (neither -> stdin)
+  * Usage: Cli <dbDir> [scriptFile | --interactive] [--read-only]
+  * (no script and not interactive -> stdin). `--read-only` opens the
+  * store WITHOUT the writer lock/lease — any number of reader CLIs can
+  * run concurrently, alongside a live writer or server, each pinned to
+  * the committed catalog snapshot at open; mutating ops fail
+  * DBEUNSUPPORTED.
   */
 object Cli {
 
@@ -64,11 +69,13 @@ object Cli {
 
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
-      System.err.println("usage: Cli <dbDir> [scriptFile | --interactive]")
+      System.err.println(
+        "usage: Cli <dbDir> [scriptFile | --interactive] [--read-only]")
       sys.exit(2)
     }
     val dbDir = args(0)
     val interactive = args.contains("--interactive") || args.contains("-i")
+    val readOnly = args.contains("--read-only")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("GRAFT_MASTER", "local[*]"))
       .appName("graft-cli")
@@ -82,7 +89,7 @@ object Cli {
         sys.env.getOrElse("GRAFT_MAX_RESULT_SIZE", "1g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val engine = new Engine(spark, dbDir)
+    val engine = new Engine(spark, dbDir, readOnly = readOnly)
     val session = engine.newSession()
     var failed = false
 
@@ -96,10 +103,11 @@ object Cli {
         }
         println()
       } else {
-        val script =
-          if (args.length > 1) new String(java.nio.file.Files.readAllBytes(
-            java.nio.file.Paths.get(args(1))))
-          else scala.io.Source.stdin.mkString
+        val script = args.drop(1).find(!_.startsWith("-")) match {
+          case Some(f) => new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(f)))
+          case None => scala.io.Source.stdin.mkString
+        }
         failed = runScript(session, script.linesIterator,
           println, System.err.println)
       }

@@ -265,6 +265,58 @@ class ObjectStoreSpec extends SparkSpec {
     assert(io.read(s"$dir/_lease").contains("1\ta\t0\n"))
   }
 
+  test("read-only engines open concurrently, lock-free, alongside a live writer (object mode)") {
+    objectMode() {
+      val dir = tmpDir("objstore_ro")
+      val csv = writeCsv(dir)
+      val dbDir = s"$dir/db"
+      val writer = new Engine(spark, dbDir)
+      try {
+        writer.execute(s"""create(oa,"unsorted")
+                          |create(ob,"unsorted")
+                          |load("$csv")
+                          |""".stripMargin)
+        // TWO readers at once, while the WRITER still holds the lease —
+        // no lock, no lease, no DBELOCKED
+        val r1 = new Engine(spark, dbDir, readOnly = true)
+        val r2 = new Engine(spark, dbDir, readOnly = true)
+        try {
+          assert(r1.execute("s=select(oa,2)\nprint(s)") == Seq("1"))
+          assert(r2.execute("v=select(ob,30)\nw=fetch(oa,v)\nprint(w)") == Seq("3"))
+          // snapshot semantics: the writer commits MORE data; open
+          // readers keep their snapshot, a fresh reader sees the commit
+          writer.execute("insert(oa,9,ob,40)")
+          assert(r1.execute("t=select(ob,40)\nu=fetch(oa,t)\nprint(u)") == Seq())
+          val r3 = new Engine(spark, dbDir, readOnly = true)
+          try assert(r3.execute("t=select(ob,40)\nu=fetch(oa,t)\nprint(u)") == Seq("9"))
+          finally r3.close()
+          // mutation through a reader fails loudly, reader survives
+          val denied = intercept[DbException](r1.execute("insert(oa,1,ob,1)"))
+          assert(denied.getMessage.contains("DBEUNSUPPORTED"), denied.getMessage)
+        } finally { r1.close(); r2.close() }
+      } finally writer.close()
+    }
+  }
+
+  test("read-only engine works in LOCAL mode too, alongside the file-locked writer") {
+    val dir = tmpDir("local_ro")
+    val csv = writeCsv(dir)
+    val dbDir = s"$dir/db"
+    val writer = new Engine(spark, dbDir)
+    try {
+      writer.execute(s"""create(oa,"unsorted")
+                        |create(ob,"unsorted")
+                        |load("$csv")
+                        |""".stripMargin)
+      val reader = new Engine(spark, dbDir, readOnly = true)
+      try {
+        assert(reader.execute("s=select(oa,2)\nprint(s)") == Seq("1"))
+        val denied = intercept[DbException](reader.execute("create(oc,\"unsorted\")"))
+        assert(denied.getMessage.contains("DBEUNSUPPORTED"), denied.getMessage)
+      } finally reader.close()
+    } finally writer.close()
+  }
+
   test("commit history is garbage-collected to a bounded tail") {
     objectMode() {
       val dir = tmpDir("objstore_gc")
