@@ -241,10 +241,14 @@ class BenchSpec extends SparkSpec {
   test("a failed probe run never becomes the probe floor") {
     // the probe takes min over SUCCESSFUL runs only; with a real session
     // all runs succeed and the recorded value is a plausible job time,
-    // not a microsecond-scale failure artifact
+    // not a microsecond-scale failure artifact. The floor is 100µs, NOT
+    // 1ms: a fully warm codegen'd 8M-row sum can genuinely dip under
+    // 1ms on this box (min of 3 runs — flaked twice at the old bound
+    // under full-suite load), while the failure artifact this guards
+    // against is tens of microseconds — a decade of margin both ways
     val log = new Bench.ProbeLog
     log.probe(spark)
-    assert(log.times.head > 0.001, log.times.toString)
+    assert(log.times.head > 0.0001, log.times.toString)
     // render emits locale-safe dot decimals and a finite sentinel for
     // an all-failed (+inf) probe entry
     log.record(Double.PositiveInfinity)
