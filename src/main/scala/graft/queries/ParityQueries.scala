@@ -252,6 +252,45 @@ object ParityQueries {
       .select("v1", "v2", "v3").orderBy("v1", "v2", "v3")
   }
 
+  /** The LOCK-FREE READER path under the oracle: a writer engine loads
+    * the canonical CSV and stays OPEN (holding the writer lock) while a
+    * second, read-only engine — no lock, no lease — serves the
+    * select->fetch chain the oracle checks. Concurrent reader-beside-
+    * writer is the point: the reader must neither be refused DBELOCKED
+    * nor read anything but the committed snapshot.
+    */
+  def storeReadOnly(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rostore").toString
+    val csv = writeRefCsv(s, d, tmp)
+    val writer = new Engine(s, s"$tmp/db")
+    val vals =
+      try {
+        writer.execute(
+          s"""create(ra,"unsorted")
+             |create(rb,"unsorted")
+             |create(rc,"sorted")
+             |load("$csv")
+             |""".stripMargin)
+        // reader opens WHILE the writer still holds the lock
+        val reader = new Engine(s, s"$tmp/db", readOnly = true)
+        try {
+          val session = reader.newSession()
+          try {
+            graft.lang.Parser.parseScript(
+              """p=select(ra)
+                |a=fetch(ra,p)
+                |b=fetch(rb,p)
+                |c=fetch(rc,p)
+                |""".stripMargin).toOption.get.foreach(session.eval)
+            Seq("a", "b", "c").map(v => session.getVals(v).df)
+          } finally session.dispose()
+        } finally reader.close()
+      } finally writer.close()
+    registerCleanup(new java.io.File(tmp))
+    ColumnOps.tupleZip(vals, Seq("id"))
+      .select("v1", "v2", "v3").orderBy("v1", "v2", "v3")
+  }
+
   // --- client/server topology: the same round-trip through a real TCP
   //     socket (graft.server.TcpServer / NetClient — the reference's
   //     client/TCP/threadpool architecture, server.c:967-1006) ---
@@ -411,6 +450,7 @@ object ParityQueries {
     "update_op" -> updateOp,
     "create_load" -> createLoad,
     "store_object" -> storeObject,
+    "store_readonly" -> storeReadOnly,
     "server_tcp" -> serverTcp,
     "server_tcp_load" -> serverTcpLoad,
   )
@@ -474,6 +514,9 @@ object ParityQueries {
       """SELECT CAST(l_orderkey AS INTEGER) AS v1, CAST(l_linenumber AS INTEGER) AS v2,
         |  CAST(trunc(l_quantity) AS INTEGER) AS v3 FROM lineitem ORDER BY v1, v2, v3""".stripMargin,
     "store_object" ->
+      """SELECT CAST(l_orderkey AS INTEGER) AS v1, CAST(l_linenumber AS INTEGER) AS v2,
+        |  CAST(trunc(l_quantity) AS INTEGER) AS v3 FROM lineitem ORDER BY v1, v2, v3""".stripMargin,
+    "store_readonly" ->
       """SELECT CAST(l_orderkey AS INTEGER) AS v1, CAST(l_linenumber AS INTEGER) AS v2,
         |  CAST(trunc(l_quantity) AS INTEGER) AS v3 FROM lineitem ORDER BY v1, v2, v3""".stripMargin,
     "server_tcp" ->
