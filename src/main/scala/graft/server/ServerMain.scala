@@ -8,17 +8,22 @@ import graft.core.Engine
   * serves [[TcpServer]]'s wire protocol until killed. One server process
   * per dbDir (the engine's single-writer lock enforces it).
   *
-  * Usage: ServerMain <dbDir> [port]   (port 0 or omitted -> ephemeral;
-  * the bound port is printed as `graft-server listening on <port>`).
+  * Usage: ServerMain <dbDir> [port] [--read-only]   (port 0 or omitted
+  * -> ephemeral; the bound port is printed as `graft-server listening
+  * on <port>`). `--read-only` serves a READ REPLICA: the engine opens
+  * without the writer lock/lease (any number of replica servers can
+  * run beside the one writer server), pinned to the committed catalog
+  * snapshot at start; mutating ops answer -ERR DBEUNSUPPORTED.
   */
 object ServerMain {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
-      System.err.println("usage: ServerMain <dbDir> [port]")
+      System.err.println("usage: ServerMain <dbDir> [port] [--read-only]")
       sys.exit(2)
     }
     val dbDir = args(0)
-    val port = if (args.length > 1) args(1).toInt else 0
+    val readOnly = args.contains("--read-only")
+    val port = args.drop(1).find(!_.startsWith("-")).map(_.toInt).getOrElse(0)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("GRAFT_MASTER", "local[*]"))
       .appName("graft-server")
@@ -30,7 +35,7 @@ object ServerMain {
         sys.env.getOrElse("GRAFT_MAX_RESULT_SIZE", "1g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val engine = new Engine(spark, dbDir)
+    val engine = new Engine(spark, dbDir, readOnly = readOnly)
     val server = new TcpServer(engine,
       port = port,
       threads = sys.env.getOrElse("GRAFT_SERVER_THREADS", "16").toInt,
