@@ -72,12 +72,20 @@ final class Catalog(val dbDir: String, store: CatalogStore) {
         baseFiles, rowsAtVersion)
     }.toMap).getOrElse(Map.empty)
 
-  private def render(): String =
-    cols.values.toSeq.sortBy(_.name)
+  private def render(m: Map[String, ColumnMeta] = cols): String =
+    m.values.toSeq.sortBy(_.name)
       .map(c => s"${c.name}\t${c.stype.name}\t${c.version}\t${c.nextId}\t${if (c.pristine) "1" else "0"}\t${c.baseFiles}\t${c.rowsAtVersion}")
       .mkString("", "\n", "\n")
 
-  private def persist(): Unit = store.commit(render())
+  /** Commit FIRST, assign the in-memory map only on success: a throwing
+    * commit (read-only engine, fenced lease, store error) must leave
+    * this catalog exactly as it was — the durable state and the served
+    * state may never diverge through a failed mutation.
+    */
+  private def persistThenSet(next: Map[String, ColumnMeta]): Unit = {
+    store.commit(render(next))
+    cols = next
+  }
 
   def get(name: String): Option[ColumnMeta] = synchronized { cols.get(name) }
 
@@ -100,8 +108,7 @@ final class Catalog(val dbDir: String, store: CatalogStore) {
         s"$name (as ${m.stype.name}; re-create requested ${stype.name})")
       case None =>
         val m = ColumnMeta(dbDir, name, stype, 0L, 0L)
-        cols += name -> m
-        persist()
+        persistThenSet(cols + (name -> m))
         m
     }
   }
@@ -120,8 +127,7 @@ final class Catalog(val dbDir: String, store: CatalogStore) {
       pristine = prev.pristine && stillPristine,
       baseFiles = baseFiles.getOrElse(prev.baseFiles),
       rowsAtVersion = rowsAtVersion.getOrElse(prev.rowsAtVersion))
-    cols += name -> m
-    persist()
+    persistThenSet(cols + (name -> m))
     m
   }
 }

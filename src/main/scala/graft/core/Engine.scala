@@ -59,9 +59,32 @@ final class Engine(val spark: SparkSession, val dbDir: String,
         if (Engine.isObjectStore(dbDir)) {
           val io = new HadoopStoreIO(spark.sparkContext.hadoopConfiguration)
           val dir = s"$dbDir/catalog"
-          val entries = io.list(dir)
-            .flatMap(n => VersionedCatalogStore.parseName(n).map(_ -> n))
-          VersionedCatalogStore.winningBody(io, dir, entries).map(_._2)
+          // LIST-then-read races the live writer's catalog GC (the
+          // reader holds no lease, so nothing excludes a concurrent
+          // sweep deleting every listed object before the reads). The
+          // writer's own init never faces this — the lease excludes
+          // other writers. Retry with a fresh listing; entries present
+          // but NO readable winner after retries is an error, never a
+          // silently empty catalog
+          var out: Option[String] = None
+          var settled = false
+          var attempt = 0
+          while (!settled) {
+            val entries = io.list(dir)
+              .flatMap(n => VersionedCatalogStore.parseName(n).map(_ -> n))
+            if (entries.isEmpty) settled = true // genuinely empty store
+            else VersionedCatalogStore.winningBody(io, dir, entries) match {
+              case Some((_, body)) => out = Some(body); settled = true
+              case None =>
+                attempt += 1
+                if (attempt >= 5)
+                  throw DbError.ioError(
+                    s"cannot read a committed catalog from $dir after " +
+                      "5 attempts (raced a writer's GC every time?)")
+                Thread.sleep(50L * attempt)
+            }
+          }
+          out
         } else {
           val f = java.nio.file.Paths.get(dbDir, "catalog.txt")
           if (java.nio.file.Files.exists(f))
@@ -257,12 +280,26 @@ final class Session(val engine: Engine) {
     * transfer is lazy. Consume (or discard) the iterator before issuing
     * an op that mutates the columns it reads.
     */
+  /** Read-only enforcement lives HERE, before an op touches anything:
+    * the catalog-commit seam alone is too late — Load/Insert/Delete/
+    * Update write parquet into the SHARED store (appends into the live
+    * dir, copy-on-write dirs at snapshotVersion+1 that can collide with
+    * the live writer's) before their catalog update would be refused.
+    * A denied mutation must write zero bytes. The ReadOnlyCatalogStore
+    * commit-throw remains as a backstop for direct catalog callers.
+    */
+  private def requireWritable(): Unit =
+    if (engine.readOnly)
+      throw DbError.unsupported("mutation on a read-only engine")
+
   def eval(op: Op): Iterator[String] = op match {
 
     case Create(c, stype) =>
+      requireWritable()
       catalog.create(c, stype); Iterator.empty
 
     case Load(file) =>
+      requireWritable()
       evalLoad(file); Iterator.empty
 
     case SelectAll(assign, c)          => evalSelect(assign, c, None)
@@ -347,12 +384,14 @@ final class Session(val engine: Engine) {
       emitOrBind(assign, Vals(out, hasIds = false, align = lAligned.align))
 
     case Insert(colVals) =>
+      requireWritable()
       val names = colVals.map(_._1)
       names.diff(names.distinct).headOption.foreach(c => throw DbError.dupCol(c))
       colVals.foreach { case (c, v) => insertOne(c, v) }
       Iterator.empty
 
     case Delete(posVar, cols) =>
+      requireWritable()
       val ids = idsOf(getIds(posVar))
       // delete punches holes in the position space -> pristine off
       cols.foreach { c => rewrite(c, base =>
@@ -360,6 +399,7 @@ final class Session(val engine: Engine) {
       Iterator.empty
 
     case Update(posVar, c, value) =>
+      requireWritable()
       val ids = idsOf(getIds(posVar))
       // update changes values but every position stays live
       rewrite(c, base =>

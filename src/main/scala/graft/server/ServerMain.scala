@@ -22,6 +22,19 @@ object ServerMain {
       sys.exit(2)
     }
     val dbDir = args(0)
+    // STRICT flags: a typo'd --readonly silently starting a WRITER (and
+    // stealing the lock a real writer needs) is the worst failure mode
+    // a flag parser can have — unknown dash-args and a dash-leading
+    // dbDir are refused loudly instead
+    if (dbDir.startsWith("-")) {
+      System.err.println(s"dbDir must come first, got flag-like: $dbDir")
+      sys.exit(2)
+    }
+    args.drop(1).filter(_.startsWith("-")).filterNot(_ == "--read-only")
+      .foreach { bad =>
+        System.err.println(s"unknown flag: $bad (supported: --read-only)")
+        sys.exit(2)
+      }
     val readOnly = args.contains("--read-only")
     val port = args.drop(1).find(!_.startsWith("-")).map(_.toInt).getOrElse(0)
     val spark = SparkSession.builder()

@@ -74,6 +74,20 @@ object Cli {
       sys.exit(2)
     }
     val dbDir = args(0)
+    // strict flags: an unknown dash-arg must not silently fall through
+    // (a typo'd --read-only would open the store as a WRITER, and a
+    // missing script file would hang on stdin)
+    if (dbDir.startsWith("-")) {
+      System.err.println(s"dbDir must come first, got flag-like: $dbDir")
+      sys.exit(2)
+    }
+    args.drop(1).filter(_.startsWith("-"))
+      .filterNot(Set("--interactive", "-i", "--read-only"))
+      .foreach { bad =>
+        System.err.println(
+          s"unknown flag: $bad (supported: --interactive/-i, --read-only)")
+        sys.exit(2)
+      }
     val interactive = args.contains("--interactive") || args.contains("-i")
     val readOnly = args.contains("--read-only")
     val spark = SparkSession.builder()

@@ -293,6 +293,20 @@ class ObjectStoreSpec extends SparkSpec {
           // mutation through a reader fails loudly, reader survives
           val denied = intercept[DbException](r1.execute("insert(oa,1,ob,1)"))
           assert(denied.getMessage.contains("DBEUNSUPPORTED"), denied.getMessage)
+          // and fails BEFORE touching anything: the denial must write
+          // zero bytes into the shared store (no appended parquet in
+          // the live dirs, no phantom state in the reader's catalog —
+          // a commit-seam-only check would have appended an orphan row
+          // with the writer's next id first)
+          val denied2 = intercept[DbException](r1.execute("create(oc,\"unsorted\")"))
+          assert(denied2.getMessage.contains("DBEUNSUPPORTED"), denied2.getMessage)
+          val noPhantom = intercept[DbException](r1.execute("s=select(oc)"))
+          assert(noPhantom.getMessage.contains("DBECOLSELECT"), noPhantom.getMessage)
+          // the WRITER's view is untouched by the denied mutations: the
+          // row count it commits next is exactly its own data's
+          writer.execute("insert(oa,77,ob,50)")
+          assert(writer.execute("q=select(oa)\nw=fetch(oa,q)\nprint(w)")
+            == Seq("1", "2", "3", "9", "77"))
         } finally { r1.close(); r2.close() }
       } finally writer.close()
     }
