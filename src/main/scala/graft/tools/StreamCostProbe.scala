@@ -191,6 +191,80 @@ object StreamCostProbe {
       println(f"sink_steps $total%8.2f s  breakdown: " +
         acc.entrySet().toArray.toSeq.map(_.toString).sorted.mkString("  "))
     }
+
+    // ---- probe growth: is the sink's per-batch admission cost flat as
+    // the persisted corpus grows? Seeds a corpus in the sink's own
+    // layout at 1x and 10x, then times:
+    //   sink_apply_* — one all-duplicate batch through the shipped
+    //     corpusBatchSink (fp side table, adaptive probe — r15): the
+    //     end-to-end per-batch cost, markers/writes/listings included.
+    //   probe_2s_*   — ONLY the admission join of the large-store
+    //     shape (broadcast SEMI of the batch fps into the fp-store
+    //     scan, broadcast ANTI of the hits back): the store is scanned
+    //     pruned-to-fp, never shuffled, never broadcast.
+    //   probe_r14_*  — ONLY the admission join of the r14 shape (LEFT
+    //     ANTI against the fp column of the whole persisted corpus):
+    //     no broadcast is possible against the growing data table, so
+    //     the plan sort-merge-joins — a full shuffle+sort of every
+    //     corpus fingerprint on EVERY micro-batch. That O(corpus)
+    //     per-batch cost is the r14 weak mark the side table replaced;
+    //     the probe_* ratio at 10x is the number the fix's claim
+    //     rests on.
+    {
+      val pad = "lorem ipsum dolor sit amet consectetur adipiscing elit " * 4
+      def seed(dir: String, nDocs: Long, nBatches: Int): Unit = {
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+        val docs = spark.range(nDocs)
+          .select(col("id").as("doc_id"),
+            concat(lit(pad), col("id")).as("text"))
+          .withColumn("fp", md5(col("text").cast("binary")))
+          .withColumn("lang_pred", lit("en"))
+          .withColumn("b", pmod(col("doc_id"), lit(nBatches)))
+          .persist()
+        (0 until nBatches).foreach { b =>
+          val part = docs.filter(col("b") === b).drop("b")
+          part.write.mode("overwrite")
+            .partitionBy("lang_pred").parquet(s"$dir/data/batch_id=$b")
+          part.select(unhex(col("fp")).as("fpb")).coalesce(1)
+            .write.mode("overwrite").parquet(s"$dir/fp/batch_id=$b")
+        }
+        docs.unpersist()
+        ()
+      }
+      val batchRows = spark.range(20000)
+        .select(col("id").as("doc_id"),
+          concat(lit(pad), col("id")).as("text"))
+        .withColumn("fp", md5(col("text").cast("binary")))
+        .withColumn("lang_pred", lit("en"))
+        .localCheckpoint() // materialize: batch build cost out of the timing
+      var nextId = 1000L
+      for ((label, n) <- Seq(("1x", 500000L), ("10x", 5000000L))) {
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-cost-probe-grow-$label"
+        seed(dir, n, 32)
+        val sink = DocStreams.corpusBatchSink(dir)
+        best(s"sink_apply_$label") {
+          sink(batchRows, nextId); nextId += 1
+        }
+        best(s"probe_2s_$label") {
+          val prior = spark.read.parquet(s"$dir/fp")
+            .filter(col("batch_id") >= 0).select(col("fpb"))
+          val hits = prior.join(
+            broadcast(batchRows.select(unhex(col("fp")).as("fpb"))),
+            Seq("fpb"), "left_semi")
+          assert(batchRows.join(broadcast(hits),
+              unhex(col("fp")) === col("fpb"), "left_anti")
+            .count() == 0L)
+        }
+        best(s"probe_r14_$label") {
+          assert(batchRows.join(
+              spark.read.parquet(s"$dir/data").select(col("fp")),
+              Seq("fp"), "left_anti")
+            .count() == 0L)
+        }
+      }
+    }
     spark.stop()
   }
 }

@@ -388,6 +388,115 @@ class StreamingSpec extends SparkSpec {
     assert(storedIds == Set(1L, 4L, 12L))
   }
 
+  test("corpusBatchSink: crash-window replays converge (batch-scoped overwrite)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmpDir("corpus-sink-crash")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val sink = graft.streaming.DocStreams.corpusBatchSink(dir)
+    def prep(rows: Seq[(Long, String)]) =
+      graft.streaming.DocStreams.qualityFilter(
+          rows.map { case (id, t) => (id, t, ts(id)) }
+            .toDF("doc_id", "text", "ts"))
+        .withColumn("fp",
+          graft.pipeline.TextAnalysis.fingerprintExpr(col("text")))
+    def state() = {
+      val rows = spark.read.parquet(s"$dir/data")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      val fps = spark.read.parquet(s"$dir/fp")
+        .select(org.apache.spark.sql.functions.hex(col("fpb")))
+        .collect().map(_.getString(0)).sorted.toSeq
+      (rows, fps)
+    }
+    sink(prep(Seq(1L -> goodA, 2L -> goodB)), 0L)
+    sink(prep(Seq(3L -> goodA, 4L -> goodC)), 1L)
+    val committed = state()
+    assert(committed._1 == Seq(1L, 2L, 4L))
+    assert(committed._2.distinct.size == 3, "fp store holds one key per doc")
+
+    // window 1: marker lost AFTER both writes — deterministic replay of
+    // the same batch overwrites its own partitions with identical
+    // content; nothing duplicates, nothing is lost
+    fs.delete(p(s"$dir/_applied_1"), false)
+    sink(prep(Seq(3L -> goodA, 4L -> goodC)), 1L)
+    assert(state() == committed)
+
+    // window 2: crash between the data write and the fp write — the fp
+    // partition is missing; replay restores it and data stays exact
+    fs.delete(p(s"$dir/_applied_1"), false)
+    fs.delete(p(s"$dir/fp/batch_id=1"), true)
+    sink(prep(Seq(3L -> goodA, 4L -> goodC)), 1L)
+    assert(state() == committed)
+
+    // window 3: crash before any write landed for the batch — plain redo
+    fs.delete(p(s"$dir/_applied_1"), false)
+    fs.delete(p(s"$dir/fp/batch_id=1"), true)
+    fs.delete(p(s"$dir/data/batch_id=1"), true)
+    sink(prep(Seq(3L -> goodA, 4L -> goodC)), 1L)
+    assert(state() == committed)
+  }
+
+  test("compactFpStore: folds batch partitions, probe admissions unchanged") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmpDir("corpus-sink-compact")
+    val sink = graft.streaming.DocStreams.corpusBatchSink(dir)
+    def prep(rows: Seq[(Long, String)]) =
+      graft.streaming.DocStreams.qualityFilter(
+          rows.map { case (id, t) => (id, t, ts(id)) }
+            .toDF("doc_id", "text", "ts"))
+        .withColumn("fp",
+          graft.pipeline.TextAnalysis.fingerprintExpr(col("text")))
+    sink(prep(Seq(1L -> goodA)), 0L)
+    sink(prep(Seq(2L -> goodB)), 1L)
+    sink(prep(Seq(3L -> goodC)), 2L)
+    graft.streaming.DocStreams.compactFpStore(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/fp"))
+      .map(_.getPath.getName).filter(_.startsWith("batch_id=")).toSeq
+    assert(dirs == Seq("batch_id=-1"), s"got $dirs")
+    // the folded store still vetoes duplicates and admits new content
+    sink(prep(Seq(4L -> goodA, 5L -> (goodC + " again today maybe"))), 3L)
+    val got = spark.read.parquet(s"$dir/data")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L, 5L), s"got $got")
+    // idempotent: a second compaction folds {-1, 3} into -2
+    graft.streaming.DocStreams.compactFpStore(spark, dir)
+    val fps = spark.read.parquet(s"$dir/fp")
+      .select("fpb").collect().map(_.getAs[Array[Byte]](0).toSeq).toSet
+    assert(fps.size == 4)
+  }
+
+  test("corpusBatchSink: admission equivalent to the batch-layer first-per-fp policy") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmpDir("corpus-sink-equiv")
+    val sink = graft.streaming.DocStreams.corpusBatchSink(dir)
+    def prep(rows: Seq[(Long, String)]) =
+      graft.streaming.DocStreams.qualityFilter(
+          rows.map { case (id, t) => (id, t, ts(id)) }
+            .toDF("doc_id", "text", "ts"))
+        .withColumn("fp",
+          graft.pipeline.TextAnalysis.fingerprintExpr(col("text")))
+    // overlapping batches, arrival order = batch order then doc_id
+    val batches = Seq(
+      Seq(5L -> goodA, 6L -> goodB),
+      Seq(7L -> goodA, 8L -> goodC, 9L -> goodB),
+      Seq(10L -> (goodA + " v2"), 11L -> goodC))
+    batches.zipWithIndex.foreach { case (b, i) => sink(prep(b), i.toLong) }
+    val got = spark.read.parquet(s"$dir/data")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // batch-layer equivalent: quality gate, then first doc_id per fp
+    // over the concatenated arrival sequence
+    val all = prep(batches.flatten)
+      .select("doc_id", "fp").collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = all.groupBy(_._2).map(_._2.map(_._1).min).toSet
+    assert(got == want, s"sink admitted $got, batch layer admits $want")
+  }
+
   test("DocStreams.toCorpus: gate -> dedup -> persisted corpus, end-to-end") {
     val spark0 = spark
     import spark0.implicits._
