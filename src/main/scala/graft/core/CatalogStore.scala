@@ -138,7 +138,7 @@ object VersionedCatalogStore {
   private val Name = raw"c(\d{20})-e(\d{10})\.txt".r
   private val Marker = "#commit"
 
-  private[core] def parseName(n: String): Option[(Long, Long)] = n match {
+  private[graft] def parseName(n: String): Option[(Long, Long)] = n match {
     case Name(seq, ep) => Some((ep.toLong, seq.toLong))
     case _             => None
   }
@@ -150,7 +150,7 @@ object VersionedCatalogStore {
     * [[VersionedCatalogStore.init]] and the lock-free
     * [[ReadOnlyCatalogStore]].
     */
-  private[core] def winningBody(io: StoreIO, dir: String,
+  private[graft] def winningBody(io: StoreIO, dir: String,
                                 entries: Seq[((Long, Long), String)])
       : Option[(Long, String)] =
     entries.sortBy(_._1).reverse.iterator

@@ -57,18 +57,24 @@ final class Engine(val spark: SparkSession, val dbDir: String,
       case Some(_: Engine.FileLock) => new RenameCatalogStore(dbDir)
       case None => new ReadOnlyCatalogStore(() =>
         if (Engine.isObjectStore(dbDir)) {
-          val io = new HadoopStoreIO(spark.sparkContext.hadoopConfiguration)
+          val io = Engine.storeIoFor(spark, dbDir)
           val dir = s"$dbDir/catalog"
           // LIST-then-read races the live writer's catalog GC (the
           // reader holds no lease, so nothing excludes a concurrent
           // sweep deleting every listed object before the reads). The
           // writer's own init never faces this — the lease excludes
-          // other writers. Retry with a fresh listing; entries present
-          // but NO readable winner after retries is an error, never a
-          // silently empty catalog
+          // other writers. Retry with a fresh listing. Two DISTINCT
+          // no-winner states must be told apart: a GC race (the
+          // listing keeps changing — retry, and entries present but no
+          // readable winner after retries is an error, never a
+          // silently empty catalog) vs a STABLE all-torn store (the
+          // same markerless entries twice in a row — the first writer
+          // crashed mid-first-commit; a writer opens that store as an
+          // empty catalog, so a reader must too, not DBEIO).
           var out: Option[String] = None
           var settled = false
           var attempt = 0
+          var prevNames: Seq[String] = null
           while (!settled) {
             val entries = io.list(dir)
               .flatMap(n => VersionedCatalogStore.parseName(n).map(_ -> n))
@@ -76,12 +82,18 @@ final class Engine(val spark: SparkSession, val dbDir: String,
             else VersionedCatalogStore.winningBody(io, dir, entries) match {
               case Some((_, body)) => out = Some(body); settled = true
               case None =>
-                attempt += 1
-                if (attempt >= 5)
-                  throw DbError.ioError(
-                    s"cannot read a committed catalog from $dir after " +
-                      "5 attempts (raced a writer's GC every time?)")
-                Thread.sleep(50L * attempt)
+                val names = entries.map(_._2).sorted
+                if (prevNames != null && names == prevNames)
+                  settled = true // stable all-torn: open empty, like a writer
+                else {
+                  prevNames = names
+                  attempt += 1
+                  if (attempt >= 5)
+                    throw DbError.ioError(
+                      s"cannot read a committed catalog from $dir after " +
+                        "5 attempts (raced a writer's GC every time?)")
+                  Thread.sleep(50L * attempt)
+                }
             }
           }
           out
@@ -760,15 +772,32 @@ object Engine {
     sys.props.contains("graft.store.object") ||
       // any URI scheme, single- or double-slash (Hadoop accepts both
       // `file:/x` and `file:///x`) — java.nio would parse either as a
-      // relative path whose first segment is literally `scheme:`
-      raw"^[A-Za-z][A-Za-z0-9+.\-]*:/.*".r.matches(dbDir)
+      // relative path whose first segment is literally `scheme:`.
+      // Two+ chars: every real scheme has them (s3a, gs, hdfs, file),
+      // and requiring them keeps Windows drive-letter paths (`C:/x`)
+      // on the local fast path instead of the lease protocol
+      raw"^[A-Za-z][A-Za-z0-9+.\-]+:/.*".r.matches(dbDir)
+
+  /** Control-plane StoreIO for an object-mode dbDir. The override is
+    * the protocol-test seam: the fault-injection soak and the CAS
+    * differential fuzz install wrappers (delayed visibility, torn
+    * bodies, in-memory CAS) here, so the SAME engine/lease/catalog
+    * code that serves production runs under an adversarial or
+    * capability-shifted store. Never set outside tests.
+    */
+  @volatile private[graft] var storeIoOverride: Option[String => StoreIO] = None
+  private[core] def storeIoFor(spark: SparkSession, dbDir: String): StoreIO =
+    storeIoOverride match {
+      case Some(f) => f(dbDir)
+      case None => new HadoopStoreIO(spark.sparkContext.hadoopConfiguration)
+    }
 
   private def acquireWriterLock(spark: SparkSession,
                                 dbDir: String): WriterLock =
     if (isObjectStore(dbDir)) {
       val key = s"uri:$dbDir"
       if (!jvmHeld.add(key)) throw DbError.locked(dbDir)
-      val io = new HadoopStoreIO(spark.sparkContext.hadoopConfiguration)
+      val io = storeIoFor(spark, dbDir)
       val lease = new WriterLease(io, dbDir,
         ttlMs = sys.props.get("graft.lease.ttl.ms").flatMap(_.toLongOption)
           .getOrElse(60000L),

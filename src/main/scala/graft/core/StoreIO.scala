@@ -42,6 +42,37 @@ trait StoreIO {
     * [[WriterLease]] still verify-reads after claiming.
     */
   def createExclusive(path: String, body: String): Boolean
+
+  /** Conditional-write capability, when this store has one: S3
+    * `If-None-Match`/`If-Match` conditional PUT, GCS generation
+    * preconditions, ABFS ETags, or an in-process atomic map
+    * ([[MemoryStoreIO]]). `None` (the default) means callers fall back
+    * to the settle-verify protocol; `Some` lets [[WriterLease]] claim,
+    * heartbeat and tombstone ATOMICALLY, closing the race windows the
+    * emulated path can only narrow. The Hadoop FileSystem API doesn't
+    * surface these preconditions, so [[HadoopStoreIO]] stays `None`;
+    * a store-specific StoreIO over the native SDK would return `Some`.
+    */
+  def cas: Option[StoreCas] = None
+}
+
+/** Compare-and-swap operations over whole objects. Tokens are opaque
+  * version witnesses (ETag analogs): a token observed by [[readToken]]
+  * names exactly one historical object state, and a conditional write
+  * succeeds only if the object is STILL in that state at write time.
+  */
+trait StoreCas {
+  /** Body + version token, or None if absent. */
+  def readToken(path: String): Option[(String, String)]
+  /** Atomic create-if-absent: the new token, or None if the object
+    * exists (nothing written).
+    */
+  def createIfAbsent(path: String, body: String): Option[String]
+  /** Atomic replace-if-match: the new token, or None if the object is
+    * no longer at `token` (nothing written) — including when it has
+    * been deleted.
+    */
+  def replaceIfMatch(path: String, token: String, body: String): Option[String]
 }
 
 /** [[StoreIO]] over a Hadoop FileSystem — one implementation serves
@@ -108,6 +139,80 @@ final class HadoopStoreIO(conf: Configuration) extends StoreIO {
   }
 }
 
+/** In-process [[StoreIO]] with REAL compare-and-swap — the store model
+  * of a cloud object store that exposes conditional PUT (S3
+  * If-None-Match / If-Match, GCS generation preconditions, ABFS
+  * ETags). Two jobs: (1) prove the lease/catalog protocol under the
+  * ATOMIC capability — the ObjectStoreSpec CAS scenarios and the
+  * fault-injected soak drive this class; (2) be the reference shape
+  * for wiring a native-SDK StoreIO, whose `cas` would map one-to-one
+  * onto these three operations. Tokens are monotonically increasing
+  * per-path generation numbers, exactly the GCS model.
+  *
+  * Every mutation is serialized on the store's single monitor — the
+  * strongest consistency a real store would offer, which is the right
+  * model for a CORRECTNESS harness (fault injection weakens it
+  * deliberately, see the protocol soak).
+  */
+final class MemoryStoreIO extends StoreIO { self =>
+  private val objects =
+    scala.collection.mutable.HashMap.empty[String, (String, Long)]
+  private var nextGen = 1L
+
+  private def norm(p: String): String =
+    p.replaceAll("/+", "/").stripSuffix("/")
+
+  override def read(path: String): Option[String] =
+    self.synchronized(objects.get(norm(path)).map(_._1))
+
+  override def write(path: String, body: String): Unit =
+    self.synchronized {
+      objects(norm(path)) = (body, nextGen); nextGen += 1
+    }
+
+  override def list(dir: String): Seq[String] = self.synchronized {
+    val prefix = norm(dir) + "/"
+    objects.keysIterator.filter(_.startsWith(prefix))
+      .map(_.stripPrefix(prefix).takeWhile(_ != '/')).toSeq.distinct
+  }
+
+  override def delete(path: String): Unit =
+    self.synchronized { objects.remove(norm(path)); () }
+
+  override def createExclusive(path: String, body: String): Boolean =
+    self.synchronized {
+      val k = norm(path)
+      if (objects.contains(k)) false
+      else { objects(k) = (body, nextGen); nextGen += 1; true }
+    }
+
+  override val cas: Option[StoreCas] = Some(new StoreCas {
+    override def readToken(path: String): Option[(String, String)] =
+      self.synchronized(
+        objects.get(norm(path)).map { case (b, g) => (b, g.toString) })
+    override def createIfAbsent(path: String, body: String): Option[String] =
+      self.synchronized {
+        val k = norm(path)
+        if (objects.contains(k)) None
+        else {
+          val g = nextGen; nextGen += 1; objects(k) = (body, g)
+          Some(g.toString)
+        }
+      }
+    override def replaceIfMatch(path: String, token: String,
+                                body: String): Option[String] =
+      self.synchronized {
+        val k = norm(path)
+        objects.get(k) match {
+          case Some((_, g)) if g.toString == token =>
+            val ng = nextGen; nextGen += 1; objects(k) = (body, ng)
+            Some(ng.toString)
+          case _ => None
+        }
+      }
+  })
+}
+
 /** Single-writer LEASE over [[StoreIO]] — the object-store replacement
   * for the local-FS advisory file lock, built from the public
   * lease/fencing-token recipe (the ZooKeeper/Chubby pattern; GFS/HDFS
@@ -119,15 +224,16 @@ final class HadoopStoreIO(conf: Configuration) extends StoreIO {
   *     another owner is DBELOCKED. Absent or expired, the claimant
   *     writes `epoch+1 / its uuid / now`, waits `settleMs`, and
   *     re-reads: still its uuid -> acquired; someone else's -> lost the
-  *     race, DBELOCKED. Without store-side compare-and-swap the
-  *     write-settle-verify window is not zero — what makes the protocol
-  *     SAFE anyway is that every catalog commit is fenced by epoch (see
+  *     race, DBELOCKED. When the store advertises compare-and-swap
+  *     ([[StoreIO.cas]] — S3 If-None-Match, GCS preconditions, ABFS
+  *     ETags, [[MemoryStoreIO]]), the claim IS one atomic conditional
+  *     write (create-if-absent, or replace-if-match over the expired
+  *     lease's token) and the race window is zero: no settle, no
+  *     verify. Without CAS the write-settle-verify window is not
+  *     zero — what makes the protocol SAFE anyway is that every
+  *     catalog commit is fenced by epoch (see
   *     [[VersionedCatalogStore]]): a deposed writer's commits carry a
-  *     stale epoch and can never win the catalog ordering. On stores
-  *     with conditional PUT (S3 If-None-Match, GCS preconditions, ABFS
-  *     ETags) the claim write can be made atomic and the window closes
-  *     entirely; the Hadoop FileSystem API doesn't expose it, so this
-  *     implementation doesn't assume it.
+  *     stale epoch and can never win the catalog ordering.
   *   - A daemon HEARTBEAT rewrites the lease every `ttlMs / 3`. If a
   *     read-back ever shows a different owner or a higher epoch, the
   *     lease marks itself FENCED — every later fencing check throws,
@@ -183,12 +289,43 @@ final class WriterLease(io: StoreIO, dbDir: String,
       yield (e, f(1), hb)
   }
 
-  private def writeLease(epoch: Long): Unit =
-    io.write(leasePath, s"$epoch\t$owner\t${System.currentTimeMillis()}\n")
+  /** One lease write, atomically conditioned on the lease still being
+    * OURS at `myEpoch`: true if written. With store CAS the condition
+    * and the write are ONE atomic step (replace-if-match on the token
+    * read); without, it is the read-then-write the protocol's fencing
+    * was built to tolerate.
+    */
+  private def writeIfStillOurs(newBody: String): Boolean = io.cas match {
+    case Some(c) => c.readToken(leasePath) match {
+      case Some((b, tok))
+          if parse(b).exists(t => t._2 == owner && t._1 == myEpoch) =>
+        c.replaceIfMatch(leasePath, tok, newBody).isDefined
+      case _ => false
+    }
+    case None => io.read(leasePath).flatMap(parse) match {
+      case Some((e, o, _)) if o == owner && e == myEpoch =>
+        io.write(leasePath, newBody); true
+      case _ => false
+    }
+  }
 
   def acquire(): Unit = {
     val now = System.currentTimeMillis()
-    val raw = io.read(leasePath)
+    var raw = io.read(leasePath)
+    // A torn or absent lease on a store WITHOUT atomic writes is not
+    // authoritative: a live writer's non-CAS heartbeat rewrite
+    // (create-overwrite = truncate window on HDFS/local) can read as
+    // absent or torn mid-flight, and deposing it on that evidence
+    // would spuriously kill a healthy in-TTL writer. If the store has
+    // any history (so "absent" can't just mean "fresh store"), re-read
+    // after a grace beat — an in-progress rewrite completes in
+    // milliseconds; a crashed claimant's torn object stays torn.
+    if (raw.flatMap(parse).isEmpty && io.cas.isEmpty &&
+        (raw.isDefined || io.list(s"$dbDir/catalog").nonEmpty ||
+          io.list(s"$dbDir/_epochs").nonEmpty)) {
+      Thread.sleep(math.max(1L, math.min(ttlMs / 6, 200L)))
+      raw = io.read(leasePath)
+    }
     val cur = raw.flatMap(parse)
     cur match {
       case Some((_, o, hb)) if o != owner && now - hb < ttlMs =>
@@ -232,58 +369,84 @@ final class WriterLease(io: StoreIO, dbDir: String,
       .flatMap(n => raw"e(\d{10})".r.findFirstMatchIn(n).map(_.group(1).toLong -> n))
       .filter(_._1 <= nextEpoch - 16)
       .foreach { case (_, n) => io.delete(s"$epochsDir/$n") }
-    // claim. Absent lease: exclusive create — ATOMIC on stores with
-    // exclusive create (HDFS, local), so a simultaneous claimant loses
-    // immediately rather than at the verify read. Expired lease: delete
-    // then exclusive create — the delete reopens a small window (a
-    // racer's delayed delete can remove a fresh winner's claim), which
-    // the settle-verify below still catches; epoch fencing keeps even
-    // an undetected double-claim safe at the catalog. A lease object
-    // that EXISTS but doesn't parse (a torn claim write from a crashed
-    // process) is deleted like an expired one — it can never renew, and
+    // A lease object that EXISTS but doesn't parse (a torn claim write
+    // from a crashed process — confirmed torn by the grace re-read
+    // above) is replaced like an expired one: it can never renew, and
     // leaving it would lock the store out forever. Its epoch is
     // unknowable, so the catalog's committed-epoch floor (see
     // VersionedCatalogStore.commit) is the backstop if the torn object
     // had hidden a higher epoch.
     val body = s"$nextEpoch\t$owner\t${System.currentTimeMillis()}\n"
-    if (raw.isDefined) io.delete(leasePath)
-    if (!io.createExclusive(leasePath, body))
-      throw DbError.locked(s"$dbDir (lost lease race at claim)")
-    if (settleMs > 0) Thread.sleep(settleMs)
-    io.read(leasePath).flatMap(parse) match {
-      case Some((e, o, _)) if o == owner && e == nextEpoch =>
-        myEpoch = e
+    io.cas match {
+      case Some(c) =>
+        // ATOMIC claim: absent -> create-if-absent; present (expired or
+        // torn — a live lease threw above) -> replace-if-match on the
+        // token of a fresh read. Either way a racing claimant makes our
+        // conditional write fail cleanly — no delete window, no settle
+        // sleep, no verify read: the store arbitrates the race itself.
+        val claimed = c.readToken(leasePath) match {
+          case None => c.createIfAbsent(leasePath, body).isDefined
+          case Some((b, tok)) =>
+            parse(b) match {
+              case Some((_, o, hb)) if o != owner &&
+                  System.currentTimeMillis() - hb < ttlMs =>
+                // went live between our first read and this one
+                throw DbError.locked(s"$dbDir (lease held by $o)")
+              case _ => c.replaceIfMatch(leasePath, tok, body).isDefined
+            }
+        }
+        if (!claimed)
+          throw DbError.locked(s"$dbDir (lost lease race at claim)")
+        myEpoch = nextEpoch
         lastWriteOk = System.currentTimeMillis()
-      case other => throw DbError.locked(
-        s"$dbDir (lost lease race: ${other.map(_._2).getOrElse("<gone>")})")
+      case None =>
+        // claim. Absent lease: exclusive create — ATOMIC on stores with
+        // exclusive create (HDFS, local), so a simultaneous claimant
+        // loses immediately rather than at the verify read. Expired
+        // lease: delete then exclusive create — the delete reopens a
+        // small window (a racer's delayed delete can remove a fresh
+        // winner's claim), which the settle-verify below still catches;
+        // epoch fencing keeps even an undetected double-claim safe at
+        // the catalog.
+        if (raw.isDefined) io.delete(leasePath)
+        if (!io.createExclusive(leasePath, body))
+          throw DbError.locked(s"$dbDir (lost lease race at claim)")
+        if (settleMs > 0) Thread.sleep(settleMs)
+        io.read(leasePath).flatMap(parse) match {
+          case Some((e, o, _)) if o == owner && e == nextEpoch =>
+            myEpoch = e
+            lastWriteOk = System.currentTimeMillis()
+          case other => throw DbError.locked(
+            s"$dbDir (lost lease race: ${other.map(_._2).getOrElse("<gone>")})")
+        }
     }
     beat = new Thread(() => {
       while (!stopped && !fenced) {
         try {
           Thread.sleep(math.max(1L, ttlMs / 3))
           if (!stopped) {
-            io.read(leasePath).flatMap(parse) match {
-              case Some((e, o, _)) if o == owner && e == myEpoch =>
-                // staleness guard: past the TTL since our last write,
-                // the lease may LEGALLY have been taken over during a
-                // pause — even if the read above still showed us (we
-                // could be reading our own about-to-be-replaced object,
-                // or have raced the successor's claim). Refuse to
-                // write; fence. Within the TTL no legal takeover can
-                // have happened (the lease wasn't expired), so the
-                // rewrite cannot clobber a successor.
-                if (System.currentTimeMillis() - lastWriteOk > ttlMs)
-                  fenced = true
-                else writeMutex.synchronized {
-                  // stopped is re-checked UNDER the mutex: release()
-                  // sets it before taking the mutex to tombstone, so a
-                  // heartbeat that lost the race can no longer write
-                  if (!stopped) {
-                    writeLease(myEpoch)
-                    lastWriteOk = System.currentTimeMillis()
-                  }
-                }
-              case _ => fenced = true // deposed — stop renewing, fail loud
+            // staleness guard: past the TTL since our last write, the
+            // lease may LEGALLY have been taken over during a pause —
+            // even if a read still showed us (we could be reading our
+            // own about-to-be-replaced object, or have raced the
+            // successor's claim). Refuse to write; fence. Within the
+            // TTL no legal takeover can have happened (the lease
+            // wasn't expired), so the rewrite cannot clobber a
+            // successor.
+            if (System.currentTimeMillis() - lastWriteOk > ttlMs)
+              fenced = true
+            else writeMutex.synchronized {
+              // stopped is re-checked UNDER the mutex: release() sets
+              // it before taking the mutex to tombstone, so a
+              // heartbeat that lost the race can no longer write. The
+              // ownership re-check and the write are one atomic CAS on
+              // stores that have it; read-then-write otherwise.
+              if (!stopped) {
+                if (writeIfStillOurs(
+                    s"$myEpoch\t$owner\t${System.currentTimeMillis()}\n"))
+                  lastWriteOk = System.currentTimeMillis()
+                else fenced = true // deposed — stop renewing, fail loud
+              }
             }
           }
         } catch {
@@ -329,14 +492,11 @@ final class WriterLease(io: StoreIO, dbDir: String,
       // epoch must survive a clean close so the next writer claims a
       // strictly higher one — a deleted lease would reset epochs to 1
       // and the new writer's catalog objects would sort below every
-      // earlier commit. Only a lease we still own is touched.
-      // Best-effort: a store error here just leaves the lease to expire
-      // by TTL, which is the crash path anyway
-      io.read(leasePath).flatMap(parse) match {
-        case Some((e, o, _)) if o == owner && e == myEpoch =>
-          io.write(leasePath, s"$myEpoch\t$owner\t0\n")
-        case _ => ()
-      }
+      // earlier commit. Only a lease we still own is touched (an
+      // atomic condition under store CAS). Best-effort: a store error
+      // here just leaves the lease to expire by TTL, which is the
+      // crash path anyway
+      writeIfStillOurs(s"$myEpoch\t$owner\t0\n"); ()
     } catch { case scala.util.control.NonFatal(_) => () }
   }
 }

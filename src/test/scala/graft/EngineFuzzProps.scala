@@ -231,34 +231,56 @@ object EngineFuzzProps extends Properties("EngineFuzz") {
     * deterministic ObjectStoreSpec scenarios. settle=0 keeps the
     * per-case acquire cheap; the protocol under test is the commit
     * path, not the claim race (ObjectStoreSpec covers that).
+    *
+    * Runs once per store CAPABILITY: the plain emulated path
+    * (HadoopStoreIO — settle-verify claims, read-then-write
+    * heartbeats) and the CAS path (a conditional-write overlay
+    * installed through the engine's store seam — atomic claims and
+    * fenced writes), so both halves of the protocol face the same
+    * random interaction space. The engine and session close in a
+    * finally: a throwing eval must not leak the lease heartbeat
+    * daemon or the jvmHeld key into later cases (ScalaCheck
+    * shrinking runs MANY).
     */
-  property("random scripts in OBJECT-STORE mode match the reference model") =
-    Prop.forAll(Gen.choose(0L, Long.MaxValue)) { seed =>
-      val (lines, wantOut, wantErr) = genCase(seed)
-      val db = Files.createTempDirectory("fuzzobjdb").toString
-      sys.props("graft.store.object") = "true"
-      sys.props("graft.lease.settle.ms") = "0"
+  private def objStoreCase(seed: Long, withCas: Boolean): Prop = {
+    val (lines, wantOut, wantErr) = genCase(seed)
+    val db = Files.createTempDirectory(
+      if (withCas) "fuzzobjcasdb" else "fuzzobjdb").toString
+    sys.props("graft.store.object") = "true"
+    sys.props("graft.lease.settle.ms") = "0"
+    if (withCas)
+      Engine.storeIoOverride = Some(d => CasOverlayStoreIO.forDir(d,
+        new graft.core.HadoopStoreIO(spark.sparkContext.hadoopConfiguration)))
+    val got = mutable.Buffer.empty[String]
+    var gotErr: Option[String] = None
+    try {
       val e =
         try new Engine(spark, db)
         finally {
           sys.props.remove("graft.store.object")
           sys.props.remove("graft.lease.settle.ms")
         }
-      e.execute(ColNames.map(c => s"""create($c,"unsorted")""").mkString("\n"))
-      val session = e.newSession()
-      val got = mutable.Buffer.empty[String]
-      var gotErr: Option[String] = None
-      lines.iterator.takeWhile(_ => gotErr.isEmpty).foreach { line =>
-        val op = Parser.parseLine(line).getOrElse(
-          sys.error(s"generator produced unparseable line: $line"))
-        try got ++= session.eval(op)
-        catch { case ex: DbException => gotErr = Some(ex.code) }
-      }
-      e.close() // releases the lease (tombstone) and the jvmHeld key
-      val ok = got.toSeq == wantOut && gotErr == wantErr
-      ok :| s"seed=$seed script=\n${lines.mkString("\n")}\n" +
-        s"objstore=(${got.mkString(",")}, $gotErr) model=(${wantOut.mkString(",")}, $wantErr)"
-    }
+      try {
+        e.execute(ColNames.map(c => s"""create($c,"unsorted")""").mkString("\n"))
+        val session = e.newSession()
+        lines.iterator.takeWhile(_ => gotErr.isEmpty).foreach { line =>
+          val op = Parser.parseLine(line).getOrElse(
+            sys.error(s"generator produced unparseable line: $line"))
+          try got ++= session.eval(op)
+          catch { case ex: DbException => gotErr = Some(ex.code) }
+        }
+      } finally e.close() // releases the lease (tombstone) and the jvmHeld key
+    } finally if (withCas) Engine.storeIoOverride = None
+    val ok = got.toSeq == wantOut && gotErr == wantErr
+    ok :| s"seed=$seed cas=$withCas script=\n${lines.mkString("\n")}\n" +
+      s"objstore=(${got.mkString(",")}, $gotErr) model=(${wantOut.mkString(",")}, $wantErr)"
+  }
+
+  property("random scripts in OBJECT-STORE mode match the reference model") =
+    Prop.forAll(Gen.choose(0L, Long.MaxValue))(objStoreCase(_, withCas = false))
+
+  property("random scripts in OBJECT-STORE mode with store CAS match the reference model") =
+    Prop.forAll(Gen.choose(0L, Long.MaxValue))(objStoreCase(_, withCas = true))
 
   property("random scripts match the reference model line-for-line") =
     Prop.forAll(Gen.choose(0L, Long.MaxValue)) { seed =>

@@ -331,6 +331,124 @@ class ObjectStoreSpec extends SparkSpec {
     } finally writer.close()
   }
 
+  test("read-only open of a STABLE all-torn catalog is an empty catalog, not DBEIO") {
+    objectMode() {
+      val dir = tmpDir("objstore_ro_torn")
+      val dbDir = s"$dir/db"
+      // the first writer crashed mid-first-commit: the catalog dir
+      // holds only markerless objects, and that state is STABLE (no
+      // live writer, no GC race). A writer opens this as an empty
+      // catalog; a reader must too.
+      val io = new graft.core.HadoopStoreIO(
+        spark.sparkContext.hadoopConfiguration)
+      io.write(s"$dbDir/catalog/${"c%020d-e%010d.txt".format(1, 1)}",
+        "oa\tunsorted\tv0\n") // no #commit marker: torn
+      val ro = new Engine(spark, dbDir, readOnly = true)
+      try assert(ro.catalog.all.isEmpty)
+      finally ro.close()
+    }
+  }
+
+  test("MemoryStoreIO CAS: a token witnesses exactly one object state") {
+    val io = new graft.core.MemoryStoreIO
+    val cas = io.cas.get
+    val t1 = cas.createIfAbsent("/db/_lease", "a")
+    assert(t1.isDefined)
+    assert(cas.createIfAbsent("/db/_lease", "b").isEmpty, "create over existing")
+    assert(io.read("/db/_lease").contains("a"))
+    val t2 = cas.replaceIfMatch("/db/_lease", t1.get, "c")
+    assert(t2.isDefined && t2 != t1)
+    assert(cas.replaceIfMatch("/db/_lease", t1.get, "d").isEmpty, "stale token")
+    assert(io.read("/db/_lease").contains("c"))
+    io.delete("/db/_lease")
+    assert(cas.replaceIfMatch("/db/_lease", t2.get, "e").isEmpty, "deleted object")
+    // plain ops still work and list() sees one level
+    io.write("/db/catalog/c1.txt", "x")
+    io.write("/db/catalog/c2.txt", "y")
+    assert(io.list("/db/catalog").sorted == Seq("c1.txt", "c2.txt"))
+  }
+
+  test("CAS claim is atomic: racing claimants split one-winner with unique epochs") {
+    val io = new graft.core.MemoryStoreIO
+    // an EXPIRED previous lease: the racy path here would be
+    // delete-then-create; with CAS every racer replace-if-matches the
+    // same token and the store arbitrates
+    io.write("/db/_lease", s"3\tdead-owner\t1000\n")
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[String, Long]]()
+    val held = new java.util.concurrent.ConcurrentLinkedQueue[graft.core.WriterLease]()
+    val threads = (1 to 8).map { _ =>
+      new Thread(() => {
+        val l = new graft.core.WriterLease(io, "/db",
+          ttlMs = 60000, settleMs = 500)
+        // winners HOLD the lease until every racer finished — releasing
+        // mid-race tombstones it (expired), which a later claimant may
+        // then legally take over
+        try { l.acquire(); results.add(Right(l.epoch)); held.add(l) }
+        catch { case e: DbException => results.add(Left(e.code)) }
+      })
+    }
+    val t0 = System.nanoTime()
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    held.forEach(_.release())
+    import scala.jdk.CollectionConverters._
+    val (lost, won) = results.asScala.toSeq.partition(_.isLeft)
+    assert(won.size == 1, s"exactly one winner: $won / $lost")
+    assert(lost.forall(_ == Left("DBELOCKED")))
+    assert(won.head.exists(_ > 3L), "winner's epoch above the dead lease's")
+    // the CAS path never sleeps the settle window; 8 sequentialized
+    // settle sleeps would be >= 4s (decade-margin floor per the bench
+    // noise notes)
+    assert(elapsedMs < 4000, s"CAS claim should skip settle, took $elapsedMs ms")
+  }
+
+  test("CAS lease lifecycle: tombstoned epoch survives, successor outranks, deposed writer fences") {
+    val io = new graft.core.MemoryStoreIO
+    val a = new graft.core.WriterLease(io, "/db", ttlMs = 60000, settleMs = 0)
+    a.acquire()
+    val ea = a.epoch
+    a.release()
+    // tombstone, not delete: epoch must survive the clean close
+    val Array(e0, _, hb0) = io.read("/db/_lease").get.trim.split("\t")
+    assert(e0.toLong == ea && hb0.toLong == 0L)
+    val b = new graft.core.WriterLease(io, "/db", ttlMs = 60000, settleMs = 0)
+    b.acquire()
+    assert(b.epoch > ea)
+    // a third claimant while b is LIVE: DBELOCKED via the CAS read
+    val c = new graft.core.WriterLease(io, "/db", ttlMs = 60000, settleMs = 0)
+    val denied = intercept[DbException](c.acquire())
+    assert(denied.code == "DBELOCKED")
+    // simulate b's deposition (a successor took the lease object over):
+    // b's next fencing check must throw, never write
+    io.write("/db/_lease", s"${b.epoch + 1}\tusurper\t${System.currentTimeMillis()}\n")
+    val fenced = intercept[DbException](b.checkFenced())
+    assert(fenced.code == "DBELOCKED")
+    b.release() // no longer owner: must not clobber the usurper's lease
+    assert(io.read("/db/_lease").get.contains("usurper"))
+  }
+
+  test("full engine on a CAS-capable store: protocol round-trips through the override seam") {
+    objectMode() {
+      val dir = tmpDir("objstore_cas_engine")
+      val dbDir = s"$dir/db"
+      Engine.storeIoOverride = Some(d => CasOverlayStoreIO.forDir(d,
+        new graft.core.HadoopStoreIO(spark.sparkContext.hadoopConfiguration)))
+      try {
+        val e1 = new Engine(spark, dbDir)
+        try {
+          e1.execute("create(oa,\"unsorted\")")
+          e1.execute("insert(oa,7)")
+        } finally e1.close()
+        // reopen: CAS claim over the tombstoned lease, state intact
+        val e2 = new Engine(spark, dbDir)
+        try {
+          val out = e2.execute("p=select(oa)\nv=fetch(oa,p)\nprint(v)")
+          assert(out == Seq("7"), out)
+        } finally e2.close()
+      } finally Engine.storeIoOverride = None
+    }
+  }
+
   test("commit history is garbage-collected to a bounded tail") {
     objectMode() {
       val dir = tmpDir("objstore_gc")
