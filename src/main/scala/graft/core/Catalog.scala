@@ -87,6 +87,20 @@ final class Catalog(val dbDir: String, store: CatalogStore) {
     cols = next
   }
 
+  /** Re-pin to the newest committed snapshot: re-run the store's load
+    * (for a read-only store, the full winning-body selection) and swap
+    * the served map in ONE assignment — a concurrent reader sees the
+    * old snapshot or the new one, never a torn mix of the two. The
+    * parse happens OUTSIDE the monitor so reads are never blocked on
+    * store I/O. Version dirs are immutable and never deleted, so
+    * intermediates already bound against the old snapshot stay
+    * readable (the documented snapshot semantics).
+    */
+  private[core] def reload(): Unit = {
+    val next = parse(store.init())
+    synchronized { cols = next }
+  }
+
   def get(name: String): Option[ColumnMeta] = synchronized { cols.get(name) }
 
   def require(name: String): ColumnMeta =

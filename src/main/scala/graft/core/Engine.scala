@@ -130,6 +130,17 @@ final class Engine(val spark: SparkSession, val dbDir: String,
   override def close(): Unit =
     writerLock.foreach(Engine.releaseWriterLock)
 
+  /** Read-only engines: re-pin to the newest committed snapshot
+    * WITHOUT a full reopen — no catalog-store reconstruction, no lock
+    * churn; just the winning-body selection re-run and the served map
+    * swapped atomically (a read concurrent with refresh sees the old
+    * snapshot or the new one, never a mix — [[Catalog.reload]]). The
+    * long-lived read-replica topology's heartbeat: a replica server
+    * calls this on a timer instead of paying a full engine open per
+    * poll. No-op on writer engines — a writer IS the newest state.
+    */
+  def refresh(): Unit = if (readOnly) catalog.reload()
+
   def column(name: String): DataFrame =
     Storage.readColumn(spark, catalog.require(name))
 

@@ -8,17 +8,22 @@ import graft.core.Engine
   * serves [[TcpServer]]'s wire protocol until killed. One server process
   * per dbDir (the engine's single-writer lock enforces it).
   *
-  * Usage: ServerMain <dbDir> [port] [--read-only]   (port 0 or omitted
-  * -> ephemeral; the bound port is printed as `graft-server listening
-  * on <port>`). `--read-only` serves a READ REPLICA: the engine opens
-  * without the writer lock/lease (any number of replica servers can
-  * run beside the one writer server), pinned to the committed catalog
-  * snapshot at start; mutating ops answer -ERR DBEUNSUPPORTED.
+  * Usage: ServerMain <dbDir> [port] [--read-only] [--refresh-ms=N]
+  * (port 0 or omitted -> ephemeral; the bound port is printed as
+  * `graft-server listening on <port>`). `--read-only` serves a READ
+  * REPLICA: the engine opens without the writer lock/lease (any number
+  * of replica servers can run beside the one writer server), pinned to
+  * the committed catalog snapshot at start; mutating ops answer -ERR
+  * DBEUNSUPPORTED. `--refresh-ms=N` (replicas only) re-pins the
+  * snapshot every N ms via [[Engine.refresh]] — the replica then
+  * tracks the writer's commits within N ms instead of serving its
+  * start-time snapshot forever.
   */
 object ServerMain {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
-      System.err.println("usage: ServerMain <dbDir> [port] [--read-only]")
+      System.err.println(
+        "usage: ServerMain <dbDir> [port] [--read-only] [--refresh-ms=N]")
       sys.exit(2)
     }
     val dbDir = args(0)
@@ -30,12 +35,20 @@ object ServerMain {
       System.err.println(s"dbDir must come first, got flag-like: $dbDir")
       sys.exit(2)
     }
+    val RefreshMs = raw"--refresh-ms=(\d+)".r
     args.drop(1).filter(_.startsWith("-")).filterNot(_ == "--read-only")
+      .filterNot(RefreshMs.matches(_))
       .foreach { bad =>
-        System.err.println(s"unknown flag: $bad (supported: --read-only)")
+        System.err.println(
+          s"unknown flag: $bad (supported: --read-only, --refresh-ms=N)")
         sys.exit(2)
       }
     val readOnly = args.contains("--read-only")
+    val refreshMs = args.collectFirst { case RefreshMs(n) => n.toLong }
+    if (refreshMs.isDefined && !readOnly) {
+      System.err.println("--refresh-ms requires --read-only (a writer is always current)")
+      sys.exit(2)
+    }
     val port = args.drop(1).find(!_.startsWith("-")).map(_.toInt).getOrElse(0)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("GRAFT_MASTER", "local[*]"))
@@ -63,6 +76,19 @@ object ServerMain {
       // (or high); the default favors not leaking workers to dead
       // clients.
       idleTimeoutMs = sys.env.getOrElse("GRAFT_IDLE_TIMEOUT_MS", "600000").toInt)
+    refreshMs.foreach { ms =>
+      val t = new Thread(() => {
+        while (true) {
+          Thread.sleep(ms)
+          // best-effort: a transient store error leaves the previous
+          // snapshot serving; the next tick retries
+          try engine.refresh()
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+      }, "graft-replica-refresh")
+      t.setDaemon(true)
+      t.start()
+    }
     val bound = server.start()
     println(s"graft-server listening on $bound")
     Console.flush()

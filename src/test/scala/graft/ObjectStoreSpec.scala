@@ -331,6 +331,40 @@ class ObjectStoreSpec extends SparkSpec {
     } finally writer.close()
   }
 
+  test("refresh() re-pins a live reader to the newest commit, no reopen, no torn mix") {
+    objectMode() {
+      val dir = tmpDir("objstore_refresh")
+      val csv = writeCsv(dir)
+      val dbDir = s"$dir/db"
+      val writer = new Engine(spark, dbDir)
+      try {
+        writer.execute(s"""create(oa,"unsorted")
+                          |create(ob,"unsorted")
+                          |load("$csv")
+                          |""".stripMargin)
+        val reader = new Engine(spark, dbDir, readOnly = true)
+        try {
+          assert(reader.execute("s=select(oa,2)\nprint(s)") == Seq("1"))
+          // the writer moves on: a new column AND new rows
+          writer.execute("create(oc,\"unsorted\")\ninsert(oa,9,ob,40,oc,7)")
+          // pinned snapshot: the reader sees neither until it refreshes
+          assert(reader.execute("t=select(ob,40)\nprint(t)") == Seq())
+          assert(reader.catalog.get("oc").isEmpty)
+          reader.refresh()
+          // ONE swap carries the whole commit: the new column and the
+          // new row arrive together, exactly the writer's state
+          assert(reader.catalog.all.map(c => (c.name, c.version, c.nextId))
+            == writer.catalog.all.map(c => (c.name, c.version, c.nextId)))
+          assert(reader.execute("u=select(ob,40)\nv=fetch(oa,u)\nprint(v)")
+            == Seq("9"))
+          assert(reader.execute("w=select(oc,7)\nprint(w)") == Seq("0"))
+          // refresh on a WRITER is a no-op, never an error
+          writer.refresh()
+        } finally reader.close()
+      } finally writer.close()
+    }
+  }
+
   test("read-only open of a STABLE all-torn catalog is an empty catalog, not DBEIO") {
     objectMode() {
       val dir = tmpDir("objstore_ro_torn")
