@@ -155,9 +155,12 @@ object ColumnOps {
     case AggSum   => wrapInt(coalesce(sum(col("v")), lit(0L)))
     case AggCount => count(lit(1)).cast(IntegerType)
     case AggAvg   =>
-      // sum and count as longs; integer division truncating toward zero;
-      // empty input -> null here -> DBEDIVZERO at the engine layer
-      divTrunc(sum(col("v").cast(LongType)), count(lit(1))).cast(IntegerType)
+      // the reference's avg is agg_sum/agg_count with agg_sum a WRAPPING
+      // 32-bit int (aggregate.c:64-84): wrap the sum first, then C
+      // truncating division; empty input -> null here -> DBEDIVZERO at
+      // the engine layer (null sum wraps to null, divTrunc passes it)
+      divTrunc(wrapInt(sum(col("v").cast(LongType))).cast(LongType),
+        count(lit(1))).cast(IntegerType)
   }
 
   def aggregate(atype: AggType, vals: DataFrame): DataFrame = {

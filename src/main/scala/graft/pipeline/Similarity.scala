@@ -72,6 +72,10 @@ object Similarity {
     * noise, and the alternative (release on a first-action callback)
     * trades a bounded, measured cost for listener-ordering complexity
     * on every consumer path.
+    *
+    * Cluster deployments: see SCALE.md "Cluster-deploy note: eager
+    * release vs fault tolerance" — prefer `graft.release.skip` or
+    * reliable checkpointing where executor loss is a real event.
     */
   private def releasedAfter(out: DataFrame, p: DataFrame): DataFrame =
     // measurement escape (tools.ReleaseAbProbe): `graft.release.skip`

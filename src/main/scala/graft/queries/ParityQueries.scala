@@ -490,7 +490,8 @@ object ParityQueries {
     "agg_max" -> aggSql("CAST(MAX(CAST(l_partkey AS INTEGER)) AS INTEGER)"),
     "agg_sum" -> aggSql(wrapSql("SUM(CAST(trunc(l_quantity) AS INTEGER))")),
     "agg_count" -> aggSql("CAST(COUNT(*) AS INTEGER)"),
-    "agg_avg" -> aggSql("CAST(SUM(CAST(l_partkey AS BIGINT)) // COUNT(*) AS INTEGER)"),
+    "agg_avg" -> aggSql(
+      s"CAST(${wrapSql("SUM(CAST(l_partkey AS BIGINT))")} // COUNT(*) AS INTEGER)"),
     "math_add" -> mathSql("CAST(trunc(l_quantity) AS INTEGER) + l_linenumber"),
     "math_sub" -> mathSql("CAST(trunc(l_quantity) AS INTEGER) - l_linenumber"),
     "math_mul" -> mathSql("CAST(trunc(l_quantity) AS INTEGER) * l_linenumber"),

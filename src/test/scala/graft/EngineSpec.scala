@@ -132,6 +132,24 @@ class EngineSpec extends SparkSpec {
     assert(out == Seq("0")) // 2*INT_MAX+2 wraps to 0
   }
 
+  test("avg divides the WRAPPED 32-bit sum, like the reference") {
+    val db = tmpDir("graftdb")
+    val dir = tmpDir("csv")
+    // raw sum = 2*INT_MAX+2 = 4294967296 -> wraps to 0 -> avg 0/3 = 0;
+    // a Long-sum avg would answer 1431655765
+    Files.writeString(Paths.get(s"$dir/w.csv"),
+      "wa\n2147483647\n2147483647\n2\n")
+    val e = new Engine(spark, db)
+    val out = e.execute(
+      s"""create(wa,"unsorted")
+         |load("$dir/w.csv")
+         |p=select(wa)
+         |v=fetch(wa,p)
+         |avg(v)
+         |""".stripMargin)
+    assert(out == Seq("0"))
+  }
+
   test("column math: ordinal alignment, wrap, div truncation, errors") {
     val (e, _, _) = freshEngine()
     val pre = "p=select(rc,1,4)\na=fetch(ra,p)\nd=fetch(rd,p)\n"

@@ -48,7 +48,12 @@ final class PnModel {
     case "max"   => if (vs.isEmpty) Int.MinValue else vs.max
     case "sum"   => wrap32(vs.sum).toLong
     case "count" => vs.size.toLong
-    case "avg"   => vs.sum / vs.size // truncating; scripts avoid empty
+    case "avg"   =>
+      // the reference's avg is agg_sum/agg_count where agg_sum is a
+      // WRAPPING 32-bit int (aggregate.c:64-84): wrap first, then
+      // truncating division — a Long-sum avg diverges once the raw sum
+      // overflows 32 bits
+      wrap32(vs.sum).toLong / vs.size // trunc; scripts avoid empty
   }
 
   private def math(op: String, l: Seq[Long], r: Seq[Long]): Seq[Long] = {
