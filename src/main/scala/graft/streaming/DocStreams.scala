@@ -243,6 +243,48 @@ object DocStreams {
     old.foreach(st => fs.delete(st.getPath, true))
   }
 
+  /** Compact the corpus DATA the way [[compactFpStore]] compacts the
+    * fingerprints: fold every `batch_id` partition under `dir/data`
+    * into ONE consolidated partition (per-`partCol` dirs with sane
+    * file counts instead of one tiny tree per micro-batch). Offline
+    * maintenance only — not under a live sink.
+    *
+    * Crash anatomy differs from the fp store: duplicate DATA rows are
+    * not harmless, so the op leans on the corpus's own invariant (one
+    * row per fingerprint, the sink's admission contract) instead of an
+    * ordering trick. The consolidated partition keeps the FIRST row
+    * per fp (min doc_id — the sink's own within-batch rule), and a
+    * crash between the consolidated write and the source deletes
+    * leaves a transiently doubled corpus that RE-RUNNING this method
+    * converges (the re-read dedups by fp again). Readers that must
+    * never see the transient state read between maintenance windows,
+    * the usual offline-compaction contract.
+    */
+  def compactCorpus(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    partCol: String = "lang_pred"): Unit = {
+    val dataRoot = new Path(s"$dir/data")
+    val fs = dataRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dataRoot)) return
+    val old = fs.listStatus(dataRoot).filter { st =>
+      st.isDirectory && st.getPath.getName.startsWith("batch_id=")
+    }
+    if (old.length <= 1) return
+    if (!old.exists(d => fs.listStatus(d.getPath).exists(st =>
+        st.isDirectory || st.getPath.getName.endsWith(".parquet")))) {
+      old.foreach(st => fs.delete(st.getPath, true))
+      return
+    }
+    val ids = old.map(_.getPath.getName.stripPrefix("batch_id=").toLong)
+    val target = math.min(ids.min, 0L) - 1L
+    spark.read.parquet(dataRoot.toString).drop("batch_id")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("fp").orderBy("doc_id")))
+      .filter(col("__rn") === 1).drop("__rn")
+      .write.mode("overwrite").partitionBy(partCol)
+      .parquet(s"$dir/data/batch_id=$target")
+    old.foreach(st => fs.delete(st.getPath, true))
+  }
+
   /** The composed streaming ingest loop for TEXT — quality gate, then
     * watermark-horizon dedup, then the idempotent persisted-corpus sink:
     * `docs -> qualityFilter -> dedupExact -> corpusBatchSink`. The gate

@@ -144,6 +144,7 @@ object GoldenPnGen {
         |print(s)
         |""".stripMargin,
     // --- p3: the perftest shape per join keyword, math, aggregates ---
+    overflowScript,
     "p3_perftest_hash" -> perftestScript("hash"),
     "p3_perftest_sort" -> perftestScript("sort"),
     "p3_perftest_loop" -> perftestScript("loop"),
@@ -241,6 +242,29 @@ object GoldenPnGen {
         |mx2=max(v2)
         |tuple(s2,mx2)
         |""".stripMargin)
+
+  /** 32-bit overflow parity across the whole agg/math surface — the
+    * reference computes in C `int`: sum wraps, avg divides the WRAPPED
+    * sum (aggregate.c:64-84), mul/add wrap elementwise. A Long-sum
+    * engine or model passes every in-range script and silently
+    * diverges here; this script pins all three sides (engine, model,
+    * socket) to the wrapping semantics on exact overflow boundaries.
+    */
+  private def overflowScript: (String, String) = "p3_overflow" ->
+    """create(oa,"unsorted")
+      |insert(oa,2147483647)
+      |insert(oa,2147483647)
+      |insert(oa,2)
+      |t1=select(oa)
+      |t2=fetch(oa,t1)
+      |s=sum(t2)
+      |a=avg(t2)
+      |tuple(s,a)
+      |m=mul(t2,t2)
+      |print(m)
+      |ad=add(t2,t2)
+      |print(ad)
+      |""".stripMargin
 
   def main(args: Array[String]): Unit = {
     Files.createDirectories(Paths.get(OutDir))

@@ -106,6 +106,37 @@ class PlanRegressionSpec extends SparkSpec
     assert(shuffles <= 2, s"expected <=2 shuffles, got $shuffles:\n$plan")
   }
 
+  test("corpus sink admission probe plans with NO shuffle, either arm") {
+    // the r15 sink probe's scale contract: whatever the fp store's
+    // size, the admission join never shuffles — broadcast ANTI of the
+    // store while small, broadcast SEMI + broadcast ANTI beyond. A
+    // regression to a sort-merge/shuffled-hash anti join here is the
+    // exact O(corpus)-per-batch shape the fingerprint side table
+    // replaced.
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions.{broadcast, unhex, md5, col, lit}
+    val batch = (1L to 100L).map(i => (i, s"doc $i"))
+      .toDF("doc_id", "text")
+      .withColumn("fp", md5(col("text").cast("binary")))
+    val store = (1L to 1000L).map(i => (s"other $i"))
+      .toDF("text").select(unhex(md5(col("text").cast("binary"))).as("fpb"))
+    val smallArm = batch.join(broadcast(store),
+      unhex(col("fp")) === col("fpb"), "left_anti")
+    val hits = store.join(
+      broadcast(batch.select(unhex(col("fp")).as("fpb"))), Seq("fpb"), "left_semi")
+    val bigArm = batch.join(broadcast(hits),
+      unhex(col("fp")) === col("fpb"), "left_anti")
+    for ((arm, name) <- Seq((smallArm, "small"), (bigArm, "big"))) {
+      val plan = initialPlan(arm).toString
+      val shuffles = "Exchange (?:hash|range|Single)".r.findAllIn(plan).size
+      assert(shuffles == 0, s"$name arm shuffles ($shuffles):\n$plan")
+      assert(plan.contains("BroadcastHashJoin") &&
+        !plan.contains("BroadcastNestedLoop"),
+        s"$name arm lost its broadcast hash join:\n$plan")
+    }
+  }
+
   test("layout_bucketed_join joins bucketed tables with no join shuffle") {
     // the post-join groupBy(custkey) legitimately shuffles ONCE; broken
     // bucketing would add two more hashpartitioning exchanges feeding the

@@ -79,7 +79,7 @@ class StoreProtocolSoakSpec extends AnyFunSuite {
 
     val steps = 12 + rng.nextInt(24)
     (0 until steps).foreach { _ =>
-      rng.nextInt(10) match {
+      rng.nextInt(12) match {
         case 0 | 1 | 2 => // a claimant appears (maybe against a holder)
           val l = new WriterLease(io, db, ttlMs = ttl, settleMs = 0)
           try {
@@ -115,6 +115,21 @@ class StoreProtocolSoakSpec extends AnyFunSuite {
             if (f.length >= 3 && f(2).toLongOption.exists(_ != 0L))
               mem.write(s"$db/_lease", s"${f(0)}\t${f(1)}\t1000\n")
           }
+        case _ => // a lock-free READER probes mid-schedule, THROUGH the
+          // faults: whatever winning body it resolves must be some
+          // acknowledged commit — never a torn object, never an
+          // un-acknowledged write (the read-replica model's safety
+          // half; which snapshot it lands on is liveness, not checked)
+          val dir = s"$db/catalog"
+          val entries = io.list(dir)
+            .flatMap(nm => VersionedCatalogStore.parseName(nm).map(_ -> nm))
+          VersionedCatalogStore.winningBody(io, dir, entries).foreach {
+            case (_, body) =>
+              stats("reader_hits") += 1
+              assert(acks.exists(_._2 == body.trim),
+                s"seed=$seed cas=$withCas: reader observed '$body' " +
+                  s"which no writer ever had acknowledged (acks=$acks)")
+          }
       }
     }
 
@@ -146,6 +161,7 @@ class StoreProtocolSoakSpec extends AnyFunSuite {
     // the soak must actually generate conflict, or the invariants are
     // vacuous: claims denied, writers fenced mid-life, live takeovers
     assert(stats("denied") > 100 && stats("fenced") > 100 &&
-      stats("takeovers") > 100 && stats("acked") > 1000, stats.toString)
+      stats("takeovers") > 100 && stats("acked") > 1000 &&
+      stats("reader_hits") > 500, stats.toString)
   }
 }

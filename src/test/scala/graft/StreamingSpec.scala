@@ -470,6 +470,44 @@ class StreamingSpec extends SparkSpec {
     assert(fps.size == 4)
   }
 
+  test("compactCorpus: folds data batch partitions; content exact; crash re-run converges") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmpDir("corpus-data-compact")
+    val sink = graft.streaming.DocStreams.corpusBatchSink(dir)
+    def prep(rows: Seq[(Long, String)]) =
+      graft.streaming.DocStreams.qualityFilter(
+          rows.map { case (id, t) => (id, t, ts(id)) }
+            .toDF("doc_id", "text", "ts"))
+        .withColumn("fp",
+          graft.pipeline.TextAnalysis.fingerprintExpr(col("text")))
+    sink(prep(Seq(1L -> goodA)), 0L)
+    sink(prep(Seq(2L -> goodB)), 1L)
+    sink(prep(Seq(3L -> goodC)), 2L)
+    def content() = spark.read.parquet(s"$dir/data")
+      .select("doc_id", "fp", "lang_pred").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val before = content()
+    graft.streaming.DocStreams.compactCorpus(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def batchDirs() = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/data"))
+      .map(_.getPath.getName).filter(_.startsWith("batch_id=")).toSeq.sorted
+    assert(batchDirs() == Seq("batch_id=-1"), batchDirs())
+    assert(content() == before, "compaction must not change the corpus")
+    // crash window: consolidated written, sources NOT deleted — model it
+    // by re-adding a duplicate source partition, then re-running
+    prep(Seq(1L -> goodA))
+      .write.mode("overwrite").partitionBy("lang_pred")
+      .parquet(s"$dir/data/batch_id=0")
+    graft.streaming.DocStreams.compactCorpus(spark, dir)
+    assert(batchDirs() == Seq("batch_id=-2"), batchDirs())
+    assert(content() == before, "re-run converges to the deduped corpus")
+    // the sink still admits correctly against the compacted corpus
+    sink(prep(Seq(9L -> goodA, 10L -> (goodB + " fresh words appended"))), 3L)
+    assert(content().map(_._1) == before.map(_._1) + 10L)
+  }
+
   test("corpusBatchSink: admission equivalent to the batch-layer first-per-fp policy") {
     val spark0 = spark
     import spark0.implicits._
