@@ -36,6 +36,20 @@ final case class ColumnMeta(dbDir: String, name: String, stype: StorageType,
   def expectedFiles: Long = baseFiles + deltaRows
 }
 
+object Catalog {
+  /** `(column name, version)` references in a serialized catalog body.
+    * Tolerant of torn tails — unparseable lines are SKIPPED, never
+    * fatal: [[Engine.vacuum]] reads every retained catalog object raw
+    * (committed or torn) to build its keep-set, and a torn object's
+    * readable prefix can only ADD protected versions, which errs safe.
+    */
+  private[core] def versionRefs(body: String): Seq[(String, Long)] =
+    body.linesIterator.flatMap { line =>
+      val f = line.split("\t")
+      if (f.length >= 4) f(2).toLongOption.map(v => f(0) -> v) else None
+    }.toSeq
+}
+
 final class Catalog(val dbDir: String, store: CatalogStore) {
 
   /** Local-FS catalog (today's default topology). */

@@ -141,6 +141,91 @@ final class Engine(val spark: SparkSession, val dbDir: String,
     */
   def refresh(): Unit = if (readOnly) catalog.reload()
 
+  /** Reclaim UNREFERENCED copy-on-write version directories — the
+    * storage half of the copy-on-write contract (every delete/update/
+    * compact leaves its predecessor dir behind; without a vacuum a
+    * mutation-heavy store grows without bound, ~one full column copy
+    * per rewrite). Public recipe: Delta Lake's VACUUM / Iceberg's
+    * expire-snapshots, reduced to this engine's two-level layout.
+    *
+    * A version dir `cols/<name>/v<k>` is deleted iff ALL of:
+    *   - it is not the column's LIVE version (current catalog), and
+    *   - no RETAINED catalog object references it (object mode keeps
+    *     the last [[VersionedCatalogStore]] `Keep` commits; those are
+    *     exactly the snapshots a lock-free reader could have pinned at
+    *     open — every one of their referenced versions survives), and
+    *   - its modification time is older than `retainMs` (the grace
+    *     window for readers pinned BEFORE the retained history and for
+    *     bound intermediates in long-lived sessions; readers must
+    *     [[refresh]] or reopen within it — the same contract Delta's
+    *     VACUUM retention documents).
+    * Versions ABOVE the live one (a crashed predecessor's uncommitted
+    * rewrite) are garbage by the same rule: nothing references them.
+    *
+    * Concurrency: the catalog monitor excludes every in-process
+    * mutation (all writes hold it); the writer lock/lease excludes
+    * other writers. In object mode each delete is additionally FENCED
+    * ([[WriterLease.checkFenced]]): it executes within one TTL of a
+    * verified-ours lease read, a window in which no successor can
+    * legally claim — and a paused-then-resumed vacuum self-fences at
+    * its next delete instead of touching dirs a successor now owns
+    * (the same staleness rule catalog commits rely on). Read-only
+    * engines refuse (DBEUNSUPPORTED).
+    */
+  def vacuum(retainMs: Long = Engine.DefaultVacuumRetainMs): Engine.VacuumStats = {
+    if (readOnly)
+      throw DbError.unsupported("vacuum on a read-only engine")
+    catalog.synchronized {
+      val fence: () => Unit = writerLock match {
+        case Some(Engine.LeaseLock(_, _, lease)) => () => lease.checkFenced()
+        case _ => () => ()
+      }
+      val live: Map[String, Long] =
+        catalog.all.map(c => c.name -> c.version).toMap
+      // object mode: a lock-free reader can be pinned to ANY snapshot
+      // that was the winning body since the retained history's start —
+      // the union of references across every retained object (torn ones
+      // included: their readable prefix only errs safe) must survive
+      val retained: Map[String, Set[Long]] = writerLock match {
+        case Some(Engine.LeaseLock(_, io, _)) =>
+          val dir = s"$dbDir/catalog"
+          io.list(dir)
+            .filter(n => VersionedCatalogStore.parseName(n).isDefined)
+            .flatMap(n => io.read(s"$dir/$n").toSeq.flatMap(Catalog.versionRefs))
+            .groupMapReduce(_._1)(t => Set(t._2))(_ ++ _)
+        case _ => Map.empty
+      }
+      val root = new org.apache.hadoop.fs.Path(s"$dbDir/cols")
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val now = System.currentTimeMillis()
+      var deleted = 0L; var kept = 0L; var bytes = 0L
+      val colDirs =
+        if (fs.exists(root)) fs.listStatus(root).filter(_.isDirectory)
+        else Array.empty[org.apache.hadoop.fs.FileStatus]
+      val VersionDir = raw"v(\d+)".r
+      colDirs.foreach { cd =>
+        val name = cd.getPath.getName
+        val keep: Set[Long] =
+          retained.getOrElse(name, Set.empty) ++ live.get(name)
+        fs.listStatus(cd.getPath).filter(_.isDirectory).foreach { vd =>
+          vd.getPath.getName match {
+            case VersionDir(k)
+                if !keep(k.toLong) &&
+                  now - vd.getModificationTime >= retainMs =>
+              fence() // no successor can exist within a TTL of this read
+              val sz =
+                try fs.getContentSummary(vd.getPath).getLength
+                catch { case scala.util.control.NonFatal(_) => 0L }
+              if (fs.delete(vd.getPath, true)) { deleted += 1; bytes += sz }
+            case VersionDir(_) => kept += 1
+            case _ => () // not a version dir — never touch
+          }
+        }
+      }
+      Engine.VacuumStats(colDirs.length, deleted, kept, bytes)
+    }
+  }
+
   def column(name: String): DataFrame =
     Storage.readColumn(spark, catalog.require(name))
 
@@ -758,6 +843,19 @@ final class Session(val engine: Engine) {
   * own heartbeats).
   */
 object Engine {
+  /** Outcome of a [[Engine.vacuum]] sweep: columns scanned, version
+    * dirs deleted / retained, and bytes reclaimed (content size of the
+    * deleted dirs, measured before deletion).
+    */
+  final case class VacuumStats(columns: Int, deleted: Long, kept: Long,
+                               reclaimedBytes: Long)
+
+  /** Default vacuum retention: 7 days, Delta Lake's published default —
+    * long enough that any live reader snapshot or bound intermediate
+    * has refreshed or died, short enough that churn is reclaimed.
+    */
+  val DefaultVacuumRetainMs: Long = 7L * 24 * 3600 * 1000
+
   private[core] sealed trait WriterLock { def key: String }
   private[core] final case class FileLock(key: String,
                                           channel: java.nio.channels.FileChannel,

@@ -291,6 +291,66 @@ object ParityQueries {
       .select("v1", "v2", "v3").orderBy("v1", "v2", "v3")
   }
 
+  /** Storage-reclaim under the oracle: the canonical load followed by a
+    * mutation CHURN (update + delete — each a copy-on-write rewrite
+    * leaving its predecessor version dir behind), then [[Engine.vacuum]]
+    * with zero retention, then the select->fetch->tuple chain served
+    * from the vacuumed store. The oracle replays the churn in SQL, so a
+    * vacuum that deleted a LIVE version (or failed to reclaim) surfaces
+    * as a hash mismatch / failed invariant: before the sweep the store
+    * must hold strictly more version dirs than live columns, after it
+    * exactly the live ones, with bytes reclaimed and a second sweep
+    * finding nothing.
+    */
+  def storeVacuum(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vacuum").toString
+    val csv = writeRefCsv(s, d, tmp)
+    val dbDir = s"$tmp/db"
+    val engine = new Engine(s, dbDir)
+    val vals =
+      try {
+        engine.execute(
+          s"""create(ra,"unsorted")
+             |create(rb,"unsorted")
+             |create(rc,"unsorted")
+             |load("$csv")
+             |u=select(rb,3)
+             |update(u,rb,0)
+             |del=select(rb,5)
+             |delete(del,ra,rb,rc)
+             |""".stripMargin)
+        def versionDirs(): Seq[java.io.File] =
+          Option(new java.io.File(s"$dbDir/cols").listFiles())
+            .getOrElse(Array.empty).toSeq
+            .flatMap(c => Option(c.listFiles()).getOrElse(Array.empty))
+            .filter(f => f.isDirectory && f.getName.matches(raw"v\d+"))
+        // churn left ra/rc at v2 and rb at v3: 7 dirs, 3 live
+        val before = versionDirs().size
+        require(before >= 7, s"expected >=7 version dirs after churn, got $before")
+        val st = engine.vacuum(retainMs = 0L)
+        require(st.deleted >= 4 && st.reclaimedBytes > 0,
+          s"vacuum must reclaim the churn: $st")
+        val after = versionDirs().size
+        require(after == 3 && st.kept == 3,
+          s"exactly the live dirs must survive, got $after kept=${st.kept}")
+        require(engine.vacuum(retainMs = 0L).deleted == 0,
+          "second vacuum must find nothing")
+        val session = engine.newSession()
+        try {
+          graft.lang.Parser.parseScript(
+            """p=select(ra)
+              |a=fetch(ra,p)
+              |b=fetch(rb,p)
+              |c=fetch(rc,p)
+              |""".stripMargin).toOption.get.foreach(session.eval)
+          Seq("a", "b", "c").map(v => session.getVals(v).df)
+        } finally session.dispose()
+      } finally engine.close()
+    registerCleanup(new java.io.File(tmp))
+    ColumnOps.tupleZip(vals, Seq("id"))
+      .select("v1", "v2", "v3").orderBy("v1", "v2", "v3")
+  }
+
   // --- client/server topology: the same round-trip through a real TCP
   //     socket (graft.server.TcpServer / NetClient — the reference's
   //     client/TCP/threadpool architecture, server.c:967-1006) ---
@@ -451,6 +511,7 @@ object ParityQueries {
     "create_load" -> createLoad,
     "store_object" -> storeObject,
     "store_readonly" -> storeReadOnly,
+    "store_vacuum" -> storeVacuum,
     "server_tcp" -> serverTcp,
     "server_tcp_load" -> serverTcpLoad,
   )
@@ -520,6 +581,11 @@ object ParityQueries {
     "store_readonly" ->
       """SELECT CAST(l_orderkey AS INTEGER) AS v1, CAST(l_linenumber AS INTEGER) AS v2,
         |  CAST(trunc(l_quantity) AS INTEGER) AS v3 FROM lineitem ORDER BY v1, v2, v3""".stripMargin,
+    "store_vacuum" ->
+      """SELECT CAST(l_orderkey AS INTEGER) AS v1,
+        |  CAST(CASE WHEN l_linenumber = 3 THEN 0 ELSE l_linenumber END AS INTEGER) AS v2,
+        |  CAST(trunc(l_quantity) AS INTEGER) AS v3
+        |FROM lineitem WHERE l_linenumber <> 5 ORDER BY v1, v2, v3""".stripMargin,
     "server_tcp" ->
       """SELECT CAST(l_orderkey AS INTEGER) AS v1, CAST(l_linenumber AS INTEGER) AS v2
         |FROM lineitem WHERE CAST(trunc(l_quantity) AS INTEGER) BETWEEN 10 AND 20

@@ -17,11 +17,12 @@ import graft.lang.Parser
   * (client.c:237-262): a prompt, one op per line, same session throughout.
   *
   * Usage: Cli <dbDir> [scriptFile | --interactive] [--read-only]
-  * (no script and not interactive -> stdin). `--read-only` opens the
-  * store WITHOUT the writer lock/lease — any number of reader CLIs can
-  * run concurrently, alongside a live writer or server, each pinned to
-  * the committed catalog snapshot at open; mutating ops fail
-  * DBEUNSUPPORTED.
+  * [--vacuum[=retainMs]] (no script and not interactive -> stdin).
+  * `--read-only` opens the store WITHOUT the writer lock/lease — any
+  * number of reader CLIs can run concurrently, alongside a live writer
+  * or server, each pinned to the committed catalog snapshot at open;
+  * mutating ops fail DBEUNSUPPORTED. `--vacuum` reclaims unreferenced
+  * copy-on-write version dirs after the script ([[Engine.vacuum]]).
   */
 object Cli {
 
@@ -70,7 +71,7 @@ object Cli {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
       System.err.println(
-        "usage: Cli <dbDir> [scriptFile | --interactive] [--read-only]")
+        "usage: Cli <dbDir> [scriptFile | --interactive] [--read-only] [--vacuum[=retainMs]]")
       sys.exit(2)
     }
     val dbDir = args(0)
@@ -82,14 +83,27 @@ object Cli {
       sys.exit(2)
     }
     args.drop(1).filter(_.startsWith("-"))
-      .filterNot(Set("--interactive", "-i", "--read-only"))
+      .filterNot(a => Set("--interactive", "-i", "--read-only")(a) ||
+        a == "--vacuum" || a.startsWith("--vacuum="))
       .foreach { bad =>
         System.err.println(
-          s"unknown flag: $bad (supported: --interactive/-i, --read-only)")
+          s"unknown flag: $bad (supported: --interactive/-i, --read-only, --vacuum[=retainMs])")
         sys.exit(2)
       }
     val interactive = args.contains("--interactive") || args.contains("-i")
     val readOnly = args.contains("--read-only")
+    // maintenance flag: reclaim unreferenced copy-on-write version dirs
+    // AFTER the script (Engine.vacuum) — `--vacuum` uses the 7-day
+    // default retention, `--vacuum=<ms>` overrides it (0 = everything
+    // unreferenced right now)
+    val vacuumRetain: Option[Long] = args.drop(1).collectFirst {
+      case "--vacuum" => Engine.DefaultVacuumRetainMs
+      case a if a.startsWith("--vacuum=") =>
+        a.stripPrefix("--vacuum=").toLongOption.getOrElse {
+          System.err.println(s"bad --vacuum retention (millis expected): $a")
+          sys.exit(2)
+        }
+    }
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("GRAFT_MASTER", "local[*]"))
       .appName("graft-cli")
@@ -124,6 +138,12 @@ object Cli {
         }
         failed = runScript(session, script.linesIterator,
           println, System.err.println)
+      }
+      vacuumRetain.foreach { ms =>
+        val st = engine.vacuum(ms)
+        System.err.println(
+          s"vacuum: ${st.deleted} version dir(s) deleted, ${st.kept} kept, " +
+            s"${st.reclaimedBytes} bytes reclaimed across ${st.columns} column(s)")
       }
     } catch {
       case e: FatalSessionError =>
