@@ -112,7 +112,15 @@ final class Catalog(val dbDir: String, store: CatalogStore) {
     */
   private[core] def reload(): Unit = {
     val next = parse(store.init())
-    synchronized { cols = next }
+    synchronized {
+      // never downgrade a served snapshot to EMPTY: the language has no
+      // drop op, so a committed catalog can only grow — an empty load
+      // against a non-empty served map is a transient store artifact (a
+      // stale LIST returning already-GC'd names, every read then absent
+      // -> the "stable all-torn" open-empty path) and must keep the old
+      // snapshot serving, not silently blank a live replica
+      if (next.nonEmpty || cols.isEmpty) cols = next
+    }
   }
 
   def get(name: String): Option[ColumnMeta] = synchronized { cols.get(name) }

@@ -154,11 +154,13 @@ final class Engine(val spark: SparkSession, val dbDir: String,
     *     the last [[VersionedCatalogStore]] `Keep` commits; those are
     *     exactly the snapshots a lock-free reader could have pinned at
     *     open — every one of their referenced versions survives), and
-    *   - its modification time is older than `retainMs` (the grace
-    *     window for readers pinned BEFORE the retained history and for
-    *     bound intermediates in long-lived sessions; readers must
+    *   - its age exceeds `retainMs` — measured from the newest FILE in
+    *     the dir, not the dir entry itself (S3A reports prefix-"dir"
+    *     mtime as 0, which would void the grace): the window for
+    *     readers pinned BEFORE the retained history and for bound
+    *     intermediates in long-lived sessions; readers must
     *     [[refresh]] or reopen within it — the same contract Delta's
-    *     VACUUM retention documents).
+    *     VACUUM retention documents.
     * Versions ABOVE the live one (a crashed predecessor's uncommitted
     * rewrite) are garbage by the same rule: nothing references them.
     *
@@ -209,14 +211,29 @@ final class Engine(val spark: SparkSession, val dbDir: String,
           retained.getOrElse(name, Set.empty) ++ live.get(name)
         fs.listStatus(cd.getPath).filter(_.isDirectory).foreach { vd =>
           vd.getPath.getName match {
-            case VersionDir(k)
-                if !keep(k.toLong) &&
-                  now - vd.getModificationTime >= retainMs =>
-              fence() // no successor can exist within a TTL of this read
-              val sz =
-                try fs.getContentSummary(vd.getPath).getLength
-                catch { case scala.util.control.NonFatal(_) => 0L }
-              if (fs.delete(vd.getPath, true)) { deleted += 1; bytes += sz }
+            case VersionDir(k) if !keep(k.toLong) =>
+              // age/size from the dir's FILES, one listing: object-store
+              // connectors (S3A) report prefix-"directory" mtime as 0,
+              // which would silently void the grace — part files carry
+              // real timestamps on every store. An empty dir falls back
+              // to the dir mtime (nothing to lose either way).
+              val files =
+                try fs.listStatus(vd.getPath).filter(_.isFile)
+                catch {
+                  case _: java.io.FileNotFoundException =>
+                    Array.empty[org.apache.hadoop.fs.FileStatus]
+                }
+              val mtime =
+                if (files.isEmpty) vd.getModificationTime
+                else files.map(_.getModificationTime).max
+              if (now - mtime >= retainMs) {
+                val sz = files.map(_.getLen).sum
+                // fence IMMEDIATELY before the delete — nothing slow may
+                // sit between the verified-ours lease read and the
+                // delete, or the "within one TTL" window argument breaks
+                fence()
+                if (fs.delete(vd.getPath, true)) { deleted += 1; bytes += sz }
+              } else kept += 1
             case VersionDir(_) => kept += 1
             case _ => () // not a version dir — never touch
           }

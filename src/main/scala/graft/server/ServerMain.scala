@@ -44,7 +44,15 @@ object ServerMain {
         sys.exit(2)
       }
     val readOnly = args.contains("--read-only")
-    val refreshMs = args.collectFirst { case RefreshMs(n) => n.toLong }
+    // toLongOption + positivity: `\d+` alone admits 0 (a busy-loop of
+    // full catalog reloads hammering the store) and 20+ digit values
+    // (NumberFormatException at startup, after the usage checks passed)
+    val refreshMs = args.collectFirst { case RefreshMs(n) =>
+      n.toLongOption.filter(_ > 0).getOrElse {
+        System.err.println(s"bad --refresh-ms (positive millis expected): $n")
+        sys.exit(2)
+      }
+    }
     if (refreshMs.isDefined && !readOnly) {
       System.err.println("--refresh-ms requires --read-only (a writer is always current)")
       sys.exit(2)

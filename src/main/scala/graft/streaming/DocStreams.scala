@@ -269,8 +269,18 @@ object DocStreams {
       st.isDirectory && st.getPath.getName.startsWith("batch_id=")
     }
     if (old.length <= 1) return
-    if (!old.exists(d => fs.listStatus(d.getPath).exists(st =>
-        st.isDirectory || st.getPath.getName.endsWith(".parquet")))) {
+    // data lives one level down (batch_id=N/<partCol>=x/*.parquet);
+    // committer scratch (_temporary) and hidden dirs are NOT data — a
+    // store holding only crashed-write leftovers must be cleared, not
+    // fed to schema inference (which would throw on zero parquet files)
+    def hasParquet(d: Path): Boolean =
+      fs.listStatus(d).exists { st =>
+        val n = st.getPath.getName
+        (st.isFile && n.endsWith(".parquet")) ||
+          (st.isDirectory && !n.startsWith("_") && !n.startsWith(".") &&
+            hasParquet(st.getPath))
+      }
+    if (!old.exists(d => hasParquet(d.getPath))) {
       old.foreach(st => fs.delete(st.getPath, true))
       return
     }

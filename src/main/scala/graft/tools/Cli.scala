@@ -99,10 +99,15 @@ object Cli {
     val vacuumRetain: Option[Long] = args.drop(1).collectFirst {
       case "--vacuum" => Engine.DefaultVacuumRetainMs
       case a if a.startsWith("--vacuum=") =>
-        a.stripPrefix("--vacuum=").toLongOption.getOrElse {
-          System.err.println(s"bad --vacuum retention (millis expected): $a")
+        a.stripPrefix("--vacuum=").toLongOption.filter(_ >= 0).getOrElse {
+          System.err.println(s"bad --vacuum retention (non-negative millis expected): $a")
           sys.exit(2)
         }
+    }
+    if (readOnly && vacuumRetain.isDefined) {
+      // fail BEFORE the script runs, not with a stack trace after it
+      System.err.println("--vacuum requires a writer engine; drop --read-only")
+      sys.exit(2)
     }
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("GRAFT_MASTER", "local[*]"))

@@ -169,7 +169,8 @@ object PerfBaseline {
       f"""{"metric":"baseline_best_total","value":$headline%.4f,"unit":"sec","reps":3,"sizes":"${sizes.mkString(",")}","probes":[$pjson],"queries":{$qjson}}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BASELINE_OUT",
-      "/root/repo/BASELINE_full.json")
+      java.nio.file.Paths.get(System.getProperty("user.dir"),
+        "BASELINE_full.json").toString)
     Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()

@@ -365,6 +365,43 @@ class ObjectStoreSpec extends SparkSpec {
     }
   }
 
+  test("refresh() never downgrades a served snapshot to EMPTY on a transient store artifact") {
+    objectMode() {
+      val dir = tmpDir("objstore_refresh_empty")
+      val csv = writeCsv(dir)
+      val dbDir = s"$dir/db"
+      val writer = new Engine(spark, dbDir)
+      try {
+        writer.execute(s"""create(oa,"unsorted")
+                          |create(ob,"unsorted")
+                          |load("$csv")
+                          |""".stripMargin)
+        val reader = new Engine(spark, dbDir, readOnly = true)
+        try {
+          assert(reader.execute("s=select(oa,2)\nprint(s)") == Seq("1"))
+          // simulate the stale-LIST/failed-GET interleave a replica can
+          // hit against a live writer's GC on an eventually-consistent
+          // store: every catalog object momentarily unreadable. The
+          // reload's winning-body selection settles on "empty" (the
+          // stable all-torn rule) — but a live replica must KEEP its
+          // good snapshot, not blank itself mid-serve.
+          val catDir = new java.io.File(s"$dbDir/catalog")
+          val stash = new java.io.File(s"$dir/stash")
+          assert(catDir.renameTo(stash))
+          try {
+            reader.refresh()
+            assert(reader.catalog.all.nonEmpty,
+              "refresh blanked a live replica on a transient artifact")
+            assert(reader.execute("t=select(oa,2)\nprint(t)") == Seq("1"))
+          } finally assert(stash.renameTo(catDir))
+          // and once the store is readable again, refresh proceeds
+          reader.refresh()
+          assert(reader.execute("u=select(oa,2)\nprint(u)") == Seq("1"))
+        } finally reader.close()
+      } finally writer.close()
+    }
+  }
+
   test("read-only open of a STABLE all-torn catalog is an empty catalog, not DBEIO") {
     objectMode() {
       val dir = tmpDir("objstore_ro_torn")

@@ -91,6 +91,34 @@ class VacuumSpec extends SparkSpec {
     } finally e.close()
   }
 
+  test("the retention grace keys on FILE mtimes, not the dir entry " +
+    "(S3A reports prefix-dir mtime as 0)") {
+    val dir = tmpDir("vacuum_mtime")
+    val dbDir = s"$dir/db"
+    val csv = writeCsv(dir)
+    val e = new Engine(spark, dbDir)
+    try {
+      e.execute(
+        s"""create(va,"unsorted")
+           |create(vb,"unsorted")
+           |load("$csv")
+           |u=select(vb,20)
+           |update(u,vb,21)
+           |""".stripMargin)
+      // age vb/v1's FILES two hours into the past; the dir entry stays
+      // fresh — a dir-mtime grace would keep it, the file-mtime rule
+      // must reclaim it under a 1-hour retention
+      val oldDir = new java.io.File(s"$dbDir/cols/vb/v1")
+      val past = System.currentTimeMillis() - 2 * 3600 * 1000L
+      oldDir.listFiles().foreach(f => assert(f.setLastModified(past)))
+      assert(oldDir.setLastModified(System.currentTimeMillis()))
+      val st = e.vacuum(retainMs = 3600 * 1000L)
+      assert(st.deleted == 1 && !oldDir.exists(), st)
+      // va/v1 (live) and vb/v2 (live) survive
+      assert(versionDirs(dbDir) == Set("va" -> 1L, "vb" -> 2L))
+    } finally e.close()
+  }
+
   test("a crashed rewrite's orphan dir ABOVE the live version is garbage too") {
     val dir = tmpDir("vacuum_orphan")
     val dbDir = s"$dir/db"
