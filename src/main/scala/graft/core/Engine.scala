@@ -728,10 +728,15 @@ final class Session(val engine: Engine) {
       }
     // per-column writes are independent Spark jobs — run them concurrently
     // (the scheduler interleaves their stages across executor cores; the
-    // shared cached CSV scan is computed once). Catalog updates stay on
-    // this thread, after all writes land. EVERYTHING after the cache
-    // materialized sits inside the try: an unknown header column (or any
-    // write failure) must still release the shared scan.
+    // shared cached CSV scan is computed once — the first writer
+    // materializes it). Catalog updates stay on this thread, after all
+    // writes land. EVERYTHING after the parse sits inside the try: an
+    // unknown header column (or any write failure) must still release
+    // the shared scan.
+    // (Probed and rejected: clamping spark.sql.files.maxPartitionBytes
+    // so a 10-60 MB CSV fans across cores — the finer parse was eaten
+    // by extra part files and commit overhead at every probed size;
+    // LoadProbe's alternating A/B showed on >= off at 600k and 3M rows.)
     try {
       val written = cols.map { case (name, df) =>
         val meta = catalog.require(name)

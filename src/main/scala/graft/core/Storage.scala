@@ -15,9 +15,9 @@ import graft.lang.Op.{StorageType, Sorted, BTree, Unsorted}
   * which Catalyst + parquet subsume).
   *
   * Ids are dense at load time (0..n-1 + the column's current nextId),
-  * assigned with a distributed zipWithIndex — never
-  * `monotonically_increasing_id` (not dense) and never a single-partition
-  * window (not scalable).
+  * assigned with a two-phase split-offset scheme (see [[parseCsv]]) —
+  * never raw `monotonically_increasing_id` (not dense) and never a
+  * single-partition window (not scalable).
   */
 object Storage {
 
@@ -87,25 +87,56 @@ object Storage {
     * ignored, storage.c:1863-1867), so the caller uses it as the dense id
     * directly — a future load-append would have to offset by nextId AND
     * lift the evalLoad double-load guard together.
+    *
+    * Ordinals are assigned WITHOUT leaving the DataFrame world: an RDD
+    * `zipWithIndex` round-trip deserializes every row twice and caches
+    * GenericRows — measured 4-10x the cost of the CSV scan itself.
+    * Instead, `monotonically_increasing_id` is `(split << 33) + local`
+    * for a deterministic file scan, so a first cheap pass counts rows
+    * per split (over InternalRows, no conversion), the driver
+    * prefix-sums the split offsets (bounded by the file's split count),
+    * and `ord = offset(split) + local` via a broadcast equi-join on the
+    * split id — zipWithIndex's own two-phase shape, kept inside
+    * whole-stage codegen end to end, O(1) per row at any split count.
+    * Both passes see identical splits and order (file scans are
+    * deterministic and the broadcast join never reshuffles the scan
+    * side).
     */
   def parseCsv(spark: SparkSession, file: String)
       : (DataFrame, Long, Seq[(String, DataFrame)]) = {
+    import spark.implicits._
     val raw = spark.read.option("header", "true").csv(file)
     val names = raw.columns.toSeq
     // non-numeric/empty cells parse to 0, matching the reference's atoi
     // (csv.c:81) — a null here would crash emission and skew aggregates
     val casted = raw.select(
       names.map(n => coalesce(col(n).cast(IntegerType), lit(0)).as(n)): _*)
-    val schema = StructType(
-      StructField("ord", LongType, nullable = false) +:
-        names.map(n => StructField(n, IntegerType, nullable = true)))
-    val withOrd = spark.createDataFrame(
-      casted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(i +: r.toSeq) },
-      schema).cache()
-    // materialize once — per-column writers run concurrently; the count
-    // is every target column's row count (rows are aligned), so writers
-    // never re-count
-    val rows = withOrd.count()
+    // pass 1: rows per scan split, no row conversion, no shuffle
+    val counts = casted.queryExecution.toRdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i.toLong, it.size.toLong)))
+      .collect().sortBy(_._1)
+    val rows = counts.map(_._2).sum
+    var acc = 0L
+    val offsets = counts.map { case (s, c) => val o = acc; acc += c; (s, o) }
+    val offsetsDf = broadcast(
+      offsets.toSeq.toDF("__graft_split", "__graft_off"))
+    val mid = monotonically_increasing_id()
+    // pass 2 (the cache materialization): ord from the split offset +
+    // the in-split local index; the id columns are computed ON the scan
+    // side, before the broadcast probe, so split ids match pass 1's
+    val withOrd = casted
+      .withColumn("__graft_split", shiftrightunsigned(mid, 33))
+      .withColumn("__graft_local", mid.bitwiseAND(lit((1L << 33) - 1)))
+      .join(offsetsDf, "__graft_split")
+      .select((col("__graft_off") + col("__graft_local")).as("ord") +:
+        names.map(col): _*)
+      .cache()
+    // NOT materialized here: the first concurrent column writer builds
+    // the cache blocks (racing writers at worst duplicate a partition's
+    // parse across idle cores — BlockManager keeps one copy), which
+    // overlaps the cache build with the first write instead of paying a
+    // dedicated pass. Rows come from the split counts, so nothing needs
+    // a count().
     (withOrd, rows, names.map(n => n -> withOrd.select(col("ord"), col(n).as("v"))))
   }
 }
