@@ -721,7 +721,7 @@ final class Session(val engine: Engine) {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val (csvScan, rows, cols) =
+    val parsed =
       try Storage.parseCsv(spark, file)
       catch { case scala.util.control.NonFatal(e) =>
         throw DbError.ioError(s"cannot load $file: ${e.getMessage}")
@@ -738,24 +738,31 @@ final class Session(val engine: Engine) {
     // by extra part files and commit overhead at every probed size;
     // LoadProbe's alternating A/B showed on >= off at 600k and 3M rows.)
     try {
-      val written = cols.map { case (name, df) =>
+      val written = parsed.cols.map { case (name, df) =>
         val meta = catalog.require(name)
         if (meta.nextId == 0L) { // double-load ignored (storage.c:1863-1867)
           Some(Future {
             val data = df.select(col("ord").as("id"), col("v"))
             val path = meta.copy(version = meta.version + 1).dataPath
-            Storage.writeColumn(data, path, meta.stype, rowsHint = Some(rows))
-            (name, meta.version + 1, rows, Storage.partFileCount(spark, path))
+            Storage.writeColumn(data, path, meta.stype,
+              rowsHint = Some(parsed.rowsUpperBound))
+            (name, meta.version + 1, path, Storage.partFileCount(spark, path))
           })
         } else None
       }
-      written.flatten.map(Await.result(_, Duration.Inf)).foreach {
-        case (name, version, rows, base) =>
+      val done = written.flatten.map(Await.result(_, Duration.Inf))
+      if (done.nonEmpty) {
+        // exact count AFTER the writes: the single-split fast path reads
+        // it driver-side off a written column's parquet footers (no job)
+        val rows = parsed.exactRows.getOrElse(
+          Storage.parquetRowCount(spark, done.head._3))
+        done.foreach { case (name, version, _, base) =>
           catalog.update(name, version, rows,
             baseFiles = Some(base), rowsAtVersion = Some(rows))
           engine.orphanChecked.add(name) // fresh version dir, accounted
+        }
       }
-    } finally csvScan.unpersist(false) // release the shared CSV cache
+    } finally parsed.scan.unpersist(false) // release the shared CSV cache
   }
 
   /** Delta-file count that triggers insert compaction: appends stay O(1)

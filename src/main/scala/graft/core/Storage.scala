@@ -46,10 +46,12 @@ object Storage {
   private val RowsPerIndexedPartition = 4000000L
 
   /** Layout-aware write: indexed storage types are clustered by value so
-    * range selects prune row groups. `rowsHint` (when the caller already
-    * knows the count) sizes the clustering: small columns sort in one
-    * partition — same layout, minus repartitionByRange's range-sampling
-    * job, which at interactive scale costs as much as the write itself.
+    * range selects prune row groups. `rowsHint` (the exact count, or a
+    * conservative UPPER bound — see [[ParsedCsv.rowsUpperBound]]) sizes
+    * the clustering: small columns sort in one partition — same layout,
+    * minus repartitionByRange's range-sampling job, which at interactive
+    * scale costs as much as the write itself. An over-estimate only errs
+    * toward the range layout, never a wrong one.
     */
   def writeColumn(df: DataFrame, path: String, stype: StorageType,
                   rowsHint: Option[Long] = None): Unit = {
@@ -58,8 +60,12 @@ object Storage {
         val default = math.max(1, df.sparkSession.sparkContext.defaultParallelism / 2)
         if (rowsHint.exists(_ <= RowsPerIndexedPartition))
           // small column: a one-partition sort gives the same clustered
-          // layout without repartitionByRange's sampling job
-          df.repartition(1).sortWithinPartitions("v")
+          // layout without repartitionByRange's sampling job; when the
+          // input is already a single partition (the single-split load
+          // fast path), skip even the 1->1 exchange
+          if (df.queryExecution.toRdd.getNumPartitions <= 1)
+            df.sortWithinPartitions("v")
+          else df.repartition(1).sortWithinPartitions("v")
         else
           df.repartitionByRange(default, col("v")).sortWithinPartitions("v")
       case Unsorted => df
@@ -76,6 +82,22 @@ object Storage {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) 0L
     else fs.listStatus(path).count(_.getPath.getName.endsWith(".parquet")).toLong
+  }
+
+  /** Exact row count of a just-written parquet dir from its file
+    * footers, driver-side — no Spark job. Footers of a fresh single-part
+    * write are a few KB; this replaces a cluster count() whose cost is
+    * pure job-launch overhead at interactive scale.
+    */
+  def parquetRowCount(spark: SparkSession, dir: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(conf)
+    fs.listStatus(path).filter(_.getPath.getName.endsWith(".parquet")).map { st =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+      try reader.getRecordCount finally reader.close()
+    }.sum
   }
 
   /** Parse a headered CSV of ints into per-column DataFrames with dense,
@@ -101,42 +123,105 @@ object Storage {
     * Both passes see identical splits and order (file scans are
     * deterministic and the broadcast join never reshuffles the scan
     * side).
+    *
+    * Interactive-scale floor: when the scan is a SINGLE split (file
+    * under Spark's ~4 MB open-cost split floor — the reference's own
+    * benchmark sizes), `monotonically_increasing_id` IS the dense
+    * file-order ordinal, so the count pass and the broadcast probe
+    * vanish; the exact count is read driver-side off a written column's
+    * parquet footers after the writes land. The header + file size come
+    * from one driver-side FS read instead of spark.read's
+    * header-inference job — plain single-file loads skip every
+    * pre-write Spark job.
     */
-  def parseCsv(spark: SparkSession, file: String)
-      : (DataFrame, Long, Seq[(String, DataFrame)]) = {
+  def parseCsv(spark: SparkSession, file: String): ParsedCsv = {
     import spark.implicits._
-    val raw = spark.read.option("header", "true").csv(file)
+    // header + byte size driver-side for plain files; quoted / non-ASCII
+    // headers and dir/glob inputs fall back to spark.read's inference
+    val headerInfo: Option[(Seq[String], Long)] = try {
+      val p = new org.apache.hadoop.fs.Path(file)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(p)
+      if (!st.isFile) None
+      else {
+        val in = fs.open(p)
+        val line = try {
+          val buf = new StringBuilder
+          var c = in.read()
+          while (c != -1 && c != '\n' && buf.length < (1 << 20)) {
+            buf.append(c.toChar); c = in.read()
+          }
+          buf.result().stripSuffix("\r")
+        } finally in.close()
+        if (line.isEmpty || line.exists(ch => ch == '"' || ch > 127)) None
+        else Some((line.split(",", -1).toSeq, st.getLen))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+    val raw = headerInfo match {
+      case Some((names, _)) =>
+        spark.read.option("header", "true")
+          .schema(StructType(names.map(n => StructField(n, StringType))))
+          .csv(file)
+      case None => spark.read.option("header", "true").csv(file)
+    }
     val names = raw.columns.toSeq
     // non-numeric/empty cells parse to 0, matching the reference's atoi
     // (csv.c:81) — a null here would crash emission and skew aggregates
     val casted = raw.select(
       names.map(n => coalesce(col(n).cast(IntegerType), lit(0)).as(n)): _*)
-    // pass 1: rows per scan split, no row conversion, no shuffle
-    val counts = casted.queryExecution.toRdd
-      .mapPartitionsWithIndex((i, it) => Iterator((i.toLong, it.size.toLong)))
-      .collect().sortBy(_._1)
-    val rows = counts.map(_._2).sum
-    var acc = 0L
-    val offsets = counts.map { case (s, c) => val o = acc; acc += c; (s, o) }
-    val offsetsDf = broadcast(
-      offsets.toSeq.toDF("__graft_split", "__graft_off"))
     val mid = monotonically_increasing_id()
-    // pass 2 (the cache materialization): ord from the split offset +
-    // the in-split local index; the id columns are computed ON the scan
-    // side, before the broadcast probe, so split ids match pass 1's
-    val withOrd = casted
-      .withColumn("__graft_split", shiftrightunsigned(mid, 33))
-      .withColumn("__graft_local", mid.bitwiseAND(lit((1L << 33) - 1)))
-      .join(offsetsDf, "__graft_split")
-      .select((col("__graft_off") + col("__graft_local")).as("ord") +:
-        names.map(col): _*)
-      .cache()
+    // plan-only: computes the scan's FilePartitions, runs no job
+    val splits = casted.queryExecution.toRdd.getNumPartitions
+    val (ordPlan, exactRows) = headerInfo match {
+      case Some(_) if splits <= 1 =>
+        // single split: mid == the in-file row index already
+        (casted.select(mid.as("ord") +: names.map(col): _*), None)
+      case _ =>
+        // pass 1: rows per scan split, no row conversion, no shuffle
+        val counts = casted.queryExecution.toRdd
+          .mapPartitionsWithIndex((i, it) => Iterator((i.toLong, it.size.toLong)))
+          .collect().sortBy(_._1)
+        var acc = 0L
+        val offsets = counts.map { case (s, c) => val o = acc; acc += c; (s, o) }
+        val offsetsDf = broadcast(
+          offsets.toSeq.toDF("__graft_split", "__graft_off"))
+        // pass 2 (the cache materialization): ord from the split offset +
+        // the in-split local index; the id columns are computed ON the scan
+        // side, before the broadcast probe, so split ids match pass 1's
+        val plan = casted
+          .withColumn("__graft_split", shiftrightunsigned(mid, 33))
+          .withColumn("__graft_local", mid.bitwiseAND(lit((1L << 33) - 1)))
+          .join(offsetsDf, "__graft_split")
+          .select((col("__graft_off") + col("__graft_local")).as("ord") +:
+            names.map(col): _*)
+        (plan, Some(counts.map(_._2).sum))
+    }
+    val withOrd = ordPlan.cache()
     // NOT materialized here: the first concurrent column writer builds
     // the cache blocks (racing writers at worst duplicate a partition's
     // parse across idle cores — BlockManager keeps one copy), which
     // overlaps the cache build with the first write instead of paying a
-    // dedicated pass. Rows come from the split counts, so nothing needs
-    // a count().
-    (withOrd, rows, names.map(n => n -> withOrd.select(col("ord"), col(n).as("v"))))
+    // dedicated pass.
+    // a single split is <= ~4 MB of CSV, so bytes/(2*cols) ("0," per
+    // cell) bounds rows well under RowsPerIndexedPartition — the hint
+    // only picks the write layout and an over-estimate is merely slower
+    val upper = exactRows.orElse(headerInfo.map { case (ns, len) =>
+      len / (2L * math.max(1, ns.length)) }).getOrElse(Long.MaxValue)
+    ParsedCsv(withOrd, exactRows, upper,
+      names.map(n => n -> withOrd.select(col("ord"), col(n).as("v"))))
   }
 }
+
+/** Result of [[Storage.parseCsv]]: the shared cached scan (the caller
+  * unpersists it once the per-column writes land), the exact row count
+  * when the parse already ran a count pass (None on the single-split
+  * fast path — the caller reads it off a written column's parquet
+  * footers, [[Storage.parquetRowCount]]), a row-count upper bound known
+  * before any job runs (sizes the write layout), and
+  * (columnName -> df(ord, v)) in header order.
+  */
+final case class ParsedCsv(
+    scan: DataFrame,
+    exactRows: Option[Long],
+    rowsUpperBound: Long,
+    cols: Seq[(String, DataFrame)])

@@ -94,14 +94,14 @@ object LoadProbe {
         cached.unpersist(false)
       }
       // phase-timed replica of Storage.parseCsv + Session.evalLoad
-      val (scan, rows, cols) = t("parseCsv (scan+zip+cache+count)") {
+      val parsed = t("parseCsv (plan+cache handle)") {
         graft.core.Storage.parseCsv(spark, r)
       }
       t("3 column writes (concurrent)") {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
         import scala.concurrent.ExecutionContext.Implicits.global
-        val futs = cols.map { case (name, df) =>
+        val futs = parsed.cols.map { case (name, df) =>
           Future {
             val data = df.select(
               org.apache.spark.sql.functions.col("ord").as("id"),
@@ -109,12 +109,16 @@ object LoadProbe {
             val st = if (name == "rc")
               graft.lang.Op.BTree else graft.lang.Op.Unsorted
             graft.core.Storage.writeColumn(data, s"$dir/out/$name",
-              st, rowsHint = Some(rows))
+              st, rowsHint = Some(parsed.rowsUpperBound))
           }
         }
         futs.foreach(Await.result(_, Duration.Inf))
       }
-      scan.unpersist(false)
+      t("exact rows (post-write)") {
+        parsed.exactRows.getOrElse(
+          graft.core.Storage.parquetRowCount(spark, s"$dir/out/ra"))
+      }
+      parsed.scan.unpersist(false)
       // the full engine path for comparison
       val e = new Engine(spark, s"$dir/db")
       t("engine create x3 (catalog)") {

@@ -612,4 +612,39 @@ class EngineSpec extends SparkSpec {
     assert(intercept[DbException](e.execute("insert(ra,1,ra,2)")).code == "DBEDUPCOL")
     assert(intercept[DbException](e.execute("bogus(1)")).code == "DBEPARSE")
   }
+
+  test("parseCsv: two-phase split offsets match the single-split fast path") {
+    import graft.core.Storage
+    val dir = tmpDir("ordpath")
+    val n = 500
+    // `a` mirrors the file-order row index so ordinal assignment is
+    // directly checkable against it
+    val csv = s"$dir/o.csv"
+    Files.writeString(Paths.get(csv),
+      "a,b\n" + (0 until n).map(i => s"$i,${i * 7 % 101}").mkString("\n") + "\n")
+    def ordsEqualRowIndex(p: graft.core.ParsedCsv): Unit = {
+      val got = p.scan.collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+      assert(got.toSeq == (0 until n).map(i => (i.toLong, i)))
+      p.exactRows.foreach(r => assert(r == n))
+      assert(p.rowsUpperBound >= n)
+      p.scan.unpersist(false)
+    }
+    // tiny file -> single split -> the mid fast path (no count job)
+    val fast = Storage.parseCsv(spark, csv)
+    assert(fast.exactRows.isEmpty) // really took the fast path
+    ordsEqualRowIndex(fast)
+    // force many splits so the broadcast-offset path runs and must
+    // produce the identical dense file-order ids
+    val conf = spark.conf
+    val saved = Seq("spark.sql.files.maxPartitionBytes",
+      "spark.sql.files.openCostInBytes").map(k => k -> conf.get(k))
+    conf.set("spark.sql.files.maxPartitionBytes", "256")
+    conf.set("spark.sql.files.openCostInBytes", "0")
+    try {
+      val p = Storage.parseCsv(spark, csv)
+      assert(p.scan.rdd.getNumPartitions > 4) // really multi-split
+      assert(p.exactRows.contains(n.toLong)) // really took the count pass
+      ordsEqualRowIndex(p)
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
 }
