@@ -752,10 +752,22 @@ final class Session(val engine: Engine) {
       }
       val done = written.flatten.map(Await.result(_, Duration.Inf))
       if (done.nonEmpty) {
-        // exact count AFTER the writes: the single-split fast path reads
-        // it driver-side off a written column's parquet footers (no job)
-        val rows = parsed.exactRows.getOrElse(
-          Storage.parquetRowCount(spark, done.head._3))
+        // exact count AFTER the writes: the coalesced fast path reads it
+        // driver-side off a written column's parquet footers (no job);
+        // on the two-phase path the same footer read cross-checks the
+        // count pass — a scan-split drift between the offset pass and
+        // the write pass (e.g. a concurrent maxPartitionBytes change)
+        // would drop or misnumber rows, and must abort BEFORE the
+        // catalog commit, not corrupt ids silently
+        val written0 = Storage.parquetRowCount(spark, done.head._3)
+        val rows = parsed.exactRows match {
+          case None => written0
+          case Some(r) =>
+            if (r != written0) throw DbError.ioError(
+              s"load $file: ordinal pass counted $r rows but " +
+                s"$written0 were written (scan splits changed mid-load)")
+            r
+        }
         done.foreach { case (name, version, _, base) =>
           catalog.update(name, version, rows,
             baseFiles = Some(base), rowsAtVersion = Some(rows))

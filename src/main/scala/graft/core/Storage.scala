@@ -45,6 +45,19 @@ object Storage {
     */
   private val RowsPerIndexedPartition = 4000000L
 
+  /** CSV files at or under this byte size load through the coalesce(1)
+    * fast path (see [[parseCsv]]): a single-partition parse with zero
+    * pre-write jobs. Above it, the parse fans across the cluster and
+    * ordinals come from the two-phase split-offset scheme. Tunable via
+    * `graft.load.coalesceBytes` (0 disables the fast path). Default from
+    * an order-alternating A/B (LoadProbe, local[32]): the serial parse
+    * wins ~15% at 10 MB and loses ~35% at 20 MB — 12 MB splits the
+    * measured crossover.
+    */
+  private def coalesceBytes(spark: SparkSession): Long =
+    spark.conf.getOption("graft.load.coalesceBytes").map(_.toLong)
+      .getOrElse(12L << 20)
+
   /** Layout-aware write: indexed storage types are clustered by value so
     * range selects prune row groups. `rowsHint` (the exact count, or a
     * conservative UPPER bound — see [[ParsedCsv.rowsUpperBound]]) sizes
@@ -124,15 +137,14 @@ object Storage {
     * deterministic and the broadcast join never reshuffles the scan
     * side).
     *
-    * Interactive-scale floor: when the scan is a SINGLE split (file
-    * under Spark's ~4 MB open-cost split floor — the reference's own
-    * benchmark sizes), `monotonically_increasing_id` IS the dense
-    * file-order ordinal, so the count pass and the broadcast probe
-    * vanish; the exact count is read driver-side off a written column's
-    * parquet footers after the writes land. The header + file size come
-    * from one driver-side FS read instead of spark.read's
-    * header-inference job — plain single-file loads skip every
-    * pre-write Spark job.
+    * Interactive-scale floor: files at or under [[coalesceBytes]] (the
+    * reference's own benchmark sizes) parse as ONE coalesced partition,
+    * where `monotonically_increasing_id` IS the dense file-order
+    * ordinal — the count pass and the broadcast probe vanish; the exact
+    * count is read driver-side off a written column's parquet footers
+    * after the writes land. The header + file size come from one
+    * driver-side FS read instead of spark.read's header-inference job —
+    * small single-file loads skip every pre-write Spark job.
     */
   def parseCsv(spark: SparkSession, file: String): ParsedCsv = {
     import spark.implicits._
@@ -170,12 +182,13 @@ object Storage {
     val casted = raw.select(
       names.map(n => coalesce(col(n).cast(IntegerType), lit(0)).as(n)): _*)
     val mid = monotonically_increasing_id()
-    // plan-only: computes the scan's FilePartitions, runs no job
-    val splits = casted.queryExecution.toRdd.getNumPartitions
     val (ordPlan, exactRows) = headerInfo match {
-      case Some(_) if splits <= 1 =>
-        // single split: mid == the in-file row index already
-        (casted.select(mid.as("ord") +: names.map(col): _*), None)
+      case Some((_, len)) if len <= coalesceBytes(spark) =>
+        // small file: coalesce(1) pins a SINGLE execution partition (file
+        // order preserved — coalesce concatenates parents in order), so
+        // mid IS the dense in-file row index by construction, immune to
+        // a concurrent maxPartitionBytes change between plan and run
+        (casted.coalesce(1).select(mid.as("ord") +: names.map(col): _*), None)
       case _ =>
         // pass 1: rows per scan split, no row conversion, no shuffle
         val counts = casted.queryExecution.toRdd
@@ -202,9 +215,10 @@ object Storage {
     // parse across idle cores — BlockManager keeps one copy), which
     // overlaps the cache build with the first write instead of paying a
     // dedicated pass.
-    // a single split is <= ~4 MB of CSV, so bytes/(2*cols) ("0," per
-    // cell) bounds rows well under RowsPerIndexedPartition — the hint
-    // only picks the write layout and an over-estimate is merely slower
+    // a fast-path file is bounded by coalesceBytes, so bytes/(2*cols)
+    // ("0," per cell) bounds rows well under RowsPerIndexedPartition —
+    // the hint only picks the write layout and an over-estimate is
+    // merely slower
     val upper = exactRows.orElse(headerInfo.map { case (ns, len) =>
       len / (2L * math.max(1, ns.length)) }).getOrElse(Long.MaxValue)
     ParsedCsv(withOrd, exactRows, upper,

@@ -44,6 +44,39 @@ object LoadProbe {
       a
     }
 
+    // A/B mode: coalesce(1) fast path vs two-phase split offsets on the
+    // SAME workload, arm order alternating per rep (a fixed order rides
+    // the first arm's page-cache/JIT warmth), with an untouched control
+    // measuring window noise. Usage: SPARK_GRAFT_LOAD_AB=1 ... LoadProbe 600000
+    if (sys.env.get("SPARK_GRAFT_LOAD_AB").contains("1")) {
+      def fullLoad(): Double = {
+        val dir = Files.createTempDirectory(s"graft_ab_$nR").toString
+        val (r, _) = PerfBaseline.genCsvs(dir, nR, 1000)
+        val e = new Engine(spark, s"$dir/db")
+        e.execute("create(ra,\"unsorted\")\ncreate(rc,\"b+tree\")\ncreate(rd,\"unsorted\")")
+        val t0 = System.nanoTime()
+        e.execute(s"""load("$r")""")
+        val dt = (System.nanoTime() - t0) / 1e9
+        e.close(); dt
+      }
+      def control(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(8L << 20).selectExpr("sum(id)").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val arms = Seq(
+        "coalesce" -> (() => spark.conf.set("graft.load.coalesceBytes", (64L << 20).toString)),
+        "twophase" -> (() => spark.conf.set("graft.load.coalesceBytes", "0")))
+      for (rep <- 1 to 6) {
+        val order = if (rep % 2 == 1) arms else arms.reverse
+        val parts = order.map { case (name, set) =>
+          set(); f"$name=${fullLoad()}%.3f" } :+ f"control=${control()}%.3f"
+        println(s"  rep $rep: ${parts.mkString("  ")}")
+      }
+      spark.conf.unset("graft.load.coalesceBytes")
+      spark.stop(); return
+    }
+
     for (rep <- 1 to 3) {
       println(s"=== rep $rep, nR=$nR ===")
       val dir = Files.createTempDirectory(s"graft_lp_$nR").toString

@@ -629,15 +629,18 @@ class EngineSpec extends SparkSpec {
       assert(p.rowsUpperBound >= n)
       p.scan.unpersist(false)
     }
-    // tiny file -> single split -> the mid fast path (no count job)
+    // tiny file -> under the coalesce threshold -> the mid fast path
+    // (no count job)
     val fast = Storage.parseCsv(spark, csv)
     assert(fast.exactRows.isEmpty) // really took the fast path
     ordsEqualRowIndex(fast)
-    // force many splits so the broadcast-offset path runs and must
-    // produce the identical dense file-order ids
+    // disable the fast path and force many splits so the
+    // broadcast-offset path runs and must produce the identical dense
+    // file-order ids
     val conf = spark.conf
     val saved = Seq("spark.sql.files.maxPartitionBytes",
       "spark.sql.files.openCostInBytes").map(k => k -> conf.get(k))
+    conf.set("graft.load.coalesceBytes", "0")
     conf.set("spark.sql.files.maxPartitionBytes", "256")
     conf.set("spark.sql.files.openCostInBytes", "0")
     try {
@@ -645,6 +648,9 @@ class EngineSpec extends SparkSpec {
       assert(p.scan.rdd.getNumPartitions > 4) // really multi-split
       assert(p.exactRows.contains(n.toLong)) // really took the count pass
       ordsEqualRowIndex(p)
-    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+    } finally {
+      saved.foreach { case (k, v) => conf.set(k, v) }
+      conf.unset("graft.load.coalesceBytes")
+    }
   }
 }
