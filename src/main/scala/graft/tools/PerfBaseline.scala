@@ -85,10 +85,14 @@ object PerfBaseline {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warm the session (codegen, parquet committers) on a throwaway load
+    // warm the session (codegen, parquet committers, parse-loop JIT) on
+    // a throwaway load — 50k rows, not 1k: the measured first-probe
+    // inflation (~3x for the first minute of a fresh JVM) is C2
+    // compilation of the parse/write loops, which only get hot with
+    // real row counts
     {
       val w = Files.createTempDirectory("graft_warm").toString
-      val (r, s) = genCsvs(w, 1000, 1000)
+      val (r, s) = genCsvs(w, 50000, 5000)
       val e = new Engine(spark, s"$w/db")
       e.execute(s"""create(ra,"unsorted")
                    |create(rc,"b+tree")
@@ -103,22 +107,33 @@ object PerfBaseline {
       e.close()
     }
 
+    val loadScript =
+      """create(ra,"unsorted")
+        |create(rc,"b+tree")
+        |create(rd,"unsorted")
+        |create(sa,"b+tree")
+        |create(sf,"b+tree")
+        |create(sg,"unsorted")
+        |""".stripMargin
     for (nR <- sizes) {
       val dir = Files.createTempDirectory(s"graft_perf_$nR").toString
       val (r, s) = genCsvs(dir, nR, 10000)
-      val engine = new Engine(spark, s"$dir/db")
-      val t0 = System.nanoTime()
-      engine.execute(
-        s"""create(ra,"unsorted")
-           |create(rc,"b+tree")
-           |create(rd,"unsorted")
-           |create(sa,"b+tree")
-           |create(sf,"b+tree")
-           |create(sg,"unsorted")
-           |load("$r")
-           |load("$s")
-           |""".stripMargin)
-      val tLoad = (System.nanoTime() - t0) / 1e9
+      // min-of-2 loads into separate dbs: the load is a one-shot phase
+      // (unlike the queries' min-of-3) and was chronically charged the
+      // window's residual JIT/page-cache cold cost; queries then run
+      // against the second db
+      def timedLoad(db: String): (Double, Engine) = {
+        val e = new Engine(spark, db)
+        val t0 = System.nanoTime()
+        e.execute(loadScript + s"""load("$r")
+load("$s")
+""")
+        ((System.nanoTime() - t0) / 1e9, e)
+      }
+      val (tLoadA, engineA) = timedLoad(s"$dir/dbA")
+      engineA.close()
+      val (tLoadB, engine) = timedLoad(s"$dir/db")
+      val tLoad = math.min(tLoadA, tLoadB)
       // Three passes over the keywords, min per keyword: each new
       // dataset's FIRST query pays one-time file-listing/statistics
       // costs (~1s) that would otherwise be charged to whichever
