@@ -190,8 +190,12 @@ object Storage {
         // a concurrent maxPartitionBytes change between plan and run
         (casted.coalesce(1).select(mid.as("ord") +: names.map(col): _*), None)
       case _ =>
-        // pass 1: rows per scan split, no row conversion, no shuffle
-        val counts = casted.queryExecution.toRdd
+        // pass 1: rows per scan split, no row conversion, no shuffle —
+        // over a ZERO-column projection (record boundaries don't depend
+        // on the projection, so per-split counts match the full parse at
+        // ~1/4 the cost; split planning is schema-independent, and the
+        // post-write footer cross-check in evalLoad backstops any drift)
+        val counts = raw.select().queryExecution.toRdd
           .mapPartitionsWithIndex((i, it) => Iterator((i.toLong, it.size.toLong)))
           .collect().sortBy(_._1)
         var acc = 0L

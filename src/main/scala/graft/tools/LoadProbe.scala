@@ -111,6 +111,11 @@ object LoadProbe {
             .mapPartitionsWithIndex((i, it) => Iterator((i.toLong, it.size.toLong)))
             .collect().sortBy(_._1)
         }
+        t("pruned split counts") {
+          raw.select().queryExecution.toRdd
+            .mapPartitionsWithIndex((i, it) => Iterator((i.toLong, it.size.toLong)))
+            .collect().sortBy(_._1)
+        }
         var acc = 0L
         val offsets = counts.map { case (s, c) => val o = acc; acc += c; (s, o) }
         val offsetsDf = broadcast(offsets.toSeq.toDF("__graft_split", "__graft_off"))
