@@ -39,11 +39,17 @@ object Storage {
     else spark.read.schema(columnSchema).parquet(meta.dataPath)
       .filter(org.apache.spark.sql.functions.col("id") < meta.nextId)
 
-  /** Rows per value-clustered partition: ~4M ids+ints keep a partition
-    * well under parquet's sweet spot while one partition per ~few dozen
-    * MB still fans a 100 TB load across the cluster.
+  /** Columns at or under this many rows sort in ONE partition (no
+    * repartitionByRange sampling job, no shuffle); larger columns get
+    * the range-clustered parallel layout that fans a 100 TB load across
+    * the cluster. Tunable via `graft.write.smallSortRows`: the
+    * single-task sort beats sampling+shuffle below ~1M rows and loses
+    * past it (LoadProbe — a 3M-row column loaded SLOWER than a 6M-row
+    * one under the old 4M threshold, serial sort vs parallel range).
     */
-  private val RowsPerIndexedPartition = 4000000L
+  private def smallSortRows(spark: SparkSession): Long =
+    spark.conf.getOption("graft.write.smallSortRows").map(_.toLong)
+      .getOrElse(1000000L)
 
   /** CSV files at or under this byte size load through the coalesce(1)
     * fast path (see [[parseCsv]]): a single-partition parse with zero
@@ -71,14 +77,16 @@ object Storage {
     val out = stype match {
       case Sorted | BTree =>
         val default = math.max(1, df.sparkSession.sparkContext.defaultParallelism / 2)
-        if (rowsHint.exists(_ <= RowsPerIndexedPartition))
+        if (df.queryExecution.toRdd.getNumPartitions <= 1)
+          // already a single partition (the coalesced load fast path):
+          // an in-partition sort IS the clustered layout — no sampling
+          // job, no exchange; re-fanning a bounded-size input just for
+          // the sort costs more than it parallelizes
+          df.sortWithinPartitions("v")
+        else if (rowsHint.exists(_ <= smallSortRows(df.sparkSession)))
           // small column: a one-partition sort gives the same clustered
-          // layout without repartitionByRange's sampling job; when the
-          // input is already a single partition (the single-split load
-          // fast path), skip even the 1->1 exchange
-          if (df.queryExecution.toRdd.getNumPartitions <= 1)
-            df.sortWithinPartitions("v")
-          else df.repartition(1).sortWithinPartitions("v")
+          // layout without repartitionByRange's sampling job
+          df.repartition(1).sortWithinPartitions("v")
         else
           df.repartitionByRange(default, col("v")).sortWithinPartitions("v")
       case Unsorted => df
@@ -220,7 +228,7 @@ object Storage {
     // overlaps the cache build with the first write instead of paying a
     // dedicated pass.
     // a fast-path file is bounded by coalesceBytes, so bytes/(2*cols)
-    // ("0," per cell) bounds rows well under RowsPerIndexedPartition —
+    // ("0," per cell) bounds rows around the single-sort threshold —
     // the hint only picks the write layout and an over-estimate is
     // merely slower
     val upper = exactRows.orElse(headerInfo.map { case (ns, len) =>
