@@ -164,17 +164,33 @@ object Storage {
       val st = fs.getFileStatus(p)
       if (!st.isFile) None
       else {
+        // one bulk read (not byte-at-a-time — a remote store would pay
+        // a round trip per byte); headers past 64 KB fall back
+        val buf = new Array[Byte](64 << 10)
         val in = fs.open(p)
-        val line = try {
-          val buf = new StringBuilder
-          var c = in.read()
-          while (c != -1 && c != '\n' && buf.length < (1 << 20)) {
-            buf.append(c.toChar); c = in.read()
+        val n = try {
+          var off = 0
+          var r = 0
+          while (off < buf.length && r != -1) {
+            r = in.read(buf, off, buf.length - off)
+            if (r > 0) off += r
           }
-          buf.result().stripSuffix("\r")
+          off
         } finally in.close()
-        if (line.isEmpty || line.exists(ch => ch == '"' || ch > 127)) None
-        else Some((line.split(",", -1).toSeq, st.getLen))
+        val nl = buf.indexOf('\n'.toByte)
+        if (nl < 0 && n == buf.length) None // no newline in 64 KB: fall back
+        else {
+          val end = if (nl < 0) n else nl
+          val line = new String(buf, 0, end, java.nio.charset.StandardCharsets.UTF_8)
+            .stripSuffix("\r")
+          val names = line.split(",", -1).toSeq
+          // anything the inference path might treat differently — quotes,
+          // non-ASCII, empty or duplicate names — falls back to it
+          if (line.isEmpty || line.exists(ch => ch == '"' || ch > 127) ||
+              names.exists(_.trim.isEmpty) || names.distinct.size != names.size)
+            None
+          else Some((names, st.getLen))
+        }
       }
     } catch { case scala.util.control.NonFatal(_) => None }
     val raw = headerInfo match {
