@@ -613,6 +613,27 @@ class EngineSpec extends SparkSpec {
     assert(intercept[DbException](e.execute("bogus(1)")).code == "DBEPARSE")
   }
 
+  test("load CSV edges: CRLF line endings, zero data rows") {
+    val dir = tmpDir("csvedge")
+    // CRLF everywhere, no trailing newline: the driver-side header probe
+    // must strip \r and the rows must parse like the LF twin
+    Files.writeString(Paths.get(s"$dir/crlf.csv"),
+      "xa,xb\r\n1,10\r\n2,20\r\n3,30")
+    val e = new Engine(spark, tmpDir("graftdb"))
+    e.execute(s"""create(xa,"unsorted")
+                 |create(xb,"b+tree")
+                 |load("$dir/crlf.csv")""".stripMargin)
+    assert(e.execute("p=select(xb,10,30)\nv=fetch(xa,p)\nprint(v)") ==
+      Seq("1", "2", "3"))
+    // header-only file: loads as an empty column (still loadable later
+    // since nextId stays 0 — same as the pre-fast-path behavior)
+    Files.writeString(Paths.get(s"$dir/empty.csv"), "ya\n")
+    e.execute(s"""create(ya,"unsorted")
+                 |load("$dir/empty.csv")""".stripMargin)
+    assert(e.execute("select(ya)") == Nil)
+    assert(e.execute("p=select(ya)\nv=fetch(ya,p)\ncount(v)") == Seq("0"))
+  }
+
   test("parseCsv: two-phase split offsets match the single-split fast path") {
     import graft.core.Storage
     val dir = tmpDir("ordpath")
