@@ -113,13 +113,18 @@ final class Catalog(val dbDir: String, store: CatalogStore) {
   private[core] def reload(): Unit = {
     val next = parse(store.init())
     synchronized {
-      // never downgrade a served snapshot to EMPTY: the language has no
-      // drop op, so a committed catalog can only grow — an empty load
-      // against a non-empty served map is a transient store artifact (a
-      // stale LIST returning already-GC'd names, every read then absent
-      // -> the "stable all-torn" open-empty path) and must keep the old
-      // snapshot serving, not silently blank a live replica
-      if (next.nonEmpty || cols.isEmpty) cols = next
+      // never move a served snapshot BACKWARD: the language has no drop
+      // op and per-column (version, nextId) only grow, so a genuinely
+      // newer snapshot dominates the served one column-by-column. A
+      // load that is empty, misses a served column, or regresses one is
+      // a transient store artifact (a stale LIST returning already-GC'd
+      // names, or two refresh() racers installing out of order) and
+      // must keep the old snapshot serving — the next tick catches up
+      val dominates = cols.forall { case (n, m) =>
+        next.get(n).exists(nm =>
+          nm.version >= m.version && nm.nextId >= m.nextId)
+      }
+      if (dominates) cols = next
     }
   }
 

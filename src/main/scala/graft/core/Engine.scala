@@ -71,6 +71,15 @@ final class Engine(val spark: SparkSession, val dbDir: String,
           // same markerless entries twice in a row — the first writer
           // crashed mid-first-commit; a writer opens that store as an
           // empty catalog, so a reader must too, not DBEIO).
+          // Store contract this leans on (writer init shares it): a
+          // LIST must eventually include every committed object, and an
+          // object absent from a GET after being listed is deleted, not
+          // pending. A store that can serve the SAME stale listing
+          // twice while hiding every committed object would open (a
+          // reader or a writer alike) as empty — that exposure is a
+          // fresh open's only; a LIVE replica is protected by
+          // Catalog.reload's dominance guard, which refuses to move a
+          // served snapshot backward or blank it.
           var out: Option[String] = None
           var settled = false
           var attempt = 0
@@ -177,13 +186,31 @@ final class Engine(val spark: SparkSession, val dbDir: String,
   def vacuum(retainMs: Long = Engine.DefaultVacuumRetainMs): Engine.VacuumStats = {
     if (readOnly)
       throw DbError.unsupported("vacuum on a read-only engine")
-    catalog.synchronized {
+    // With a retention grace the sweep runs OUTSIDE the catalog monitor:
+    // holding it for the full store walk (a listing + fenced delete per
+    // version dir) would stall every concurrent read on catalog.require
+    // for the sweep's duration. Safety without the monitor: the live
+    // snapshot below only errs toward KEEPING (a concurrent rewrite's
+    // old live version stays in the snapshot), and any dir a concurrent
+    // mutation creates is mtime-fresh, inside the grace. Only a
+    // zero-grace sweep (tests, force-reclaim) needs mutations excluded —
+    // there a just-committed dir has age 0 >= retainMs and would be
+    // deletable the instant the catalog moves past it.
+    if (retainMs <= 0L)
+      catalog.synchronized(vacuumSweep(retainMs,
+        catalog.all.map(c => c.name -> c.version).toMap))
+    else
+      vacuumSweep(retainMs, catalog.synchronized(
+        catalog.all.map(c => c.name -> c.version).toMap))
+  }
+
+  private def vacuumSweep(retainMs: Long,
+                          live: Map[String, Long]): Engine.VacuumStats = {
+    {
       val fence: () => Unit = writerLock match {
         case Some(Engine.LeaseLock(_, _, lease)) => () => lease.checkFenced()
         case _ => () => ()
       }
-      val live: Map[String, Long] =
-        catalog.all.map(c => c.name -> c.version).toMap
       // object mode: a lock-free reader can be pinned to ANY snapshot
       // that was the winning body since the retained history's start —
       // the union of references across every retained object (torn ones
@@ -757,15 +784,20 @@ final class Session(val engine: Engine) {
         // on the two-phase path the same footer read cross-checks the
         // count pass — a scan-split drift between the offset pass and
         // the write pass (e.g. a concurrent maxPartitionBytes change)
-        // would drop or misnumber rows, and must abort BEFORE the
-        // catalog commit, not corrupt ids silently
-        val written0 = Storage.parquetRowCount(spark, done.head._3)
+        // would drop, duplicate or misnumber rows, and must abort BEFORE
+        // the catalog commit, not corrupt ids silently. Total rows alone
+        // misses an equal-total boundary re-plan (overlapping offset
+        // ranges), so the id column's footer max is checked too: any
+        // overlap leaves max id != rows-1.
+        val (written0, maxId) = Storage.parquetIdStats(spark, done.head._3)
         val rows = parsed.exactRows match {
           case None => written0
           case Some(r) =>
-            if (r != written0) throw DbError.ioError(
-              s"load $file: ordinal pass counted $r rows but " +
-                s"$written0 were written (scan splits changed mid-load)")
+            if (r != written0 ||
+                (r > 0 && !maxId.contains(r - 1))) throw DbError.ioError(
+              s"load $file: ordinal pass counted $r rows but the write " +
+                s"landed $written0 rows, max id ${maxId.getOrElse(-1L)} " +
+                "(scan splits changed mid-load)")
             r
         }
         done.foreach { case (name, version, _, base) =>

@@ -110,15 +110,44 @@ object Storage {
     * write are a few KB; this replaces a cluster count() whose cost is
     * pure job-launch overhead at interactive scale.
     */
-  def parquetRowCount(spark: SparkSession, dir: String): Long = {
+  def parquetRowCount(spark: SparkSession, dir: String): Long =
+    parquetIdStats(spark, dir)._1
+
+  /** (rows, max id) of a just-written column dir, from the parquet
+    * footers' record counts and the `id` column's block statistics —
+    * driver-side, footers read in parallel (a multi-GB load writes
+    * hundreds of part files; serial remote footer opens would put
+    * O(files) round trips on the load tail). Max id is None for an
+    * empty dir. Used by evalLoad's post-write check: rows alone cannot
+    * catch an equal-total split-boundary drift between the two ordinal
+    * passes (e.g. 4x250 -> 2x500 re-plan duplicates ids 250..499 and
+    * never assigns 750..999 while keeping the total at 1000), but any
+    * such overlap leaves max id != rows-1.
+    */
+  def parquetIdStats(spark: SparkSession, dir: String): (Long, Option[Long]) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(conf)
-    fs.listStatus(path).filter(_.getPath.getName.endsWith(".parquet")).map { st =>
+    val parts = fs.listStatus(path).filter(_.getPath.getName.endsWith(".parquet"))
+    import scala.collection.parallel.CollectionConverters._
+    val perFile = parts.par.map { st =>
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
-      try reader.getRecordCount finally reader.close()
-    }.sum
+      try {
+        import scala.jdk.CollectionConverters._
+        val maxId = reader.getFooter.getBlocks.asScala.flatMap { block =>
+          block.getColumns.asScala
+            .find(_.getPath.toDotString == "id")
+            .flatMap { c =>
+              val stats = c.getStatistics
+              if (stats == null || !stats.hasNonNullValue) None
+              else Some(stats.genericGetMax.asInstanceOf[Number].longValue)
+            }
+        }.maxOption
+        (reader.getRecordCount, maxId)
+      } finally reader.close()
+    }.toList
+    (perFile.map(_._1).sum, perFile.flatMap(_._2).maxOption)
   }
 
   /** Parse a headered CSV of ints into per-column DataFrames with dense,

@@ -148,6 +148,16 @@ object DocStreams {
             val n = st.getPath.getName
             n.startsWith("_") || n.startsWith(".")
           } else Array.empty
+        // refuse a pre-batch-layout corpus loudly: its documents carry
+        // no fp side table (the probe would silently re-admit them) and
+        // writing batch_id=N beside flat <partCol>=x dirs breaks every
+        // partition-discovery read of dir/data with mixed leaf depths
+        val stray = parts(new Path(data)).filterNot(st =>
+          st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+        if (stray.nonEmpty) throw new IllegalStateException(
+          s"corpus at $dir predates the batch-scoped layout " +
+            s"(found data/${stray.head.getPath.getName}); run " +
+            "DocStreams.adoptLegacyCorpus(spark, dir) once before streaming")
         // fp-store size from the same two-level listing that decides
         // presence: it picks the probe shape below
         val fpBytes = parts(new Path(fpRoot)).filter(_.isDirectory)
@@ -204,6 +214,69 @@ object DocStreams {
         fs.create(marker, true).close()
       }
     }
+
+  /** One-time migration of a pre-batch-layout corpus (flat
+    * `data/<partCol>=x/` dirs, no fingerprint side table — the r14
+    * sink's shape) into the batch-scoped layout [[corpusBatchSink]]
+    * writes and probes: legacy partition dirs are RENAMED under a fresh
+    * reserved `data/batch_id=<negative>` (same id convention as the
+    * compactors, so it can never collide with a streaming batch; leaf
+    * depth stays uniform), loose parquet files are rewritten through
+    * `partitionBy`, and the matching `fp/batch_id=` partition is built
+    * from the adopted rows' `fp` column. Idempotent and crash-safe: a
+    * re-run adopts whatever legacy entries remain into a new reserved
+    * id, and the final repair pass rebuilds the fp twin of ANY data
+    * batch partition that lacks one — so a crash between the rename and
+    * the fp build converges instead of leaving the adopted documents
+    * invisible to the dedup probe. Offline maintenance only — not under
+    * a live sink.
+    */
+  def adoptLegacyCorpus(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        partCol: String = "lang_pred"): Unit = {
+    val dataRoot = new Path(s"$dir/data")
+    val fs = dataRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dataRoot)) return
+    def visible(p: Path) = fs.listStatus(p).filterNot { st =>
+      val n = st.getPath.getName
+      n.startsWith("_") || n.startsWith(".")
+    }
+    val children = visible(dataRoot)
+    val legacyDirs = children.filter(st =>
+      st.isDirectory && !st.getPath.getName.startsWith("batch_id="))
+    val legacyFiles = children.filter(st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet"))
+    if (legacyDirs.nonEmpty || legacyFiles.nonEmpty) {
+      val existing = children.map(_.getPath.getName)
+        .filter(_.startsWith("batch_id="))
+        .map(_.stripPrefix("batch_id=").toLong)
+      val target = (existing :+ 0L).min - 1L
+      val tPath = new Path(s"$dir/data/batch_id=$target")
+      fs.mkdirs(tPath)
+      legacyDirs.foreach(st =>
+        fs.rename(st.getPath, new Path(tPath, st.getPath.getName)))
+      if (legacyFiles.nonEmpty) {
+        // flat unpartitioned files: rewrite through partitionBy so every
+        // leaf sits at batch_id/<partCol>/file depth
+        spark.read.parquet(legacyFiles.map(_.getPath.toString).toSeq: _*)
+          .write.mode("append").partitionBy(partCol).parquet(tPath.toString)
+        legacyFiles.foreach(st => fs.delete(st.getPath, false))
+      }
+    }
+    // repair: every data batch partition gets its fp twin
+    def hasParquetIn(p: Path): Boolean = visible(p).exists { st =>
+      (st.isFile && st.getPath.getName.endsWith(".parquet")) ||
+        (st.isDirectory && hasParquetIn(st.getPath))
+    }
+    visible(dataRoot).filter(st =>
+      st.isDirectory && st.getPath.getName.startsWith("batch_id=")).foreach { st =>
+      val fpTwin = new Path(s"$dir/fp/${st.getPath.getName}")
+      val hasFp = fs.exists(fpTwin) && hasParquetIn(fpTwin)
+      if (!hasFp && hasParquetIn(st.getPath))
+        spark.read.parquet(st.getPath.toString)
+          .select(unhex(col("fp")).as("fpb")).distinct()
+          .coalesce(1).write.mode("overwrite").parquet(fpTwin.toString)
+    }
+  }
 
   /** Compact the corpus sink's fingerprint side table: fold every
     * `batch_id` partition under `dir/fp` into ONE new partition (a few

@@ -402,6 +402,54 @@ class ObjectStoreSpec extends SparkSpec {
     }
   }
 
+  test("refresh() never moves a served snapshot BACKWARD to an older commit") {
+    objectMode() {
+      val dir = tmpDir("objstore_refresh_regress")
+      val csv = writeCsv(dir)
+      val dbDir = s"$dir/db"
+      val writer = new Engine(spark, dbDir)
+      try {
+        writer.execute(s"""create(oa,"unsorted")
+                          |create(ob,"unsorted")
+                          |load("$csv")
+                          |""".stripMargin)
+        writer.execute("insert(oa,70,ob,80)") // a second, newer commit
+        val reader = new Engine(spark, dbDir, readOnly = true)
+        try {
+          assert(reader.execute("p=select(oa)\nv=fetch(oa,p)\nsum(v)")
+            == reader.execute("q=select(oa)\nw=fetch(oa,q)\nsum(w)"))
+          val sumAfterInsert =
+            reader.execute("a=select(oa)\nb=fetch(oa,a)\nsum(b)")
+          // simulate a stale LIST that misses the newest commit: stash
+          // the max-named catalog object (c<seq>-e<epoch> sorts by seq)
+          // so the winning-body selection resolves the OLDER commit —
+          // the served snapshot must not regress
+          val catDir = new java.io.File(s"$dbDir/catalog")
+          val newest = catDir.listFiles().filter(f =>
+            f.isFile && f.getName.startsWith("c")).maxBy(_.getName)
+          val sidecar = new java.io.File(catDir, s".${newest.getName}.crc")
+          val stash = new java.io.File(dir, "stash-obj")
+          val stashCrc = new java.io.File(dir, "stash-crc")
+          assert(newest.renameTo(stash))
+          if (sidecar.exists) sidecar.renameTo(stashCrc)
+          try {
+            reader.refresh()
+            assert(reader.execute("c=select(oa)\nd=fetch(oa,c)\nsum(d)")
+              == sumAfterInsert,
+              "refresh regressed a served snapshot to an older commit")
+          } finally {
+            assert(stash.renameTo(newest))
+            if (stashCrc.exists) stashCrc.renameTo(sidecar)
+          }
+          // store healthy again: refresh still serves the newest state
+          reader.refresh()
+          assert(reader.execute("e=select(oa)\nf=fetch(oa,e)\nsum(f)")
+            == sumAfterInsert)
+        } finally reader.close()
+      } finally writer.close()
+    }
+  }
+
   test("read-only open of a STABLE all-torn catalog is an empty catalog, not DBEIO") {
     objectMode() {
       val dir = tmpDir("objstore_ro_torn")

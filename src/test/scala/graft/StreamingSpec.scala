@@ -438,6 +438,38 @@ class StreamingSpec extends SparkSpec {
     assert(state() == committed)
   }
 
+  test("corpusBatchSink: legacy flat corpus is refused; adoption migrates it") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmpDir("corpus-sink-legacy")
+    val sink = graft.streaming.DocStreams.corpusBatchSink(dir)
+    def prep(rows: Seq[(Long, String)]) =
+      graft.streaming.DocStreams.qualityFilter(
+          rows.map { case (id, t) => (id, t, ts(id)) }
+            .toDF("doc_id", "text", "ts"))
+        .withColumn("fp",
+          graft.pipeline.TextAnalysis.fingerprintExpr(col("text")))
+    // a pre-batch-layout corpus: flat <partCol>= dirs directly under
+    // data/, no fp side table (the r14 sink's shape)
+    prep(Seq(1L -> goodA, 2L -> goodB)).write
+      .partitionBy("lang_pred").parquet(s"$dir/data")
+    // the sink must refuse it loudly, not silently re-admit duplicates
+    val err = intercept[IllegalStateException](
+      sink(prep(Seq(3L -> goodC)), 0L))
+    assert(err.getMessage.contains("adoptLegacyCorpus"))
+    // adoption: legacy rows move under a reserved batch partition with
+    // their fp twin built; the sink then runs and the probe REJECTS a
+    // re-sent legacy document while admitting the new one
+    graft.streaming.DocStreams.adoptLegacyCorpus(spark, dir)
+    graft.streaming.DocStreams.adoptLegacyCorpus(spark, dir) // idempotent
+    sink(prep(Seq(10L -> goodA, 11L -> goodC)), 0L)
+    val all = spark.read.parquet(s"$dir/data")
+    assert(all.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 11L))
+    // uniform leaf depth: batch_id is a real partition column everywhere
+    assert(all.select("batch_id").distinct().count() == 2)
+  }
+
   test("compactFpStore: folds batch partitions, probe admissions unchanged") {
     val spark0 = spark
     import spark0.implicits._
