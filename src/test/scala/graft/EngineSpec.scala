@@ -634,6 +634,25 @@ class EngineSpec extends SparkSpec {
     assert(e.execute("p=select(ya)\nv=fetch(ya,p)\ncount(v)") == Seq("0"))
   }
 
+  test("parquetIdStats: footer rows and max id, across layouts") {
+    import graft.core.Storage
+    import org.apache.spark.sql.functions.{col => c}
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmpDir("idstats")
+    val df = (0L until 1000L).map(i => (i, (i * 37 % 97).toInt)).toDF("id", "v")
+    // multi-file clustered layout: stats aggregate across files/blocks
+    Storage.writeColumn(df.repartition(4), s"$dir/sorted",
+      graft.lang.Op.BTree, rowsHint = Some(5000000L))
+    assert(Storage.parquetIdStats(spark, s"$dir/sorted") == (1000L, Some(999L)))
+    // single-file unsorted
+    Storage.writeColumn(df.coalesce(1), s"$dir/flat", graft.lang.Op.Unsorted)
+    assert(Storage.parquetIdStats(spark, s"$dir/flat") == (1000L, Some(999L)))
+    // empty dir: zero rows, no max
+    df.filter(c("id") < 0).coalesce(1).write.parquet(s"$dir/empty")
+    assert(Storage.parquetIdStats(spark, s"$dir/empty") == (0L, None))
+  }
+
   test("parseCsv: two-phase split offsets match the single-split fast path") {
     import graft.core.Storage
     val dir = tmpDir("ordpath")
