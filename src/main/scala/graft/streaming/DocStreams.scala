@@ -80,15 +80,213 @@ object DocStreams {
     if (dropPii) flagged.filter(col("n_pii") === 0L) else flagged
   }
 
+  /** The fingerprint-store admission probe of [[corpusBatchSink]],
+    * exposed so plan tests and cost probes exercise the exact shipped
+    * join shapes. Given the deduped batch `one` (carrying `fp`) and the
+    * fp store root, returns the admitted subset (batch rows whose
+    * fingerprint is NOT in any store partition except the batch's own)
+    * plus the arm chosen, decided by the store's listed parquet bytes:
+    *
+    *  - `broadcast_anti` (store < `graft.sink.fpBroadcastBytes`,
+    *    default 64 MB): broadcast the STORE into a plain LEFT ANTI —
+    *    zero extra jobs, zero shuffles.
+    *  - `pushdown` (large store, batch ≤ `graft.sink.fpPushdownKeys`
+    *    keys, default 100000): collect the batch's bounded key set,
+    *    sort it, and push it into the store scan as unioned chunks of
+    *    ≤ `graft.sink.fpChunkKeys` (default 1000) `In` predicates —
+    *    under [[withFpPushdown]] each chunk reaches parquet as an
+    *    or(eq...) tree, which gets per-page boundary search against the
+    *    column index, so the scan decodes at most
+    *    `batch keys × page rows` rows REGARDLESS of store size
+    *    (measured flat 20M→200M keys, FpPushdownProbe; the chunk bound
+    *    exists because parquet's filter visitors recurse per or() level
+    *    and a >~2500-deep tree overflows the task stack). The hits —
+    *    bounded by the batch — broadcast-ANTI back into the batch.
+    *    Sorting makes chunks contiguous key ranges, so row-group stats
+    *    additionally prune whole groups per chunk.
+    *  - `scan_semi` (large store, oversized batch): broadcast SEMI of
+    *    the batch keys into the full (column-pruned) store scan — the
+    *    r15 arm, linear in store size but shuffle-free at any size.
+    *  - `empty_batch` (large store, zero batch rows): no probe at all —
+    *    an empty batch must not pay a store scan.
+    *
+    * The store read tolerates files deleted mid-read
+    * (`ignoreMissingFiles`): [[compactFpStore]] only ever deletes a
+    * partition whose keys are already folded into a consolidated one,
+    * so a probe racing a (grace-expired) fold sees old-or-new keys,
+    * never a crash — what makes compaction live-safe.
+    */
+  def admissionJoin(one: DataFrame, fpRoot: String, batchId: Long,
+                    fpBytes: Long): (DataFrame, String) = {
+    val spark = one.sparkSession
+    // exclude our OWN partition: a prior crashed attempt's fps must not
+    // veto the replay's (identical) admission. The side table stores
+    // the 16 RAW bytes (`fpb` = unhex of the hex fingerprint) — half
+    // the scan bytes of the hex form at no information loss.
+    val prior = spark.read.option("ignoreMissingFiles", "true")
+      .parquet(fpRoot)
+      .filter(col("batch_id") =!= lit(batchId)).select(col("fpb"))
+    val bcastMax = spark.conf.getOption("graft.sink.fpBroadcastBytes")
+      .map(_.toLong).getOrElse(64L * 1024 * 1024)
+    val maxKeys = spark.conf.getOption("graft.sink.fpPushdownKeys")
+      .map(_.toInt).getOrElse(100000)
+    if (fpBytes < bcastMax)
+      (one.join(broadcast(prior),
+        unhex(col("fp")) === col("fpb"), "left_anti"), "broadcast_anti")
+    else {
+      val keys = one.select(unhex(col("fp")).as("fpb"))
+        .limit(maxKeys + 1).collect().map(_.getAs[Array[Byte]](0))
+      if (keys.isEmpty) (one, "empty_batch") // nothing to probe for
+      else if (keys.length <= maxKeys) {
+        val sorted = keys.sortWith((a, b) =>
+          java.util.Arrays.compareUnsigned(a, b) < 0)
+        val hits = sorted.grouped(fpChunkKeys(spark))
+          .map(ch => prior.filter(col("fpb").isInCollection(ch.toSeq)))
+          .reduce(_ union _)
+        (one.join(broadcast(hits),
+          unhex(col("fp")) === col("fpb"), "left_anti"), "pushdown")
+      } else {
+        val hits = prior.join(
+          broadcast(one.select(unhex(col("fp")).as("fpb"))),
+          Seq("fpb"), "left_semi")
+        (one.join(broadcast(hits),
+          unhex(col("fp")) === col("fpb"), "left_anti"), "scan_semi")
+      }
+    }
+  }
+
+  private def fpChunkKeys(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption("graft.sink.fpChunkKeys").map(_.toInt).getOrElse(1000)
+
+  /** Page row limit for fingerprint-store parquet. The pushdown arm's
+    * decode bound is `batch keys × page rows` (the column index skips
+    * whole pages), so smaller pages = a tighter bound; 1000 rows of
+    * 16-byte keys is a ~16 KB page, still far above parquet's header
+    * overhead. The parquet default (20k) would make the bound 20x looser.
+    */
+  private def fpPageRows(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption("graft.sink.fpPageRows").map(_.toInt).getOrElse(1000)
+
+  /** Write a single-column `fpb` DataFrame as a fingerprint-store
+    * partition in the layout the pushdown arm's point predicates
+    * exploit: sorted within each file (contiguous sorted key chunks
+    * prune whole row groups on min/max stats), small pages (the
+    * column-index boundary search decodes at most `batch keys × page
+    * rows`), and a bloom filter on `fpb` (skips row groups whose RANGE
+    * overlaps a chunk but which contain none of its keys — the
+    * absent-key half of a dedup probe, which stats alone cannot skip).
+    */
+  private def writeFpPartition(df: DataFrame, dest: String, nFiles: Int): Unit = {
+    val spark = df.sparkSession
+    val laid =
+      if (nFiles <= 1) df.coalesce(1).sortWithinPartitions("fpb")
+      else df.repartitionByRange(nFiles, col("fpb")).sortWithinPartitions("fpb")
+    laid.write.mode("overwrite")
+      .option("parquet.page.row.count.limit", fpPageRows(spark).toString)
+      .option("parquet.bloom.filter.enabled#fpb", "true")
+      .parquet(dest)
+  }
+
+  /** Run `body` (the ACTION that executes an [[admissionJoin]] plan)
+    * with parquet's In-pushdown threshold raised above the chunk size,
+    * so each ≤chunk `In` reaches parquet-mr as an or(eq...) tree —
+    * eq gets true per-page boundary search against the column index,
+    * where an In above the threshold is evaluated against the index as
+    * one min/max RANGE over the whole set (useless for uniform hash
+    * keys; measured: a pushed 10k-key In decodes the ENTIRE store).
+    * The conf is read at physical planning, i.e. when the action runs,
+    * which is why this wraps the action and not the plan construction.
+    */
+  def withFpPushdown[A](spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val k = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val old = spark.conf.get(k)
+    spark.conf.set(k, (fpChunkKeys(spark) + 1).toString)
+    try body finally spark.conf.set(k, old)
+  }
+
+  /** True when `batchId` was already absorbed by the sink: its own
+    * `_applied_<id>` marker exists, or it sits at or below the folded
+    * high-watermark (`_applied_hwm=<W>`, [[compactMarkers]]). The
+    * marker is checked FIRST: a fold deletes a marker only after the
+    * watermark covering it is visible, so on a read-after-write-
+    * consistent store the second look cannot miss an applied batch.
+    * The watermark value rides the file NAME (an empty object) — a
+    * reader takes the max of the names present, so a racing fold can
+    * only ever yield an old-or-new value, never a torn one.
+    */
+  private def applied(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+                      batchId: Long): Boolean =
+    fs.exists(new Path(dir, s"_applied_$batchId")) ||
+      batchId <= markerHwm(fs, dir)
+
+  private def markerHwm(fs: org.apache.hadoop.fs.FileSystem,
+                        dir: String): Long = {
+    val d = new Path(dir)
+    if (!fs.exists(d)) -1L
+    else fs.listStatus(d).iterator.map(_.getPath.getName)
+      .filter(_.startsWith("_applied_hwm="))
+      .map(_.stripPrefix("_applied_hwm=").toLong)
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** Fold the corpus sink's per-batch idempotence markers into one
+    * high-watermark object — the housekeeping pass that keeps a
+    * long-lived sink's root listing O(1) instead of one `_applied_<id>`
+    * object per micro-batch forever (~10⁶ objects after a year at a
+    * 30s trigger). `_applied_hwm=<W>` asserts every batch id ≤ W was
+    * applied; the watermark only advances along a CONTIGUOUS run of
+    * marker ids starting just above the current W (micro-batch ids
+    * increment by one, so the run covers every applied batch; a gap —
+    * which normal operation never produces — simply stops the fold and
+    * leaves the markers beyond it as individual files). Spark's own
+    * streaming-metadata log compacts with the same
+    * watermark-plus-recent-tail shape.
+    *
+    * Crash-safe at any prefix: the new watermark is written FIRST
+    * (readers resolve max-of-names, so old and new coexisting is
+    * fine), absorbed markers are deleted next, stale watermark names
+    * last. Safe under a live sink: the sink checks its own marker
+    * before the watermark and never writes a marker at or below W.
+    */
+  def compactMarkers(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): Unit = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(d)) return
+    val names = fs.listStatus(d).map(_.getPath.getName)
+    val hwms = names.filter(_.startsWith("_applied_hwm="))
+      .map(_.stripPrefix("_applied_hwm=").toLong)
+    val ids = names.filter(n =>
+      n.startsWith("_applied_") && !n.startsWith("_applied_hwm="))
+      .flatMap(n => scala.util.Try(n.stripPrefix("_applied_").toLong).toOption)
+    // clear all but the highest watermark name even when no fold runs
+    // (a crashed prior fold may have left both)
+    def clearBelow(w: Long): Unit = hwms.filter(_ < w)
+      .foreach(o => fs.delete(new Path(d, s"_applied_hwm=$o"), false))
+    if (ids.isEmpty) { if (hwms.nonEmpty) clearBelow(hwms.max); return }
+    // a sink resumed from a mid-stream checkpoint starts above 0 and
+    // never wrote ids below its first marker — base the run there
+    val w0 = if (hwms.nonEmpty) hwms.max else ids.min - 1L
+    val present = ids.toSet
+    var w = w0
+    while (present.contains(w + 1L)) w += 1L
+    if (w > w0) fs.create(new Path(d, s"_applied_hwm=$w"), true).close()
+    ids.filter(_ <= w).foreach(id =>
+      fs.delete(new Path(d, s"_applied_$id"), false))
+    clearBelow(w)
+  }
+
   /** Per-micro-batch corpus-sink function — the text-side twin of
     * [[VectorIngest.ivfBatchSink]]: admit a batch into a persisted
     * partitioned-parquet corpus at `dir/data`, exactly once per
     * content fingerprint. Batch rows must carry `doc_id` and `fp`
     * ([[dedupExact]]'s output contract). Per batch, in order:
     *
-    *  1. **Idempotence marker**: `_applied_<batchId>` in `dir` skips a
-    *     batch already absorbed (foreachBatch is at-least-once). The
-    *     marker lands for EVERY applied batch, empty ones included.
+    *  1. **Idempotence marker**: `_applied_<batchId>` in `dir` (or the
+    *     folded watermark `_applied_hwm=<W>` — [[compactMarkers]])
+    *     skips a batch already absorbed (foreachBatch is
+    *     at-least-once). The marker lands for EVERY applied batch,
+    *     empty ones included.
     *  2. **Within-batch dedup** (defense in depth — [[dedupExact]]
     *     upstream already collapses the stream): first `doc_id` per
     *     `fp`, so admission is deterministic whatever the upstream.
@@ -132,7 +330,7 @@ object DocStreams {
       val marker = new Path(dir, s"_applied_$batchId")
       val data = s"$dir/data"
       val fpRoot = s"$dir/fp"
-      if (!fs.exists(marker)) {
+      if (!applied(fs, dir, batchId)) {
         val one = batch
           .withColumn("__rn", row_number().over(
             Window.partitionBy("fp").orderBy("doc_id")))
@@ -171,45 +369,27 @@ object DocStreams {
         // fp-table write is derived by reading BACK the just-written
         // batch files (a persist-both-sides variant measured 2x this
         // entry; an extra probe-side projection eval, ~1.8x). The probe
-        // itself is adaptive on the store's listed size:
-        //  - small store (< ~64 MB of fp parquet): broadcast the STORE
-        //    into a plain LEFT ANTI — zero extra jobs, zero shuffles,
-        //    the r14 cost profile without the r14 data scan.
-        //  - large store: broadcast SEMI of the batch's (column-pruned)
-        //    fp projection into the store scan, then broadcast ANTI of
-        //    the batch-bounded hits back into the batch — the store is
-        //    scanned pruned-to-fp but never shuffled and never
-        //    broadcast, so the shape survives a billion-key store; the
-        //    two broadcast jobs it adds are noise at that size.
-        val admitted =
-          if (hasFpStore) {
-            // exclude our OWN partition: a prior crashed attempt's fps
-            // must not veto the replay's (identical) admission. The
-            // side table stores the 16 RAW bytes (`fpb` = unhex of the
-            // hex fingerprint) — half the scan bytes of the hex form
-            // at no information loss.
-            val prior = spark.read.parquet(fpRoot)
-              .filter(col("batch_id") =!= lit(batchId)).select(col("fpb"))
-            val bcastMax = spark.conf.getOption("graft.sink.fpBroadcastBytes")
-              .map(_.toLong).getOrElse(64L * 1024 * 1024)
-            if (fpBytes < bcastMax)
-              one.join(broadcast(prior),
-                unhex(col("fp")) === col("fpb"), "left_anti")
-            else {
-              val hits = prior.join(
-                broadcast(one.select(unhex(col("fp")).as("fpb"))),
-                Seq("fpb"), "left_semi")
-              one.join(broadcast(hits),
-                unhex(col("fp")) === col("fpb"), "left_anti")
-            }
-          } else one
-        admitted.write.mode("overwrite")
+        // itself is [[admissionJoin]]'s three size-adaptive arms —
+        // broadcast-the-store while small, the batch key set PUSHED
+        // into the store scan as point predicates beyond (per-batch
+        // decode bounded by batch keys x page rows at ANY store size),
+        // scan-semi only for an oversized batch. None of the arms ever
+        // shuffles.
+        val (admitted, arm) =
+          if (hasFpStore) admissionJoin(one, fpRoot, batchId, fpBytes)
+          else (one, "empty_store")
+        def write(): Unit = admitted.write.mode("overwrite")
           .partitionBy(partCol).parquet(s"$data/batch_id=$batchId")
+        if (arm == "pushdown") withFpPushdown(spark)(write()) else write()
         val fpPart = new Path(s"$fpRoot/batch_id=$batchId")
         if (parts(new Path(s"$data/batch_id=$batchId")).nonEmpty)
-          spark.read.parquet(s"$data/batch_id=$batchId")
-            .select(unhex(col("fp")).as("fpb"))
-            .coalesce(1).write.mode("overwrite").parquet(fpPart.toString)
+          // sorted keys + small pages + blooms: until the next fold
+          // absorbs this partition, the pushdown arm's point predicates
+          // boundary-search its column index like the compacted store's
+          writeFpPartition(
+            spark.read.parquet(s"$data/batch_id=$batchId")
+              .select(unhex(col("fp")).as("fpb")),
+            fpPart.toString, nFiles = 1)
         else fs.delete(fpPart, true) // stale remnant of a crashed attempt
         fs.create(marker, true).close()
       }
@@ -272,48 +452,98 @@ object DocStreams {
       val fpTwin = new Path(s"$dir/fp/${st.getPath.getName}")
       val hasFp = fs.exists(fpTwin) && hasParquetIn(fpTwin)
       if (!hasFp && hasParquetIn(st.getPath))
-        spark.read.parquet(st.getPath.toString)
-          .select(unhex(col("fp")).as("fpb")).distinct()
-          .coalesce(1).write.mode("overwrite").parquet(fpTwin.toString)
+        writeFpPartition(
+          spark.read.parquet(st.getPath.toString)
+            .select(unhex(col("fp")).as("fpb")).distinct(),
+          fpTwin.toString, nFiles = 1)
     }
   }
 
   /** Compact the corpus sink's fingerprint side table: fold every
     * `batch_id` partition under `dir/fp` into ONE new partition (a few
-    * large sorted files instead of one tiny file per micro-batch), so
-    * a long-lived sink's per-batch listing and scan stop growing with
-    * batch COUNT. Run it from the offline maintenance pass, not under
-    * a live sink (the probe's snapshot read could straddle the swap).
+    * large sorted, small-paged, bloom-filtered files instead of one
+    * tiny file per micro-batch — [[writeFpPartition]]'s layout, which
+    * is what keeps the pushdown admission arm's per-batch decode
+    * bounded), so a long-lived sink's per-batch listing and scan stop
+    * growing with batch COUNT.
     *
     * Crash-safe by the store's own algebra: duplicate fingerprints
     * across partitions are harmless to the probe's semi/anti joins, so
-    * the compacted partition is written FIRST (under a fresh negative
-    * batch_id that can never collide with a streaming batch) and the
-    * old partitions deleted after — any crash leaves a superset of the
-    * fingerprints, never a loss.
+    * the consolidated partition is written FIRST (under a fresh
+    * negative batch_id that can never collide with a streaming batch)
+    * and the absorbed partitions deleted after — any crash leaves a
+    * superset of the fingerprints, never a loss.
+    *
+    * `graceMs` makes the fold safe UNDER A LIVE SINK: with the default
+    * 0 the absorbed partitions are deleted in the same call (the
+    * offline-window contract). With `graceMs > 0` the fold instead
+    * records them in a `_folded_<target>` manifest and a LATER call
+    * deletes them once the manifest is older than the grace — set the
+    * grace above the sink's maximum micro-batch duration and every
+    * admission probe either listed the store before the fold (its old
+    * partitions survive past the probe's read) or after (it sees the
+    * consolidated superset); the probe's `ignoreMissingFiles` read
+    * covers the pathological probe that outlives the grace, degrading
+    * it to a possible duplicate admission that [[compactCorpus]]
+    * converges, never a crash or a loss.
     */
   def compactFpStore(spark: org.apache.spark.sql.SparkSession, dir: String,
-                     nFiles: Int = 4): Unit = {
+                     nFiles: Int = 4, graceMs: Long = 0L): Unit = {
     val fpRoot = new Path(s"$dir/fp")
     val fs = fpRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(fpRoot)) return
-    val old = fs.listStatus(fpRoot).filter { st =>
-      val n = st.getPath.getName
-      st.isDirectory && n.startsWith("batch_id=")
+    def partDirs() = fs.listStatus(fpRoot).filter { st =>
+      st.isDirectory && st.getPath.getName.startsWith("batch_id=")
     }
+    def manifests() = fs.listStatus(fpRoot).filter { st =>
+      st.isFile && st.getPath.getName.startsWith("_folded_")
+    }
+    def absorbedIds(m: Path): Seq[Long] = {
+      val in = fs.open(m)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .flatMap(l => scala.util.Try(l.trim.toLong).toOption).toList
+      finally in.close()
+    }
+    def applyManifest(m: org.apache.hadoop.fs.FileStatus): Unit = {
+      absorbedIds(m.getPath).foreach(id =>
+        fs.delete(new Path(fpRoot, s"batch_id=$id"), true))
+      fs.delete(m.getPath, false)
+    }
+    // 1) deletion pass: manifests whose grace has expired
+    val now = System.currentTimeMillis()
+    manifests().filter(now - _.getModificationTime >= graceMs)
+      .foreach(applyManifest)
+    // 2) fold pass over partitions NOT already absorbed by a pending
+    //    manifest (those are duplicates of a live consolidated target —
+    //    deleting them is the deletion pass's job, after the grace)
+    val pendingAbs = manifests()
+      .flatMap(m => absorbedIds(m.getPath)).toSet
+    def idOf(st: org.apache.hadoop.fs.FileStatus): Long =
+      st.getPath.getName.stripPrefix("batch_id=").toLong
+    val all = partDirs()
+    val old = all.filterNot(st => pendingAbs.contains(idOf(st)))
     if (old.length <= 1) return
     if (!old.exists(d => fs.listStatus(d.getPath).exists(
         _.getPath.getName.endsWith(".parquet")))) {
       // nothing but empty remnants: clear them, there is no data to fold
-      old.foreach(st => fs.delete(st.getPath, true))
+      old.filterNot(st => pendingAbs.contains(idOf(st)))
+        .foreach(st => fs.delete(st.getPath, true))
       return
     }
-    val ids = old.map(_.getPath.getName.stripPrefix("batch_id=").toLong)
-    val target = math.min(ids.min, 0L) - 1L
-    spark.read.parquet(fpRoot.toString).select(col("fpb")).distinct()
-      .repartition(nFiles).sortWithinPartitions("fpb")
-      .write.mode("overwrite").parquet(s"$dir/fp/batch_id=$target")
-    old.foreach(st => fs.delete(st.getPath, true))
+    // the target must undercut every id present, pending targets included
+    val target = math.min(all.map(idOf).min, 0L) - 1L
+    // the whole-store read includes pending-absorbed partitions; their
+    // keys are already in their own consolidated target, so distinct()
+    // folds them harmlessly and the result stays a superset
+    writeFpPartition(
+      spark.read.parquet(fpRoot.toString).select(col("fpb")).distinct(),
+      s"$dir/fp/batch_id=$target", nFiles)
+    val manifest = new Path(fpRoot, s"_folded_$target")
+    val out = fs.create(manifest, true)
+    try out.write(old.map(idOf).sorted.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (graceMs <= 0L) applyManifest(fs.getFileStatus(manifest))
   }
 
   /** Compact the corpus DATA the way [[compactFpStore]] compacts the

@@ -32,8 +32,8 @@ import org.apache.spark.sql.functions._
   * is written with — at a real 10^9-key store the parquet default
   * (20k rows/page -> ~50k pages) is already far above any micro-batch.
   *
-  * Usage: `sbt "runMain graft.tools.FpPushdownProbe [rows1,rows2,...] [batchKeys] [reps] [pageRowLimit]"`
-  * Defaults: 2000000,20000000 rows, 10000 keys, 3 reps, parquet default pages.
+  * Usage: `sbt "runMain graft.tools.FpPushdownProbe [rows1,rows2,...] [batchKeys] [reps] [pageRowLimit] [chunkSize] [nFiles]"`
+  * Defaults: 2000000,20000000 rows, 10000 keys, 3 reps, parquet default pages, 1000-key chunks.
   */
 object FpPushdownProbe {
 
@@ -43,6 +43,8 @@ object FpPushdownProbe {
     val nKeys = if (args.length > 1) args(1).toInt else 10000
     val reps = if (args.length > 2) args(2).toInt else 3
     val pageRows = if (args.length > 3) Some(args(3).toInt) else None
+    val chunkSz = if (args.length > 4) args(4).toInt else 1000
+    val filesOverride = if (args.length > 5) Some(args(5).toInt) else None
     val spark = SparkSession.builder()
       .appName("graft-fp-pushdown-probe").master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -61,7 +63,7 @@ object FpPushdownProbe {
       fs.delete(fp, true)
       // store keys = md5(0..n); batch keys = md5 of n/2-spaced probes
       // (half land inside [0,n) = present, half in [n,2n) = absent)
-      val files = math.max(4, (n / 4000000L).toInt)
+      val files = filesOverride.getOrElse(math.max(4, (n / 4000000L).toInt))
       val writer = spark.range(n)
         .select(unhex(md5(col("id").cast("string"))).as("fpb"))
         .repartitionByRange(files, col("fpb"))
@@ -114,8 +116,28 @@ object FpPushdownProbe {
           .reduce(_ union _).count()
         finally spark.conf.set(k, old)
       }
+      // sorted-contiguous chunking: chunk i's or(eq...) covers a NARROW
+      // contiguous slice of the (sorted) key space, so row-group
+      // min/max stats prune every group outside the slice — each chunk
+      // scan touches ~1/nChunks of the store's row groups and the
+      // union's total metadata+page reads collapse to ~one pass,
+      // where random chunking re-reads every footer per chunk
+      def pushEqSorted(chunk: Int): Long = {
+        val sorted = keyRows.sortWith((a, b) =>
+          java.util.Arrays.compareUnsigned(a, b) < 0)
+        val k = "spark.sql.parquet.pushdown.inFilterThreshold"
+        val old = spark.conf.get(k)
+        spark.conf.set(k, (chunk + 1).toString)
+        try sorted.grouped(chunk)
+          .map(ch => store.filter(col("fpb").isInCollection(ch)))
+          .reduce(_ union _).count()
+        finally spark.conf.set(k, old)
+      }
+      // column-index ablation: same pushed In, but with parquet's
+      // column-index (page-level) filtering off, so only row-group
+      // stats + blooms skip — the gap between this and push_in is the
+      // page-skip contribution
       def pushInNoCi(): Long = {
-        val k = "spark.sql.parquet.columnIndex.enabled" // no such conf; use hadoop one
         val hc = spark.sparkContext.hadoopConfiguration
         val old = hc.get("parquet.filter.columnindex.enabled")
         hc.set("parquet.filter.columnindex.enabled", "false")
@@ -123,7 +145,6 @@ object FpPushdownProbe {
         finally {
           if (old == null) hc.unset("parquet.filter.columnindex.enabled")
           else hc.set("parquet.filter.columnindex.enabled", old)
-          val _ = k
         }
       }
 
@@ -144,10 +165,33 @@ object FpPushdownProbe {
           }
         }
         decoded("push_in")
-        val k = "spark.sql.parquet.pushdown.inFilterThreshold"
-        val old = spark.conf.get(k)
-        spark.conf.set(k, (nKeys + 1).toString)
-        try decoded("push_eq") finally spark.conf.set(k, old)
+        // a single or(eq...) chain of >4000 keys overflows the task
+        // stack in parquet's recursive filter visitors (same gate as
+        // eqArm below) — above it the chunked variant stands in
+        if (nKeys <= 4000) {
+          val k = "spark.sql.parquet.pushdown.inFilterThreshold"
+          val old = spark.conf.get(k)
+          spark.conf.set(k, (nKeys + 1).toString)
+          try decoded("push_eq") finally spark.conf.set(k, old)
+        } else {
+          val k = "spark.sql.parquet.pushdown.inFilterThreshold"
+          val old = spark.conf.get(k)
+          spark.conf.set(k, 1001.toString)
+          try {
+            def unionDecoded(label: String, keys: Seq[Array[Byte]]): Unit = {
+              val qe = keys.grouped(1000)
+                .map(ch => store.filter(col("fpb").isInCollection(ch)))
+                .reduce(_ union _).queryExecution
+              qe.toRdd.count()
+              val total = qe.executedPlan.collectLeaves()
+                .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+              println(s"n=$n $label scan numOutputRows=$total (summed over chunks)")
+            }
+            unionDecoded("push_eq_chunked", keyRows)
+            unionDecoded("push_eq_sorted", keyRows.sortWith((x, y) =>
+              java.util.Arrays.compareUnsigned(x, y) < 0))
+          } finally spark.conf.set(k, old)
+        }
       }
       if (n == sizes.head) {
         println("--- push_in scan metadata ---")
@@ -161,23 +205,32 @@ object FpPushdownProbe {
       }
       var tScan = Double.MaxValue; var tPush = Double.MaxValue
       var tEq = Double.MaxValue; var tChunk = Double.MaxValue
+      var tNoCi = Double.MaxValue; var tSorted = Double.MaxValue
       def eqArm(): Unit = if (nKeys <= 4000)
         tEq = math.min(tEq, timeIt { val c = pushEq(); require(c == a, s"push_eq=$c != $a") })
       def chunkArm(): Unit =
-        tChunk = math.min(tChunk, timeIt { val c = pushEqChunked(1000); require(c == a, s"push_eq_chunked=$c != $a") })
+        tChunk = math.min(tChunk, timeIt { val c = pushEqChunked(chunkSz); require(c == a, s"push_eq_chunked=$c != $a") })
+      def sortedArm(): Unit =
+        tSorted = math.min(tSorted, timeIt { val c = pushEqSorted(chunkSz); require(c == a, s"push_eq_sorted=$c != $a") })
+      def noCiArm(): Unit =
+        tNoCi = math.min(tNoCi, timeIt { val c = pushInNoCi(); require(c == a, s"push_in_noci=$c != $a") })
       for (r <- 1 to reps) {
         if (r % 2 == 1) {
           tScan = math.min(tScan, timeIt(scanSemi()))
           tPush = math.min(tPush, timeIt(pushIn()))
-          eqArm(); chunkArm()
+          noCiArm(); eqArm(); chunkArm(); sortedArm()
         } else {
-          chunkArm(); eqArm()
+          sortedArm(); chunkArm(); eqArm(); noCiArm()
           tPush = math.min(tPush, timeIt(pushIn()))
           tScan = math.min(tScan, timeIt(scanSemi()))
         }
       }
-      println(f"n=$n%-10d scan_semi $tScan%7.3f s   push_in $tPush%7.3f s" +
-        f"   push_eq $tEq%7.3f s   push_eq_chunked(1000) $tChunk%7.3f s")
+      def fmt(t: Double): String =
+        if (t == Double.MaxValue) "skipped" else f"$t%7.3f s"
+      println(f"n=$n%-10d scan_semi ${fmt(tScan)}   push_in ${fmt(tPush)}" +
+        s"   push_in_noci ${fmt(tNoCi)}   push_eq ${fmt(tEq)}" +
+        s"   push_eq_chunked($chunkSz) ${fmt(tChunk)}" +
+        s"   push_eq_sorted($chunkSz) ${fmt(tSorted)}")
     }
     spark.stop()
   }

@@ -106,35 +106,49 @@ class PlanRegressionSpec extends SparkSpec
     assert(shuffles <= 2, s"expected <=2 shuffles, got $shuffles:\n$plan")
   }
 
-  test("corpus sink admission probe plans with NO shuffle, either arm") {
-    // the r15 sink probe's scale contract: whatever the fp store's
-    // size, the admission join never shuffles — broadcast ANTI of the
-    // store while small, broadcast SEMI + broadcast ANTI beyond. A
-    // regression to a sort-merge/shuffled-hash anti join here is the
-    // exact O(corpus)-per-batch shape the fingerprint side table
-    // replaced.
+  test("corpus sink admission probe plans with NO shuffle, every arm") {
+    // the sink probe's scale contract: whatever the fp store's size,
+    // the admission join never shuffles — broadcast ANTI of the store
+    // while small, the batch's key set PUSHED into the store scan as
+    // point predicates beyond (broadcast ANTI of the bounded hits), a
+    // broadcast SEMI + ANTI only for an oversized batch. A regression
+    // to a sort-merge/shuffled-hash anti join here is the exact
+    // O(corpus)-per-batch shape the fingerprint side table replaced.
     val spark0 = spark
     import spark0.implicits._
-    import org.apache.spark.sql.functions.{broadcast, unhex, md5, col, lit}
+    import org.apache.spark.sql.functions.{unhex, md5, col}
+    val dir = tmpDir("plan-admission")
+    (1L to 1000L).map(i => s"other $i").toDF("text")
+      .select(unhex(md5(col("text").cast("binary"))).as("fpb"))
+      .coalesce(1).sortWithinPartitions("fpb")
+      .write.parquet(s"$dir/fp/batch_id=0")
     val batch = (1L to 100L).map(i => (i, s"doc $i"))
       .toDF("doc_id", "text")
       .withColumn("fp", md5(col("text").cast("binary")))
-    val store = (1L to 1000L).map(i => (s"other $i"))
-      .toDF("text").select(unhex(md5(col("text").cast("binary"))).as("fpb"))
-    val smallArm = batch.join(broadcast(store),
-      unhex(col("fp")) === col("fpb"), "left_anti")
-    val hits = store.join(
-      broadcast(batch.select(unhex(col("fp")).as("fpb"))), Seq("fpb"), "left_semi")
-    val bigArm = batch.join(broadcast(hits),
-      unhex(col("fp")) === col("fpb"), "left_anti")
-    for ((arm, name) <- Seq((smallArm, "small"), (bigArm, "big"))) {
-      val plan = initialPlan(arm).toString
+    def arm(fpBytes: Long, conf: (String, String)*) = {
+      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      try graft.streaming.DocStreams.admissionJoin(
+        batch, s"$dir/fp", 99L, fpBytes)
+      finally conf.foreach { case (k, _) => spark.conf.unset(k) }
+    }
+    val big = Long.MaxValue / 2
+    val arms = Seq(arm(0L), arm(big),
+      arm(big, "graft.sink.fpPushdownKeys" -> "0"))
+    assert(arms.map(_._2) == Seq("broadcast_anti", "pushdown", "scan_semi"))
+    for ((df, name) <- arms) {
+      val plan = initialPlan(df).toString
       val shuffles = "Exchange (?:hash|range|Single)".r.findAllIn(plan).size
       assert(shuffles == 0, s"$name arm shuffles ($shuffles):\n$plan")
       assert(plan.contains("BroadcastHashJoin") &&
         !plan.contains("BroadcastNestedLoop"),
         s"$name arm lost its broadcast hash join:\n$plan")
     }
+    // the pushdown arm's point predicates must REACH the store scan —
+    // visible as a pushed In on fpb in the scan node, with the 100-key
+    // batch split across ceil(100/chunk) unioned chunk scans
+    val pushPlan = initialPlan(arms(1)._1).toString
+    assert("PushedFilters: \\[.*In\\(fpb".r.findFirstIn(pushPlan).isDefined,
+      s"pushdown arm lost its pushed In(fpb...):\n$pushPlan")
   }
 
   test("layout_bucketed_join joins bucketed tables with no join shuffle") {

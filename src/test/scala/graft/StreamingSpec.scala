@@ -567,6 +567,164 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, s"sink admitted $got, batch layer admits $want")
   }
 
+  test("admissionJoin: all forced arms admit the identical set") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions.{md5, unhex}
+    val dir = tmpDir("admission-arms")
+    // a store of 500 keys, written in the sink's sorted layout
+    (1 to 500).map(i => s"stored doc $i").toDF("text")
+      .select(unhex(md5(col("text").cast("binary"))).as("fpb"))
+      .coalesce(1).sortWithinPartitions("fpb")
+      .write.parquet(s"$dir/fp/batch_id=0")
+    // batch: three present in the store, two novel
+    val batch = Seq(1L -> "stored doc 7", 2L -> "stored doc 8",
+      3L -> "stored doc 9", 4L -> "novel doc a", 5L -> "novel doc b")
+      .toDF("doc_id", "text")
+      .withColumn("fp", md5(col("text").cast("binary")))
+    def run(fpBytes: Long, conf: (String, String)*): (Set[Long], String) = {
+      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        val (df, arm) = graft.streaming.DocStreams.admissionJoin(
+          batch, s"$dir/fp", 99L, fpBytes)
+        val ids = graft.streaming.DocStreams.withFpPushdown(spark)(
+          df.select("doc_id").collect().map(_.getLong(0)).toSet)
+        (ids, arm)
+      } finally conf.foreach { case (k, _) => spark.conf.unset(k) }
+    }
+    val want = Set(4L, 5L)
+    val big = Long.MaxValue / 2
+    assert(run(0L) == (want, "broadcast_anti"))
+    assert(run(big) == (want, "pushdown"))
+    assert(run(big, "graft.sink.fpPushdownKeys" -> "0") == (want, "scan_semi"))
+    // tiny chunks force the multi-chunk union path of the pushdown arm
+    assert(run(big, "graft.sink.fpChunkKeys" -> "2") == (want, "pushdown"))
+    val (emptyDf, emptyArm) = graft.streaming.DocStreams.admissionJoin(
+      batch.filter(col("doc_id") < 0L), s"$dir/fp", 99L, big)
+    assert(emptyDf.count() == 0L && emptyArm == "empty_batch")
+    // the probe must exclude the batch's OWN partition: re-probing with
+    // the store's batch id sees no PRIOR keys, so everything is admitted
+    val (own, _) = graft.streaming.DocStreams.admissionJoin(
+      batch, s"$dir/fp", 0L, 0L)
+    assert(own.count() == 5L)
+  }
+
+  test("corpusBatchSink: forced pushdown arm, exactly-once admission end-to-end") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmpDir("corpus-sink-pushdown")
+    val sink = graft.streaming.DocStreams.corpusBatchSink(dir)
+    def prep(rows: Seq[(Long, String)]) =
+      graft.streaming.DocStreams.qualityFilter(
+          rows.map { case (id, t) => (id, t, ts(id)) }
+            .toDF("doc_id", "text", "ts"))
+        .withColumn("fp",
+          graft.pipeline.TextAnalysis.fingerprintExpr(col("text")))
+    def storedIds = spark.read.parquet(s"$dir/data")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // any non-empty store exceeds 1 byte -> every probe after batch 0
+    // takes the pushdown arm (batch keys << the default key cap)
+    spark.conf.set("graft.sink.fpBroadcastBytes", "1")
+    try {
+      sink(prep(Seq(1L -> goodA, 2L -> goodB)), 0L)
+      // store duplicate vetoed via pushed point predicates; novel admitted
+      sink(prep(Seq(3L -> goodA, 4L -> goodC)), 1L)
+      assert(storedIds == Set(1L, 2L, 4L))
+      // crash-window replay under the pushdown arm converges identically
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_applied_1"), false)
+      sink(prep(Seq(3L -> goodA, 4L -> goodC)), 1L)
+      assert(storedIds == Set(1L, 2L, 4L))
+      // the inFilterThreshold the write ran under must be restored
+      assert(spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold")
+        != "1001")
+    } finally spark.conf.unset("graft.sink.fpBroadcastBytes")
+  }
+
+  test("compactMarkers: contiguous markers fold into a watermark the sink honors") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmpDir("corpus-sink-markers")
+    val sink = graft.streaming.DocStreams.corpusBatchSink(dir)
+    def prep(rows: Seq[(Long, String)]) =
+      graft.streaming.DocStreams.qualityFilter(
+          rows.map { case (id, t) => (id, t, ts(id)) }
+            .toDF("doc_id", "text", "ts"))
+        .withColumn("fp",
+          graft.pipeline.TextAnalysis.fingerprintExpr(col("text")))
+    def storedIds = spark.read.parquet(s"$dir/data")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def rootNames = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("_applied")).toSet
+    sink(prep(Seq(1L -> goodA)), 0L)
+    sink(prep(Seq(2L -> goodB)), 1L)
+    sink(prep(Seq(3L -> goodC)), 2L)
+    graft.streaming.DocStreams.compactMarkers(spark, dir)
+    assert(rootNames == Set("_applied_hwm=2"), rootNames)
+    // a replay of a folded batch is skipped via the watermark alone
+    sink(prep(Seq(9L -> (goodA + " mutated replay must not apply"))), 1L)
+    assert(storedIds == Set(1L, 2L, 3L))
+    // new batches above the watermark still apply and fold forward
+    sink(prep(Seq(4L -> (goodC + " with fresh appended words"))), 3L)
+    assert(storedIds == Set(1L, 2L, 3L, 4L))
+    graft.streaming.DocStreams.compactMarkers(spark, dir)
+    assert(rootNames == Set("_applied_hwm=3"), rootNames)
+    // a GAP stops the fold: markers beyond it stay individual files
+    sink(prep(Seq(5L -> (goodB + " another genuinely new doc here"))), 6L)
+    graft.streaming.DocStreams.compactMarkers(spark, dir)
+    assert(rootNames == Set("_applied_hwm=3", "_applied_6"), rootNames)
+    // idempotent when nothing folds
+    graft.streaming.DocStreams.compactMarkers(spark, dir)
+    assert(rootNames == Set("_applied_hwm=3", "_applied_6"), rootNames)
+  }
+
+  test("compactFpStore with grace: deletes deferred, probe unchanged, expiry completes") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmpDir("corpus-sink-grace")
+    val sink = graft.streaming.DocStreams.corpusBatchSink(dir)
+    def prep(rows: Seq[(Long, String)]) =
+      graft.streaming.DocStreams.qualityFilter(
+          rows.map { case (id, t) => (id, t, ts(id)) }
+            .toDF("doc_id", "text", "ts"))
+        .withColumn("fp",
+          graft.pipeline.TextAnalysis.fingerprintExpr(col("text")))
+    def storedIds = spark.read.parquet(s"$dir/data")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fpNames = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/fp"))
+      .map(_.getPath.getName).toSet
+    sink(prep(Seq(1L -> goodA)), 0L)
+    sink(prep(Seq(2L -> goodB)), 1L)
+    // graced fold: consolidated partition + manifest written, absorbed
+    // partitions still present for in-flight probes
+    graft.streaming.DocStreams.compactFpStore(spark, dir, graceMs = 3600000L)
+    assert(fpNames == Set("batch_id=-1", "batch_id=0", "batch_id=1",
+      "_folded_-1"), fpNames)
+    // a probe against the transiently-doubled store still admits exactly
+    sink(prep(Seq(3L -> goodA, 4L -> goodC)), 2L)
+    assert(storedIds == Set(1L, 2L, 4L))
+    // a second graced fold skips pending-absorbed partitions: it folds
+    // {-1, 2} (the live ones) under a fresh target
+    graft.streaming.DocStreams.compactFpStore(spark, dir, graceMs = 3600000L)
+    assert(fpNames.contains("batch_id=-2") && fpNames.contains("_folded_-2"),
+      fpNames)
+    // grace expiry (a 0-grace pass models the later maintenance run):
+    // all absorbed partitions and manifests clear; one consolidated
+    // partition remains and the probe still vetoes duplicates
+    graft.streaming.DocStreams.compactFpStore(spark, dir, graceMs = 0L)
+    assert(fpNames == Set("batch_id=-2"), fpNames)
+    sink(prep(Seq(5L -> goodB, 6L -> (goodC + " plus novel suffix words"))), 3L)
+    assert(storedIds == Set(1L, 2L, 4L, 6L))
+    val fps = spark.read.parquet(s"$dir/fp")
+      .select("fpb").collect().map(_.getAs[Array[Byte]](0).toSeq).toSet
+    assert(fps.size == 4, "one key per admitted doc after all folds")
+  }
+
   test("DocStreams.toCorpus: gate -> dedup -> persisted corpus, end-to-end") {
     val spark0 = spark
     import spark0.implicits._
