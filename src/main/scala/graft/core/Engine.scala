@@ -971,7 +971,8 @@ object Engine {
   private[core] def storeIoFor(spark: SparkSession, dbDir: String): StoreIO =
     storeIoOverride match {
       case Some(f) => f(dbDir)
-      case None => new HadoopStoreIO(spark.sparkContext.hadoopConfiguration)
+      case None =>
+        new HadoopStoreIO(spark.sparkContext.hadoopConfiguration, Some(dbDir))
     }
 
   private def acquireWriterLock(spark: SparkSession,

@@ -49,9 +49,11 @@ trait StoreIO {
     * ([[MemoryStoreIO]]). `None` (the default) means callers fall back
     * to the settle-verify protocol; `Some` lets [[WriterLease]] claim,
     * heartbeat and tombstone ATOMICALLY, closing the race windows the
-    * emulated path can only narrow. The Hadoop FileSystem API doesn't
-    * surface these preconditions, so [[HadoopStoreIO]] stays `None`;
-    * a store-specific StoreIO over the native SDK would return `Some`.
+    * emulated path can only narrow. Hadoop ≥ 3.4.2 surfaces the
+    * preconditions through `createFile()` builder options
+    * (HADOOP-19256), so [[HadoopStoreIO]] probes its store and returns
+    * `Some` where the connector demonstrably honors them
+    * ([[HadoopCas.probe]]); everywhere else it stays `None`.
     */
   def cas: Option[StoreCas] = None
 }
@@ -79,9 +81,21 @@ trait StoreCas {
   * local paths (LocalFileSystem), hdfs:// and every object-store
   * connector on the classpath, resolved per path from the Spark
   * session's Hadoop configuration.
+  *
+  * `casProbeRoot`, when given (the store's db root), enables the
+  * conditional-PUT capability probe: on first access to [[cas]] the
+  * root's connector is behaviorally certified ([[HadoopCas.probe]])
+  * and, where it honors the Hadoop 3.4.2 conditional-create options
+  * (S3A with conditional writes, and any future connector that adopts
+  * them), the lease/catalog protocol gets the ATOMIC claim path
+  * instead of settle-verify.
   */
-final class HadoopStoreIO(conf: Configuration) extends StoreIO {
+final class HadoopStoreIO(conf: Configuration,
+                          casProbeRoot: Option[String] = None) extends StoreIO {
   private def fsOf(p: HPath): FileSystem = p.getFileSystem(conf)
+
+  override lazy val cas: Option[StoreCas] =
+    casProbeRoot.flatMap(HadoopCas.probe(conf, _))
 
   override def read(path: String): Option[String] = {
     val p = new HPath(path); val fs = fsOf(p)
@@ -137,6 +151,161 @@ final class HadoopStoreIO(conf: Configuration) extends StoreIO {
           if e.getMessage != null && e.getMessage.contains("exists") => false
     }
   }
+}
+
+/** [[StoreCas]] over the Hadoop ≥ 3.4.2 conditional-create builder
+  * options (HADOOP-19256): `fs.option.create.conditional.overwrite`
+  * (existence precondition — S3 `If-None-Match: *`) and
+  * `fs.option.create.conditional.overwrite.etag` (version
+  * precondition — S3 `If-Match`, ABFS ETag). Tokens are the
+  * connector's ETags, read through [[org.apache.hadoop.fs.EtagSource]].
+  *
+  * Only constructed by [[HadoopCas.probe]], which BEHAVIORALLY
+  * certifies the connector first — the builder contract says `must()`
+  * keys a filesystem cannot honor are rejected at `build()`, but the
+  * probe doesn't take the API's word for it: it drives a scratch
+  * object through create-if-absent (must succeed), create-over-
+  * existing (must fail), replace-with-bogus-etag (must fail) and
+  * replace-with-real-etag (must succeed), and only a connector that
+  * passes all four earns `Some`. The existence option's boolean
+  * polarity is CALIBRATED rather than assumed (`ifAbsentFlag`): the
+  * probe finds the value under which create succeeds on an absent
+  * object and fails on an existing one, so a connector reading the
+  * flag either way still maps to correct create-if-absent semantics.
+  *
+  * Residual (documented) non-atomicity: the token returned by a
+  * successful conditional write is read BACK via `getFileStatus`
+  * (Hadoop's output stream does not expose the PUT's resulting ETag),
+  * body-verified — if another writer replaced the object between our
+  * close and the read-back, the body check fails and the write reports
+  * None ("lost the race"), which is exactly how [[WriterLease]] treats
+  * a lost claim. The conditional write ITSELF is atomic at the store.
+  */
+final class HadoopCas private[core] (conf: Configuration,
+                                     ifAbsentFlag: Boolean) extends StoreCas {
+  import HadoopCas._
+  private def fsOf(p: HPath): FileSystem = p.getFileSystem(conf)
+
+  private def etagOf(fs: FileSystem, p: HPath): Option[String] =
+    try fs.getFileStatus(p) match {
+      case e: org.apache.hadoop.fs.EtagSource
+          if e.getEtag != null && e.getEtag.nonEmpty =>
+        Some(e.getEtag)
+      case _ => None
+    } catch { case _: java.io.FileNotFoundException => None }
+
+  private def readBody(fs: FileSystem, p: HPath): Option[String] =
+    try {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        Some(new String(buf.toByteArray, UTF_8))
+      } finally in.close()
+    } catch { case _: java.io.FileNotFoundException => None }
+
+  /** Body + ETag, sampled etag-stably: status → body → status again,
+    * retried while a concurrent replace races the pair. After the
+    * bounded retries an object under pathological churn reads as
+    * absent — callers (the lease claim) treat that as a denied/absent
+    * lease, a safe refusal rather than a stale token.
+    */
+  override def readToken(path: String): Option[(String, String)] = {
+    val p = new HPath(path); val fs = fsOf(p)
+    var tries = 0
+    while (tries < 5) {
+      val t1 = etagOf(fs, p)
+      if (t1.isEmpty) return None
+      val body = readBody(fs, p)
+      if (body.isDefined && etagOf(fs, p) == t1) return Some((body.get, t1.get))
+      tries += 1
+    }
+    None
+  }
+
+  override def createIfAbsent(path: String, body: String): Option[String] =
+    writeCond(path, body, None)
+
+  override def replaceIfMatch(path: String, token: String,
+                              body: String): Option[String] =
+    writeCond(path, body, Some(token))
+
+  private def writeCond(path: String, body: String,
+                        etag: Option[String]): Option[String] = {
+    val p = new HPath(path); val fs = fsOf(p)
+    try {
+      val parent = p.getParent
+      if (parent != null && !fs.exists(parent)) fs.mkdirs(parent)
+      val builder = fs.createFile(p)
+      etag match { // must() mutates the builder; the B-typed return is
+        case None => builder.must(CondOverwrite, ifAbsentFlag) // not chained
+        case Some(t) => builder.must(CondOverwriteEtag, t) // (Scala + the
+      } // recursive Java generics don't mix)
+      // the precondition is enforced by the connector at close (the
+      // PUT) — a failed condition surfaces as an IOException here
+      val out = builder.build()
+      try out.write(body.getBytes(UTF_8)) finally out.close()
+      readToken(path) match {
+        case Some((b, tok)) if b == body => Some(tok)
+        case _ => None // superseded between close and read-back: lost
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+}
+
+object HadoopCas {
+  /** `Options.CreateFileOptionKeys` values, inlined so the probe also
+    * works against a 3.4.x classpath where the constants class moved.
+    */
+  val CondOverwrite = "fs.option.create.conditional.overwrite"
+  val CondOverwriteEtag = "fs.option.create.conditional.overwrite.etag"
+
+  /** Behaviorally certify `root`'s connector for conditional writes
+    * and return a calibrated [[HadoopCas]], or None. Gate order:
+    * ETags must be advertised (`fs.capability.etags.available` — rules
+    * out local/HDFS cheaply, no writes), then the four-step scratch-
+    * object drill under `root/_cas_probe` (see [[HadoopCas]]). Any
+    * exception — unsupported `must()` keys, read-only store, connector
+    * quirks — means `None` and the settle-verify fallback, never a
+    * crash: the probe can only ever UPGRADE the protocol.
+    */
+  def probe(conf: Configuration, root: String): Option[StoreCas] = try {
+    val rootP = new HPath(root)
+    val fs = rootP.getFileSystem(conf)
+    if (!fs.hasPathCapability(rootP,
+        org.apache.hadoop.fs.CommonPathCapabilities.ETAGS_AVAILABLE)) None
+    else {
+      val probeP = new HPath(rootP, "_cas_probe")
+      try {
+        // calibrate the existence-precondition polarity: the honoring
+        // flag value creates on absent and refuses on existing
+        def attempt(flag: Boolean, body: String): Boolean = try {
+          val builder = fs.createFile(probeP)
+          builder.must(CondOverwrite, flag)
+          val out = builder.build()
+          try out.write(body.getBytes(UTF_8)) finally out.close()
+          true
+        } catch { case scala.util.control.NonFatal(_) => false }
+        val flag = Seq(false, true).find { f =>
+          fs.delete(probeP, false)
+          attempt(f, "graft-cas-probe-a") && !attempt(f, "graft-cas-probe-b")
+        }
+        flag.flatMap { f =>
+          val cas = new HadoopCas(conf, f)
+          // the object currently holds "...-a"; certify the etag arm
+          for {
+            (_, tok) <- cas.readToken(probeP.toString)
+            if cas.replaceIfMatch(probeP.toString,
+              "graft-bogus-etag-0000", "graft-cas-probe-c").isEmpty
+            _ <- cas.replaceIfMatch(probeP.toString, tok, "graft-cas-probe-d")
+            if cas.readToken(probeP.toString).exists(_._1 == "graft-cas-probe-d")
+          } yield cas
+        }
+      } finally fs.delete(probeP, false)
+    }
+  } catch { case scala.util.control.NonFatal(_) => None }
 }
 
 /** In-process [[StoreIO]] with REAL compare-and-swap — the store model

@@ -1,0 +1,119 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.streaming.DocStreams
+
+/** Measure the corpus sink's SHIPPED admission probe
+  * ([[DocStreams.admissionJoin]] + [[DocStreams.withFpPushdown]])
+  * against fingerprint stores of growing size — the scale claim the
+  * pushdown arm exists to make: per-batch probe cost bounded by
+  * `batch keys × page rows` decoded rows at ANY store size (flat in
+  * store size), vs the scan_semi arm's O(store) scan.
+  *
+  * Stores are written through the sink's own layout (one consolidated
+  * `batch_id=` partition via the same sorted / 1000-row-page /
+  * bloom-filtered writer the sink and [[DocStreams.compactFpStore]]
+  * use — exercised here through `compactFpStore` itself so the probe
+  * measures the shipped write path too). The batch is half present /
+  * half absent keys, the dedup probe's worst case for stats-only
+  * skipping (absent keys are where the blooms earn their bytes).
+  *
+  * Usage: `sbt "runMain graft.tools.AdmissionScaleProbe [rows1,rows2,...] [batchDocs] [reps]"`
+  * Defaults: 2000000,20000000 store keys, 10000 batch docs, 3 reps.
+  */
+object AdmissionScaleProbe {
+
+  def main(args: Array[String]): Unit = {
+    val sizes = args.headOption.getOrElse("2000000,20000000")
+      .split(",").map(_.trim.toLong).toSeq
+    val nDocs = if (args.length > 1) args(1).toInt else 10000
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val spark = SparkSession.builder()
+      .appName("graft-admission-scale-probe").master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timeIt(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+
+    val fs = new org.apache.hadoop.fs.Path("/tmp")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    for (n <- sizes) {
+      val dir = s"/tmp/graft_admission_probe_$n"
+      val root = new org.apache.hadoop.fs.Path(dir)
+      fs.delete(root, true)
+      // store keys = md5(0..n) raw bytes, in the sink's own layout:
+      // write a provisional partition, then fold it through
+      // compactFpStore so the measured files are EXACTLY what a
+      // compacted production store holds
+      val files = math.max(4, (n / 4000000L).toInt)
+      spark.range(n)
+        .select(unhex(md5(col("id").cast("string"))).as("fpb"))
+        .write.parquet(s"$dir/fp/batch_id=0")
+      spark.range(1) // a second partition so the fold has work to do
+        .select(unhex(md5(lit("seed"))).as("fpb"))
+        .write.parquet(s"$dir/fp/batch_id=1")
+      DocStreams.compactFpStore(spark, dir, nFiles = files)
+      val fpBytes = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/fp"))
+        .filter(_.isDirectory)
+        .flatMap(d => fs.listStatus(d.getPath))
+        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+
+      // batch: half present (ids inside [0,n)), half absent ([n,2n))
+      val batch = spark.range(nDocs)
+        .select((col("id") * (2L * n / nDocs)).as("probe_id"))
+        .select(col("probe_id").as("doc_id"),
+          md5(col("probe_id").cast("string")).as("fp"))
+        .cache()
+      // absent keys = ids landing in [n, 2n); the seed fold's singleton
+      // key never collides with an id string's md5
+      val expectAdmitted = batch.filter(col("doc_id") >= n).count()
+
+      def runArm(conf: (String, String)*): (Double, String, Long) = {
+        conf.foreach { case (k, v) => spark.conf.set(k, v) }
+        try {
+          var arm = ""; var admitted = 0L
+          val t = timeIt {
+            val (df, a) = DocStreams.admissionJoin(batch, s"$dir/fp", 999L, fpBytes)
+            arm = a
+            admitted = DocStreams.withFpPushdown(spark)(df.count())
+          }
+          (t, arm, admitted)
+        } finally conf.foreach { case (k, _) => spark.conf.unset(k) }
+      }
+
+      var tPush = Double.MaxValue; var tSemi = Double.MaxValue
+      var aPush = -1L; var aSemi = -1L
+      for (r <- 1 to reps) {
+        // alternate arm order per rep (order bias control)
+        val order =
+          if (r % 2 == 1) Seq("push", "semi") else Seq("semi", "push")
+        // both arms forced onto the LARGE-store path (broadcast gate 0):
+        // the point is their growth with store size, not the gate
+        order.foreach {
+          case "push" =>
+            val (t, arm, a) = runArm("graft.sink.fpBroadcastBytes" -> "0")
+            require(arm == "pushdown", arm); aPush = a
+            tPush = math.min(tPush, t)
+          case "semi" =>
+            val (t, arm, a) = runArm("graft.sink.fpBroadcastBytes" -> "0",
+              "graft.sink.fpPushdownKeys" -> "0")
+            require(arm == "scan_semi", arm); aSemi = a
+            tSemi = math.min(tSemi, t)
+        }
+      }
+      require(aPush == aSemi, s"arms disagree: pushdown=$aPush scan_semi=$aSemi")
+      println(f"store=$n%-10d (${fpBytes / 1e6}%.0f MB, $files files)  " +
+        f"batch=$nDocs  admitted=$aPush (expect ~$expectAdmitted)  " +
+        f"pushdown $tPush%7.3f s   scan_semi $tSemi%7.3f s")
+      batch.unpersist()
+      fs.delete(root, true)
+    }
+    spark.stop()
+  }
+}

@@ -584,4 +584,62 @@ class ObjectStoreSpec extends SparkSpec {
       finally e2.close()
     }
   }
+
+  test("HadoopStoreIO CAS probe: local FS refuses without writes; casfs certifies BOTH polarities") {
+    val base = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    // gate 1: no ETags capability -> no CAS, and the refusal is free
+    // (no probe object is ever written)
+    val localDir = tmpDir("casprobe-local")
+    assert(new graft.core.HadoopStoreIO(base, Some(localDir)).cas.isEmpty)
+    assert(new java.io.File(localDir).list().isEmpty,
+      "the capability gate must refuse before any probe write")
+    // no probe root configured -> no CAS, trivially
+    assert(new graft.core.HadoopStoreIO(base).cas.isEmpty)
+    for ((impl, name) <- Seq(
+        classOf[CasFileSystem].getName -> "polarity flag=false",
+        classOf[CasFileSystemInverted].getName -> "polarity flag=true")) {
+      val conf = new org.apache.hadoop.conf.Configuration(base)
+      conf.set("fs.casfs.impl", impl)
+      conf.set("fs.casfs.impl.disable.cache", "true")
+      val root = s"casfs://${tmpDir("casprobe")}"
+      val io = new graft.core.HadoopStoreIO(conf, Some(root))
+      val cas = io.cas.getOrElse(fail(s"probe refused casfs with $name"))
+      assert(io.list(root).isEmpty, "the probe must clean up its scratch object")
+      // token semantics over the REAL Hadoop builder API, both polarities
+      val p = s"$root/obj"
+      val t1 = cas.createIfAbsent(p, "v1")
+      assert(t1.isDefined)
+      assert(cas.createIfAbsent(p, "v2").isEmpty, s"$name: second create must lose")
+      assert(io.read(p).contains("v1"))
+      assert(cas.readToken(p).contains(("v1", t1.get)))
+      assert(cas.replaceIfMatch(p, "stale-token", "v3").isEmpty,
+        s"$name: bogus token must not replace")
+      assert(io.read(p).contains("v1"))
+      val t2 = cas.replaceIfMatch(p, t1.get, "v3")
+      assert(t2.isDefined && t2 != t1)
+      assert(cas.readToken(p).contains(("v3", t2.get)))
+      io.delete(p)
+      assert(cas.replaceIfMatch(p, t2.get, "v4").isEmpty,
+        s"$name: replace-if-match on a deleted object must fail")
+      assert(io.read(p).isEmpty)
+    }
+  }
+
+  test("WriterLease claims atomically over a certified Hadoop connector (casfs)") {
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    CasFileSystem.install(conf)
+    val root = s"casfs://${tmpDir("cas-lease")}/db"
+    val io = new graft.core.HadoopStoreIO(conf, Some(root))
+    assert(io.cas.isDefined)
+    val a = new graft.core.WriterLease(io, root, ttlMs = 60000, settleMs = 0)
+    a.acquire()
+    val b = new graft.core.WriterLease(io, root, ttlMs = 60000, settleMs = 0)
+    intercept[DbException](b.acquire()) // a live lease denies atomically
+    a.release() // tombstone: epoch survives the clean close
+    b.acquire()
+    assert(b.epoch > a.epoch, s"successor ${b.epoch} must outrank ${a.epoch}")
+    b.release()
+  }
 }
