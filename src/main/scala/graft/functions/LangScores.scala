@@ -40,6 +40,13 @@ case class LangPred(child: Expression, groups: Seq[(String, Seq[String])])
   override def dataType: DataType = StringType
   override def prettyName: String = LangPred.name
 
+  // all-zero scores return NULL even for a non-null input, so this
+  // must not inherit the child's nullability: with a non-nullable
+  // child, ev.isNull is the literal `false` and the generated
+  // `false = true;` fails janino — silently dropping the WHOLE
+  // projection (the quality/langid hot path) out of codegen
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
