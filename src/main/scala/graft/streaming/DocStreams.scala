@@ -98,12 +98,16 @@ object DocStreams {
     *    or(eq...) tree, which gets per-page boundary search against the
     *    column index, so the scan decodes at most
     *    `batch keys × page rows` rows REGARDLESS of store size
-    *    (measured flat 20M→200M keys, FpPushdownProbe; the chunk bound
-    *    exists because parquet's filter visitors recurse per or() level
-    *    and a >~2500-deep tree overflows the task stack). The hits —
-    *    bounded by the batch — broadcast-ANTI back into the batch.
-    *    Sorting makes chunks contiguous key ranges, so row-group stats
-    *    additionally prune whole groups per chunk.
+    *    (measured: 7.9M rows decoded for a 10k-key probe into a
+    *    20M-key store at the shipped 1000-row pages vs 20M for a
+    *    pushed plain In — FpPushdownProbe; the chunk bound exists
+    *    because parquet's filter visitors recurse per or() level and a
+    *    >~2500-deep tree overflows the task stack). The hits — bounded
+    *    by the batch — broadcast-ANTI back into the batch. Sorting
+    *    makes chunks contiguous key ranges, so row-group stats prune
+    *    whole groups per chunk, and each chunk scans ONLY the store
+    *    files whose `_ranges` sidecar interval overlaps it
+    *    ([[pushdownHits]]) — no chunk×file task blowup.
     *  - `scan_semi` (large store, oversized batch): broadcast SEMI of
     *    the batch keys into the full (column-pruned) store scan — the
     *    r15 arm, linear in store size but shuffle-free at any size.
@@ -138,13 +142,15 @@ object DocStreams {
         .limit(maxKeys + 1).collect().map(_.getAs[Array[Byte]](0))
       if (keys.isEmpty) (one, "empty_batch") // nothing to probe for
       else if (keys.length <= maxKeys) {
-        val sorted = keys.sortWith((a, b) =>
-          java.util.Arrays.compareUnsigned(a, b) < 0)
-        val hits = sorted.grouped(fpChunkKeys(spark))
-          .map(ch => prior.filter(col("fpb").isInCollection(ch.toSeq)))
-          .reduce(_ union _)
-        (one.join(broadcast(hits),
-          unhex(col("fp")) === col("fpb"), "left_anti"), "pushdown")
+        val sorted = keys.sorted(ByteOrd)
+        val chunks = sorted.grouped(fpChunkKeys(spark)).toSeq
+        pushdownHits(spark, fpRoot, batchId, chunks) match {
+          case Some(hits) => (one.join(broadcast(hits),
+            unhex(col("fp")) === col("fpb"), "left_anti"), "pushdown")
+          // no store file's range overlaps any batch key: nothing can
+          // be a duplicate, and no scan runs at all
+          case None => (one, "pushdown")
+        }
       } else {
         val hits = prior.join(
           broadcast(one.select(unhex(col("fp")).as("fpb"))),
@@ -157,6 +163,82 @@ object DocStreams {
 
   private def fpChunkKeys(spark: org.apache.spark.sql.SparkSession): Int =
     spark.conf.getOption("graft.sink.fpChunkKeys").map(_.toInt).getOrElse(1000)
+
+  /** Build the pushdown arm's hit scan: one file-pruned point-predicate
+    * scan per sorted key chunk, unioned. Each store partition's
+    * `_ranges` sidecar (written with the partition —
+    * [[writeRangesSidecar]]) maps files to their fpb [min,max]; a
+    * chunk scans only the files whose range overlaps its own
+    * [first,last] (sorted chunks are contiguous slices, store files
+    * are range-partitioned — at scale that is ~1 file per chunk,
+    * instead of a task and a footer read per chunk×file pair). Files
+    * absent from their sidecar (crashed sidecar write, pre-sidecar
+    * store) fall back to every chunk — degraded, never wrong. Returns
+    * None when no file overlaps any chunk (no scan runs at all).
+    */
+  private def pushdownHits(spark: org.apache.spark.sql.SparkSession,
+                           fpRoot: String, batchId: Long,
+                           chunks: Seq[Array[Array[Byte]]]): Option[DataFrame] = {
+    val root = new Path(fpRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(root).filter { st =>
+      st.isDirectory && st.getPath.getName.startsWith("batch_id=") &&
+        st.getPath.getName != s"batch_id=$batchId"
+    }
+    def unhexStr(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val ranged = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Array[Byte], Array[Byte])]
+    val unranged = scala.collection.mutable.ArrayBuffer.empty[String]
+    dirs.foreach { d =>
+      // a partition deleted between the two listings (a grace-expired
+      // fold racing this probe) reads as empty: its keys are already
+      // in the consolidated partition the fold wrote first
+      val files =
+        try fs.listStatus(d.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+        catch { case _: java.io.FileNotFoundException =>
+          Array.empty[org.apache.hadoop.fs.FileStatus] }
+      val sidecar = new Path(d.getPath, "_ranges")
+      val byName: Map[String, (Array[Byte], Array[Byte])] =
+        if (!fs.exists(sidecar)) Map.empty
+        else try {
+          val in = fs.open(sidecar)
+          val txt =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          txt.split("\n").iterator.map(_.trim).filter(_.nonEmpty).flatMap {
+            l => l.split("\t") match {
+              case Array(n, mn, mx) if mn.nonEmpty && mx.nonEmpty =>
+                Some(n -> ((unhexStr(mn), unhexStr(mx))))
+              case _ => None
+            }
+          }.toMap
+        } catch { case scala.util.control.NonFatal(_) => Map.empty }
+      files.foreach { f =>
+        byName.get(f.getPath.getName) match {
+          case Some((mn, mx)) => ranged += ((f.getPath.toString, mn, mx))
+          case None => unranged += f.getPath.toString
+        }
+      }
+    }
+    // explicit schema: per-chunk scans must not each pay schema
+    // inference (a footer read) over the same files
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("fpb", org.apache.spark.sql.types.BinaryType)
+    def scan(paths: Seq[String]) = spark.read.schema(schema)
+      .option("ignoreMissingFiles", "true").parquet(paths: _*)
+    chunks.flatMap { ch =>
+      val lo = ch.head
+      val hi = ch.last
+      val paths = ranged.iterator.filter { case (_, mn, mx) =>
+        java.util.Arrays.compareUnsigned(mn, hi) <= 0 &&
+          java.util.Arrays.compareUnsigned(mx, lo) >= 0
+      }.map(_._1).toSeq ++ unranged
+      if (paths.isEmpty) None
+      else Some(scan(paths).filter(col("fpb").isInCollection(ch.toSeq)))
+    }.reduceOption(_ union _)
+  }
 
   /** Page row limit for fingerprint-store parquet. The pushdown arm's
     * decode bound is `batch keys × page rows` (the column index skips
@@ -172,9 +254,13 @@ object DocStreams {
     * exploit: sorted within each file (contiguous sorted key chunks
     * prune whole row groups on min/max stats), small pages (the
     * column-index boundary search decodes at most `batch keys × page
-    * rows`), and a bloom filter on `fpb` (skips row groups whose RANGE
+    * rows`), a bloom filter on `fpb` (skips row groups whose RANGE
     * overlaps a chunk but which contain none of its keys — the
-    * absent-key half of a dedup probe, which stats alone cannot skip).
+    * absent-key half of a dedup probe, which stats alone cannot skip),
+    * and a `_ranges` sidecar mapping each file to its fpb [min,max]
+    * so the probe can prune chunk×file pairs on the DRIVER — without
+    * it every chunk scan schedules a task (and a footer GET) per store
+    * file, ~10⁵ no-op tasks per micro-batch at a 10¹⁰-key store.
     */
   private def writeFpPartition(df: DataFrame, dest: String, nFiles: Int): Unit = {
     val spark = df.sparkSession
@@ -184,7 +270,69 @@ object DocStreams {
     laid.write.mode("overwrite")
       .option("parquet.page.row.count.limit", fpPageRows(spark).toString)
       .option("parquet.bloom.filter.enabled#fpb", "true")
+      // without an NDV parquet allocates the bloom at max.bytes (1 MB
+      // per file — dwarfs a micro-batch's 10k keys); adaptive sizing
+      // builds candidate filters and keeps the smallest adequate one
+      .option("parquet.bloom.filter.adaptive.enabled", "true")
       .parquet(dest)
+    writeRangesSidecar(spark, dest)
+  }
+
+  /** Read each file's fpb [min,max] from the just-written partition's
+    * parquet footers (driver-side, parallel — the write is the one
+    * amortization point; per-batch probes must never pay O(files)
+    * footer round-trips) and record them in a `_ranges` sidecar:
+    * `name\tminhex\tmaxhex` per file. Underscore-prefixed, so Spark's
+    * own listings ignore it. A crash between the data write and the
+    * sidecar leaves a sidecar-less partition, which the probe treats
+    * as unranged (scanned by every chunk) — degraded, never wrong.
+    */
+  private def writeRangesSidecar(spark: org.apache.spark.sql.SparkSession,
+                                 dest: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val path = new Path(dest)
+    val fs = path.getFileSystem(conf)
+    val parts = fs.listStatus(path)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    import scala.collection.parallel.CollectionConverters._
+    import scala.jdk.CollectionConverters._
+    val lines = parts.par.flatMap { st =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+      try {
+        val stats = reader.getFooter.getBlocks.asScala.flatMap { block =>
+          block.getColumns.asScala
+            .find(_.getPath.toDotString == "fpb")
+            .flatMap { c =>
+              val s = c.getStatistics
+              if (s == null || !s.hasNonNullValue) None
+              else Some((s.genericGetMin.asInstanceOf[
+                org.apache.parquet.io.api.Binary].getBytes,
+                s.genericGetMax.asInstanceOf[
+                  org.apache.parquet.io.api.Binary].getBytes))
+            }
+        }
+        // a file with ANY stats-less block stays out of the sidecar
+        // entirely (= unranged fallback), not half-ranged
+        if (stats.isEmpty || stats.size != reader.getFooter.getBlocks.size)
+          None
+        else {
+          def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+          val mn = stats.map(_._1).min(ByteOrd)
+          val mx = stats.map(_._2).max(ByteOrd)
+          Some(s"${st.getPath.getName}\t${hex(mn)}\t${hex(mx)}")
+        }
+      } finally reader.close()
+    }.toList
+    val out = fs.create(new Path(path, "_ranges"), true)
+    try out.write(lines.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private object ByteOrd extends Ordering[Array[Byte]] {
+    def compare(a: Array[Byte], b: Array[Byte]): Int =
+      java.util.Arrays.compareUnsigned(a, b)
   }
 
   /** Run `body` (the ACTION that executes an [[admissionJoin]] plan)

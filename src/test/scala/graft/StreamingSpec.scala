@@ -609,6 +609,66 @@ class StreamingSpec extends SparkSpec {
     assert(own.count() == 5L)
   }
 
+  test("admissionJoin pushdown: _ranges sidecar prunes chunk scans, results exact") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions.unhex
+    val dir = tmpDir("admission-sidecar")
+    // two raw partitions folded through compactFpStore = the shipped
+    // write path: sorted range-partitioned files WITH the sidecar
+    def fpbDf(hexes: Seq[String]) =
+      hexes.toDF("h").select(unhex(col("h")).as("fpb"))
+    val storeHexes = (0 until 64).map(i => f"40$i%02x" + "00" * 14)
+    fpbDf(storeHexes.take(32)).write.parquet(s"$dir/fp/batch_id=0")
+    fpbDf(storeHexes.drop(32)).write.parquet(s"$dir/fp/batch_id=1")
+    graft.streaming.DocStreams.compactFpStore(spark, dir, nFiles = 4)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val consolidated = new org.apache.hadoop.fs.Path(s"$dir/fp/batch_id=-1")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(consolidated, "_ranges")),
+      "compacted partition must carry its file-range sidecar")
+    val sidecar = scala.io.Source.fromInputStream(
+      fs.open(new org.apache.hadoop.fs.Path(consolidated, "_ranges")), "UTF-8")
+      .getLines().filter(_.nonEmpty).toList
+    assert(sidecar.size == 4 && sidecar.forall(_.split("\t").length == 3),
+      s"one range line per file: $sidecar")
+    // batch: two present, one novel in-range, one below and one above
+    // every file's range
+    val batch = Seq(
+      1L -> storeHexes(3), 2L -> storeHexes(40),             // present
+      3L -> ("4010" + "ff" * 14),                            // in-range novel
+      4L -> ("00" + "00" * 15), 5L -> ("ff" + "ff" * 15))    // out of range
+      .toDF("doc_id", "fp")
+    def run(conf: (String, String)*): (Set[Long], String) = {
+      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        val (df, arm) = graft.streaming.DocStreams.admissionJoin(
+          batch, s"$dir/fp", 99L, Long.MaxValue / 2)
+        (graft.streaming.DocStreams.withFpPushdown(spark)(
+          df.select("doc_id").collect().map(_.getLong(0)).toSet), arm)
+      } finally conf.foreach { case (k, _) => spark.conf.unset(k) }
+    }
+    val want = Set(3L, 4L, 5L)
+    // single-key chunks exercise per-chunk file pruning hardest
+    assert(run("graft.sink.fpChunkKeys" -> "1") == (want, "pushdown"))
+    assert(run() == (want, "pushdown"))
+    // broadcast arm agrees (the pruning changed nothing)
+    val (bIds, bArm) = {
+      val (df, arm) = graft.streaming.DocStreams.admissionJoin(
+        batch, s"$dir/fp", 99L, 0L)
+      (df.select("doc_id").collect().map(_.getLong(0)).toSet, arm)
+    }
+    assert((bIds, bArm) == (want, "broadcast_anti"))
+    // every batch key outside every file range: no scan has anything to
+    // probe and everything is admitted
+    val far = Seq(6L -> ("fe" + "ee" * 15), 7L -> ("01" + "11" * 15))
+      .toDF("doc_id", "fp")
+    val (fDf, fArm) = graft.streaming.DocStreams.admissionJoin(
+      far, s"$dir/fp", 99L, Long.MaxValue / 2)
+    assert(fArm == "pushdown" &&
+      fDf.select("doc_id").collect().map(_.getLong(0)).toSet == Set(6L, 7L))
+  }
+
   test("corpusBatchSink: forced pushdown arm, exactly-once admission end-to-end") {
     val spark0 = spark
     import spark0.implicits._
