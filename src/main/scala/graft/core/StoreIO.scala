@@ -239,6 +239,13 @@ final class HadoopCas private[core] (conf: Configuration,
       val parent = p.getParent
       if (parent != null && !fs.exists(parent)) fs.mkdirs(parent)
       val builder = fs.createFile(p)
+      // overwrite(true) EXPLICITLY: on a connector whose createFile
+      // defaults to no-overwrite, a bare builder would refuse
+      // create-over-existing on its own (non-atomic check-then-put) —
+      // the conditional option below must be the ONLY thing that can
+      // refuse this write, or the refusal proves nothing about
+      // atomicity (see the calibration note on [[HadoopCas.probe]])
+      builder.overwrite(true)
       etag match { // must() mutates the builder; the B-typed return is
         case None => builder.must(CondOverwrite, ifAbsentFlag) // not chained
         case Some(t) => builder.must(CondOverwriteEtag, t) // (Scala + the
@@ -266,7 +273,9 @@ object HadoopCas {
     * and return a calibrated [[HadoopCas]], or None. Gate order:
     * ETags must be advertised (`fs.capability.etags.available` — rules
     * out local/HDFS cheaply, no writes), then the four-step scratch-
-    * object drill under `root/_cas_probe` (see [[HadoopCas]]). Any
+    * object drill under `root/_cas_probe.<uuid>` (see [[HadoopCas]]—
+    * unique per probe, so concurrent opens never interfere; stale
+    * scratch from crashed probes is swept past a 10-minute bound). Any
     * exception — unsupported `must()` keys, read-only store, connector
     * quirks — means `None` and the settle-verify fallback, never a
     * crash: the probe can only ever UPGRADE the protocol.
@@ -277,12 +286,33 @@ object HadoopCas {
     if (!fs.hasPathCapability(rootP,
         org.apache.hadoop.fs.CommonPathCapabilities.ETAGS_AVAILABLE)) None
     else {
-      val probeP = new HPath(rootP, "_cas_probe")
+      // per-probe UNIQUE scratch: cas is probed lazily inside lease
+      // acquire(), so two engines opening the same store concurrently
+      // (the normal contention case) run probes at the same time — a
+      // shared scratch name would let one probe's delete/recreate
+      // spuriously fail the other's calibration and silently downgrade
+      // that writer to settle-verify. Stale scratch from crashed
+      // probes is swept on entry, but only past a staleness bound so a
+      // LIVE concurrent probe's object is never deleted mid-drill.
+      try fs.listStatus(rootP)
+        .filter(st => st.getPath.getName.startsWith("_cas_probe") &&
+          System.currentTimeMillis() - st.getModificationTime > 600000L)
+        .foreach(st => fs.delete(st.getPath, false))
+      catch { case scala.util.control.NonFatal(_) => () }
+      val probeP =
+        new HPath(rootP, s"_cas_probe.${java.util.UUID.randomUUID()}")
       try {
         // calibrate the existence-precondition polarity: the honoring
-        // flag value creates on absent and refuses on existing
+        // flag value creates on absent and refuses on existing. The
+        // builder's PLAIN overwrite is forced ON so the conditional
+        // option is the only possible refuser — without this, a
+        // connector whose createFile defaults to overwrite=false
+        // passes the flag=false drill by refusing NON-ATOMICALLY
+        // (check-then-put), and the certification would bless a
+        // createIfAbsent with no atomicity at all.
         def attempt(flag: Boolean, body: String): Boolean = try {
           val builder = fs.createFile(probeP)
+          builder.overwrite(true)
           builder.must(CondOverwrite, flag)
           val out = builder.build()
           try out.write(body.getBytes(UTF_8)) finally out.close()

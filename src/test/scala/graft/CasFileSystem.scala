@@ -2,7 +2,7 @@ package graft
 
 import java.net.URI
 
-import org.apache.hadoop.fs.{CommonPathCapabilities, EtagSource,
+import org.apache.hadoop.fs.{CommonPathCapabilities, CreateFlag, EtagSource,
   FSDataOutputStream, FSDataOutputStreamBuilder, FileAlreadyExistsException,
   FileStatus, Path, RawLocalFileSystem}
 
@@ -36,6 +36,13 @@ class CasFileSystem extends RawLocalFileSystem {
     * polarity instead of assuming one.
     */
   private[graft] def ifAbsentPolarity: Boolean = false
+
+  /** Whether `fs.option.create.conditional.overwrite` is enforced —
+    * [[CasFileSystemSwallowCond]] turns it off (the key is silently
+    * ACCEPTED but ignored) to model the connector the probe must not
+    * mis-certify off plain no-overwrite refusals.
+    */
+  private[graft] def honorsCondOverwrite: Boolean = true
 
   private[graft] def contentEtag(f: Path): Option[String] =
     try {
@@ -78,6 +85,18 @@ class CasFileSystemInverted extends CasFileSystem {
   override private[graft] def ifAbsentPolarity: Boolean = true
 }
 
+/** A connector that SWALLOWS the existence-precondition key (accepted
+  * as a mandatory option but never enforced) while honoring ETag
+  * preconditions and defaulting plain creates to no-overwrite. A probe
+  * that doesn't force `overwrite(true)` on its drill writes sees
+  * create-over-existing refuse here — NON-ATOMIC check-then-put, not a
+  * conditional PUT — and would certify a createIfAbsent with no
+  * atomicity behind it. The probe must return None for this store.
+  */
+class CasFileSystemSwallowCond extends CasFileSystem {
+  override private[graft] def honorsCondOverwrite: Boolean = false
+}
+
 object CasFileSystem {
   import graft.core.HadoopCas.{CondOverwrite, CondOverwriteEtag}
 
@@ -98,7 +117,7 @@ object CasFileSystem {
         java.util.Arrays.asList(CondOverwrite, CondOverwriteEtag),
         " for casfs conditional create")
       val exists = cfs.exists(getPath)
-      if (mand.contains(CondOverwrite)) {
+      if (mand.contains(CondOverwrite) && cfs.honorsCondOverwrite) {
         val flag =
           getOptions.getBoolean(CondOverwrite, !cfs.ifAbsentPolarity)
         if (flag == cfs.ifAbsentPolarity && exists)
@@ -112,7 +131,14 @@ object CasFileSystem {
           throw new java.io.IOException(
             s"casfs: ETag precondition failed for $getPath " +
               s"(want $want, have ${have.orNull})")
-      }
+      } else if (!(mand.contains(CondOverwrite) && cfs.honorsCondOverwrite)
+          && exists && !getFlags.contains(CreateFlag.OVERWRITE))
+        // plain create semantics when no ENFORCED precondition applies:
+        // no-overwrite by default, like a builder that wasn't given
+        // overwrite(true) — the non-atomic refusal the probe's
+        // calibration must never mistake for conditional enforcement
+        throw new FileAlreadyExistsException(
+          s"casfs: plain create, object exists: $getPath")
       cfs.create(getPath, true)
     }
   }

@@ -626,6 +626,48 @@ class ObjectStoreSpec extends SparkSpec {
     }
   }
 
+  test("CAS probe refuses a connector that swallows the existence key (plain no-overwrite is not CAS)") {
+    // CasFileSystemSwallowCond accepts fs.option.create.conditional.
+    // overwrite silently but never enforces it, honors ETags, and
+    // refuses plain create-over-existing (default no-overwrite). A
+    // probe whose drill writes don't force overwrite(true) sees the
+    // flag=false calibration "pass" off that NON-ATOMIC refusal and
+    // certifies a check-then-put as CAS; the shipped probe must refuse.
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.set("fs.casfs.impl", classOf[CasFileSystemSwallowCond].getName)
+    conf.set("fs.casfs.impl.disable.cache", "true")
+    val root = s"casfs://${tmpDir("casprobe-swallow")}"
+    val io = new graft.core.HadoopStoreIO(conf, Some(root))
+    assert(io.cas.isEmpty,
+      "a store enforcing only plain no-overwrite must NOT certify")
+    assert(io.list(root).isEmpty, "refused probe must still clean its scratch")
+  }
+
+  test("CAS probe scratch is per-probe unique; stale crash leftovers swept, live ones kept") {
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    CasFileSystem.install(conf)
+    val root = s"casfs://${tmpDir("casprobe-scratch")}"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(conf)
+    fs.mkdirs(p)
+    // a crashed prior probe's scratch (older than the 10-min bound)...
+    val stale = new org.apache.hadoop.fs.Path(p, "_cas_probe.dead-beef")
+    fs.create(stale, true).close()
+    fs.setTimes(stale, System.currentTimeMillis() - 3600000L, -1)
+    // ...and a CONCURRENT probe's live scratch (fresh mtime)
+    val live = new org.apache.hadoop.fs.Path(p, "_cas_probe.live-peer")
+    fs.create(live, true).close()
+    val io = new graft.core.HadoopStoreIO(conf, Some(root))
+    assert(io.cas.isDefined,
+      "a leftover scratch object must not fail a later certification")
+    val names = io.list(root).toSet
+    assert(!names.contains("_cas_probe.dead-beef"), "stale scratch swept")
+    assert(names == Set("_cas_probe.live-peer"),
+      s"live peer scratch untouched, own scratch cleaned: $names")
+  }
+
   test("WriterLease claims atomically over a certified Hadoop connector (casfs)") {
     val conf = new org.apache.hadoop.conf.Configuration(
       spark.sparkContext.hadoopConfiguration)
