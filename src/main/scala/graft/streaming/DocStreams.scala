@@ -85,13 +85,12 @@ object DocStreams {
     * join shapes. Given the deduped batch `one` (carrying `fp`) and the
     * fp store root, returns the admitted subset (batch rows whose
     * fingerprint is NOT in any store partition except the batch's own)
-    * plus the arm chosen, decided by the store's listed parquet bytes:
+    * plus the arm chosen. Arms, and the COST MODEL that picks one:
     *
     *  - `broadcast_anti` (store < `graft.sink.fpBroadcastBytes`,
     *    default 64 MB): broadcast the STORE into a plain LEFT ANTI —
     *    zero extra jobs, zero shuffles.
-    *  - `pushdown` (large store, batch ≤ `graft.sink.fpPushdownKeys`
-    *    keys, default 100000): collect the batch's bounded key set,
+    *  - `pushdown` / `pushdown_waves`: collect the batch's key set,
     *    sort it, and push it into the store scan as unioned chunks of
     *    ≤ `graft.sink.fpChunkKeys` (default 1000) `In` predicates —
     *    under [[withFpPushdown]] each chunk reaches parquet as an
@@ -107,10 +106,27 @@ object DocStreams {
     *    makes chunks contiguous key ranges, so row-group stats prune
     *    whole groups per chunk, and each chunk scans ONLY the store
     *    files whose `_ranges` sidecar interval overlaps it
-    *    ([[pushdownHits]]) — no chunk×file task blowup.
-    *  - `scan_semi` (large store, oversized batch): broadcast SEMI of
-    *    the batch keys into the full (column-pruned) store scan — the
-    *    r15 arm, linear in store size but shuffle-free at any size.
+    *    ([[chunkScans]]) — no chunk×file task blowup. A batch above
+    *    `graft.sink.fpPushdownKeys` keys (default 100000) runs as
+    *    WAVES of that size — one action per wave against the
+    *    once-loaded range index, per-wave hits (batch-bounded)
+    *    collected and anti-joined once at the end — so the per-action
+    *    union plan stays bounded at any batch size (`pushdown_waves`).
+    *  - `scan_semi`: broadcast SEMI of the batch keys into the full
+    *    (column-pruned) store scan — linear in store size but
+    *    shuffle-free, and CHEAPER than point probes once the batch is
+    *    dense enough that most pages hold a probed key. The gate is
+    *    the measured decode crossover: pushdown decodes ~`batch keys ×
+    *    page rows` rows, scan_semi decodes ~`store keys`, so pushdown
+    *    is chosen while `batch keys ≤ crossover × store keys / page
+    *    rows` (`graft.sink.fpCrossover`, default 0.5 — the wall-time
+    *    equality point measured by AdmissionScaleProbe; store keys
+    *    estimated as listed bytes / 16, md5 keys being incompressible)
+    *    AND the batch key set fits the driver collect bound
+    *    (`graft.sink.fpDriverCapKeys`, default 2M ≈ 80 MB of boxed
+    *    keys). At a production store the crossover dominates: a
+    *    10¹⁰-key store probes batches up to ~5M keys via pushdown, and
+    *    anything larger genuinely amortizes a linear scan.
     *  - `empty_batch` (large store, zero batch rows): no probe at all —
     *    an empty batch must not pay a store scan.
     *
@@ -132,24 +148,59 @@ object DocStreams {
       .filter(col("batch_id") =!= lit(batchId)).select(col("fpb"))
     val bcastMax = spark.conf.getOption("graft.sink.fpBroadcastBytes")
       .map(_.toLong).getOrElse(64L * 1024 * 1024)
-    val maxKeys = spark.conf.getOption("graft.sink.fpPushdownKeys")
+    val waveKeys = spark.conf.getOption("graft.sink.fpPushdownKeys")
       .map(_.toInt).getOrElse(100000)
+    val capKeys = spark.conf.getOption("graft.sink.fpDriverCapKeys")
+      .map(_.toLong).getOrElse(2000000L)
+    val xover = spark.conf.getOption("graft.sink.fpCrossover")
+      .map(_.toDouble).getOrElse(0.5)
     if (fpBytes < bcastMax)
       (one.join(broadcast(prior),
         unhex(col("fp")) === col("fpb"), "left_anti"), "broadcast_anti")
     else {
+      // decode-crossover gate (see the scaladoc cost model): the most
+      // batch keys for which point probes still beat one linear scan
+      val estStoreKeys = math.max(1L, fpBytes / 16L)
+      val xoverKeys = xover * estStoreKeys.toDouble / fpPageRows(spark)
+      val pushMax: Long =
+        if (waveKeys <= 0) 0L
+        else math.min(capKeys, math.min(xoverKeys, Long.MaxValue.toDouble).toLong)
+      val limitN = (math.min(pushMax, Int.MaxValue - 2L) + 1L).toInt
       val keys = one.select(unhex(col("fp")).as("fpb"))
-        .limit(maxKeys + 1).collect().map(_.getAs[Array[Byte]](0))
+        .limit(limitN).collect().map(_.getAs[Array[Byte]](0))
       if (keys.isEmpty) (one, "empty_batch") // nothing to probe for
-      else if (keys.length <= maxKeys) {
+      else if (keys.length <= pushMax) {
         val sorted = keys.sorted(ByteOrd)
-        val chunks = sorted.grouped(fpChunkKeys(spark)).toSeq
-        pushdownHits(spark, fpRoot, batchId, chunks) match {
-          case Some(hits) => (one.join(broadcast(hits),
-            unhex(col("fp")) === col("fpb"), "left_anti"), "pushdown")
-          // no store file's range overlaps any batch key: nothing can
-          // be a duplicate, and no scan runs at all
-          case None => (one, "pushdown")
+        val chunkN = math.max(1, math.min(fpChunkKeys(spark), waveKeys))
+        val chunks = sorted.grouped(chunkN).toSeq
+        val index = loadRangeIndex(spark, fpRoot, batchId)
+        def anti(hits: DataFrame) = one.join(broadcast(hits),
+          unhex(col("fp")) === col("fpb"), "left_anti")
+        if (keys.length <= waveKeys)
+          chunkScans(spark, index, chunks) match {
+            case Some(hits) => (anti(hits), "pushdown")
+            // no store file's range overlaps any batch key: nothing can
+            // be a duplicate, and no scan runs at all
+            case None => (one, "pushdown")
+          }
+        else {
+          // waves: one bounded action per `waveKeys` keys, against the
+          // range index loaded ONCE. Per-wave hits are ≤ wave keys, the
+          // accumulated total ≤ batch keys ≤ capKeys — driver-safe.
+          val perWave = math.max(1, waveKeys / chunkN)
+          val hitKeys = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+          chunks.grouped(perWave).foreach { wave =>
+            chunkScans(spark, index, wave).foreach { df =>
+              hitKeys ++= withFpPushdown(spark)(
+                df.collect().map(_.getAs[Array[Byte]](0)))
+            }
+          }
+          if (hitKeys.isEmpty) (one, "pushdown_waves")
+          else {
+            val hits = spark.createDataset(hitKeys.toSeq)(
+              org.apache.spark.sql.Encoders.BINARY).toDF("fpb")
+            (anti(hits), "pushdown_waves")
+          }
         }
       } else {
         val hits = prior.join(
@@ -164,21 +215,21 @@ object DocStreams {
   private def fpChunkKeys(spark: org.apache.spark.sql.SparkSession): Int =
     spark.conf.getOption("graft.sink.fpChunkKeys").map(_.toInt).getOrElse(1000)
 
-  /** Build the pushdown arm's hit scan: one file-pruned point-predicate
-    * scan per sorted key chunk, unioned. Each store partition's
-    * `_ranges` sidecar (written with the partition —
-    * [[writeRangesSidecar]]) maps files to their fpb [min,max]; a
-    * chunk scans only the files whose range overlaps its own
-    * [first,last] (sorted chunks are contiguous slices, store files
-    * are range-partitioned — at scale that is ~1 file per chunk,
-    * instead of a task and a footer read per chunk×file pair). Files
-    * absent from their sidecar (crashed sidecar write, pre-sidecar
-    * store) fall back to every chunk — degraded, never wrong. Returns
-    * None when no file overlaps any chunk (no scan runs at all).
+  /** The pushdown arm's driver-side file-range index: every store
+    * file with its fpb [min,max] from the partition's `_ranges`
+    * sidecar ([[writeRangesSidecar]]), plus the files whose sidecar is
+    * missing or doesn't list them (crashed sidecar write, pre-sidecar
+    * store) — those fall back to every chunk: degraded, never wrong.
     */
-  private def pushdownHits(spark: org.apache.spark.sql.SparkSession,
-                           fpRoot: String, batchId: Long,
-                           chunks: Seq[Array[Array[Byte]]]): Option[DataFrame] = {
+  private final case class FpRangeIndex(
+      ranged: Seq[(String, Array[Byte], Array[Byte])],
+      unranged: Seq[String])
+
+  /** Load the [[FpRangeIndex]] for every store partition except the
+    * batch's own — listed ONCE per probe, shared by every wave.
+    */
+  private def loadRangeIndex(spark: org.apache.spark.sql.SparkSession,
+                             fpRoot: String, batchId: Long): FpRangeIndex = {
     val root = new Path(fpRoot)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dirs = fs.listStatus(root).filter { st =>
@@ -222,6 +273,20 @@ object DocStreams {
         }
       }
     }
+    FpRangeIndex(ranged.toSeq, unranged.toSeq)
+  }
+
+  /** Build one wave's hit scan: one file-pruned point-predicate scan
+    * per sorted key chunk, unioned. A chunk scans only the files whose
+    * range overlaps its own [first,last] (sorted chunks are contiguous
+    * slices, store files are range-partitioned — at scale that is ~1
+    * file per chunk, instead of a task and a footer read per
+    * chunk×file pair). Returns None when no file overlaps any chunk
+    * (no scan runs at all).
+    */
+  private def chunkScans(spark: org.apache.spark.sql.SparkSession,
+                         index: FpRangeIndex,
+                         chunks: Seq[Array[Array[Byte]]]): Option[DataFrame] = {
     // explicit schema: per-chunk scans must not each pay schema
     // inference (a footer read) over the same files
     val schema = new org.apache.spark.sql.types.StructType()
@@ -231,10 +296,10 @@ object DocStreams {
     chunks.flatMap { ch =>
       val lo = ch.head
       val hi = ch.last
-      val paths = ranged.iterator.filter { case (_, mn, mx) =>
+      val paths = index.ranged.iterator.filter { case (_, mn, mx) =>
         java.util.Arrays.compareUnsigned(mn, hi) <= 0 &&
           java.util.Arrays.compareUnsigned(mx, lo) >= 0
-      }.map(_._1).toSeq ++ unranged
+      }.map(_._1).toSeq ++ index.unranged
       if (paths.isEmpty) None
       else Some(scan(paths).filter(col("fpb").isInCollection(ch.toSeq)))
     }.reduceOption(_ union _)
@@ -335,6 +400,13 @@ object DocStreams {
       java.util.Arrays.compareUnsigned(a, b)
   }
 
+  // serializes withFpPushdown windows: the save/set/restore below
+  // mutates SESSION-wide conf, so two concurrent admission actions in
+  // one JVM would otherwise race the restore (the second restorer can
+  // persist the raised value forever). Reentrant (a monitor), so the
+  // wave loop nesting inside a caller's own wrap is fine.
+  private object FpPushdownConfLock
+
   /** Run `body` (the ACTION that executes an [[admissionJoin]] plan)
     * with parquet's In-pushdown threshold raised above the chunk size,
     * so each ≤chunk `In` reaches parquet-mr as an or(eq...) tree —
@@ -344,13 +416,24 @@ object DocStreams {
     * keys; measured: a pushed 10k-key In decodes the ENTIRE store).
     * The conf is read at physical planning, i.e. when the action runs,
     * which is why this wraps the action and not the plan construction.
+    *
+    * SCOPE CAVEAT: `spark.conf` is session-wide, so any OTHER query
+    * planned in this session during the window inherits the raised
+    * threshold. That is benign — it only converts ≤1001-element In
+    * filters to or(eq…) trees at the parquet layer, well under the
+    * ~2500 recursion bound — but a deployment wanting strict isolation
+    * should run the corpus sink in its own session (e.g.
+    * `spark.cloneSession()`), which shares the catalog and executors
+    * but not the conf. Concurrent windows in one JVM serialize on a
+    * monitor so the save/restore can never race.
     */
-  def withFpPushdown[A](spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
-    val k = "spark.sql.parquet.pushdown.inFilterThreshold"
-    val old = spark.conf.get(k)
-    spark.conf.set(k, (fpChunkKeys(spark) + 1).toString)
-    try body finally spark.conf.set(k, old)
-  }
+  def withFpPushdown[A](spark: org.apache.spark.sql.SparkSession)(body: => A): A =
+    FpPushdownConfLock.synchronized {
+      val k = "spark.sql.parquet.pushdown.inFilterThreshold"
+      val old = spark.conf.get(k)
+      spark.conf.set(k, (fpChunkKeys(spark) + 1).toString)
+      try body finally spark.conf.set(k, old)
+    }
 
   /** True when `batchId` was already absorbed by the sink: its own
     * `_applied_<id>` marker exists, or it sits at or below the folded
@@ -513,22 +596,34 @@ object DocStreams {
         val hasFpStore = fpBytes > 0L
         // Cost shape (measured, StreamCostProbe + bench A/Bs): the
         // heavy part of a batch is evaluating the regex-heavy upstream,
-        // so the data write stays the ONE full evaluation, and the
-        // fp-table write is derived by reading BACK the just-written
-        // batch files (a persist-both-sides variant measured 2x this
-        // entry; an extra probe-side projection eval, ~1.8x). The probe
-        // itself is [[admissionJoin]]'s three size-adaptive arms —
-        // broadcast-the-store while small, the batch key set PUSHED
-        // into the store scan as point predicates beyond (per-batch
-        // decode bounded by batch keys x page rows at ANY store size),
-        // scan-semi only for an oversized batch. None of the arms ever
-        // shuffles.
-        val (admitted, arm) =
-          if (hasFpStore) admissionJoin(one, fpRoot, batchId, fpBytes)
-          else (one, "empty_store")
-        def write(): Unit = admitted.write.mode("overwrite")
-          .partitionBy(partCol).parquet(s"$data/batch_id=$batchId")
-        if (arm == "pushdown") withFpPushdown(spark)(write()) else write()
+        // so on the BROADCAST arm the data write stays the ONE full
+        // evaluation (a persist variant measured 2x that entry), and
+        // the fp-table write is derived by reading BACK the
+        // just-written batch files. The large-store arms are different:
+        // they run EXTRA actions over the batch (the pushdown key
+        // collect, wave hit collects, scan_semi's key broadcast), each
+        // of which would re-evaluate the regex-heavy upstream — so
+        // there, and only there, the deduped batch is persisted for the
+        // probe + write window. The probe itself is [[admissionJoin]]'s
+        // size-adaptive arms — broadcast-the-store while small, the
+        // batch key set PUSHED into the store scan as point predicates
+        // beyond (per-batch decode bounded by batch keys x page rows at
+        // ANY store size, waved above 100k keys), scan-semi only past
+        // the measured decode crossover where one linear scan is
+        // genuinely cheaper. None of the arms ever shuffles.
+        val bcastMax = spark.conf.getOption("graft.sink.fpBroadcastBytes")
+          .map(_.toLong).getOrElse(64L * 1024 * 1024)
+        val cacheBatch = hasFpStore && fpBytes >= bcastMax
+        if (cacheBatch)
+          one.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val (admitted, arm) =
+            if (hasFpStore) admissionJoin(one, fpRoot, batchId, fpBytes)
+            else (one, "empty_store")
+          def write(): Unit = admitted.write.mode("overwrite")
+            .partitionBy(partCol).parquet(s"$data/batch_id=$batchId")
+          if (arm == "pushdown") withFpPushdown(spark)(write()) else write()
+        } finally if (cacheBatch) one.unpersist()
         val fpPart = new Path(s"$fpRoot/batch_id=$batchId")
         if (parts(new Path(s"$data/batch_id=$batchId")).nonEmpty)
           // sorted keys + small pages + blooms: until the next fold
@@ -540,8 +635,55 @@ object DocStreams {
             fpPart.toString, nFiles = 1)
         else fs.delete(fpPart, true) // stale remnant of a crashed attempt
         fs.create(marker, true).close()
+        maybeMaintain(spark, dir, batchId)
       }
     }
+
+  // dirs with a maintenance pass currently running — the cadence below
+  // is single-flight per sink so a slow fold can never pile up threads
+  private val maintenanceInFlight =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The sink's automatic housekeeping cadence: every
+    * `graft.sink.maintainEvery` applied batches (default 64; ≤0
+    * disables), fold the idempotence markers ([[compactMarkers]]) and
+    * the per-batch fingerprint partitions ([[compactFpStore]], with
+    * `graft.sink.maintainGraceMs`, default 15 min — set it above the
+    * sink's maximum micro-batch duration, which is what makes the fold
+    * live-safe). Without a cadence the machinery existed but nothing
+    * invoked it, so a long-lived sink's per-batch two-level fp listing
+    * and root marker listing grew with batch count until an operator
+    * remembered to fold.
+    *
+    * Runs on a daemon thread by default (`graft.sink.maintainAsync`,
+    * default true) so the micro-batch never stalls behind a fold —
+    * safe because the fold is grace-manifested and the probe reads
+    * with `ignoreMissingFiles`; single-flight per dir, best-effort
+    * (a failed pass is retried at the next cadence point).
+    */
+  private def maybeMaintain(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, batchId: Long): Unit = {
+    val every = spark.conf.getOption("graft.sink.maintainEvery")
+      .map(_.toInt).getOrElse(64)
+    if (every <= 0 || batchId < 0 || (batchId + 1) % every != 0) return
+    val grace = spark.conf.getOption("graft.sink.maintainGraceMs")
+      .map(_.toLong).getOrElse(15L * 60 * 1000)
+    val async = spark.conf.getOption("graft.sink.maintainAsync")
+      .forall(_.toBoolean)
+    def pass(): Unit =
+      try {
+        compactMarkers(spark, dir)
+        compactFpStore(spark, dir, nFiles = 0, graceMs = grace)
+      } catch { case scala.util.control.NonFatal(_) => () }
+      finally maintenanceInFlight.remove(dir)
+    if (maintenanceInFlight.add(dir)) {
+      if (async) {
+        val t = new Thread(() => pass(), s"graft-sink-maintenance")
+        t.setDaemon(true)
+        t.start()
+      } else pass()
+    }
+  }
 
   /** One-time migration of a pre-batch-layout corpus (flat
     * `data/<partCol>=x/` dirs, no fingerprint side table — the r14
@@ -633,10 +775,26 @@ object DocStreams {
     * consolidated superset); the probe's `ignoreMissingFiles` read
     * covers the pathological probe that outlives the grace, degrading
     * it to a possible duplicate admission that [[compactCorpus]]
-    * converges, never a crash or a loss.
+    * converges, never a crash or a loss. Grace expiry compares the
+    * MAINTENANCE HOST's clock against the manifest's store mtime, so
+    * clock skew between them eats into the stated grace — pad
+    * `graceMs` by the deployment's skew allowance (the same bounded-
+    * skew assumption [[graft.core.WriterLease]]'s TTL documents).
+    *
+    * COST SHAPE (what lets the sink invoke this every few dozen
+    * batches): the fold is TIERED. A normal pass folds only the
+    * per-batch partitions (non-negative ids) into one new consolidated
+    * partition — cost O(batches since the last fold), never O(store).
+    * Earlier consolidated partitions (negative ids) are left alone
+    * until `fullFoldAt` of them accumulate, at which point one full
+    * fold (the rare O(store) pass) merges everything; the probe reads
+    * the UNION of partitions, so multiple consolidated generations in
+    * the meantime are semantically invisible. `nFiles ≤ 0` sizes the
+    * output automatically at ~256 MB per file of folded input.
     */
   def compactFpStore(spark: org.apache.spark.sql.SparkSession, dir: String,
-                     nFiles: Int = 4, graceMs: Long = 0L): Unit = {
+                     nFiles: Int = 4, graceMs: Long = 0L,
+                     fullFoldAt: Int = 16): Unit = {
     val fpRoot = new Path(s"$dir/fp")
     val fs = fpRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(fpRoot)) return
@@ -669,23 +827,61 @@ object DocStreams {
     def idOf(st: org.apache.hadoop.fs.FileStatus): Long =
       st.getPath.getName.stripPrefix("batch_id=").toLong
     val all = partDirs()
-    val old = all.filterNot(st => pendingAbs.contains(idOf(st)))
+    val live = all.filterNot(st => pendingAbs.contains(idOf(st)))
+    // tiered: fold only the per-batch (non-negative id) partitions
+    // unless enough consolidated generations piled up for the rare
+    // full pass — see the scaladoc cost shape. Reading only the folded
+    // sources keeps the superset property either way: a pending-
+    // absorbed partition's keys already live in its own consolidated
+    // target, which survives this fold untouched (incremental) or is
+    // itself a fold source (full).
+    val negs = live.filter(idOf(_) < 0L)
+    // under a LIVE sink a positive-id partition may be mid-write by the
+    // current micro-batch: folding it now could absorb a partial (or
+    // empty) key set and later delete the completed partition — so when
+    // the dir carries sink markers at all, only APPLIED batches (their
+    // marker was written strictly after their fp partition) are fold
+    // sources. A marker-less dir (offline fold of hand-written
+    // partitions, the probe harnesses) folds everything, as before.
+    val rootNames =
+      try fs.listStatus(new Path(dir)).map(_.getPath.getName)
+      catch { case _: java.io.FileNotFoundException => Array.empty[String] }
+    val hasMarkers = rootNames.exists(_.startsWith("_applied"))
+    val hwm = rootNames.filter(_.startsWith("_applied_hwm="))
+      .map(_.stripPrefix("_applied_hwm=").toLong).foldLeft(-1L)(math.max)
+    val markerIds = rootNames
+      .filter(n => n.startsWith("_applied_") && !n.startsWith("_applied_hwm="))
+      .flatMap(n => scala.util.Try(n.stripPrefix("_applied_").toLong).toOption)
+      .toSet
+    def foldable(id: Long): Boolean =
+      id < 0L || !hasMarkers || id <= hwm || markerIds.contains(id)
+    val old = (if (negs.length >= fullFoldAt) live
+               else live.filter(idOf(_) >= 0L)).filter(st => foldable(idOf(st)))
     if (old.length <= 1) return
     if (!old.exists(d => fs.listStatus(d.getPath).exists(
         _.getPath.getName.endsWith(".parquet")))) {
       // nothing but empty remnants: clear them, there is no data to fold
-      old.filterNot(st => pendingAbs.contains(idOf(st)))
-        .foreach(st => fs.delete(st.getPath, true))
+      old.foreach(st => fs.delete(st.getPath, true))
       return
     }
     // the target must undercut every id present, pending targets included
     val target = math.min(all.map(idOf).min, 0L) - 1L
-    // the whole-store read includes pending-absorbed partitions; their
-    // keys are already in their own consolidated target, so distinct()
-    // folds them harmlessly and the result stays a superset
+    val srcBytes = old.flatMap { d =>
+      try fs.listStatus(d.getPath)
+        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen)
+      catch { case _: java.io.FileNotFoundException => Array.empty[Long] }
+    }.sum
+    val useFiles =
+      if (nFiles > 0) nFiles
+      else math.max(1L, (srcBytes + (256L << 20) - 1) / (256L << 20)).toInt
+    // read exactly the fold sources (racing replays overwrite their own
+    // partition with identical content — ignoreMissingFiles covers the
+    // swap window); distinct() dedups within the folded set
     writeFpPartition(
-      spark.read.parquet(fpRoot.toString).select(col("fpb")).distinct(),
-      s"$dir/fp/batch_id=$target", nFiles)
+      spark.read.option("ignoreMissingFiles", "true")
+        .parquet(old.map(_.getPath.toString).toSeq: _*)
+        .select(col("fpb")).distinct(),
+      s"$dir/fp/batch_id=$target", useFiles)
     val manifest = new Path(fpRoot, s"_folded_$target")
     val out = fs.create(manifest, true)
     try out.write(old.map(idOf).sorted.mkString("", "\n", "\n")
@@ -753,7 +949,11 @@ object DocStreams {
     * sink's store probe extends dedup across the watermark horizon and
     * across restarts — together the full division of labor this module
     * documents, in one query. The checkpoint carries source offsets;
-    * sink idempotence is the marker + store probe above.
+    * sink idempotence is the marker + store probe above. Housekeeping
+    * is automatic: every `graft.sink.maintainEvery` batches the sink
+    * folds its markers and fp partitions on a daemon thread
+    * ([[maybeMaintain]]), so root-object and fp-partition counts stay
+    * bounded over an unbounded run with no operator intervention.
     */
   def toCorpus(docs: DataFrame, dir: String, checkpoint: String,
                lateness: String, dropPii: Boolean = false,

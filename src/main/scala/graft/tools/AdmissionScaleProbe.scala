@@ -9,7 +9,12 @@ import graft.streaming.DocStreams
   * against fingerprint stores of growing size — the scale claim the
   * pushdown arm exists to make: per-batch probe cost bounded by
   * `batch keys × page rows` decoded rows at ANY store size (flat in
-  * store size), vs the scan_semi arm's O(store) scan.
+  * store size), vs the scan_semi arm's O(store) scan — and, per batch
+  * size, the decode CROSSOVER the default gate pins
+  * (`graft.sink.fpCrossover`): pushdown wins while
+  * `batch keys × page rows < crossover × store keys`, scan_semi wins
+  * beyond, because a dense-enough probe touches every page anyway and
+  * the linear scan amortizes better.
   *
   * Stores are written through the sink's own layout (one consolidated
   * `batch_id=` partition via the same sorted / 1000-row-page /
@@ -19,15 +24,19 @@ import graft.streaming.DocStreams
   * half absent keys, the dedup probe's worst case for stats-only
   * skipping (absent keys are where the blooms earn their bytes).
   *
-  * Usage: `sbt "runMain graft.tools.AdmissionScaleProbe [rows1,rows2,...] [batchDocs] [reps]"`
-  * Defaults: 2000000,20000000 store keys, 10000 batch docs, 3 reps.
+  * Usage: `sbt "runMain graft.tools.AdmissionScaleProbe
+  *   [storeRows1,...] [batchDocs1,...] [reps]"`
+  * Defaults: 2000000,20000000 store keys; 10000 batch docs; 3 reps.
+  * A batch above `graft.sink.fpPushdownKeys` (100k) exercises the
+  * WAVED pushdown path.
   */
 object AdmissionScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val sizes = args.headOption.getOrElse("2000000,20000000")
       .split(",").map(_.trim.toLong).toSeq
-    val nDocs = if (args.length > 1) args(1).toInt else 10000
+    val batchSizes = (if (args.length > 1) args(1) else "10000")
+      .split(",").map(_.trim.toInt).toSeq
     val reps = if (args.length > 2) args(2).toInt else 3
     val spark = SparkSession.builder()
       .appName("graft-admission-scale-probe").master("local[32]")
@@ -64,54 +73,69 @@ object AdmissionScaleProbe {
         .flatMap(d => fs.listStatus(d.getPath))
         .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
 
-      // batch: half present (ids inside [0,n)), half absent ([n,2n))
-      val batch = spark.range(nDocs)
-        .select((col("id") * (2L * n / nDocs)).as("probe_id"))
-        .select(col("probe_id").as("doc_id"),
-          md5(col("probe_id").cast("string")).as("fp"))
-        .cache()
-      // absent keys = ids landing in [n, 2n); the seed fold's singleton
-      // key never collides with an id string's md5
-      val expectAdmitted = batch.filter(col("doc_id") >= n).count()
+      for (nDocs <- batchSizes) {
+        // batch: half present (ids inside [0,n)), half absent ([n,2n))
+        val batch = spark.range(nDocs)
+          .select((col("id") * (2L * n / nDocs)).as("probe_id"))
+          .select(col("probe_id").as("doc_id"),
+            md5(col("probe_id").cast("string")).as("fp"))
+          .cache()
+        // absent keys = ids landing in [n, 2n); the seed fold's
+        // singleton key never collides with an id string's md5
+        val expectAdmitted = batch.filter(col("doc_id") >= n).count()
 
-      def runArm(conf: (String, String)*): (Double, String, Long) = {
-        conf.foreach { case (k, v) => spark.conf.set(k, v) }
-        try {
-          var arm = ""; var admitted = 0L
-          val t = timeIt {
-            val (df, a) = DocStreams.admissionJoin(batch, s"$dir/fp", 999L, fpBytes)
-            arm = a
-            admitted = DocStreams.withFpPushdown(spark)(df.count())
-          }
-          (t, arm, admitted)
-        } finally conf.foreach { case (k, _) => spark.conf.unset(k) }
-      }
-
-      var tPush = Double.MaxValue; var tSemi = Double.MaxValue
-      var aPush = -1L; var aSemi = -1L
-      for (r <- 1 to reps) {
-        // alternate arm order per rep (order bias control)
-        val order =
-          if (r % 2 == 1) Seq("push", "semi") else Seq("semi", "push")
-        // both arms forced onto the LARGE-store path (broadcast gate 0):
-        // the point is their growth with store size, not the gate
-        order.foreach {
-          case "push" =>
-            val (t, arm, a) = runArm("graft.sink.fpBroadcastBytes" -> "0")
-            require(arm == "pushdown", arm); aPush = a
-            tPush = math.min(tPush, t)
-          case "semi" =>
-            val (t, arm, a) = runArm("graft.sink.fpBroadcastBytes" -> "0",
-              "graft.sink.fpPushdownKeys" -> "0")
-            require(arm == "scan_semi", arm); aSemi = a
-            tSemi = math.min(tSemi, t)
+        def runArm(conf: (String, String)*): (Double, String, Long) = {
+          conf.foreach { case (k, v) => spark.conf.set(k, v) }
+          try {
+            var arm = ""; var admitted = 0L
+            val t = timeIt {
+              val (df, a) =
+                DocStreams.admissionJoin(batch, s"$dir/fp", 999L, fpBytes)
+              arm = a
+              admitted = DocStreams.withFpPushdown(spark)(df.count())
+            }
+            (t, arm, admitted)
+          } finally conf.foreach { case (k, _) => spark.conf.unset(k) }
         }
+
+        // what the SHIPPED cost gate picks at this (store, batch) —
+        // the crossover documentation the gate's default is pinned to
+        val (_, defaultArm, _) = runArm("graft.sink.fpBroadcastBytes" -> "0")
+
+        var tPush = Double.MaxValue; var tSemi = Double.MaxValue
+        var aPush = -1L; var aSemi = -1L
+        var pushArm = ""
+        for (r <- 1 to reps) {
+          // alternate arm order per rep (order bias control)
+          val order =
+            if (r % 2 == 1) Seq("push", "semi") else Seq("semi", "push")
+          // both arms forced onto the LARGE-store path (broadcast gate
+          // 0); the crossover gate is overridden in BOTH directions so
+          // each arm runs regardless of what the default would pick
+          order.foreach {
+            case "push" =>
+              val (t, arm, a) = runArm(
+                "graft.sink.fpBroadcastBytes" -> "0",
+                "graft.sink.fpCrossover" -> "1e15",
+                "graft.sink.fpDriverCapKeys" -> "100000000")
+              require(arm == "pushdown" || arm == "pushdown_waves", arm)
+              pushArm = arm; aPush = a
+              tPush = math.min(tPush, t)
+            case "semi" =>
+              val (t, arm, a) = runArm("graft.sink.fpBroadcastBytes" -> "0",
+                "graft.sink.fpPushdownKeys" -> "0")
+              require(arm == "scan_semi", arm); aSemi = a
+              tSemi = math.min(tSemi, t)
+          }
+        }
+        require(aPush == aSemi,
+          s"arms disagree: pushdown=$aPush scan_semi=$aSemi")
+        println(f"store=$n%-10d (${fpBytes / 1e6}%.0f MB, $files files)  " +
+          f"batch=$nDocs%-7d admitted=$aPush (expect ~$expectAdmitted)  " +
+          f"$pushArm%-14s $tPush%7.3f s   scan_semi $tSemi%7.3f s   " +
+          f"default gate -> $defaultArm")
+        batch.unpersist()
       }
-      require(aPush == aSemi, s"arms disagree: pushdown=$aPush scan_semi=$aSemi")
-      println(f"store=$n%-10d (${fpBytes / 1e6}%.0f MB, $files files)  " +
-        f"batch=$nDocs  admitted=$aPush (expect ~$expectAdmitted)  " +
-        f"pushdown $tPush%7.3f s   scan_semi $tSemi%7.3f s")
-      batch.unpersist()
       fs.delete(root, true)
     }
     spark.stop()

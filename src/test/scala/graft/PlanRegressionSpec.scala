@@ -149,6 +149,13 @@ class PlanRegressionSpec extends SparkSpec
     val pushPlan = initialPlan(arms(1)._1).toString
     assert("PushedFilters: \\[.*In\\(fpb".r.findFirstIn(pushPlan).isDefined,
       s"pushdown arm lost its pushed In(fpb...):\n$pushPlan")
+    // the waved variant (batch above the per-wave bound) runs its
+    // probes eagerly and leaves only a shuffle-free final plan
+    val (wDf, wArm) = arm(big, "graft.sink.fpPushdownKeys" -> "10")
+    assert(wArm == "pushdown_waves", wArm)
+    val wPlan = initialPlan(wDf).toString
+    assert("Exchange (?:hash|range|Single)".r.findAllIn(wPlan).isEmpty,
+      s"waved arm shuffles:\n$wPlan")
   }
 
   test("layout_bucketed_join joins bucketed tables with no join shuffle") {

@@ -495,8 +495,18 @@ class StreamingSpec extends SparkSpec {
     val got = spark.read.parquet(s"$dir/data")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got == Set(1L, 2L, 3L, 5L), s"got $got")
-    // idempotent: a second compaction folds {-1, 3} into -2
+    // a second DEFAULT compaction is tiered: one consolidated
+    // generation + one new batch is below the full-fold threshold and
+    // only ≥2 per-batch partitions fold, so nothing happens
     graft.streaming.DocStreams.compactFpStore(spark, dir)
+    val tiered = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/fp"))
+      .map(_.getPath.getName).filter(_.startsWith("batch_id=")).toSet
+    assert(tiered == Set("batch_id=-1", "batch_id=3"), s"got $tiered")
+    // forcing the full tier folds {-1, 3} into -2
+    graft.streaming.DocStreams.compactFpStore(spark, dir, fullFoldAt = 1)
+    val full = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/fp"))
+      .map(_.getPath.getName).filter(_.startsWith("batch_id=")).toSet
+    assert(full == Set("batch_id=-2"), s"got $full")
     val fps = spark.read.parquet(s"$dir/fp")
       .select("fpb").collect().map(_.getAs[Array[Byte]](0).toSeq).toSet
     assert(fps.size == 4)
@@ -599,6 +609,16 @@ class StreamingSpec extends SparkSpec {
     assert(run(big, "graft.sink.fpPushdownKeys" -> "0") == (want, "scan_semi"))
     // tiny chunks force the multi-chunk union path of the pushdown arm
     assert(run(big, "graft.sink.fpChunkKeys" -> "2") == (want, "pushdown"))
+    // a batch above the per-wave bound runs as waves (3 waves of ≤2
+    // keys here), hits collected per wave and anti-joined once
+    assert(run(big, "graft.sink.fpPushdownKeys" -> "2") ==
+      (want, "pushdown_waves"))
+    // the decode-crossover gate: a store this small (estimated keys ≪
+    // batch × page rows) makes one linear scan the cheaper probe, so
+    // with the REAL store size the gate itself must pick scan_semi
+    val realBytes = 500L * 16L
+    assert(run(realBytes,
+      "graft.sink.fpBroadcastBytes" -> "0") == (want, "scan_semi"))
     val (emptyDf, emptyArm) = graft.streaming.DocStreams.admissionJoin(
       batch.filter(col("doc_id") < 0L), s"$dir/fp", 99L, big)
     assert(emptyDf.count() == 0L && emptyArm == "empty_batch")
@@ -682,9 +702,11 @@ class StreamingSpec extends SparkSpec {
           graft.pipeline.TextAnalysis.fingerprintExpr(col("text")))
     def storedIds = spark.read.parquet(s"$dir/data")
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    // any non-empty store exceeds 1 byte -> every probe after batch 0
-    // takes the pushdown arm (batch keys << the default key cap)
+    // any non-empty store exceeds 1 byte -> large-store path after
+    // batch 0; the crossover gate is raised so the TINY test store
+    // still picks point predicates over a linear scan
     spark.conf.set("graft.sink.fpBroadcastBytes", "1")
+    spark.conf.set("graft.sink.fpCrossover", "1e12")
     try {
       sink(prep(Seq(1L -> goodA, 2L -> goodB)), 0L)
       // store duplicate vetoed via pushed point predicates; novel admitted
@@ -699,7 +721,10 @@ class StreamingSpec extends SparkSpec {
       // the inFilterThreshold the write ran under must be restored
       assert(spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold")
         != "1001")
-    } finally spark.conf.unset("graft.sink.fpBroadcastBytes")
+    } finally {
+      spark.conf.unset("graft.sink.fpBroadcastBytes")
+      spark.conf.unset("graft.sink.fpCrossover")
+    }
   }
 
   test("compactMarkers: contiguous markers fold into a watermark the sink honors") {
@@ -768,9 +793,10 @@ class StreamingSpec extends SparkSpec {
     // a probe against the transiently-doubled store still admits exactly
     sink(prep(Seq(3L -> goodA, 4L -> goodC)), 2L)
     assert(storedIds == Set(1L, 2L, 4L))
-    // a second graced fold skips pending-absorbed partitions: it folds
-    // {-1, 2} (the live ones) under a fresh target
-    graft.streaming.DocStreams.compactFpStore(spark, dir, graceMs = 3600000L)
+    // a second graced FULL fold skips pending-absorbed partitions: it
+    // folds {-1, 2} (the live ones) under a fresh target
+    graft.streaming.DocStreams.compactFpStore(spark, dir,
+      graceMs = 3600000L, fullFoldAt = 1)
     assert(fpNames.contains("batch_id=-2") && fpNames.contains("_folded_-2"),
       fpNames)
     // grace expiry (a 0-grace pass models the later maintenance run):
@@ -783,6 +809,64 @@ class StreamingSpec extends SparkSpec {
     val fps = spark.read.parquet(s"$dir/fp")
       .select("fpb").collect().map(_.getAs[Array[Byte]](0).toSeq).toSet
     assert(fps.size == 4, "one key per admitted doc after all folds")
+  }
+
+  test("sink maintenance cadence: root objects and fp partitions stay bounded over a long run") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmpDir("corpus-sink-maint")
+    val sink = graft.streaming.DocStreams.corpusBatchSink(dir)
+    def prep(rows: Seq[(Long, String)]) =
+      graft.streaming.DocStreams.qualityFilter(
+          rows.map { case (id, t) => (id, t, ts(id)) }
+            .toDF("doc_id", "text", "ts"))
+        .withColumn("fp",
+          graft.pipeline.TextAnalysis.fingerprintExpr(col("text")))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // synchronous + zero grace for determinism: the production default
+    // is async with a 15-min grace, same code path beyond the thread
+    spark.conf.set("graft.sink.maintainEvery", "4")
+    spark.conf.set("graft.sink.maintainAsync", "false")
+    spark.conf.set("graft.sink.maintainGraceMs", "0")
+    try {
+      // every batch: one novel doc + one replay of batch 0's second doc
+      for (b <- 0 until 16)
+        sink(prep(Seq(
+          (10L * b) -> (goodA + s" novel content revision $b"),
+          (10L * b + 1) -> goodB)), b.toLong)
+      // markers folded to the single watermark at the cadence point
+      val rootNames = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .map(_.getPath.getName).filter(_.startsWith("_applied")).toSet
+      assert(rootNames == Set("_applied_hwm=15"), rootNames)
+      // fp store: every per-batch partition folded; one consolidated
+      // generation per cadence point, bounded (4 here), never O(batches)
+      val fpDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/fp"))
+        .map(_.getPath.getName).filter(_.startsWith("batch_id=")).toSet
+      assert(fpDirs == Set("batch_id=-1", "batch_id=-2", "batch_id=-3",
+        "batch_id=-4"), fpDirs)
+      // dedup across folds stayed exact: 16 novels + ONE goodB admission
+      val got = spark.read.parquet(s"$dir/data")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == (0 until 16).map(10L * _).toSet + 1L, s"got $got")
+    } finally {
+      spark.conf.unset("graft.sink.maintainEvery")
+      spark.conf.unset("graft.sink.maintainAsync")
+      spark.conf.unset("graft.sink.maintainGraceMs")
+    }
+  }
+
+  test("compactMarkers: 10^4 absorbed batches fold to one root object") {
+    val dir = tmpDir("corpus-sink-markers-10k")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p)
+    for (i <- 0 until 10000)
+      fs.create(new org.apache.hadoop.fs.Path(p, s"_applied_$i"), true).close()
+    graft.streaming.DocStreams.compactMarkers(spark, dir)
+    val names = fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("_applied")).toSet
+    assert(names == Set("_applied_hwm=9999"), s"got ${names.size} names")
   }
 
   test("DocStreams.toCorpus: gate -> dedup -> persisted corpus, end-to-end") {
