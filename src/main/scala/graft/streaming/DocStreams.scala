@@ -119,9 +119,11 @@ object DocStreams {
     *    the measured decode crossover: pushdown decodes ~`batch keys ×
     *    page rows` rows, scan_semi decodes ~`store keys`, so pushdown
     *    is chosen while `batch keys ≤ crossover × store keys / page
-    *    rows` (`graft.sink.fpCrossover`, default 0.5 — the wall-time
-    *    equality point measured by AdmissionScaleProbe; store keys
-    *    estimated as listed bytes / 16, md5 keys being incompressible)
+    *    rows` (`graft.sink.fpCrossover`, default 0.4 — bracketed by
+    *    AdmissionScaleProbe: at decode ratio 0.17 pushdown wins 2.6x,
+    *    at 0.5 scan_semi edges ahead, at ≥5 scan_semi wins 2–36x;
+    *    store keys estimated as listed bytes / 16, md5 keys being
+    *    incompressible)
     *    AND the batch key set fits the driver collect bound
     *    (`graft.sink.fpDriverCapKeys`, default 2M ≈ 80 MB of boxed
     *    keys). At a production store the crossover dominates: a
@@ -153,7 +155,7 @@ object DocStreams {
     val capKeys = spark.conf.getOption("graft.sink.fpDriverCapKeys")
       .map(_.toLong).getOrElse(2000000L)
     val xover = spark.conf.getOption("graft.sink.fpCrossover")
-      .map(_.toDouble).getOrElse(0.5)
+      .map(_.toDouble).getOrElse(0.4)
     if (fpBytes < bcastMax)
       (one.join(broadcast(prior),
         unhex(col("fp")) === col("fpb"), "left_anti"), "broadcast_anti")

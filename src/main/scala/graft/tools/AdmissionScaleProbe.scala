@@ -102,6 +102,13 @@ object AdmissionScaleProbe {
         // the crossover documentation the gate's default is pinned to
         val (_, defaultArm, _) = runArm("graft.sink.fpBroadcastBytes" -> "0")
 
+        // forcing the pushdown arm FAR past the crossover is hopeless
+        // by construction (decode bound = batch x page rows, many
+        // multiples of one linear scan — measured 36x slower at 150x,
+        // executor-OOM territory beyond): skip the forced arm there and
+        // report it, the way FpPushdownProbe skips past the stack bound
+        val decodeRatio = nDocs.toDouble * 1000 / math.max(1L, fpBytes / 16L)
+        val pushHopeless = decodeRatio > 4.0
         var tPush = Double.MaxValue; var tSemi = Double.MaxValue
         var aPush = -1L; var aSemi = -1L
         var pushArm = ""
@@ -113,7 +120,7 @@ object AdmissionScaleProbe {
           // 0); the crossover gate is overridden in BOTH directions so
           // each arm runs regardless of what the default would pick
           order.foreach {
-            case "push" =>
+            case "push" if !pushHopeless =>
               val (t, arm, a) = runArm(
                 "graft.sink.fpBroadcastBytes" -> "0",
                 "graft.sink.fpCrossover" -> "1e15",
@@ -121,6 +128,7 @@ object AdmissionScaleProbe {
               require(arm == "pushdown" || arm == "pushdown_waves", arm)
               pushArm = arm; aPush = a
               tPush = math.min(tPush, t)
+            case "push" => ()
             case "semi" =>
               val (t, arm, a) = runArm("graft.sink.fpBroadcastBytes" -> "0",
                 "graft.sink.fpPushdownKeys" -> "0")
@@ -128,11 +136,15 @@ object AdmissionScaleProbe {
               tSemi = math.min(tSemi, t)
           }
         }
-        require(aPush == aSemi,
-          s"arms disagree: pushdown=$aPush scan_semi=$aSemi")
+        if (!pushHopeless)
+          require(aPush == aSemi,
+            s"arms disagree: pushdown=$aPush scan_semi=$aSemi")
+        val pushCell =
+          if (pushHopeless) f"push skipped (${decodeRatio}%.1fx crossover)"
+          else f"$pushArm%-14s $tPush%7.3f s"
         println(f"store=$n%-10d (${fpBytes / 1e6}%.0f MB, $files files)  " +
-          f"batch=$nDocs%-7d admitted=$aPush (expect ~$expectAdmitted)  " +
-          f"$pushArm%-14s $tPush%7.3f s   scan_semi $tSemi%7.3f s   " +
+          f"batch=$nDocs%-7d admitted=$aSemi (expect ~$expectAdmitted)  " +
+          f"$pushCell   scan_semi $tSemi%7.3f s   " +
           f"default gate -> $defaultArm")
         batch.unpersist()
       }

@@ -1,0 +1,250 @@
+package graft
+
+import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch, Executors, TimeUnit}
+import java.util.concurrent.atomic.AtomicLong
+
+import graft.core.Engine
+import graft.server.{NetClient, TcpServer}
+
+/** The FOUR-WAY production composition, soaked under one seeded
+  * randomized schedule: concurrent TCP sessions + a mutating writer +
+  * a read replica on a refresh timer + vacuum with a short grace, all
+  * live at once over one shared store — the reference's deployment
+  * topology (one thread per session over shared storage,
+  * /root/reference/src/server/server.c:967-1006) with the replica and
+  * maintenance roles this engine adds. Each pairwise seam is spec'd
+  * alone (TcpServerSpec, ObjectStoreSpec, VacuumSpec); this spec is
+  * the composition.
+  *
+  * Invariants asserted CONTINUOUSLY while the schedule runs:
+  *   - per-replica snapshot monotonicity: across refreshes, no column
+  *     vanishes and per-column (version, nextId) never decrease
+  *     (Catalog.reload's dominance contract);
+  *   - no torn reads: `sa` only ever receives appends of 1,2,3,… in
+  *     order, so EVERY consistent snapshot satisfies count = c and
+  *     sum = c(c+1)/2 — a mix of two versions cannot; `sb` is a
+  *     singleton cell updated monotonically, so every read must be
+  *     nondecreasing and within the issued range;
+  *   - no vacuum-deleted dir is ever read: replica evals bind a
+  *     version dir and collect from it; a dir deleted under the read
+  *     would surface as an exception — any exception on any role
+  *     fails the soak. The replica refreshes every ~30 ms while
+  *     vacuum's grace is 5 s, which is the documented contract
+  *     (readers must refresh within the retention window).
+  *
+  * One refusal is EXPECTED under this composition and asserted as
+  * such: a TCP session's select -> fetch that RACES a concurrent
+  * insert can answer `DBECOLDIFFLEN` — fetch validates the bitmap
+  * length against the CURRENT column length, the reference's own check
+  * (storage.c:1311-1318), so the cross-session race is refused loudly
+  * instead of answered with a torn mix (this soak is what pinned that
+  * down). Clients retry, as the reference's would.
+  */
+class CompositionSoakSpec extends SparkSpec {
+
+  private def netRun(port: Int, script: String): (Boolean, Seq[String], Seq[String]) = {
+    val out = collection.mutable.Buffer[String]()
+    val err = collection.mutable.Buffer[String]()
+    val failed = NetClient.run("127.0.0.1", port, script.linesIterator,
+      out += _, err += _)
+    (failed, out.toSeq, err.toSeq)
+  }
+
+  test("composition soak: TCP sessions + writer + refreshing replica + graced vacuum, 200 randomized steps") {
+    val dbDir = tmpDir("composition-soak")
+    val writer = new Engine(spark, dbDir)
+    val server = new TcpServer(writer, port = 0, threads = 8)
+    val port = server.start()
+    val failures = new ConcurrentLinkedQueue[String]()
+    @volatile var stopping = false
+    def guard[A](role: String)(body: => A): Option[A] =
+      try Some(body) catch {
+        case e: Throwable =>
+          // teardown interrupts landing mid-eval are expected, not findings
+          if (!stopping)
+            failures.add(s"$role: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          None
+      }
+    try {
+      // seed: sa takes ordered appends, sb is the update-churn cell
+      val (sf, _, serr) = netRun(port,
+        """create(sa,"unsorted")
+          |create(sb,"unsorted")
+          |insert(sa,1)
+          |insert(sb,1000)
+          |""".stripMargin)
+      assert(!sf, serr.mkString("; "))
+
+      val replica = new Engine(spark, dbDir, readOnly = true)
+      @volatile var stop = false
+      val nextSa = new AtomicLong(2L)   // next append value for sa
+      val sbVal = new AtomicLong(1000L) // last issued sb value
+      val vacuumDeleted = new AtomicLong(0L)
+      val raceRefusals = new AtomicLong(0L)
+
+      // ---- replica role: refresh + invariant reads, continuous ----
+      var lastSnap = Map.empty[String, (Long, Long)]
+      var lastSaCount = 0L
+      var lastSb = 1000L
+      val replicaThread = new Thread(() => {
+        while (!stop) {
+          guard("replica") {
+            replica.refresh()
+            val snap = replica.catalog.all
+              .map(c => c.name -> ((c.version, c.nextId))).toMap
+            lastSnap.foreach { case (n, (v, id)) =>
+              val cur = snap.get(n)
+              assert(cur.isDefined, s"column $n vanished from the snapshot")
+              assert(cur.get._1 >= v && cur.get._2 >= id,
+                s"snapshot regressed for $n: $cur < ${(v, id)}")
+            }
+            lastSnap = snap
+            // one eval per column: fetch binds the version ONCE, the
+            // aggregates run over that bound intermediate — so (count,
+            // sum) is internally consistent by construction and any
+            // torn mix of versions breaks the arithmetic invariant
+            val saOut = replica.execute(
+              "p=select(sa)\nv=fetch(sa,p)\nc=count(v)\ns=sum(v)\ntuple(c,s)")
+            val Array(c, s) = saOut.head.stripPrefix("(").stripSuffix(")")
+              .split(",").map(_.toLong)
+            assert(s == c * (c + 1) / 2,
+              s"torn read on sa: count=$c sum=$s (want ${c * (c + 1) / 2})")
+            assert(c >= lastSaCount, s"sa count went backward: $c < $lastSaCount")
+            lastSaCount = c
+            val sbOut = replica.execute(
+              "p=select(sb)\nv=fetch(sb,p)\nprint(v)")
+            assert(sbOut.size == 1, s"sb must stay a singleton: $sbOut")
+            val sb = sbOut.head.toLong
+            assert(sb >= lastSb && sb >= 1000L && sb <= sbVal.get(),
+              s"sb read $sb outside [$lastSb, ${sbVal.get()}]")
+            lastSb = sb
+          }
+          try Thread.sleep(30) catch { case _: InterruptedException => () }
+        }
+      }, "soak-replica")
+      replicaThread.start()
+
+      // ---- vacuum role: short-grace sweeps while everything runs ----
+      val vacuumThread = new Thread(() => {
+        while (!stop) {
+          guard("vacuum") {
+            val stats = writer.vacuum(retainMs = 5000L)
+            vacuumDeleted.addAndGet(stats.deleted)
+          }
+          try Thread.sleep(150) catch { case _: InterruptedException => () }
+        }
+      }, "soak-vacuum")
+      vacuumThread.start()
+
+      // ---- the seeded 200-step schedule over TCP sessions ----
+      // inserts and updates each run on their OWN single lane (their
+      // invariants need per-column ordering); reads fan out on a pool —
+      // so at any instant up to 4 TCP sessions, the replica and the
+      // vacuum are all in flight against the one store
+      val rnd = new scala.util.Random(20260815L)
+      val insertLane = Executors.newSingleThreadExecutor()
+      val updateLane = Executors.newSingleThreadExecutor()
+      val readPool = Executors.newFixedThreadPool(2)
+      val pending = new ConcurrentLinkedQueue[CountDownLatch]()
+      def dispatch(ex: java.util.concurrent.ExecutorService)(body: => Unit): Unit = {
+        val done = new CountDownLatch(1)
+        pending.add(done)
+        ex.execute(() => try body finally done.countDown())
+      }
+      for (step <- 0 until 200) {
+        rnd.nextInt(10) match {
+          case r if r <= 3 => // append 1-2 ordered values to sa
+            val k = 1 + rnd.nextInt(2)
+            dispatch(insertLane) {
+              guard("insert-client") {
+                val script = (0 until k)
+                  .map(_ => s"insert(sa,${nextSa.getAndIncrement()})")
+                  .mkString("", "\n", "\n")
+                val (f, _, e) = netRun(port, script)
+                assert(!f, s"insert failed: ${e.mkString("; ")}")
+              }
+            }
+          case r if r <= 5 => // bump sb (copy-on-write rewrite = churn)
+            dispatch(updateLane) {
+              guard("update-client") {
+                // the issued bound advances BEFORE the commit so a
+                // replica read racing the update never sees a value
+                // above sbVal (monotone upper bound, never torn)
+                val target = sbVal.incrementAndGet()
+                val (f, _, e) = netRun(port,
+                  s"u=select(sb,${target - 1})\nupdate(u,sb,$target)\n")
+                assert(!f, s"update failed: ${e.mkString("; ")}")
+              }
+            }
+          case r if r <= 8 => // a TCP reader session with the same invariants
+            dispatch(readPool) {
+              guard("read-client") {
+                val (f, out, e) = netRun(port,
+                  "p=select(sa)\nv=fetch(sa,p)\nc=count(v)\ns=sum(v)\ntuple(c,s)\n")
+                if (f) {
+                  // the ONE legal refusal: the fetch raced an insert and
+                  // the bitmap-length check rejected loudly (see the
+                  // class doc) — everything after cascades DBENOVAR.
+                  // Any OTHER failure is a finding.
+                  assert(e.head.startsWith("DBECOLDIFFLEN") &&
+                    e.tail.forall(_.startsWith("DBENOVAR")),
+                    s"read failed: ${e.mkString("; ")}")
+                  raceRefusals.incrementAndGet()
+                } else {
+                  val Array(c, s) = out.head.stripPrefix("(").stripSuffix(")")
+                    .split(",").map(_.toLong)
+                  assert(s == c * (c + 1) / 2, s"torn TCP read: count=$c sum=$s")
+                }
+              }
+            }
+          case _ => // a failing session: errors must not disturb anyone
+            dispatch(readPool) {
+              guard("error-client") {
+                val (f, _, e) = netRun(port, "z=select(no_such_col)\n")
+                assert(f && e.exists(_.startsWith("DBECOLSELECT")),
+                  s"expected DBECOLSELECT, got: ${e.mkString("; ")}")
+              }
+            }
+        }
+        if (rnd.nextInt(4) == 0) Thread.sleep(rnd.nextInt(15))
+      }
+      insertLane.shutdown(); updateLane.shutdown(); readPool.shutdown()
+      assert(insertLane.awaitTermination(300, TimeUnit.SECONDS))
+      assert(updateLane.awaitTermination(300, TimeUnit.SECONDS))
+      assert(readPool.awaitTermination(300, TimeUnit.SECONDS))
+      pending.forEach(l => assert(l.await(300, TimeUnit.SECONDS)))
+
+      // let the replica observe the final state, then stop the roles
+      val finalSa = nextSa.get() - 1
+      val deadline = System.currentTimeMillis() + 30000
+      while (lastSaCount < finalSa && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      stopping = true
+      stop = true
+      replicaThread.interrupt(); vacuumThread.interrupt()
+      replicaThread.join(10000); vacuumThread.join(10000)
+
+      assert(failures.isEmpty, failures.toArray.mkString("\n"))
+      // liveness: the replica converged to the writer's final state
+      assert(lastSaCount == finalSa,
+        s"replica never caught up: $lastSaCount of $finalSa")
+      assert(lastSb == sbVal.get(),
+        s"replica never saw the final sb: $lastSb of ${sbVal.get()}")
+      // the churn was real and the vacuum actually reclaimed some of it
+      // (update rewrites left >25 dead versions; the 5 s grace expired
+      // for at least the early ones during the soak)
+      assert(sbVal.get() > 1010L, s"too little update churn: ${sbVal.get()}")
+      assert(vacuumDeleted.get() > 0L,
+        "vacuum reclaimed nothing despite version churn")
+      // final writer-side ground truth
+      val (ff, fout, fe) = netRun(port,
+        "p=select(sa)\nv=fetch(sa,p)\nc=count(v)\ns=sum(v)\ntuple(c,s)\n")
+      assert(!ff, fe.mkString("; "))
+      assert(fout.head == s"($finalSa,${finalSa * (finalSa + 1) / 2})", fout)
+      replica.close()
+    } finally {
+      server.close()
+      writer.close()
+    }
+  }
+}
