@@ -20,7 +20,10 @@ import graft.streaming.EventStreams.Event
 object StreamQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  private final case class Doc(doc_id: Long, text: String, ts: Timestamp)
+  // public (not private): Janino-generated encoder code cannot call
+  // accessors on a private nested class — Spark then logs a codegen
+  // CompileException per feed and EVALUATES THE PROJECTION INTERPRETED
+  final case class Doc(doc_id: Long, text: String, ts: Timestamp)
 
   /** Replay FEEDS memoized per (feed, corpus dir): building a feed is
     * harness cost — a bounded collect + sort of the verify-scale corpus
@@ -379,7 +382,7 @@ object StreamQueries {
       .orderBy("doc_id")
   }
 
-  private final case class Vec(vec_id: Long, embedding: Seq[Float])
+  final case class Vec(vec_id: Long, embedding: Seq[Float])
 
   /** Streaming ANN ingest replayed end-to-end: the embedding corpus
     * fed in vec_id order through THREE micro-batches into

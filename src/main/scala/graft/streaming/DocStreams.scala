@@ -148,8 +148,7 @@ object DocStreams {
     val prior = spark.read.option("ignoreMissingFiles", "true")
       .parquet(fpRoot)
       .filter(col("batch_id") =!= lit(batchId)).select(col("fpb"))
-    val bcastMax = spark.conf.getOption("graft.sink.fpBroadcastBytes")
-      .map(_.toLong).getOrElse(64L * 1024 * 1024)
+    val bcastMax = fpBroadcastMax(spark)
     val waveKeys = spark.conf.getOption("graft.sink.fpPushdownKeys")
       .map(_.toInt).getOrElse(100000)
     val capKeys = spark.conf.getOption("graft.sink.fpDriverCapKeys")
@@ -168,10 +167,21 @@ object DocStreams {
         if (waveKeys <= 0) 0L
         else math.min(capKeys, math.min(xoverKeys, Long.MaxValue.toDouble).toLong)
       val limitN = (math.min(pushMax, Int.MaxValue - 2L) + 1L).toInt
-      val keys = one.select(unhex(col("fp")).as("fpb"))
-        .limit(limitN).collect().map(_.getAs[Array[Byte]](0))
-      if (keys.isEmpty) (one, "empty_batch") // nothing to probe for
-      else if (keys.length <= pushMax) {
+      // a PERSISTED batch (the sink's large-store path) answers the
+      // size gate with a count against the cache first, so an
+      // oversized batch bound for scan_semi never pays a capKeys-sized
+      // driver collect just to learn it is oversized
+      val counted: Option[Long] =
+        if (one.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+          Some(one.count())
+        else None
+      val keys: Array[Array[Byte]] =
+        if (counted.exists(n => n == 0L || n > pushMax)) Array.empty
+        else one.select(unhex(col("fp")).as("fpb"))
+          .limit(limitN).collect().map(_.getAs[Array[Byte]](0))
+      val batchN = counted.getOrElse(keys.length.toLong)
+      if (batchN == 0L) (one, "empty_batch") // nothing to probe for
+      else if (batchN <= pushMax) {
         val sorted = keys.sorted(ByteOrd)
         val chunkN = math.max(1, math.min(fpChunkKeys(spark), waveKeys))
         val chunks = sorted.grouped(chunkN).toSeq
@@ -187,19 +197,25 @@ object DocStreams {
           }
         else {
           // waves: one bounded action per `waveKeys` keys, against the
-          // range index loaded ONCE. Per-wave hits are ≤ wave keys, the
-          // accumulated total ≤ batch keys ≤ capKeys — driver-safe.
+          // range index loaded ONCE. Hits accumulate in a SET, not a
+          // buffer: during a fold's grace window a key exists in both a
+          // pending-absorbed partition and its consolidated target, so
+          // a chunk scan can return the same hit once per file — dedup
+          // is what keeps the driver bound at ≤ batch keys ≤ capKeys.
           val perWave = math.max(1, waveKeys / chunkN)
-          val hitKeys = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+          val hitKeys = scala.collection.mutable.LinkedHashSet
+            .empty[scala.collection.immutable.ArraySeq[Byte]]
           chunks.grouped(perWave).foreach { wave =>
             chunkScans(spark, index, wave).foreach { df =>
               hitKeys ++= withFpPushdown(spark)(
-                df.collect().map(_.getAs[Array[Byte]](0)))
+                df.collect().map(r => scala.collection.immutable.ArraySeq
+                  .unsafeWrapArray(r.getAs[Array[Byte]](0))))
             }
           }
           if (hitKeys.isEmpty) (one, "pushdown_waves")
           else {
-            val hits = spark.createDataset(hitKeys.toSeq)(
+            val hits = spark.createDataset(
+              hitKeys.iterator.map(_.toArray).toSeq)(
               org.apache.spark.sql.Encoders.BINARY).toDF("fpb")
             (anti(hits), "pushdown_waves")
           }
@@ -216,6 +232,16 @@ object DocStreams {
 
   private def fpChunkKeys(spark: org.apache.spark.sql.SparkSession): Int =
     spark.conf.getOption("graft.sink.fpChunkKeys").map(_.toInt).getOrElse(1000)
+
+  /** The broadcast-arm gate, in ONE place: [[admissionJoin]] picks the
+    * broadcast arm strictly below it, and [[corpusBatchSink]] persists
+    * the batch exactly when at-or-above it (the large-store arms run
+    * extra actions over the batch; the broadcast arm's only action is
+    * the write, where a persist is measured pure overhead).
+    */
+  private def fpBroadcastMax(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("graft.sink.fpBroadcastBytes")
+      .map(_.toLong).getOrElse(64L * 1024 * 1024)
 
   /** The pushdown arm's driver-side file-range index: every store
     * file with its fpb [min,max] from the partition's `_ranges`
@@ -452,14 +478,26 @@ object DocStreams {
     fs.exists(new Path(dir, s"_applied_$batchId")) ||
       batchId <= markerHwm(fs, dir)
 
+  // THE marker naming scheme, parsed in one place: `_applied_<id>` per
+  // absorbed batch, `_applied_hwm=<W>` for the folded watermark
+  // (readers take the max of the names present). Every consumer —
+  // the sink's applied() check, compactMarkers, compactFpStore's
+  // fold-source gate — goes through these two.
+  private def hwmOf(names: Iterable[String]): Long =
+    names.iterator.filter(_.startsWith("_applied_hwm="))
+      .map(_.stripPrefix("_applied_hwm=").toLong).foldLeft(-1L)(math.max)
+
+  private def markerIdsOf(names: Iterable[String]): Set[Long] =
+    names.iterator
+      .filter(n => n.startsWith("_applied_") && !n.startsWith("_applied_hwm="))
+      .flatMap(n => scala.util.Try(n.stripPrefix("_applied_").toLong).toOption)
+      .toSet
+
   private def markerHwm(fs: org.apache.hadoop.fs.FileSystem,
                         dir: String): Long = {
     val d = new Path(dir)
     if (!fs.exists(d)) -1L
-    else fs.listStatus(d).iterator.map(_.getPath.getName)
-      .filter(_.startsWith("_applied_hwm="))
-      .map(_.stripPrefix("_applied_hwm=").toLong)
-      .foldLeft(-1L)(math.max)
+    else hwmOf(fs.listStatus(d).map(_.getPath.getName))
   }
 
   /** Fold the corpus sink's per-batch idempotence markers into one
@@ -489,9 +527,7 @@ object DocStreams {
     val names = fs.listStatus(d).map(_.getPath.getName)
     val hwms = names.filter(_.startsWith("_applied_hwm="))
       .map(_.stripPrefix("_applied_hwm=").toLong)
-    val ids = names.filter(n =>
-      n.startsWith("_applied_") && !n.startsWith("_applied_hwm="))
-      .flatMap(n => scala.util.Try(n.stripPrefix("_applied_").toLong).toOption)
+    val ids = markerIdsOf(names).toSeq
     // clear all but the highest watermark name even when no fold runs
     // (a crashed prior fold may have left both)
     def clearBelow(w: Long): Unit = hwms.filter(_ < w)
@@ -613,9 +649,7 @@ object DocStreams {
         // ANY store size, waved above 100k keys), scan-semi only past
         // the measured decode crossover where one linear scan is
         // genuinely cheaper. None of the arms ever shuffles.
-        val bcastMax = spark.conf.getOption("graft.sink.fpBroadcastBytes")
-          .map(_.toLong).getOrElse(64L * 1024 * 1024)
-        val cacheBatch = hasFpStore && fpBytes >= bcastMax
+        val cacheBatch = hasFpStore && fpBytes >= fpBroadcastMax(spark)
         if (cacheBatch)
           one.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
@@ -849,12 +883,8 @@ object DocStreams {
       try fs.listStatus(new Path(dir)).map(_.getPath.getName)
       catch { case _: java.io.FileNotFoundException => Array.empty[String] }
     val hasMarkers = rootNames.exists(_.startsWith("_applied"))
-    val hwm = rootNames.filter(_.startsWith("_applied_hwm="))
-      .map(_.stripPrefix("_applied_hwm=").toLong).foldLeft(-1L)(math.max)
-    val markerIds = rootNames
-      .filter(n => n.startsWith("_applied_") && !n.startsWith("_applied_hwm="))
-      .flatMap(n => scala.util.Try(n.stripPrefix("_applied_").toLong).toOption)
-      .toSet
+    val hwm = hwmOf(rootNames)
+    val markerIds = markerIdsOf(rootNames)
     def foldable(id: Long): Boolean =
       id < 0L || !hasMarkers || id <= hwm || markerIds.contains(id)
     val old = (if (negs.length >= fullFoldAt) live

@@ -29,7 +29,9 @@ import graft.streaming.{DocStreams, Replay}
   */
 object StreamCostProbe {
 
-  private final case class Doc(doc_id: Long, text: String, ts: Timestamp)
+  // public: Janino-generated encoder code cannot call accessors on a
+  // private nested class and silently falls back to interpreter mode
+  final case class Doc(doc_id: Long, text: String, ts: Timestamp)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -83,27 +83,31 @@ object StreamWindowStateProbe {
         val t = System.nanoTime(); body; (System.nanoTime() - t) / 1e9
       }
 
+      // per-provider counts, validated SEPARATELY — a wrong closed-
+      // window count from one provider must never be masked by
+      // whichever provider happened to run last
       var tHdfs = Double.MaxValue; var tRocks = Double.MaxValue
-      var nOut = -1L
+      var nHdfs = -1L; var nRocks = -1L
       for (r <- 1 to reps) {
         val order = if (r % 2 == 1) Seq("hdfs", "rocks") else Seq("rocks", "hdfs")
         order.foreach {
           case "hdfs" =>
-            val t = timeIt { nOut = run() }
+            val t = timeIt { nHdfs = run() }
             tHdfs = math.min(tHdfs, t)
           case "rocks" =>
             spark.conf.set(rKey, rocks)
             try {
-              val t = timeIt { nOut = run() }
+              val t = timeIt { nRocks = run() }
               tRocks = math.min(tRocks, t)
             } finally spark.conf.unset(rKey)
         }
       }
       val expect = users.toLong * hours
       println(f"state_keys=$keys%-9d (users=$users x $hours windows, " +
-        f"${rows.size} rows)  closed=$nOut (expect $expect)  " +
+        f"${rows.size} rows)  closed=$nHdfs/$nRocks (expect $expect)  " +
         f"hdfs $tHdfs%7.2f s   rocksdb $tRocks%7.2f s")
-      require(nOut == expect, s"windows out: $nOut != $expect")
+      require(nHdfs == expect, s"hdfs windows out: $nHdfs != $expect")
+      require(nRocks == expect, s"rocksdb windows out: $nRocks != $expect")
     }
     spark.stop()
   }

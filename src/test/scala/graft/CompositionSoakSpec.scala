@@ -83,9 +83,12 @@ class CompositionSoakSpec extends SparkSpec {
       val raceRefusals = new AtomicLong(0L)
 
       // ---- replica role: refresh + invariant reads, continuous ----
+      // the convergence counters are Atomics: the MAIN thread polls
+      // them across threads (plain captured vars have no visibility
+      // guarantee); lastSnap is replica-thread-private until join()
       var lastSnap = Map.empty[String, (Long, Long)]
-      var lastSaCount = 0L
-      var lastSb = 1000L
+      val lastSaCount = new AtomicLong(0L)
+      val lastSb = new AtomicLong(1000L)
       val replicaThread = new Thread(() => {
         while (!stop) {
           guard("replica") {
@@ -109,15 +112,16 @@ class CompositionSoakSpec extends SparkSpec {
               .split(",").map(_.toLong)
             assert(s == c * (c + 1) / 2,
               s"torn read on sa: count=$c sum=$s (want ${c * (c + 1) / 2})")
-            assert(c >= lastSaCount, s"sa count went backward: $c < $lastSaCount")
-            lastSaCount = c
+            assert(c >= lastSaCount.get(),
+              s"sa count went backward: $c < ${lastSaCount.get()}")
+            lastSaCount.set(c)
             val sbOut = replica.execute(
               "p=select(sb)\nv=fetch(sb,p)\nprint(v)")
             assert(sbOut.size == 1, s"sb must stay a singleton: $sbOut")
             val sb = sbOut.head.toLong
-            assert(sb >= lastSb && sb >= 1000L && sb <= sbVal.get(),
-              s"sb read $sb outside [$lastSb, ${sbVal.get()}]")
-            lastSb = sb
+            assert(sb >= lastSb.get() && sb >= 1000L && sb <= sbVal.get(),
+              s"sb read $sb outside [${lastSb.get()}, ${sbVal.get()}]")
+            lastSb.set(sb)
           }
           try Thread.sleep(30) catch { case _: InterruptedException => () }
         }
@@ -214,11 +218,21 @@ class CompositionSoakSpec extends SparkSpec {
       assert(readPool.awaitTermination(300, TimeUnit.SECONDS))
       pending.forEach(l => assert(l.await(300, TimeUnit.SECONDS)))
 
-      // let the replica observe the final state, then stop the roles
+      // let the replica observe the final state of BOTH columns before
+      // stopping: waiting on sa alone could let the shutdown interrupt
+      // abort the converged iteration's in-flight sb read
       val finalSa = nextSa.get() - 1
       val deadline = System.currentTimeMillis() + 30000
-      while (lastSaCount < finalSa && System.currentTimeMillis() < deadline)
+      while ((lastSaCount.get() < finalSa || lastSb.get() < sbVal.get()) &&
+          System.currentTimeMillis() < deadline)
         Thread.sleep(50)
+      // the churn-reclaim assertion must not depend on the schedule's
+      // wall-clock exceeding the vacuum grace: if no in-soak sweep aged
+      // past it, wait it out once and sweep explicitly
+      if (vacuumDeleted.get() == 0L) {
+        Thread.sleep(5500)
+        vacuumDeleted.addAndGet(writer.vacuum(retainMs = 5000L).deleted)
+      }
       stopping = true
       stop = true
       replicaThread.interrupt(); vacuumThread.interrupt()
@@ -226,13 +240,12 @@ class CompositionSoakSpec extends SparkSpec {
 
       assert(failures.isEmpty, failures.toArray.mkString("\n"))
       // liveness: the replica converged to the writer's final state
-      assert(lastSaCount == finalSa,
-        s"replica never caught up: $lastSaCount of $finalSa")
-      assert(lastSb == sbVal.get(),
-        s"replica never saw the final sb: $lastSb of ${sbVal.get()}")
+      assert(lastSaCount.get() == finalSa,
+        s"replica never caught up: ${lastSaCount.get()} of $finalSa")
+      assert(lastSb.get() == sbVal.get(),
+        s"replica never saw the final sb: ${lastSb.get()} of ${sbVal.get()}")
       // the churn was real and the vacuum actually reclaimed some of it
-      // (update rewrites left >25 dead versions; the 5 s grace expired
-      // for at least the early ones during the soak)
+      // (update rewrites left >25 dead versions)
       assert(sbVal.get() > 1010L, s"too little update churn: ${sbVal.get()}")
       assert(vacuumDeleted.get() > 0L,
         "vacuum reclaimed nothing despite version churn")
