@@ -51,7 +51,28 @@ class CompositionSoakSpec extends SparkSpec {
   }
 
   test("composition soak: TCP sessions + writer + refreshing replica + graced vacuum, 200 randomized steps") {
-    val dbDir = tmpDir("composition-soak")
+    soak(tmpDir("composition-soak"))
+  }
+
+  test("composition soak in OBJECT mode: the same four roles over lease + versioned-object catalog") {
+    // the object-store control plane composes differently: the writer
+    // holds a heartbeated LEASE, every catalog mutation is a fenced
+    // versioned-object commit with history GC, the replica's refresh
+    // re-runs the winning-body selection (racing that GC — the
+    // list-retry path), and vacuum's deletes are lease-fenced. Same
+    // seeded schedule, same invariants.
+    sys.props("graft.store.object") = "true"
+    sys.props("graft.lease.ttl.ms") = "60000"
+    sys.props("graft.lease.settle.ms") = "5"
+    try soak(tmpDir("composition-soak-obj"))
+    finally {
+      sys.props.remove("graft.store.object")
+      sys.props.remove("graft.lease.ttl.ms")
+      sys.props.remove("graft.lease.settle.ms")
+    }
+  }
+
+  private def soak(dbDir: String): Unit = {
     val writer = new Engine(spark, dbDir)
     val server = new TcpServer(writer, port = 0, threads = 8)
     val port = server.start()
