@@ -255,14 +255,32 @@ object DocStreams {
 
   /** Load the [[FpRangeIndex]] for every store partition except the
     * batch's own — listed ONCE per probe, shared by every wave.
+    * Partitions recorded as absorbed by a pending `_folded_` manifest
+    * are SKIPPED: the manifest is only ever written after its
+    * consolidated target (which IS indexed) is complete, so their keys
+    * are guaranteed present elsewhere and scanning them during the
+    * fold's grace window would only duplicate IO and hits.
     */
   private def loadRangeIndex(spark: org.apache.spark.sql.SparkSession,
                              fpRoot: String, batchId: Long): FpRangeIndex = {
     val root = new Path(fpRoot)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dirs = fs.listStatus(root).filter { st =>
+    val entries = fs.listStatus(root)
+    val pendingAbsorbed: Set[Long] = entries.iterator
+      .filter(st => st.isFile && st.getPath.getName.startsWith("_folded_"))
+      .flatMap { m =>
+        try {
+          val in = fs.open(m.getPath)
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .flatMap(l => scala.util.Try(l.trim.toLong).toOption).toList
+          finally in.close()
+        } catch { case scala.util.control.NonFatal(_) => Nil }
+      }.toSet
+    val dirs = entries.filter { st =>
       st.isDirectory && st.getPath.getName.startsWith("batch_id=") &&
-        st.getPath.getName != s"batch_id=$batchId"
+        st.getPath.getName != s"batch_id=$batchId" &&
+        !scala.util.Try(st.getPath.getName.stripPrefix("batch_id=").toLong)
+          .toOption.exists(pendingAbsorbed)
     }
     def unhexStr(s: String): Array[Byte] =
       s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray

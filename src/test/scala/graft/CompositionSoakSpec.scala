@@ -29,8 +29,11 @@ import graft.server.{NetClient, TcpServer}
   *     version dir and collect from it; a dir deleted under the read
   *     would surface as an exception — any exception on any role
   *     fails the soak. The replica refreshes every ~30 ms while
-  *     vacuum's grace is 5 s, which is the documented contract
-  *     (readers must refresh within the retention window).
+  *     vacuum's grace is 20 s — the documented contract is that the
+  *     retention must exceed refresh interval + the WORST read
+  *     latency, and a full-suite run measured a single replica eval
+  *     stalling past 5 s on a loaded box (the original 5 s grace
+  *     legally lost a pinned dir; the soak found its own margin bug).
   *
   * One refusal is EXPECTED under this composition and asserted as
   * such: a TCP session's select -> fetch that RACES a concurrent
@@ -153,7 +156,10 @@ class CompositionSoakSpec extends SparkSpec {
       val vacuumThread = new Thread(() => {
         while (!stop) {
           guard("vacuum") {
-            val stats = writer.vacuum(retainMs = 5000L)
+            // retention must dominate the replica's refresh interval
+            // PLUS its worst single-eval stall on a loaded box (a 5 s
+            // grace measurably lost a pinned dir under the full suite)
+            val stats = writer.vacuum(retainMs = 20000L)
             vacuumDeleted.addAndGet(stats.deleted)
           }
           try Thread.sleep(150) catch { case _: InterruptedException => () }
@@ -247,13 +253,6 @@ class CompositionSoakSpec extends SparkSpec {
       while ((lastSaCount.get() < finalSa || lastSb.get() < sbVal.get()) &&
           System.currentTimeMillis() < deadline)
         Thread.sleep(50)
-      // the churn-reclaim assertion must not depend on the schedule's
-      // wall-clock exceeding the vacuum grace: if no in-soak sweep aged
-      // past it, wait it out once and sweep explicitly
-      if (vacuumDeleted.get() == 0L) {
-        Thread.sleep(5500)
-        vacuumDeleted.addAndGet(writer.vacuum(retainMs = 5000L).deleted)
-      }
       stopping = true
       stop = true
       replicaThread.interrupt(); vacuumThread.interrupt()
@@ -265,9 +264,15 @@ class CompositionSoakSpec extends SparkSpec {
         s"replica never caught up: ${lastSaCount.get()} of $finalSa")
       assert(lastSb.get() == sbVal.get(),
         s"replica never saw the final sb: ${lastSb.get()} of ${sbVal.get()}")
-      // the churn was real and the vacuum actually reclaimed some of it
-      // (update rewrites left >25 dead versions)
+      // the churn was real and vacuum reclaims it (update rewrites left
+      // >25 dead versions). A zero-retention sweep is legal HERE and
+      // only here — every role has stopped and joined, so no read can
+      // be pinned to a dead version — which makes the reclaim assert
+      // deterministic regardless of how much the in-soak graced sweeps
+      // managed to age out during the schedule itself.
       assert(sbVal.get() > 1010L, s"too little update churn: ${sbVal.get()}")
+      if (vacuumDeleted.get() == 0L)
+        vacuumDeleted.addAndGet(writer.vacuum(retainMs = 0L).deleted)
       assert(vacuumDeleted.get() > 0L,
         "vacuum reclaimed nothing despite version churn")
       // final writer-side ground truth

@@ -689,6 +689,58 @@ class StreamingSpec extends SparkSpec {
       fDf.select("doc_id").collect().map(_.getLong(0)).toSet == Set(6L, 7L))
   }
 
+  test("admissionJoin waves stay exact and driver-bounded over a grace-doubled store") {
+    // during compactFpStore's grace window every folded key exists in
+    // BOTH its source partition and the consolidated target; the waved
+    // arm must (a) skip the pending-absorbed sources via the _folded_
+    // manifest, (b) dedup any residual multi-file hits, and (c) admit
+    // exactly the novel keys — same answer as the broadcast arm
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions.unhex
+    val dir = tmpDir("admission-grace-waves")
+    def fpbDf(hexes: Seq[String]) =
+      hexes.toDF("h").select(unhex(col("h")).as("fpb"))
+    val storeHexes = (0 until 40).map(i => f"60$i%02x" + "00" * 14)
+    fpbDf(storeHexes.take(20)).write.parquet(s"$dir/fp/batch_id=0")
+    fpbDf(storeHexes.drop(20)).write.parquet(s"$dir/fp/batch_id=1")
+    // graced fold: store now TRANSIENTLY DOUBLED (sources + target)
+    graft.streaming.DocStreams.compactFpStore(spark, dir, nFiles = 2,
+      graceMs = 3600000L)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/fp"))
+      .map(_.getPath.getName).toSet
+    assert(names == Set("batch_id=-1", "batch_id=0", "batch_id=1",
+      "_folded_-1"), names)
+    val batch = Seq(
+      1L -> storeHexes(3), 2L -> storeHexes(25),          // present (doubled)
+      3L -> ("6005" + "ff" * 14), 4L -> ("61" + "aa" * 15)) // novel
+      .toDF("doc_id", "fp")
+    def run(conf: (String, String)*): (Set[Long], String) = {
+      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        val (df, arm) = graft.streaming.DocStreams.admissionJoin(
+          batch, s"$dir/fp", 99L, Long.MaxValue / 2)
+        (graft.streaming.DocStreams.withFpPushdown(spark)(
+          df.select("doc_id").collect().map(_.getLong(0)).toSet), arm)
+      } finally conf.foreach { case (k, _) => spark.conf.unset(k) }
+    }
+    val want = Set(3L, 4L)
+    // waved (wave bound 2 over 4 keys), single-key chunks — the
+    // hardest pruning/dedup shape
+    assert(run("graft.sink.fpPushdownKeys" -> "2",
+      "graft.sink.fpChunkKeys" -> "1") == (want, "pushdown_waves"))
+    // single-plan pushdown and broadcast agree
+    assert(run() == (want, "pushdown"))
+    val (bIds, bArm) = {
+      val (df, arm) = graft.streaming.DocStreams.admissionJoin(
+        batch, s"$dir/fp", 99L, 0L)
+      (df.select("doc_id").collect().map(_.getLong(0)).toSet, arm)
+    }
+    assert((bIds, bArm) == (want, "broadcast_anti"))
+  }
+
   test("corpusBatchSink: forced pushdown arm, exactly-once admission end-to-end") {
     val spark0 = spark
     import spark0.implicits._
