@@ -430,7 +430,7 @@ object StreamQueries {
       .agg(sum(when(col("cell") === col("cid") && col("nq") === col("q"),
         1L).otherwise(0L)).as("nmatch"))
     val applied = (0 until 3).forall(i =>
-      fs.exists(new org.apache.hadoop.fs.Path(dir, s"_applied_$i")))
+      graft.streaming.DocStreams.batchApplied(fs, dir, i))
     nv.crossJoin(la).crossJoin(am).select(
       col("nv").cast("long").as("n_vectors"),
       lit(applied).as("batches_applied_ok"),
@@ -477,7 +477,7 @@ object StreamQueries {
       .agg(sum(when(col("cell") === col("cell2") &&
         col("codes") === col("codes2"), 1L).otherwise(0L)).as("nmatch"))
     val applied = (0 until 3).forall(i =>
-      fs.exists(new org.apache.hadoop.fs.Path(dir, s"_applied_$i")))
+      graft.streaming.DocStreams.batchApplied(fs, dir, i))
     nv.crossJoin(la).crossJoin(cm).select(
       col("nv").cast("long").as("n_vectors"),
       lit(applied).as("batches_applied_ok"),

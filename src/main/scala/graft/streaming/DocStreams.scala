@@ -481,18 +481,23 @@ object DocStreams {
       try body finally spark.conf.set(k, old)
     }
 
-  /** True when `batchId` was already absorbed by the sink: its own
-    * `_applied_<id>` marker exists, or it sits at or below the folded
-    * high-watermark (`_applied_hwm=<W>`, [[compactMarkers]]). The
-    * marker is checked FIRST: a fold deletes a marker only after the
-    * watermark covering it is visible, so on a read-after-write-
-    * consistent store the second look cannot miss an applied batch.
-    * The watermark value rides the file NAME (an empty object) — a
-    * reader takes the max of the names present, so a racing fold can
-    * only ever yield an old-or-new value, never a torn one.
+  /** True when `batchId` was already absorbed by a sink writing the
+    * `_applied_` marker protocol: its own `_applied_<id>` marker
+    * exists, or it sits at or below the folded high-watermark
+    * (`_applied_hwm=<W>`, [[compactMarkers]]). The marker is checked
+    * FIRST: a fold deletes a marker only after the watermark covering
+    * it is visible, so on a read-after-write-consistent store the
+    * second look cannot miss an applied batch. The watermark value
+    * rides the file NAME (an empty object) — a reader takes the max of
+    * the names present, so a racing fold can only ever yield an
+    * old-or-new value, never a torn one. PUBLIC because every
+    * marker-protocol sink shares it: the corpus sink here, the ANN
+    * ingest sinks ([[VectorIngest]]), and any query asserting a batch
+    * was absorbed (the raw `_applied_<id>` existence check stops being
+    * sufficient the moment markers fold).
     */
-  private def applied(fs: org.apache.hadoop.fs.FileSystem, dir: String,
-                      batchId: Long): Boolean =
+  def batchApplied(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+                   batchId: Long): Boolean =
     fs.exists(new Path(dir, s"_applied_$batchId")) ||
       batchId <= markerHwm(fs, dir)
 
@@ -617,7 +622,7 @@ object DocStreams {
       val marker = new Path(dir, s"_applied_$batchId")
       val data = s"$dir/data"
       val fpRoot = s"$dir/fp"
-      if (!applied(fs, dir, batchId)) {
+      if (!batchApplied(fs, dir, batchId)) {
         val one = batch
           .withColumn("__rn", row_number().over(
             Window.partitionBy("fp").orderBy("doc_id")))
@@ -715,7 +720,7 @@ object DocStreams {
     * with `ignoreMissingFiles`; single-flight per dir, best-effort
     * (a failed pass is retried at the next cadence point).
     */
-  private def maybeMaintain(spark: org.apache.spark.sql.SparkSession,
+  private[streaming] def maybeMaintain(spark: org.apache.spark.sql.SparkSession,
                             dir: String, batchId: Long): Unit = {
     val every = spark.conf.getOption("graft.sink.maintainEvery")
       .map(_.toInt).getOrElse(64)

@@ -55,16 +55,25 @@ object VectorIngest {
       val spark = batch.sparkSession
       val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
       val marker = new Path(dir, s"_applied_$batchId")
-      if (!fs.exists(marker) && !batch.isEmpty) {
-        if (AnnIndex.readMeta(spark, dir).isEmpty)
-          Ivf.buildIndex(batch, dir, nCells, iters)
-        else if (!Ivf.appendIndex(batch, dir, nCells, iters, maxGrowth)) {
-          if (retrainOnRefusal) Ivf.rebuildFromStore(dir, batch, nCells, iters)
-          else throw new IllegalStateException(
-            s"append of batch $batchId would grow the corpus past " +
-              s"$maxGrowth x the trained size at $dir — retrain required")
+      // the shared marker protocol ([[DocStreams.batchApplied]]): skip
+      // via the per-batch marker OR the folded hwm, and write a marker
+      // for EVERY applied batch — empty ones included, or a gap would
+      // stop the contiguous-run marker fold forever
+      if (!DocStreams.batchApplied(fs, dir, batchId)) {
+        if (!batch.isEmpty) {
+          if (AnnIndex.readMeta(spark, dir).isEmpty)
+            Ivf.buildIndex(batch, dir, nCells, iters)
+          else if (!Ivf.appendIndex(batch, dir, nCells, iters, maxGrowth)) {
+            if (retrainOnRefusal) Ivf.rebuildFromStore(dir, batch, nCells, iters)
+            else throw new IllegalStateException(
+              s"append of batch $batchId would grow the corpus past " +
+                s"$maxGrowth x the trained size at $dir — retrain required")
+          }
         }
         fs.create(marker, true).close()
+        // same housekeeping cadence as the corpus sink (the fp-store
+        // fold is a no-op here — index dirs have no fp side table)
+        DocStreams.maybeMaintain(spark, dir, batchId)
       }
     }
 
@@ -88,20 +97,23 @@ object VectorIngest {
       val spark = batch.sparkSession
       val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
       val marker = new Path(dir, s"_applied_$batchId")
-      if (!fs.exists(marker) && !batch.isEmpty) {
-        if (AnnIndex.readMeta(spark, dir).isEmpty)
-          Pq.buildIndexIvf(batch, dir, m, ks, iters, nCells)
-        else if (!Pq.appendIndexIvf(batch, dir, m, ks, iters, nCells,
-            maxGrowth)) {
-          corpusForRetrain match {
-            case Some(corpus) =>
-              Pq.buildIndexIvf(corpus(), dir, m, ks, iters, nCells)
-            case None => throw new IllegalStateException(
-              s"append of batch $batchId would grow the corpus past " +
-                s"$maxGrowth x the trained size at $dir — retrain required")
+      if (!DocStreams.batchApplied(fs, dir, batchId)) {
+        if (!batch.isEmpty) {
+          if (AnnIndex.readMeta(spark, dir).isEmpty)
+            Pq.buildIndexIvf(batch, dir, m, ks, iters, nCells)
+          else if (!Pq.appendIndexIvf(batch, dir, m, ks, iters, nCells,
+              maxGrowth)) {
+            corpusForRetrain match {
+              case Some(corpus) =>
+                Pq.buildIndexIvf(corpus(), dir, m, ks, iters, nCells)
+              case None => throw new IllegalStateException(
+                s"append of batch $batchId would grow the corpus past " +
+                  s"$maxGrowth x the trained size at $dir — retrain required")
+            }
           }
         }
         fs.create(marker, true).close()
+        DocStreams.maybeMaintain(spark, dir, batchId)
       }
     }
 

@@ -139,8 +139,47 @@ class VectorIngestSpec extends SparkSpec {
     sink(batchDf, 0L) // crash-replay of the SAME batch id: must no-op
     assert(spark.read.parquet(s"$dir/lists").count() == coded,
       "replayed batch double-coded the index")
-    sink(batchDf.limit(0), 1L) // empty batch: no-op, no marker needed
+    // an empty batch codes nothing but still writes its marker — a
+    // marker GAP would stop the contiguous-run fold forever
+    sink(batchDf.limit(0), 1L)
     assert(spark.read.parquet(s"$dir/lists").count() == coded)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "_applied_1")),
+      "empty batch must still be marked applied")
+  }
+
+  test("ingest markers fold at the maintenance cadence; folded ids still skip") {
+    val dir = freshDir("maint")
+    import spark.implicits._
+    val sink = VectorIngest.ivfBatchSink(dir, nCells = 8, iters = 2,
+      maxGrowth = 16.0)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.conf.set("graft.sink.maintainEvery", "4")
+    spark.conf.set("graft.sink.maintainAsync", "false")
+    try {
+      val quarters = Replay.chunks(feed, 4)
+      quarters.zipWithIndex.foreach { case (q, i) =>
+        sink(q.toDF(), i.toLong)
+      }
+      val names = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .map(_.getPath.getName).filter(_.startsWith("_applied")).toSet
+      assert(names == Set("_applied_hwm=3"), names)
+      // a replay of a FOLDED id is skipped via the watermark alone
+      val coded = spark.read.parquet(s"$dir/lists").count()
+      sink(quarters.head.toDF(), 0L)
+      assert(spark.read.parquet(s"$dir/lists").count() == coded,
+        "folded batch id replay re-coded the index")
+      // every vector coded exactly once across the folded run
+      val n = emb.count()
+      val lists = spark.read.parquet(s"$dir/lists")
+      assert(lists.count() == n &&
+        lists.select("nid").distinct().count() == n)
+    } finally {
+      spark.conf.unset("graft.sink.maintainEvery")
+      spark.conf.unset("graft.sink.maintainAsync")
+    }
   }
 }
 
