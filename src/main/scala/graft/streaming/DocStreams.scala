@@ -144,8 +144,12 @@ object DocStreams {
     // exclude our OWN partition: a prior crashed attempt's fps must not
     // veto the replay's (identical) admission. The side table stores
     // the 16 RAW bytes (`fpb` = unhex of the hex fingerprint) — half
-    // the scan bytes of the hex form at no information loss.
-    val prior = spark.read.option("ignoreMissingFiles", "true")
+    // the scan bytes of the hex form at no information loss. LAZY:
+    // resolving the whole-store DataFrame pays an O(store files)
+    // driver listing + footer read, which only the broadcast_anti and
+    // scan_semi arms consume — the pushdown arms must never pay it
+    // (their listing is [[loadRangeIndex]]'s, pruned per chunk).
+    lazy val prior = spark.read.option("ignoreMissingFiles", "true")
       .parquet(fpRoot)
       .filter(col("batch_id") =!= lit(batchId)).select(col("fpb"))
     val bcastMax = fpBroadcastMax(spark)
@@ -243,6 +247,23 @@ object DocStreams {
     spark.conf.getOption("graft.sink.fpBroadcastBytes")
       .map(_.toLong).getOrElse(64L * 1024 * 1024)
 
+  /** Parse a `_folded_<target>` manifest (one absorbed batch id per
+    * line — [[compactFpStore]]'s wire format) — THE parser, shared by
+    * the compactor's deletion pass and the probe's pending-absorbed
+    * skip, which must agree for the grace-window superset property to
+    * hold. Unreadable or torn manifests read as empty (the probe then
+    * merely scans a duplicate partition; the deletion pass deletes
+    * nothing).
+    */
+  private def readFoldedManifest(fs: org.apache.hadoop.fs.FileSystem,
+                                 m: Path): Seq[Long] =
+    try {
+      val in = fs.open(m)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .flatMap(l => scala.util.Try(l.trim.toLong).toOption).toList
+      finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+
   /** The pushdown arm's driver-side file-range index: every store
     * file with its fpb [min,max] from the partition's `_ranges`
     * sidecar ([[writeRangesSidecar]]), plus the files whose sidecar is
@@ -268,14 +289,7 @@ object DocStreams {
     val entries = fs.listStatus(root)
     val pendingAbsorbed: Set[Long] = entries.iterator
       .filter(st => st.isFile && st.getPath.getName.startsWith("_folded_"))
-      .flatMap { m =>
-        try {
-          val in = fs.open(m.getPath)
-          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-            .flatMap(l => scala.util.Try(l.trim.toLong).toOption).toList
-          finally in.close()
-        } catch { case scala.util.control.NonFatal(_) => Nil }
-      }.toSet
+      .flatMap(m => readFoldedManifest(fs, m.getPath)).toSet
     val dirs = entries.filter { st =>
       st.isDirectory && st.getPath.getName.startsWith("batch_id=") &&
         st.getPath.getName != s"batch_id=$batchId" &&
@@ -508,7 +522,11 @@ object DocStreams {
   // fold-source gate — goes through these two.
   private def hwmOf(names: Iterable[String]): Long =
     names.iterator.filter(_.startsWith("_applied_hwm="))
-      .map(_.stripPrefix("_applied_hwm=").toLong).foldLeft(-1L)(math.max)
+      // toLongOption, like markerIdsOf below: a stray non-numeric name
+      // (a .bak copy, an editor temp) must degrade to "not a
+      // watermark", not crash every sink batch through batchApplied
+      .flatMap(_.stripPrefix("_applied_hwm=").toLongOption)
+      .foldLeft(-1L)(math.max)
 
   private def markerIdsOf(names: Iterable[String]): Set[Long] =
     names.iterator
@@ -733,7 +751,14 @@ object DocStreams {
       try {
         compactMarkers(spark, dir)
         compactFpStore(spark, dir, nFiles = 0, graceMs = grace)
-      } catch { case scala.util.control.NonFatal(_) => () }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          // best-effort (the next cadence point retries), but NEVER
+          // silent: a persistently failing pass would otherwise
+          // reintroduce the unbounded-listing growth with zero signal
+          System.err.println(
+            s"[graft] sink maintenance failed for $dir: $e")
+      }
       finally maintenanceInFlight.remove(dir)
     if (maintenanceInFlight.add(dir)) {
       if (async) {
@@ -863,16 +888,18 @@ object DocStreams {
     def manifests() = fs.listStatus(fpRoot).filter { st =>
       st.isFile && st.getPath.getName.startsWith("_folded_")
     }
-    def absorbedIds(m: Path): Seq[Long] = {
-      val in = fs.open(m)
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .flatMap(l => scala.util.Try(l.trim.toLong).toOption).toList
-      finally in.close()
-    }
+    def absorbedIds(m: Path): Seq[Long] = readFoldedManifest(fs, m)
     def applyManifest(m: org.apache.hadoop.fs.FileStatus): Unit = {
-      absorbedIds(m.getPath).foreach(id =>
-        fs.delete(new Path(fpRoot, s"batch_id=$id"), true))
-      fs.delete(m.getPath, false)
+      val ids = absorbedIds(m.getPath)
+      // an unreadable manifest reads as empty — leave it in place (its
+      // partitions fall out of pendingAbs, a later fold re-absorbs
+      // them as a harmless superset) rather than deleting a record we
+      // never read; a real manifest is never empty (folds have ≥2
+      // sources)
+      if (ids.nonEmpty) {
+        ids.foreach(id => fs.delete(new Path(fpRoot, s"batch_id=$id"), true))
+        fs.delete(m.getPath, false)
+      }
     }
     // 1) deletion pass: manifests whose grace has expired
     val now = System.currentTimeMillis()

@@ -59,13 +59,18 @@ object Replay {
     // exercises multi-partition state) at a fraction of the fixed
     // cost; a production deployment sizes this to its executor count,
     // exactly like batch shuffle partitions.
+    // `graft.replay.shufflePartitions` overrides the 2 — measurement
+    // harnesses that exist to characterize the STATE STORE itself
+    // (StreamWindowStateProbe) need production-representative state
+    // partitioning, not the replay-overhead optimum.
     val pKey = "spark.sql.shuffle.partitions"
     val rKey = "spark.sql.streaming.minBatchesToRetain"
     val prev = spark.conf.get(pKey)
     val prevR = spark.conf.getOption(rKey)
     val q =
       try {
-        spark.conf.set(pKey, "2")
+        spark.conf.set(pKey, spark.conf
+          .getOption("graft.replay.shufflePartitions").getOrElse("2"))
         // a bounded replay never restarts from its throwaway
         // checkpoint — retaining the default 100 batches of state
         // files is pure write amplification here

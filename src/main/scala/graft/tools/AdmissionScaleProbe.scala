@@ -106,8 +106,14 @@ object AdmissionScaleProbe {
         // by construction (decode bound = batch x page rows, many
         // multiples of one linear scan — measured 36x slower at 150x,
         // executor-OOM territory beyond): skip the forced arm there and
-        // report it, the way FpPushdownProbe skips past the stack bound
-        val decodeRatio = nDocs.toDouble * 1000 / math.max(1L, fpBytes / 16L)
+        // report it, the way FpPushdownProbe skips past the stack
+        // bound. Page rows come from the SAME conf the shipped gate
+        // and writeFpPartition use, so a tuned fpPageRows run computes
+        // its ratio against the store it actually wrote.
+        val pageRows = spark.conf.getOption("graft.sink.fpPageRows")
+          .map(_.toInt).getOrElse(1000)
+        val decodeRatio =
+          nDocs.toDouble * pageRows / math.max(1L, fpBytes / 16L)
         val pushHopeless = decodeRatio > 4.0
         var tPush = Double.MaxValue; var tSemi = Double.MaxValue
         var aPush = -1L; var aSemi = -1L

@@ -45,6 +45,15 @@ object StreamWindowStateProbe {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // production-representative STATE partitioning: Replay pins the
+    // shuffle-partition count to 2 (its replay-overhead optimum), but
+    // this probe exists to characterize the state store itself — both
+    // providers' residency/overhead profiles scale with partition
+    // count, so it measures at the session's 32 (executor-count
+    // sizing), overridable for sensitivity runs
+    spark.conf.set("graft.replay.shufflePartitions",
+      sys.env.getOrElse("SPARK_GRAFT_STATE_PARTS", "32"))
+
     val rKey = "spark.sql.streaming.stateStore.providerClass"
     val rocks =
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
@@ -77,7 +86,16 @@ object StreamWindowStateProbe {
         val out = Replay.replay(spark, batches)(in =>
           EventStreams.windowedStats(in, windowDur = "1 hour",
             lateness = "30 minutes"))
-        out.count()
+        val n = out.count()
+        // free each run's memory sink: the replay table pins
+        // users x hours result rows in the driver, and 8+ runs of up
+        // to 2M rows would otherwise accumulate into the very heap
+        // pressure this probe is trying to attribute to state stores
+        import scala.jdk.CollectionConverters._
+        spark.catalog.listTables().collectAsList().asScala
+          .filter(_.name.startsWith("replay_"))
+          .foreach(t => spark.catalog.dropTempView(t.name))
+        n
       }
       def timeIt(body: => Unit): Double = {
         val t = System.nanoTime(); body; (System.nanoTime() - t) / 1e9

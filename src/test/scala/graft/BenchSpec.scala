@@ -257,8 +257,15 @@ class BenchSpec extends SparkSpec {
       log.times)
     assert(line.contains("9999.0"), line)
     assert(!line.contains(","+"probes"), line)
+    // every entry must be a dot-decimal: a locale-comma leak ("0,0340")
+    // splits into dotless tokens. (A substring check on "0," false-
+    // positives whenever a legit value ends in 0 before the array
+    // separator — flaked exactly that way once under full-suite load.)
     val probesPart = line.split("\"probes\":")(1).split("]")(0)
-    assert(!probesPart.contains("0,"), s"locale comma leaked: $probesPart")
+      .stripPrefix("[")
+    val toks = probesPart.split(",")
+    assert(toks.nonEmpty && toks.forall(_.matches(raw"\d+\.\d+")),
+      s"locale-unsafe probe rendering: $probesPart")
   }
 
   test("warmup discovers tables by listing the SF dir instead of a hardcoded list") {
