@@ -172,7 +172,11 @@ class CompositionSoakSpec extends SparkSpec {
       // invariants need per-column ordering); reads fan out on a pool —
       // so at any instant up to 4 TCP sessions, the replica and the
       // vacuum are all in flight against the one store
-      val rnd = new scala.util.Random(20260815L)
+      // deterministic by default; -Dgraft.soak.seed=N explores other
+      // schedules (extra seeds are run before each round ships)
+      val rnd = new scala.util.Random(
+        sys.props.get("graft.soak.seed").flatMap(_.toLongOption)
+          .getOrElse(20260815L))
       val insertLane = Executors.newSingleThreadExecutor()
       val updateLane = Executors.newSingleThreadExecutor()
       val readPool = Executors.newFixedThreadPool(2)
