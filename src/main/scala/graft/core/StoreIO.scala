@@ -488,6 +488,28 @@ final class WriterLease(io: StoreIO, dbDir: String,
       yield (e, f(1), hb)
   }
 
+  /** Read-and-parse the lease, tolerating the TORN window of a non-CAS
+    * rewrite: on stores without atomic whole-object PUT (local FS,
+    * HDFS) every lease rewrite — our own heartbeat's included — passes
+    * through a truncate-then-write window in which a concurrent read
+    * returns empty/partial bytes. A torn or absent read is therefore
+    * not authoritative (the same reasoning as acquire()'s grace
+    * re-read): retry a few beats before concluding. A GENUINE takeover
+    * parses as a different owner on the first clean read and is acted
+    * on immediately; only unreadable states retry. After the bounded
+    * retries the caller treats the lease as gone — the safe refusal.
+    */
+  private def readLeaseParsed(): Option[(Long, String, Long)] = {
+    var tries = 0
+    var out = io.read(leasePath).flatMap(parse)
+    while (out.isEmpty && tries < 3) {
+      tries += 1
+      Thread.sleep(25L * tries)
+      out = io.read(leasePath).flatMap(parse)
+    }
+    out
+  }
+
   /** One lease write, atomically conditioned on the lease still being
     * OURS at `myEpoch`: true if written. With store CAS the condition
     * and the write are ONE atomic step (replace-if-match on the token
@@ -501,7 +523,7 @@ final class WriterLease(io: StoreIO, dbDir: String,
         c.replaceIfMatch(leasePath, tok, newBody).isDefined
       case _ => false
     }
-    case None => io.read(leasePath).flatMap(parse) match {
+    case None => readLeaseParsed() match {
       case Some((e, o, _)) if o == owner && e == myEpoch =>
         io.write(leasePath, newBody); true
       case _ => false
@@ -674,7 +696,12 @@ final class WriterLease(io: StoreIO, dbDir: String,
       fenced = true
       throw DbError.locked(s"$dbDir (lease fenced: heartbeat stale past TTL)")
     }
-    io.read(leasePath).flatMap(parse) match {
+    // the read holds writeMutex so it can never interleave with OUR OWN
+    // heartbeat's non-atomic rewrite (fencing a healthy writer off a
+    // torn read of its own in-flight heartbeat — found by the
+    // composition soak); readLeaseParsed's retry covers the same window
+    // for ANOTHER process's write
+    writeMutex.synchronized(readLeaseParsed()) match {
       case Some((e, o, _)) if o == owner && e == myEpoch => ()
       case _ =>
         fenced = true

@@ -626,6 +626,45 @@ class ObjectStoreSpec extends SparkSpec {
     }
   }
 
+  test("checkFenced tolerates a torn lease read; a real takeover still fences") {
+    // On a no-CAS store every lease rewrite — the writer's own
+    // heartbeat included — has a truncate-then-write window in which a
+    // concurrent read returns garbage. The composition soak caught
+    // checkFenced fencing a HEALTHY writer off exactly that torn read;
+    // it must retry past transient unreadability, while a clean read
+    // showing another owner (a genuine takeover) fences immediately.
+    val mem = new graft.core.MemoryStoreIO
+    val tornReads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val io = new graft.core.StoreIO {
+      override def read(p: String): Option[String] =
+        if (p.endsWith("/_lease") && tornReads.getAndUpdate(n =>
+            math.max(0, n - 1)) > 0)
+          Some("torn-partial-garb") // an in-flight rewrite's prefix
+        else mem.read(p)
+      override def write(p: String, b: String): Unit = mem.write(p, b)
+      override def list(d: String): Seq[String] = mem.list(d)
+      override def delete(p: String): Unit = mem.delete(p)
+      override def createExclusive(p: String, b: String): Boolean =
+        mem.createExclusive(p, b)
+      // cas deliberately None: the torn window exists only on the
+      // settle-verify (non-CAS) path
+    }
+    val lease = new graft.core.WriterLease(io, "mem://torn-db",
+      ttlMs = 60000, settleMs = 0)
+    lease.acquire()
+    try {
+      // two consecutive torn reads: the retry must see the healthy
+      // body underneath and NOT fence
+      tornReads.set(2)
+      lease.checkFenced()
+      // a genuine takeover (different owner, live heartbeat) read
+      // CLEANLY fences at once — torn-tolerance must not dull this
+      mem.write("mem://torn-db/_lease",
+        s"99\tother-owner\t${System.currentTimeMillis()}\n")
+      intercept[DbException](lease.checkFenced())
+    } finally lease.release()
+  }
+
   test("CAS probe refuses a connector that swallows the existence key (plain no-overwrite is not CAS)") {
     // CasFileSystemSwallowCond accepts fs.option.create.conditional.
     // overwrite silently but never enforces it, honors ETags, and
