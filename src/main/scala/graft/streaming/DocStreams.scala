@@ -247,21 +247,40 @@ object DocStreams {
     spark.conf.getOption("graft.sink.fpBroadcastBytes")
       .map(_.toLong).getOrElse(64L * 1024 * 1024)
 
+  /** Terminator line of a `_folded_` manifest. A manifest read that
+    * does not END with it is torn or foreign and must read as empty: a
+    * PARTIALLY read manifest parses cleanly otherwise (a truncated
+    * trailing id — "12" read from a mid-write "123" — is a valid
+    * long), and a probe racing the async maintenance fold could then
+    * mark a live, unabsorbed partition as pending-absorbed and skip
+    * it, admitting a duplicate. The sentinel makes a torn read
+    * self-identifying instead of silently plausible.
+    */
+  private val ManifestEnd = "#end"
+
   /** Parse a `_folded_<target>` manifest (one absorbed batch id per
-    * line — [[compactFpStore]]'s wire format) — THE parser, shared by
-    * the compactor's deletion pass and the probe's pending-absorbed
-    * skip, which must agree for the grace-window superset property to
-    * hold. Unreadable or torn manifests read as empty (the probe then
-    * merely scans a duplicate partition; the deletion pass deletes
-    * nothing).
+    * line, closed by [[ManifestEnd]] — [[compactFpStore]]'s wire
+    * format) — THE parser, shared by the compactor's deletion pass and
+    * the probe's pending-absorbed skip, which must agree for the
+    * grace-window superset property to hold. Unreadable, torn, or
+    * unterminated manifests read as empty (the probe then merely scans
+    * a duplicate partition; the deletion pass treats an EXPIRED empty
+    * read as a crashed fold's remnant — see `applyManifest`).
     */
   private def readFoldedManifest(fs: org.apache.hadoop.fs.FileSystem,
                                  m: Path): Seq[Long] =
     try {
       val in = fs.open(m)
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .flatMap(l => scala.util.Try(l.trim.toLong).toOption).toList
-      finally in.close()
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .map(_.trim).filter(_.nonEmpty).toList
+        finally in.close()
+      if (lines.lastOption.contains(ManifestEnd)) {
+        val ids = lines.init.map(_.toLongOption)
+        // any unparseable body line = a format we don't understand:
+        // read as empty rather than half-apply someone else's record
+        if (ids.forall(_.isDefined)) ids.flatten else Nil
+      } else Nil
     } catch { case scala.util.control.NonFatal(_) => Nil }
 
   /** The pushdown arm's driver-side file-range index: every store
@@ -421,10 +440,13 @@ object DocStreams {
       .filter(_.getPath.getName.endsWith(".parquet"))
     import scala.collection.parallel.CollectionConverters._
     import scala.jdk.CollectionConverters._
+    val rowsTotal = new java.util.concurrent.atomic.AtomicLong(0L)
     val lines = parts.par.flatMap { st =>
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
       try {
+        rowsTotal.addAndGet(
+          reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
         val stats = reader.getFooter.getBlocks.asScala.flatMap { block =>
           block.getColumns.asScala
             .find(_.getPath.toDotString == "fpb")
@@ -449,8 +471,14 @@ object DocStreams {
         }
       } finally reader.close()
     }.toList
+    // `#rows\t<total>` records the partition's KEY COUNT for the fold
+    // ladder (file bytes are a bad size proxy at small scale — the
+    // per-file bloom filter is a ~64 KB floor). The `#`-prefixed line
+    // can never match a file name, and the range parser's 3-field
+    // pattern match skips it — old readers are unaffected.
     val out = fs.create(new Path(path, "_ranges"), true)
-    try out.write(lines.mkString("", "\n", "\n")
+    try out.write((lines :+ s"#rows\t${rowsTotal.get()}")
+      .mkString("", "\n", "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
@@ -566,8 +594,11 @@ object DocStreams {
     val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(d)) return
     val names = fs.listStatus(d).map(_.getPath.getName)
+    // toLongOption, like hwmOf (the shared read-side parse): a stray
+    // non-numeric watermark name (a .bak copy) must be skipped, not
+    // throw every scheduled maintenance pass forever
     val hwms = names.filter(_.startsWith("_applied_hwm="))
-      .map(_.stripPrefix("_applied_hwm=").toLong)
+      .flatMap(_.stripPrefix("_applied_hwm=").toLongOption)
     val ids = markerIdsOf(names).toSeq
     // clear all but the highest watermark name even when no fold runs
     // (a crashed prior fold may have left both)
@@ -762,9 +793,17 @@ object DocStreams {
       finally maintenanceInFlight.remove(dir)
     if (maintenanceInFlight.add(dir)) {
       if (async) {
-        val t = new Thread(() => pass(), s"graft-sink-maintenance")
-        t.setDaemon(true)
-        t.start()
+        // a failed thread CREATION (native OOM) must release the
+        // single-flight slot: pass()'s own finally never runs if the
+        // thread never starts, and a stuck slot silently disables all
+        // future maintenance for this sink
+        try {
+          val t = new Thread(() => pass(), s"graft-sink-maintenance")
+          t.setDaemon(true)
+          t.start()
+        } catch {
+          case e: Throwable => maintenanceInFlight.remove(dir); throw e
+        }
       } else pass()
     }
   }
@@ -802,7 +841,7 @@ object DocStreams {
     if (legacyDirs.nonEmpty || legacyFiles.nonEmpty) {
       val existing = children.map(_.getPath.getName)
         .filter(_.startsWith("batch_id="))
-        .map(_.stripPrefix("batch_id=").toLong)
+        .flatMap(_.stripPrefix("batch_id=").toLongOption)
       val target = (existing :+ 0L).min - 1L
       val tPath = new Path(s"$dir/data/batch_id=$target")
       fs.mkdirs(tPath)
@@ -866,40 +905,71 @@ object DocStreams {
     * skew assumption [[graft.core.WriterLease]]'s TTL documents).
     *
     * COST SHAPE (what lets the sink invoke this every few dozen
-    * batches): the fold is TIERED. A normal pass folds only the
-    * per-batch partitions (non-negative ids) into one new consolidated
-    * partition — cost O(batches since the last fold), never O(store).
-    * Earlier consolidated partitions (negative ids) are left alone
-    * until `fullFoldAt` of them accumulate, at which point one full
-    * fold (the rare O(store) pass) merges everything; the probe reads
-    * the UNION of partitions, so multiple consolidated generations in
-    * the meantime are semantically invisible. `nFiles ≤ 0` sizes the
-    * output automatically at ~256 MB per file of folded input.
+    * batches): the fold is a SIZE-RATIO LADDER — classic LSM
+    * size-tiered compaction. A pass always folds the per-batch
+    * partitions (non-negative ids), and additionally absorbs earlier
+    * consolidated generations (negative ids) SMALLEST-FIRST while each
+    * next generation is at most `graft.sink.fpFoldRatio` (default 4)
+    * times everything already selected, measured in KEY COUNT (the
+    * `#rows` line of each partition's `_ranges` sidecar; bytes/16 when
+    * absent) — so a generation is only ever
+    * rewritten together with a comparable volume of newer data, every
+    * pass's bytes are bounded by (ratio+1) × the newer data merged
+    * into it (never O(store)), each key climbs the ladder
+    * O(log_ratio(store/batch)) times over its life, and the number of
+    * live generations stays O(log_ratio(store/batch)) — at a 10¹⁰-key
+    * store fed 10⁴-key batches that is ~7 generations and no
+    * maintenance pass ever rewrites the big one until its juniors
+    * together reach a quarter of its size. `fullFoldAt` remains an
+    * operator escape hatch: when that many consolidated generations
+    * exist, one full fold merges everything (default effectively
+    * never — the ladder keeps the count far below any sane setting).
+    * The probe reads the UNION of partitions, so multiple generations
+    * are semantically invisible. `nFiles ≤ 0` sizes the output
+    * automatically at ~256 MB per file of folded input.
+    *
+    * Returns the folded source bytes (0 when no fold ran) — the
+    * measurement hook [[graft.tools.FoldLadderProbe]] uses to bound
+    * per-pass cost and cumulative write amplification.
     */
   def compactFpStore(spark: org.apache.spark.sql.SparkSession, dir: String,
                      nFiles: Int = 4, graceMs: Long = 0L,
-                     fullFoldAt: Int = 16): Unit = {
+                     fullFoldAt: Int = Int.MaxValue): Long = {
     val fpRoot = new Path(s"$dir/fp")
     val fs = fpRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(fpRoot)) return
-    def partDirs() = fs.listStatus(fpRoot).filter { st =>
-      st.isDirectory && st.getPath.getName.startsWith("batch_id=")
-    }
+    if (!fs.exists(fpRoot)) return 0L
+    // toLongOption: a stray non-conforming `batch_id=*` name (a hand
+    // copy, an editor backup — the hwmOf failure class) must be skipped
+    // and logged, not throw EVERY maintenance pass forever
+    def idOf(st: org.apache.hadoop.fs.FileStatus): Option[Long] =
+      st.getPath.getName.stripPrefix("batch_id=").toLongOption
+    def partDirs(): Array[(org.apache.hadoop.fs.FileStatus, Long)] =
+      fs.listStatus(fpRoot).filter { st =>
+        st.isDirectory && st.getPath.getName.startsWith("batch_id=")
+      }.flatMap { st =>
+        val id = idOf(st)
+        if (id.isEmpty) System.err.println(
+          s"[graft] fp compaction skipping non-conforming partition " +
+            s"${st.getPath}")
+        id.map(st -> _)
+      }
     def manifests() = fs.listStatus(fpRoot).filter { st =>
       st.isFile && st.getPath.getName.startsWith("_folded_")
     }
     def absorbedIds(m: Path): Seq[Long] = readFoldedManifest(fs, m)
     def applyManifest(m: org.apache.hadoop.fs.FileStatus): Unit = {
       val ids = absorbedIds(m.getPath)
-      // an unreadable manifest reads as empty — leave it in place (its
-      // partitions fall out of pendingAbs, a later fold re-absorbs
-      // them as a harmless superset) rather than deleting a record we
-      // never read; a real manifest is never empty (folds have ≥2
-      // sources)
       if (ids.nonEmpty) {
         ids.foreach(id => fs.delete(new Path(fpRoot, s"batch_id=$id"), true))
         fs.delete(m.getPath, false)
-      }
+      } else
+        // reads as empty AND the grace expired (only expired manifests
+        // reach here): a crashed or pre-sentinel fold's remnant. Its
+        // partitions were never deleted and its target is a live
+        // partition — deleting just the manifest restores liveness
+        // (the partitions rejoin the fold pool as a harmless superset)
+        // instead of pinning a dead record forever.
+        fs.delete(m.getPath, false)
     }
     // 1) deletion pass: manifests whose grace has expired
     val now = System.currentTimeMillis()
@@ -910,18 +980,8 @@ object DocStreams {
     //    deleting them is the deletion pass's job, after the grace)
     val pendingAbs = manifests()
       .flatMap(m => absorbedIds(m.getPath)).toSet
-    def idOf(st: org.apache.hadoop.fs.FileStatus): Long =
-      st.getPath.getName.stripPrefix("batch_id=").toLong
     val all = partDirs()
-    val live = all.filterNot(st => pendingAbs.contains(idOf(st)))
-    // tiered: fold only the per-batch (non-negative id) partitions
-    // unless enough consolidated generations piled up for the rare
-    // full pass — see the scaladoc cost shape. Reading only the folded
-    // sources keeps the superset property either way: a pending-
-    // absorbed partition's keys already live in its own consolidated
-    // target, which survives this fold untouched (incremental) or is
-    // itself a fold source (full).
-    val negs = live.filter(idOf(_) < 0L)
+    val live = all.filterNot { case (_, id) => pendingAbs.contains(id) }
     // under a LIVE sink a positive-id partition may be mid-write by the
     // current micro-batch: folding it now could absorb a partial (or
     // empty) key set and later delete the completed partition — so when
@@ -937,25 +997,72 @@ object DocStreams {
     val markerIds = markerIdsOf(rootNames)
     def foldable(id: Long): Boolean =
       id < 0L || !hasMarkers || id <= hwm || markerIds.contains(id)
-    val old = (if (negs.length >= fullFoldAt) live
-               else live.filter(idOf(_) >= 0L)).filter(st => foldable(idOf(st)))
-    if (old.length <= 1) return
+    def dirBytes(st: org.apache.hadoop.fs.FileStatus): Long =
+      try fs.listStatus(st.getPath)
+        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+      catch { case _: java.io.FileNotFoundException => 0L }
+    // the ladder compares KEY COUNTS, not file bytes: every file pays a
+    // ~64 KB bloom-filter floor, so bytes overstate small generations
+    // relative to their juniors and the ladder would under-merge until
+    // data dominates. [[writeFpPartition]] records the count in the
+    // `_ranges` sidecar; a sidecar-less partition (hand-written, or a
+    // crash between data and sidecar) estimates keys as bytes/16
+    // (md5 keys are incompressible) — degraded, same order.
+    def dirKeys(st: org.apache.hadoop.fs.FileStatus): Long = {
+      val fromSidecar =
+        try {
+          val in = fs.open(new Path(st.getPath, "_ranges"))
+          val txt =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          txt.linesIterator.find(_.startsWith("#rows\t"))
+            .flatMap(_.stripPrefix("#rows\t").trim.toLongOption)
+        } catch { case scala.util.control.NonFatal(_) => None }
+      fromSidecar.getOrElse(math.max(1L, dirBytes(st) / 16L))
+    }
+    val negs = live.filter(_._2 < 0L)
+    val pos = live.filter { case (_, id) => id >= 0L && foldable(id) }
+    val ratio = spark.conf.getOption("graft.sink.fpFoldRatio")
+      .map(_.toDouble).getOrElse(4.0)
+    // ladder selection — see the scaladoc cost shape. `ratio ≤ 0`
+    // disables generation merging entirely (the legacy incremental-only
+    // mode, kept for the probe's A/B arm).
+    val old: Array[org.apache.hadoop.fs.FileStatus] =
+      if (negs.length >= fullFoldAt)
+        live.filter { case (_, id) => foldable(id) }.map(_._1)
+      else if (ratio <= 0.0) pos.map(_._1)
+      else {
+        var run = pos.map(p => dirKeys(p._1)).sum
+        val sorted = negs.map(p => (p._1, dirKeys(p._1))).sortBy(_._2)
+        val sel = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.hadoop.fs.FileStatus]
+        var i = 0
+        var cont = true
+        while (cont && i < sorted.length) {
+          val (st, b) = sorted(i)
+          // seed: with no newer data at all, the two smallest
+          // generations may still merge with each other
+          if ((run == 0L && sel.isEmpty && pos.isEmpty) ||
+              b <= ratio * run) { sel += st; run += b; i += 1 }
+          else cont = false
+        }
+        pos.map(_._1) ++ sel
+      }
+    if (old.length <= 1) return 0L
     if (!old.exists(d => fs.listStatus(d.getPath).exists(
         _.getPath.getName.endsWith(".parquet")))) {
       // nothing but empty remnants: clear them, there is no data to fold
       old.foreach(st => fs.delete(st.getPath, true))
-      return
+      return 0L
     }
     // the target must undercut every id present, pending targets included
-    val target = math.min(all.map(idOf).min, 0L) - 1L
-    val srcBytes = old.flatMap { d =>
-      try fs.listStatus(d.getPath)
-        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen)
-      catch { case _: java.io.FileNotFoundException => Array.empty[Long] }
-    }.sum
+    val target = math.min(all.map(_._2).min, 0L) - 1L
+    val srcBytes = old.map(dirBytes).sum
     val useFiles =
       if (nFiles > 0) nFiles
       else math.max(1L, (srcBytes + (256L << 20) - 1) / (256L << 20)).toInt
+    def nameId(st: org.apache.hadoop.fs.FileStatus): Long =
+      st.getPath.getName.stripPrefix("batch_id=").toLong
     // read exactly the fold sources (racing replays overwrite their own
     // partition with identical content — ignoreMissingFiles covers the
     // swap window); distinct() dedups within the folded set
@@ -966,10 +1073,12 @@ object DocStreams {
       s"$dir/fp/batch_id=$target", useFiles)
     val manifest = new Path(fpRoot, s"_folded_$target")
     val out = fs.create(manifest, true)
-    try out.write(old.map(idOf).sorted.mkString("", "\n", "\n")
+    try out.write(old.map(nameId).sorted
+      .mkString("", "\n", "\n" + ManifestEnd + "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (graceMs <= 0L) applyManifest(fs.getFileStatus(manifest))
+    srcBytes
   }
 
   /** Compact the corpus DATA the way [[compactFpStore]] compacts the
@@ -994,8 +1103,11 @@ object DocStreams {
     val dataRoot = new Path(s"$dir/data")
     val fs = dataRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dataRoot)) return
+    // toLongOption: a non-conforming `batch_id=*` name is neither a
+    // fold source nor a deletion target — skip it, don't throw
     val old = fs.listStatus(dataRoot).filter { st =>
-      st.isDirectory && st.getPath.getName.startsWith("batch_id=")
+      st.isDirectory && st.getPath.getName.startsWith("batch_id=") &&
+        st.getPath.getName.stripPrefix("batch_id=").toLongOption.isDefined
     }
     if (old.length <= 1) return
     // data lives one level down (batch_id=N/<partCol>=x/*.parquet);

@@ -495,18 +495,18 @@ class StreamingSpec extends SparkSpec {
     val got = spark.read.parquet(s"$dir/data")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got == Set(1L, 2L, 3L, 5L), s"got $got")
-    // a second DEFAULT compaction is tiered: one consolidated
-    // generation + one new batch is below the full-fold threshold and
-    // only ≥2 per-batch partitions fold, so nothing happens
+    // a second DEFAULT compaction ladders: the consolidated generation
+    // and the new batch partition are the same size tier (both a few
+    // keys), so the size-ratio rule merges them into one new generation
     graft.streaming.DocStreams.compactFpStore(spark, dir)
-    val tiered = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/fp"))
+    val laddered = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/fp"))
       .map(_.getPath.getName).filter(_.startsWith("batch_id=")).toSet
-    assert(tiered == Set("batch_id=-1", "batch_id=3"), s"got $tiered")
-    // forcing the full tier folds {-1, 3} into -2
-    graft.streaming.DocStreams.compactFpStore(spark, dir, fullFoldAt = 1)
-    val full = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/fp"))
+    assert(laddered == Set("batch_id=-2"), s"got $laddered")
+    // with ONE generation and nothing new, a further pass is a no-op
+    graft.streaming.DocStreams.compactFpStore(spark, dir)
+    val idem = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/fp"))
       .map(_.getPath.getName).filter(_.startsWith("batch_id=")).toSet
-    assert(full == Set("batch_id=-2"), s"got $full")
+    assert(idem == Set("batch_id=-2"), s"got $idem")
     val fps = spark.read.parquet(s"$dir/fp")
       .select("fpb").collect().map(_.getAs[Array[Byte]](0).toSeq).toSet
     assert(fps.size == 4)
@@ -650,8 +650,11 @@ class StreamingSpec extends SparkSpec {
     val sidecar = scala.io.Source.fromInputStream(
       fs.open(new org.apache.hadoop.fs.Path(consolidated, "_ranges")), "UTF-8")
       .getLines().filter(_.nonEmpty).toList
-    assert(sidecar.size == 4 && sidecar.forall(_.split("\t").length == 3),
+    val (meta, ranges) = sidecar.partition(_.startsWith("#"))
+    assert(ranges.size == 4 && ranges.forall(_.split("\t").length == 3),
       s"one range line per file: $sidecar")
+    // the fold ladder's key count rides the same sidecar
+    assert(meta == List("#rows\t64"), s"row-count line: $meta")
     // batch: two present, one novel in-range, one below and one above
     // every file's range
     val batch = Seq(
@@ -863,6 +866,162 @@ class StreamingSpec extends SparkSpec {
     assert(fps.size == 4, "one key per admitted doc after all folds")
   }
 
+  test("fp fold ladder: dominant generation untouched, smaller tiers merge, full fold forced") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions.{md5, unhex}
+    val dir = tmpDir("fp-ladder")
+    def keysDf(lo: Int, hi: Int) = (lo until hi).map(i => s"k$i").toDF("text")
+      .select(unhex(md5(col("text").cast("binary"))).as("fpb"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fpDirs() = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/fp"))
+      .map(_.getPath.getName).filter(_.startsWith("batch_id=")).toSet
+    def dirBytes(name: String) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/fp/$name"))
+        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    keysDf(0, 20000).write.parquet(s"$dir/fp/batch_id=0")
+    keysDf(20000, 40000).write.parquet(s"$dir/fp/batch_id=1")
+    graft.streaming.DocStreams.compactFpStore(spark, dir)
+    assert(fpDirs() == Set("batch_id=-1"), fpDirs())
+    val bigBytes = dirBytes("batch_id=-1")
+    // two tiny new batches: the 40k-key generation is far above the
+    // size-ratio bound, so the pass folds ONLY the tiny tier — the
+    // returned fold bytes pin that the big generation was not rewritten
+    keysDf(40000, 40010).write.parquet(s"$dir/fp/batch_id=2")
+    keysDf(40010, 40020).write.parquet(s"$dir/fp/batch_id=3")
+    val folded = graft.streaming.DocStreams.compactFpStore(spark, dir)
+    assert(folded > 0L && folded < bigBytes,
+      s"pass folded $folded bytes, big gen is $bigBytes")
+    assert(fpDirs() == Set("batch_id=-1", "batch_id=-2"), fpDirs())
+    // the next tiny tier merges with the previous small generation
+    // (same tier), still never the dominant one
+    keysDf(40020, 40030).write.parquet(s"$dir/fp/batch_id=4")
+    keysDf(40030, 40040).write.parquet(s"$dir/fp/batch_id=5")
+    val folded2 = graft.streaming.DocStreams.compactFpStore(spark, dir)
+    assert(folded2 < bigBytes, s"pass folded $folded2 of $bigBytes")
+    assert(fpDirs() == Set("batch_id=-1", "batch_id=-3"), fpDirs())
+    // admission over the multi-generation store stays exact: one key in
+    // each generation vetoed, the novel one admitted (pushdown arm)
+    val batch = Seq(1L -> "k5", 2L -> "k40025", 3L -> "genuinely novel")
+      .toDF("doc_id", "text")
+      .withColumn("fp", md5(col("text").cast("binary")))
+    val (df, arm) = graft.streaming.DocStreams.admissionJoin(
+      batch, s"$dir/fp", 99L, Long.MaxValue / 2)
+    assert(arm == "pushdown")
+    assert(df.select("doc_id").collect().map(_.getLong(0)).toSet == Set(3L))
+    // fullFoldAt stays available as the operator's force-everything hatch
+    graft.streaming.DocStreams.compactFpStore(spark, dir, fullFoldAt = 1)
+    assert(fpDirs() == Set("batch_id=-4"), fpDirs())
+    assert(spark.read.parquet(s"$dir/fp").select("fpb").distinct().count()
+      == 40040L)
+  }
+
+  test("compactFpStore crash windows: orphan consolidated partition and pending manifest both exact, both converge") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions.{md5, unhex}
+    val dir = tmpDir("fp-crash-windows")
+    def keysDf(lo: Int, hi: Int) = (lo until hi).map(i => s"c$i").toDF("text")
+      .select(unhex(md5(col("text").cast("binary"))).as("fpb"))
+    keysDf(0, 100).write.parquet(s"$dir/fp/batch_id=0")
+    keysDf(100, 200).write.parquet(s"$dir/fp/batch_id=1")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fpNames() = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/fp"))
+      .map(_.getPath.getName).toSet
+    val batch = Seq(1L -> "c7", 2L -> "c150", 3L -> "nowhere stored")
+      .toDF("doc_id", "text")
+      .withColumn("fp", md5(col("text").cast("binary")))
+    def admitted(): Set[Long] = {
+      val (df, _) = graft.streaming.DocStreams.admissionJoin(
+        batch, s"$dir/fp", 99L, Long.MaxValue / 2)
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    // WINDOW B: crash between manifest write and the (graced) deletion —
+    // the store holds sources + consolidated target + manifest
+    graft.streaming.DocStreams.compactFpStore(spark, dir, graceMs = 3600000L)
+    assert(fpNames() == Set("batch_id=-1", "batch_id=0", "batch_id=1",
+      "_folded_-1"), fpNames())
+    assert(admitted() == Set(3L), "admission through the pending-manifest window")
+    // WINDOW A: crash between the consolidated write and the manifest
+    // write — model by removing the manifest: an ORPHAN consolidated
+    // partition now duplicates every key in its sources
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/fp/_folded_-1"), false)
+    assert(admitted() == Set(3L), "admission through the orphan window")
+    // CONVERGENCE, not just safety: a later fold absorbs the orphan and
+    // its sources into one generation holding each key exactly once
+    graft.streaming.DocStreams.compactFpStore(spark, dir)
+    assert(fpNames() == Set("batch_id=-2"), fpNames())
+    assert(spark.read.parquet(s"$dir/fp").select("fpb").count() == 200L)
+    assert(admitted() == Set(3L), "admission after convergence")
+  }
+
+  test("torn _folded_ manifest (no terminator) reads as empty: probe still vetoes, expiry clears it") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions.{md5, unhex}
+    val dir = tmpDir("fp-torn-manifest")
+    def keysDf(lo: Int, hi: Int) = (lo until hi).map(i => s"t$i").toDF("text")
+      .select(unhex(md5(col("text").cast("binary"))).as("fpb"))
+    keysDf(0, 50).write.parquet(s"$dir/fp/batch_id=0")
+    keysDf(50, 100).write.parquet(s"$dir/fp/batch_id=1")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a torn manifest: claims batch 1 absorbed, but the write died
+    // before the terminator — a LIVE partition must not be skipped on
+    // the strength of a torn read (the duplicate-admission race)
+    val torn = fs.create(
+      new org.apache.hadoop.fs.Path(s"$dir/fp/_folded_-9"), true)
+    torn.write("1\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    torn.close()
+    val batch = Seq(1L -> "t75", 2L -> "fresh content")
+      .toDF("doc_id", "text")
+      .withColumn("fp", md5(col("text").cast("binary")))
+    val (df, arm) = graft.streaming.DocStreams.admissionJoin(
+      batch, s"$dir/fp", 99L, Long.MaxValue / 2)
+    assert(arm == "pushdown")
+    assert(df.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L),
+      "a key stored only in the torn manifest's claimed partition must be vetoed")
+    // expiry: the torn remnant is cleared WITHOUT deleting its claimed
+    // partitions; the same pass folds the (intact) store
+    graft.streaming.DocStreams.compactFpStore(spark, dir, graceMs = 0L)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/fp"))
+      .map(_.getPath.getName).toSet
+    assert(names == Set("batch_id=-1"), names)
+    assert(spark.read.parquet(s"$dir/fp").select("fpb").count() == 100L,
+      "no key lost to the torn manifest")
+  }
+
+  test("stray non-numeric batch_id dir under fp/: maintenance folds everything else") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions.{md5, unhex}
+    val dir = tmpDir("fp-stray-dir")
+    def keysDf(lo: Int, hi: Int) = (lo until hi).map(i => s"s$i").toDF("text")
+      .select(unhex(md5(col("text").cast("binary"))).as("fpb"))
+    keysDf(0, 50).write.parquet(s"$dir/fp/batch_id=0")
+    keysDf(50, 100).write.parquet(s"$dir/fp/batch_id=1")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the hwmOf failure class, now on the fp store: an editor backup
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/fp/batch_id=junk.bak"))
+    // maintenance must fold the conforming partitions and skip the stray
+    graft.streaming.DocStreams.compactFpStore(spark, dir)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/fp"))
+      .map(_.getPath.getName).toSet
+    assert(names == Set("batch_id=-1", "batch_id=junk.bak"), names)
+    // and KEEP succeeding on later passes (the failure mode was a
+    // throw in every pass until an operator hand-deleted the dir)
+    graft.streaming.DocStreams.compactFpStore(spark, dir)
+    val batch = Seq(1L -> "s10", 2L -> "never seen before")
+      .toDF("doc_id", "text")
+      .withColumn("fp", md5(col("text").cast("binary")))
+    val (df, _) = graft.streaming.DocStreams.admissionJoin(
+      batch, s"$dir/fp", 99L, Long.MaxValue / 2)
+    assert(df.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L))
+  }
+
   test("sink maintenance cadence: root objects and fp partitions stay bounded over a long run") {
     val spark0 = spark
     import spark0.implicits._
@@ -891,12 +1050,12 @@ class StreamingSpec extends SparkSpec {
       val rootNames = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
         .map(_.getPath.getName).filter(_.startsWith("_applied")).toSet
       assert(rootNames == Set("_applied_hwm=15"), rootNames)
-      // fp store: every per-batch partition folded; one consolidated
-      // generation per cadence point, bounded (4 here), never O(batches)
+      // fp store: every per-batch partition folded, and the size-ratio
+      // ladder absorbed each prior generation (same size tier at this
+      // scale) — ONE consolidated generation remains, never O(batches)
       val fpDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/fp"))
         .map(_.getPath.getName).filter(_.startsWith("batch_id=")).toSet
-      assert(fpDirs == Set("batch_id=-1", "batch_id=-2", "batch_id=-3",
-        "batch_id=-4"), fpDirs)
+      assert(fpDirs == Set("batch_id=-4"), fpDirs)
       // dedup across folds stayed exact: 16 novels + ONE goodB admission
       val got = spark.read.parquet(s"$dir/data")
         .select("doc_id").collect().map(_.getLong(0)).toSet
