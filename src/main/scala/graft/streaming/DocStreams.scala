@@ -93,8 +93,10 @@ object DocStreams {
     *  - `pushdown` / `pushdown_waves`: collect the batch's key set,
     *    sort it, and push it into the store scan as unioned chunks of
     *    ≤ `graft.sink.fpChunkKeys` (default 1000) `In` predicates —
-    *    under [[withFpPushdown]] each chunk reaches parquet as an
-    *    or(eq...) tree, which gets per-page boundary search against the
+    *    `In` predicates — scans are built on the dedicated
+    *    [[fpScanSession]] whose raised In threshold makes each chunk
+    *    reach parquet as an or(eq...) tree, which gets per-page
+    *    boundary search against the
     *    column index, so the scan decodes at most
     *    `batch keys × page rows` rows REGARDLESS of store size
     *    (measured: 7.9M rows decoded for a 10k-key probe into a
@@ -190,10 +192,13 @@ object DocStreams {
         val chunkN = math.max(1, math.min(fpChunkKeys(spark), waveKeys))
         val chunks = sorted.grouped(chunkN).toSeq
         val index = loadRangeIndex(spark, fpRoot, batchId)
+        // scans are BUILT on the scan session so the raised In-pushdown
+        // threshold rides the relation, not the caller's conf
+        val scanSp = fpScanSession(spark)
         def anti(hits: DataFrame) = one.join(broadcast(hits),
           unhex(col("fp")) === col("fpb"), "left_anti")
         if (keys.length <= waveKeys)
-          chunkScans(spark, index, chunks) match {
+          chunkScans(scanSp, index, chunks) match {
             case Some(hits) => (anti(hits), "pushdown")
             // no store file's range overlaps any batch key: nothing can
             // be a duplicate, and no scan runs at all
@@ -210,10 +215,10 @@ object DocStreams {
           val hitKeys = scala.collection.mutable.LinkedHashSet
             .empty[scala.collection.immutable.ArraySeq[Byte]]
           chunks.grouped(perWave).foreach { wave =>
-            chunkScans(spark, index, wave).foreach { df =>
-              hitKeys ++= withFpPushdown(spark)(
-                df.collect().map(r => scala.collection.immutable.ArraySeq
-                  .unsafeWrapArray(r.getAs[Array[Byte]](0))))
+            chunkScans(scanSp, index, wave).foreach { df =>
+              hitKeys ++= df.collect().map(r =>
+                scala.collection.immutable.ArraySeq
+                  .unsafeWrapArray(r.getAs[Array[Byte]](0)))
             }
           }
           if (hitKeys.isEmpty) (one, "pushdown_waves")
@@ -488,35 +493,51 @@ object DocStreams {
       java.util.Arrays.compareUnsigned(a, b)
   }
 
-  // serializes withFpPushdown windows: the save/set/restore below
-  // mutates SESSION-wide conf, so two concurrent admission actions in
-  // one JVM would otherwise race the restore (the second restorer can
-  // persist the raised value forever). Reentrant (a monitor), so the
-  // wave loop nesting inside a caller's own wrap is fine.
-  private object FpPushdownConfLock
+  // one SCAN SESSION per parent session (weak: dies with the parent) —
+  // see fpScanSession
+  private val scanSessions = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.SparkSession]())
 
-  /** Run `body` (the ACTION that executes an [[admissionJoin]] plan)
-    * with parquet's In-pushdown threshold raised above the chunk size,
-    * so each ≤chunk `In` reaches parquet-mr as an or(eq...) tree —
-    * eq gets true per-page boundary search against the column index,
-    * where an In above the threshold is evaluated against the index as
-    * one min/max RANGE over the whole set (useless for uniform hash
-    * keys; measured: a pushed 10k-key In decodes the ENTIRE store).
-    * The conf is read at physical planning, i.e. when the action runs,
-    * which is why this wraps the action and not the plan construction.
-    *
-    * SCOPE CAVEAT: `spark.conf` is session-wide, so any OTHER query
-    * planned in this session during the window inherits the raised
-    * threshold. That is benign — it only converts ≤1001-element In
-    * filters to or(eq…) trees at the parquet layer, well under the
-    * ~2500 recursion bound — but a deployment wanting strict isolation
-    * should run the corpus sink in its own session (e.g.
-    * `spark.cloneSession()`), which shares the catalog and executors
-    * but not the conf. Concurrent windows in one JVM serialize on a
-    * monitor so the save/restore can never race.
+  /** The session [[admissionJoin]] builds its store scans on: a
+    * dedicated `newSession()` (same SparkContext, executors, and
+    * catalog metadata; its OWN SQLConf) whose parquet In-pushdown
+    * threshold is permanently raised above the chunk size, so each
+    * ≤chunk `In` reaches parquet-mr as an or(eq...) tree — eq gets true
+    * per-page boundary search against the column index, where an In
+    * above the threshold is evaluated against the index as one min/max
+    * RANGE over the whole set (useless for uniform hash keys; measured:
+    * a pushed 10k-key In decodes the ENTIRE store). Parquet reads the
+    * threshold from the RELATION's session at execution, so scans built
+    * here carry the raised value whatever session executes the plan —
+    * and the PARENT session's conf is never touched, so a concurrent
+    * query planned mid-admission can never inherit the raised
+    * threshold (the r18 scope caveat, closed). The threshold is only
+    * ever ratcheted UP (monotone max), so concurrent admissions with
+    * different chunk sizes can never lower each other's bound.
+    */
+  private def fpScanSession(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.SparkSession = {
+    val s = scanSessions.synchronized {
+      var cur = scanSessions.get(spark)
+      if (cur == null) { cur = spark.newSession(); scanSessions.put(spark, cur) }
+      cur
+    }
+    val k = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val want = fpChunkKeys(spark) + 1
+    if (s.conf.getOption(k).flatMap(_.toIntOption).forall(_ < want))
+      s.conf.set(k, want.toString)
+    s
+  }
+
+  /** Legacy wrapper from when the threshold rode the PARENT session's
+    * conf: admission scans are now built on [[fpScanSession]], so the
+    * sink no longer needs this — it is kept for probe/spec call sites
+    * and still does what it says (raise-around-action on the GIVEN
+    * session, serialized so the save/restore can never race).
     */
   def withFpPushdown[A](spark: org.apache.spark.sql.SparkSession)(body: => A): A =
-    FpPushdownConfLock.synchronized {
+    scanSessions.synchronized {
       val k = "spark.sql.parquet.pushdown.inFilterThreshold"
       val old = spark.conf.get(k)
       spark.conf.set(k, (fpChunkKeys(spark) + 1).toString)
@@ -728,9 +749,11 @@ object DocStreams {
           val (admitted, arm) =
             if (hasFpStore) admissionJoin(one, fpRoot, batchId, fpBytes)
             else (one, "empty_store")
-          def write(): Unit = admitted.write.mode("overwrite")
+          // the pushdown arm's raised In threshold rides the scan
+          // relation's own session (fpScanSession), so the write needs
+          // no conf window — this session's conf is never touched
+          admitted.write.mode("overwrite")
             .partitionBy(partCol).parquet(s"$data/batch_id=$batchId")
-          if (arm == "pushdown") withFpPushdown(spark)(write()) else write()
         } finally if (cacheBatch) one.unpersist()
         val fpPart = new Path(s"$fpRoot/batch_id=$batchId")
         if (parts(new Path(s"$data/batch_id=$batchId")).nonEmpty)

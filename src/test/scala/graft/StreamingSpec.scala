@@ -1022,6 +1022,63 @@ class StreamingSpec extends SparkSpec {
     assert(df.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L))
   }
 
+  test("fp pushdown threshold rides the scan session: no parent conf bleed, point predicates still effective") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions.{md5, unhex, concat, lit,
+      monotonically_increasing_id}
+    val dir = tmpDir("fp-scan-session")
+    val thresholdKey = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val before = spark.conf.get(thresholdKey)
+    // a 200k-key store in the shipped layout (sorted, 50-row pages) via
+    // compactFpStore — small pages so the decode assertion below has
+    // real teeth at test scale
+    spark.conf.set("graft.sink.fpPageRows", "50")
+    try {
+      def keysDf(lo: Int, hi: Int) = spark.range(lo, hi)
+        .select(unhex(md5(col("id").cast("string"))).as("fpb"))
+      keysDf(0, 100000).write.parquet(s"$dir/fp/batch_id=0")
+      keysDf(100000, 200000).write.parquet(s"$dir/fp/batch_id=1")
+      graft.streaming.DocStreams.compactFpStore(spark, dir, nFiles = 2)
+      // batch: 500 stored keys spread across the key space + 10 novel —
+      // an In pushed ABOVE the threshold is evaluated by parquet as one
+      // min/max range over the whole set, which would decode ~the whole
+      // store here; or(eq…) under the scan session's raised threshold
+      // decodes at most batch keys x page rows
+      val batch = spark.range(500)
+        .select((col("id") * 400L).cast("string").as("t"))
+        .union(spark.range(10).select(concat(lit("novel "),
+          col("id").cast("string")).as("t")))
+        .withColumn("doc_id", monotonically_increasing_id())
+        .withColumn("fp", md5(col("t").cast("binary")))
+      // AQE off for THIS plan only, so the executed join exposes its
+      // scan leaves (and their decode metric) directly
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val (df, arm) = graft.streaming.DocStreams.admissionJoin(
+        batch, s"$dir/fp", 99L, Long.MaxValue / 2)
+      assert(arm == "pushdown")
+      // execute WITHOUT any conf window — the raised threshold must
+      // ride the scan relation itself
+      val sel = df.select("doc_id")
+      val admitted = sel.collect().length
+      assert(admitted == 10, s"admitted $admitted of 10 novel docs")
+      val decoded = sel.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("/fp/")) =>
+          f.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+      }.sum
+      assert(decoded > 0L && decoded <= 500L * 50L * 2,
+        s"point predicates lost their page pruning: decoded $decoded of 200000")
+      // the parent session's conf was never touched — a concurrent
+      // query planned mid-admission can never inherit the threshold
+      assert(spark.conf.get(thresholdKey) == before,
+        s"conf bled: ${spark.conf.get(thresholdKey)} != $before")
+    } finally {
+      spark.conf.unset("graft.sink.fpPageRows")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("sink maintenance cadence: root objects and fp partitions stay bounded over a long run") {
     val spark0 = spark
     import spark0.implicits._
