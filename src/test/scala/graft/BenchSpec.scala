@@ -268,6 +268,91 @@ class BenchSpec extends SparkSpec {
       s"locale-unsafe probe rendering: $probesPart")
   }
 
+  test("parseBenchArtifact recovers per-query mins from a truncated driver tail") {
+    // the committed artifact: a wrapper whose tail starts MID-map (the
+    // common case — the min map is bigger than the 2 KB capture) with a
+    // name-truncated first value and a queries_max remnant before it
+    val wrapper = """{ "n": 18, "rc": 0, "tail": "x\":9.9,\"dedup_minhash\":6.3815,\"dedup_ngram\":2.2177,\"probes\":[0.1,0.2],\"load_suspect\":[],\"failed\":0,\"flaky\":0,\"total_sec\":213.2}" }"""
+    val parsed = Bench.parseBenchArtifact(wrapper)
+    assert(parsed == Map("dedup_minhash" -> 6.3815, "dedup_ngram" -> 2.2177),
+      parsed.toString)
+    // a tail that still carries the map opener: queries_max remnants
+    // BEFORE it are excluded outright, reps_ok ints never match
+    val full = """{"tail": "\"reps_ok\":{\"a\":4},\"queries_max\":{\"a\":9.0000},\"queries\":{\"a\":1.5000,\"b\":2.0000},\"probes\":[0.1],\"total_sec\":3.5}"}"""
+    assert(Bench.parseBenchArtifact(full) == Map("a" -> 1.5, "b" -> 2.0))
+    // a raw (unwrapped) bench line parses too
+    val raw = Bench.render(
+      Seq(Bench.QueryResult("q", Seq(1.25), Seq(0), None, 1)), 1, "sf")
+    assert(Bench.parseBenchArtifact(raw) == Map("q" -> 1.25))
+  }
+
+  test("historyBands takes the per-query median of the recent rounds") {
+    def art(m: (String, Double)*): String =
+      "\"queries\":{" + m.map { case (k, v) => s""""$k":$v""" }
+        .mkString(",") + "},\"probes\":[]"
+    val arts = Seq(
+      art("q" -> 33.9, "r" -> 1.0),               // ancient outlier
+      art("q" -> 2.4, "r" -> 1.1),
+      art("q" -> 2.6, "r" -> 1.2),
+      art("q" -> 2.8, "s" -> 5.0),
+      art("q" -> 3.0, "s" -> 5.2),
+      art("q" -> 3.1),
+      art("q" -> 6.4, "s" -> 5.1))                // the hot-window round
+    val bands = Bench.historyBands(arts, lastN = 6, minRounds = 3)
+    // q: last 6 = [2.4,2.6,2.8,3.0,3.1,6.4] -> median 2.9; the ancient
+    // 33.9 fell out of the window, the hot 6.4 cannot drag the median
+    assert(math.abs(bands("q") - 2.9) < 1e-9, bands.toString)
+    // s has exactly 3 samples -> banded; r has 3 too
+    assert(bands.contains("s") && bands.contains("r"))
+    // below minRounds -> no band
+    assert(!Bench.historyBands(arts.take(2), minRounds = 3).contains("q"))
+  }
+
+  test("windowSuspects flags mins outside the committed band; rerun can clear the flag") {
+    val bands = Map("slow" -> 3.0, "fine" -> 3.0)
+    val seeded = Seq(
+      Bench.QueryResult("slow", Seq(6.4, 6.5), Seq(0, 1), None, 2),
+      Bench.QueryResult("fine", Seq(3.2, 4.0), Seq(0, 1), None, 2),
+      Bench.QueryResult("unbanded", Seq(99.0), Seq(0), None, 1))
+    assert(Bench.windowSuspects(seeded, bands) == Seq("slow"))
+    // the guard gives the suspect an end-of-suite sample; a clean
+    // window's sample lowers the min and the flag clears itself
+    val fast = (s: SparkSession, _: String) => s.range(3).toDF("id")
+    val log = new Bench.ProbeLog
+    val out = Bench.rerunWindowSuspects(spark, Seq("slow" -> fast),
+      seeded, "unused", bands, factor = 1.5, log = log)
+    val r = out.find(_.name == "slow").get
+    assert(r.okReps == 3 && r.okTimes.min < 4.5, r.okTimes.toString)
+    assert(Bench.windowSuspects(out, bands).isEmpty)
+    // untouched queries kept their samples
+    assert(out.find(_.name == "fine").get.okReps == 2)
+    val line = Bench.render(out, 2, "sf", log.times, bands)
+    assert(line.contains(""""window_suspect":[]"""), line)
+  }
+
+  test("a suspect still out of band after the reruns keeps its annotation and band") {
+    // a query function pinned at ~real time cannot dip under the band:
+    // the flag must survive the rerun passes and ride the artifact
+    val slowFn = (s: SparkSession, _: String) => {
+      Thread.sleep(300); s.range(3).toDF("id")
+    }
+    val bands = Map("stuck" -> 0.01)
+    val seeded = Seq(Bench.QueryResult("stuck", Seq(0.3), Seq(0), None, 1))
+    val log = new Bench.ProbeLog
+    val out = Bench.rerunWindowSuspects(spark, Seq("stuck" -> slowFn),
+      seeded, "unused", bands, factor = 1.5, log = log, passes = 2)
+    // two passes ran (bracketing probes) and added samples, all >= 0.3s
+    assert(out.head.okReps == 3, out.head.okTimes.toString)
+    val line = Bench.render(out, 1, "sf", log.times, bands)
+    assert(line.contains(""""window_suspect":["stuck"]"""), line)
+    assert(line.contains(""""window_band":{"stuck":0.0100}"""), line)
+    // the untrustworthy row carries its max alongside the min
+    assert(line.contains(""""queries_max":{"stuck":"""), line)
+    // tail-safe: the annotation sits after the min map
+    assert(line.lastIndexOf("\"window_suspect\":") >
+      line.lastIndexOf("\"queries\":"), line)
+  }
+
   test("warmup discovers tables by listing the SF dir instead of a hardcoded list") {
     val dir = java.nio.file.Files.createTempDirectory("bench-tables").toFile
     try {
