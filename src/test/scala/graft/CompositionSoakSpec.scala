@@ -43,13 +43,16 @@ import graft.server.{NetClient, TcpServer}
   * instead of answered with a torn mix (this soak is what pinned that
   * down). Clients retry, as the reference's would.
   *
-  * One harness artifact is tolerated BOUNDEDLY: co-hosting all four
-  * roles in one SparkSession (which the deployment never does — a
-  * replica is its own JVM, ServerMain --read-only) can rarely surface
-  * a Spark-internal `[INTERNAL_ERROR]` on a replica action under a
-  * maximally hot box. Those are recorded with their full root-cause
-  * chain and capped at 3 per soak; a FileNotFoundException anywhere in
-  * the chain (the vacuum-contract violation signal) is NEVER tolerated.
+  * NOTHING is tolerated: any exception on any role fails the soak.
+  * Earlier rounds capped a rare Spark-internal `[INTERNAL_ERROR]` on
+  * replica actions at 3 per run — an artifact of co-hosting all four
+  * roles' plans in ONE SessionState, which the deployment never does
+  * (a replica is its own JVM, ServerMain --read-only). The replica now
+  * runs on its own `spark.newSession()` — the single-JVM analogue of
+  * that topology: same SparkContext, PRIVATE SessionState, so replica
+  * planning never races the writer's — and the tolerance is retired
+  * (cap 0, queue gone). A FileNotFoundException (the vacuum-contract
+  * violation signal) fails like everything else, as before.
   */
 class CompositionSoakSpec extends SparkSpec {
 
@@ -89,7 +92,6 @@ class CompositionSoakSpec extends SparkSpec {
     val port = server.start()
     val failures = new ConcurrentLinkedQueue[String]()
     @volatile var stopping = false
-    val sparkInternalArtifacts = new ConcurrentLinkedQueue[String]()
     def guard[A](role: String)(body: => A): Option[A] =
       try Some(body) catch {
         case e: Throwable =>
@@ -98,28 +100,10 @@ class CompositionSoakSpec extends SparkSpec {
             def rootOf(t: Throwable): Throwable =
               if (t.getCause != null && t.getCause != t) rootOf(t.getCause)
               else t
-            def chain(t: Throwable): Seq[Throwable] =
-              t +: Option(t.getCause).filter(_ ne t).toSeq.flatMap(chain)
             val r = rootOf(e)
             val frames = r.getStackTrace.take(6).mkString(" <- ")
-            val detail = s"$role: ${e.getClass.getSimpleName}: " +
-              s"${e.getMessage} (root: $r @ $frames)"
-            // a rare Spark-INTERNAL assertion under four-role churn in
-            // ONE SparkSession (~15% of maximally-hot full soaks) is a
-            // co-hosting artifact of this harness, not a protocol
-            // failure: the deployed replica topology is its own JVM
-            // (ServerMain --read-only), and every failure mode this
-            // soak exists to catch surfaces differently — a
-            // vacuum-deleted dir read is a FileNotFoundException (NEVER
-            // tolerated, checked below), a torn read is wrong
-            // arithmetic, a snapshot regression is an assert. Bounded
-            // tolerance + full recording keeps the soak honest without
-            // flaking on a Spark-internal race this repo cannot fix.
-            val sparkInternal =
-              String.valueOf(e.getMessage).contains("INTERNAL_ERROR") &&
-                !chain(e).exists(_.isInstanceOf[java.io.FileNotFoundException])
-            if (sparkInternal) sparkInternalArtifacts.add(detail)
-            else failures.add(detail)
+            failures.add(s"$role: ${e.getClass.getSimpleName}: " +
+              s"${e.getMessage} (root: $r @ $frames)")
           }
           None
       }
@@ -133,7 +117,11 @@ class CompositionSoakSpec extends SparkSpec {
           |""".stripMargin)
       assert(!sf, serr.mkString("; "))
 
-      val replica = new Engine(spark, dbDir, readOnly = true)
+      // the replica plans on a PRIVATE SessionState (newSession: same
+      // SparkContext, isolated analyzer/optimizer/conf) — the
+      // single-JVM analogue of the deployed ServerMain --read-only
+      // topology, and what lets this soak run at artifact tolerance 0
+      val replica = new Engine(spark.newSession(), dbDir, readOnly = true)
       @volatile var stop = false
       val nextSa = new AtomicLong(2L)   // next append value for sa
       val sbVal = new AtomicLong(1000L) // last issued sb value
@@ -297,12 +285,6 @@ class CompositionSoakSpec extends SparkSpec {
       replicaThread.join(10000); vacuumThread.join(10000)
 
       assert(failures.isEmpty, failures.toArray.mkString("\n"))
-      // Spark-internal artifacts are tolerated only RARELY (a busy box
-      // produces at most a couple per soak) — a systematic stream of
-      // them would mean something real broke in the engine's plans
-      assert(sparkInternalArtifacts.size <= 3,
-        s"too many Spark-internal artifacts:\n" +
-          sparkInternalArtifacts.toArray.mkString("\n"))
       // liveness: the replica converged to the writer's final state
       assert(lastSaCount.get() == finalSa,
         s"replica never caught up: ${lastSaCount.get()} of $finalSa")
