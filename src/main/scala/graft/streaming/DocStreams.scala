@@ -928,28 +928,33 @@ object DocStreams {
     * skew assumption [[graft.core.WriterLease]]'s TTL documents).
     *
     * COST SHAPE (what lets the sink invoke this every few dozen
-    * batches): the fold is a SIZE-RATIO LADDER — classic LSM
-    * size-tiered compaction. A pass always folds the per-batch
-    * partitions (non-negative ids), and additionally absorbs earlier
-    * consolidated generations (negative ids) SMALLEST-FIRST while each
-    * next generation is at most `graft.sink.fpFoldRatio` (default 4)
-    * times everything already selected, measured in KEY COUNT (the
-    * `#rows` line of each partition's `_ranges` sidecar; bytes/16 when
-    * absent) — so a generation is only ever
-    * rewritten together with a comparable volume of newer data, every
-    * pass's bytes are bounded by (ratio+1) × the newer data merged
-    * into it (never O(store)), each key climbs the ladder
-    * O(log_ratio(store/batch)) times over its life, and the number of
-    * live generations stays O(log_ratio(store/batch)) — at a 10¹⁰-key
-    * store fed 10⁴-key batches that is ~7 generations and no
-    * maintenance pass ever rewrites the big one until its juniors
-    * together reach a quarter of its size. `fullFoldAt` remains an
+    * batches): the fold is SIZE-TIERED compaction — classic LSM STCS.
+    * A pass always folds the per-batch partitions (non-negative ids),
+    * absorbing with them any consolidated generation (negative id) in
+    * the same size tier (≤ `graft.sink.fpFoldRatio` (4) × the batches'
+    * combined key count — a FIXED bound, deliberately not the
+    * cascading sum-of-selected variant, which the r19 FoldLadderProbe
+    * measured re-rewriting the dominant generation every few passes:
+    * max pass ≈ the whole store, read amp 5.7×). Generations above
+    * the band sort into buckets of similar size (each member ≤ ratio ×
+    * its bucket's smallest); a bucket merges only once it holds
+    * `graft.sink.fpFoldMin` (4) generations — the STCS trigger. Key
+    * counts come from the `#rows` line of each partition's `_ranges`
+    * sidecar (bytes/16 when absent). So a tier is rewritten exactly
+    * when a comparable volume of newer data merges with it, per-pass
+    * bytes are bounded by the merging tier's bucket ((minMerge+1) ×
+    * that tier's generation size — top-tier merges are geometrically
+    * RARE, never the every-N-passes O(store) rewrite of the r18
+    * scheme), each key climbs O(log_ratio(store/batch)) tiers over
+    * its life, and live generations stay
+    * O(minMerge × log_ratio(store/batch)) — at a 10¹⁰-key store fed
+    * 10⁴-key batches that is ~25 generations and the biggest one is
+    * rewritten only when its own tier fills. `fullFoldAt` remains an
     * operator escape hatch: when that many consolidated generations
     * exist, one full fold merges everything (default effectively
-    * never — the ladder keeps the count far below any sane setting).
-    * The probe reads the UNION of partitions, so multiple generations
-    * are semantically invisible. `nFiles ≤ 0` sizes the output
-    * automatically at ~256 MB per file of folded input.
+    * never). The probe reads the UNION of partitions, so multiple
+    * generations are semantically invisible. `nFiles ≤ 0` sizes the
+    * output automatically at ~256 MB per file of folded input.
     *
     * Returns the folded source bytes (0 when no fold ran) — the
     * measurement hook [[graft.tools.FoldLadderProbe]] uses to bound
@@ -1047,6 +1052,8 @@ object DocStreams {
     val pos = live.filter { case (_, id) => id >= 0L && foldable(id) }
     val ratio = spark.conf.getOption("graft.sink.fpFoldRatio")
       .map(_.toDouble).getOrElse(4.0)
+    val minMerge = spark.conf.getOption("graft.sink.fpFoldMin")
+      .map(_.toInt).getOrElse(4)
     // ladder selection — see the scaladoc cost shape. `ratio ≤ 0`
     // disables generation merging entirely (the legacy incremental-only
     // mode, kept for the probe's A/B arm).
@@ -1055,21 +1062,42 @@ object DocStreams {
         live.filter { case (_, id) => foldable(id) }.map(_._1)
       else if (ratio <= 0.0) pos.map(_._1)
       else {
-        var run = pos.map(p => dirKeys(p._1)).sum
-        val sorted = negs.map(p => (p._1, dirKeys(p._1))).sortBy(_._2)
-        val sel = scala.collection.mutable.ArrayBuffer
-          .empty[org.apache.hadoop.fs.FileStatus]
-        var i = 0
-        var cont = true
-        while (cont && i < sorted.length) {
-          val (st, b) = sorted(i)
-          // seed: with no newer data at all, the two smallest
-          // generations may still merge with each other
-          if ((run == 0L && sel.isEmpty && pos.isEmpty) ||
-              b <= ratio * run) { sel += st; run += b; i += 1 }
-          else cont = false
+        val posKeys = pos.map(p => dirKeys(p._1)).sum
+        val sortedNegs = negs.map(p => (p._1, dirKeys(p._1))).sortBy(_._2)
+        // band absorption: generations in the same size tier as the
+        // incoming batches ride the pos fold. The bound is FIXED at
+        // ratio × posKeys — deliberately NON-cascading: the r19
+        // FoldLadderProbe measured the cascading variant (bound grows
+        // with each admitted generation) re-rewriting the DOMINANT
+        // generation every few passes — max pass ≈ the whole store,
+        // read amp 5.7× — exactly the O(store) pass the ladder exists
+        // to remove.
+        val (band, rest) =
+          if (posKeys > 0L) sortedNegs.partition(_._2 <= ratio * posKeys)
+          else (Array.empty[(org.apache.hadoop.fs.FileStatus, Long)],
+            sortedNegs)
+        // size-tiered buckets over the rest (classic STCS): walking
+        // ascending, a generation joins the current bucket while it is
+        // ≤ ratio × the bucket's smallest member; a bucket merges only
+        // once it holds minMerge generations — so a tier is rewritten
+        // exactly when a comparable volume of newer data merges with
+        // it, each key climbs one tier per ~ratio-fold store growth,
+        // and no pass ever touches a tier whose juniors haven't filled.
+        // A pos-empty call (offline consolidation harnesses) relaxes
+        // the trigger to 2 so repeated passes still converge the store.
+        val buckets = scala.collection.mutable.ArrayBuffer
+          .empty[scala.collection.mutable.ArrayBuffer[
+            (org.apache.hadoop.fs.FileStatus, Long)]]
+        rest.foreach { g =>
+          if (buckets.nonEmpty && g._2 <= ratio * buckets.last.head._2)
+            buckets.last += g
+          else buckets += scala.collection.mutable.ArrayBuffer(g)
         }
-        pos.map(_._1) ++ sel
+        val trigger =
+          if (pos.nonEmpty || band.nonEmpty) minMerge
+          else math.min(minMerge, 2)
+        val merged = buckets.filter(_.length >= trigger).flatten
+        pos.map(_._1) ++ band.map(_._1) ++ merged.map(_._1)
       }
     if (old.length <= 1) return 0L
     if (!old.exists(d => fs.listStatus(d.getPath).exists(
