@@ -101,9 +101,11 @@ object DocStreams {
     *    `batch keys × page rows` rows REGARDLESS of store size
     *    (measured: 7.9M rows decoded for a 10k-key probe into a
     *    20M-key store at the shipped 1000-row pages vs 20M for a
-    *    pushed plain In — FpPushdownProbe; the chunk bound exists
-    *    because parquet's filter visitors recurse per or() level and a
-    *    >~2500-deep tree overflows the task stack). The hits — bounded
+    *    pushed plain In — FpPushdownProbe; within a chunk the
+    *    predicate is an OR of ≤100-key In groups, [[chunkPredicate]],
+    *    because parquet's filter visitors recurse per or() level and
+    *    the r19 600M-store probe measured a single 1000-key chunk's
+    *    left-deep tree overflowing the default task stack). The hits — bounded
     *    by the batch — broadcast-ANTI back into the batch. Sorting
     *    makes chunks contiguous key ranges, so row-group stats prune
     *    whole groups per chunk, and each chunk scans ONLY the store
@@ -190,6 +192,7 @@ object DocStreams {
       else if (batchN <= pushMax) {
         val sorted = keys.sorted(ByteOrd)
         val chunkN = math.max(1, math.min(fpChunkKeys(spark), waveKeys))
+        val eqGroup = fpEqChunkKeys(spark)
         val chunks = sorted.grouped(chunkN).toSeq
         val index = loadRangeIndex(spark, fpRoot, batchId)
         // scans are BUILT on the scan session so the raised In-pushdown
@@ -198,7 +201,7 @@ object DocStreams {
         def anti(hits: DataFrame) = one.join(broadcast(hits),
           unhex(col("fp")) === col("fpb"), "left_anti")
         if (keys.length <= waveKeys)
-          chunkScans(scanSp, index, chunks) match {
+          chunkScans(scanSp, index, chunks, eqGroup) match {
             case Some(hits) => (anti(hits), "pushdown")
             // no store file's range overlaps any batch key: nothing can
             // be a duplicate, and no scan runs at all
@@ -215,7 +218,7 @@ object DocStreams {
           val hitKeys = scala.collection.mutable.LinkedHashSet
             .empty[scala.collection.immutable.ArraySeq[Byte]]
           chunks.grouped(perWave).foreach { wave =>
-            chunkScans(scanSp, index, wave).foreach { df =>
+            chunkScans(scanSp, index, wave, eqGroup).foreach { df =>
               hitKeys ++= df.collect().map(r =>
                 scala.collection.immutable.ArraySeq
                   .unsafeWrapArray(r.getAs[Array[Byte]](0)))
@@ -370,7 +373,8 @@ object DocStreams {
     */
   private def chunkScans(spark: org.apache.spark.sql.SparkSession,
                          index: FpRangeIndex,
-                         chunks: Seq[Array[Array[Byte]]]): Option[DataFrame] = {
+                         chunks: Seq[Array[Array[Byte]]],
+                         eqGroup: Int): Option[DataFrame] = {
     // explicit schema: per-chunk scans must not each pay schema
     // inference (a footer read) over the same files
     val schema = new org.apache.spark.sql.types.StructType()
@@ -385,9 +389,37 @@ object DocStreams {
           java.util.Arrays.compareUnsigned(mx, lo) >= 0
       }.map(_._1).toSeq ++ index.unranged
       if (paths.isEmpty) None
-      else Some(scan(paths).filter(col("fpb").isInCollection(ch.toSeq)))
+      else Some(scan(paths).filter(chunkPredicate(ch, eqGroup)))
     }.reduceOption(_ union _)
   }
+
+  /** A chunk's point predicate, shaped for parquet's RECURSIVE filter
+    * visitors: one `In` per ≤ `graft.sink.fpEqChunkKeys` (100) keys,
+    * OR'd together — never one chunk-sized `In`. Spark translates an
+    * under-threshold `In` to a LEFT-DEEP or(eq...) chain, and
+    * parquet-mr's row-group/column-index/bloom visitors recurse once
+    * per or() level: a single 1000-key In is a ~1000-deep tree, which
+    * the r19 600M-key AdmissionScaleProbe run measured OVERFLOWING the
+    * default 1 MB task stack (SparkException wrapping
+    * StackOverflowError inside the scan; 16 MB stacks confirmed the
+    * diagnosis). Grouping caps the eq-chain depth at the group size
+    * plus one or() per group — an order of magnitude below the
+    * measured overflow — while pruning semantics are unchanged:
+    * parquet evaluates each eq against the stats/column index/bloom
+    * individually either way. [[fpScanSession]]'s In-threshold ratchet
+    * (chunk size + 1) stays above the group size by construction. The
+    * group size is resolved on the CALLER's session in [[admissionJoin]]
+    * (the scan session inherits only creation-time conf).
+    */
+  private[graft] def chunkPredicate(ch: Array[Array[Byte]],
+      group: Int): org.apache.spark.sql.Column =
+    ch.grouped(math.max(1, group))
+      .map(g => col("fpb").isInCollection(g.toSeq))
+      .reduceLeft(_ || _)
+
+  private def fpEqChunkKeys(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption("graft.sink.fpEqChunkKeys")
+      .map(_.toInt).getOrElse(100)
 
   /** Page row limit for fingerprint-store parquet. The pushdown arm's
     * decode bound is `batch keys × page rows` (the column index skips

@@ -52,22 +52,30 @@ object AdmissionScaleProbe {
     val fs = new org.apache.hadoop.fs.Path("/tmp")
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+    // SPARK_GRAFT_PROBE_REUSE=1 keeps (and reuses) the generated
+    // stores across runs — a 600M-key store is ~10 GB and several
+    // minutes of generation; iterating on the arms shouldn't pay it
+    val reuse = sys.env.get("SPARK_GRAFT_PROBE_REUSE").contains("1")
     for (n <- sizes) {
       val dir = s"/tmp/graft_admission_probe_$n"
       val root = new org.apache.hadoop.fs.Path(dir)
-      fs.delete(root, true)
-      // store keys = md5(0..n) raw bytes, in the sink's own layout:
-      // write a provisional partition, then fold it through
-      // compactFpStore so the measured files are EXACTLY what a
-      // compacted production store holds
       val files = math.max(4, (n / 4000000L).toInt)
-      spark.range(n)
-        .select(unhex(md5(col("id").cast("string"))).as("fpb"))
-        .write.parquet(s"$dir/fp/batch_id=0")
-      spark.range(1) // a second partition so the fold has work to do
-        .select(unhex(md5(lit("seed"))).as("fpb"))
-        .write.parquet(s"$dir/fp/batch_id=1")
-      DocStreams.compactFpStore(spark, dir, nFiles = files)
+      if (reuse && fs.exists(
+          new org.apache.hadoop.fs.Path(s"$dir/fp/batch_id=-1"))) ()
+      else {
+        fs.delete(root, true)
+        // store keys = md5(0..n) raw bytes, in the sink's own layout:
+        // write a provisional partition, then fold it through
+        // compactFpStore so the measured files are EXACTLY what a
+        // compacted production store holds
+        spark.range(n)
+          .select(unhex(md5(col("id").cast("string"))).as("fpb"))
+          .write.parquet(s"$dir/fp/batch_id=0")
+        spark.range(1) // a second partition so the fold has work to do
+          .select(unhex(md5(lit("seed"))).as("fpb"))
+          .write.parquet(s"$dir/fp/batch_id=1")
+        DocStreams.compactFpStore(spark, dir, nFiles = files)
+      }
       val fpBytes = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/fp"))
         .filter(_.isDirectory)
         .flatMap(d => fs.listStatus(d.getPath))
@@ -154,7 +162,7 @@ object AdmissionScaleProbe {
           f"default gate -> $defaultArm")
         batch.unpersist()
       }
-      fs.delete(root, true)
+      if (!reuse) fs.delete(root, true)
     }
     spark.stop()
   }

@@ -1022,6 +1022,106 @@ class StreamingSpec extends SparkSpec {
     assert(df.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L))
   }
 
+  test("fp fold STCS: band bound does not cascade; a bucket merges only at fpFoldMin members") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions.{md5, unhex}
+    val dir = tmpDir("fp-stcs")
+    def keysDf(lo: Int, hi: Int) = (lo until hi).map(i => s"b$i").toDF("text")
+      .select(unhex(md5(col("text").cast("binary"))).as("fpb"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fpDirs() = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/fp"))
+      .map(_.getPath.getName).filter(_.startsWith("batch_id=")).toSet
+    // NON-CASCADING band: pos ≈ 1k keys (band bound ratio×1k ≈ 4k), a
+    // 3k-key generation (inside the band) and a 15k-key one (outside —
+    // but INSIDE the cascading bound 4×(1k+3k) = 16k the r19 probe
+    // caught rewriting the dominant generation every few passes)
+    keysDf(0, 3000).coalesce(1).write.parquet(s"$dir/fp/batch_id=-1")
+    keysDf(3000, 18000).coalesce(1).write.parquet(s"$dir/fp/batch_id=-2")
+    keysDf(18000, 19000).coalesce(1).write.parquet(s"$dir/fp/batch_id=0")
+    graft.streaming.DocStreams.compactFpStore(spark, dir)
+    assert(fpDirs() == Set("batch_id=-2", "batch_id=-3"), fpDirs())
+    // BUCKET TRIGGER: three similar-size generations far above the
+    // band (30k keys each vs a 1k-key batch) must NOT merge — the
+    // bucket is below fpFoldMin (4). The fourth member arriving is
+    // what merges the tier, in the same pass.
+    val dir2 = tmpDir("fp-stcs-bucket")
+    def kDf(lo: Int, hi: Int) = (lo until hi).map(i => s"q$i").toDF("text")
+      .select(unhex(md5(col("text").cast("binary"))).as("fpb"))
+    def dirs2() = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir2/fp"))
+      .map(_.getPath.getName).filter(_.startsWith("batch_id=")).toSet
+    kDf(0, 30000).coalesce(1).write.parquet(s"$dir2/fp/batch_id=-1")
+    kDf(30000, 60000).coalesce(1).write.parquet(s"$dir2/fp/batch_id=-2")
+    kDf(60000, 90000).coalesce(1).write.parquet(s"$dir2/fp/batch_id=-3")
+    kDf(90000, 90500).coalesce(1).write.parquet(s"$dir2/fp/batch_id=0")
+    kDf(90500, 91000).coalesce(1).write.parquet(s"$dir2/fp/batch_id=1")
+    graft.streaming.DocStreams.compactFpStore(spark, dir2)
+    // pos folded alone; the 3-member bucket held its fire
+    assert(dirs2() == Set("batch_id=-1", "batch_id=-2", "batch_id=-3",
+      "batch_id=-4"), dirs2())
+    // the 4th similar generation + fresh batches: the bucket merges
+    // (the prior 1k pos-fold generation rides the new batches' band)
+    kDf(91000, 121000).coalesce(1).write.parquet(s"$dir2/fp/batch_id=-5")
+    kDf(121000, 121500).coalesce(1).write.parquet(s"$dir2/fp/batch_id=2")
+    kDf(121500, 122000).coalesce(1).write.parquet(s"$dir2/fp/batch_id=3")
+    graft.streaming.DocStreams.compactFpStore(spark, dir2)
+    assert(dirs2() == Set("batch_id=-6"), dirs2())
+    // nothing lost across the band folds and the bucket merge
+    assert(spark.read.parquet(s"$dir2/fp").select("fpb").distinct().count()
+      == 122000L)
+  }
+
+  test("chunkPredicate: a 1000-key chunk is an OR of ≤100-key In groups, and grouped admission stays exact") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions.{md5, unhex}
+    // shape: parquet's filter visitors recurse per or() level, and the
+    // 600M-store probe measured a single 1000-key In (left-deep
+    // or(eq...) after translation) overflowing the default task stack —
+    // the predicate must arrive as OR of bounded In groups
+    val keys = (0 until 1000).map { i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+    }.toArray
+    val pred = graft.streaming.DocStreams.chunkPredicate(keys, 100)
+    val e = Seq(Array.empty[Byte]).toDF("fpb").filter(pred)
+      .queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition
+      }.getOrElse(fail("no Filter in the analyzed plan"))
+    def walk(ex: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[Int] = ex match {
+      case org.apache.spark.sql.catalyst.expressions.Or(l, r) =>
+        walk(l) ++ walk(r)
+      case in: org.apache.spark.sql.catalyst.expressions.In =>
+        Seq(in.list.size)
+      case other => fail(s"unexpected node in chunk predicate: $other")
+    }
+    val inSizes = walk(e)
+    assert(inSizes.forall(_ <= 100), s"an In group exceeds 100: $inSizes")
+    assert(inSizes.sum == 1000, s"keys lost in grouping: $inSizes")
+    assert(inSizes.size == 10)
+    // semantics under grouping, including a ragged tail (50 keys at
+    // group 7 → groups of 7×7+1): admission identical to ungrouped
+    val dir = tmpDir("fp-eq-groups")
+    def keysDf(lo: Int, hi: Int) = (lo until hi).map(i => s"g$i").toDF("text")
+      .select(unhex(md5(col("text").cast("binary"))).as("fpb"))
+    keysDf(0, 2000).write.parquet(s"$dir/fp/batch_id=0")
+    val batch = (0 until 50).map { i =>
+      (i.toLong, if (i % 2 == 0) s"g${i * 40}" else s"novel text $i")
+    }.toDF("doc_id", "text")
+      .withColumn("fp", md5(col("text").cast("binary")))
+    val expect = (0 until 50).filter(_ % 2 == 1).map(_.toLong).toSet
+    spark.conf.set("graft.sink.fpEqChunkKeys", "7")
+    try {
+      val (df, arm) = graft.streaming.DocStreams.admissionJoin(
+        batch, s"$dir/fp", 99L, Long.MaxValue / 2)
+      assert(arm == "pushdown")
+      assert(df.select("doc_id").collect().map(_.getLong(0)).toSet == expect)
+    } finally spark.conf.unset("graft.sink.fpEqChunkKeys")
+  }
+
   test("fp pushdown threshold rides the scan session: no parent conf bleed, point predicates still effective") {
     val spark0 = spark
     import spark0.implicits._
