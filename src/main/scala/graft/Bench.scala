@@ -312,13 +312,25 @@ object Bench {
     * could not: is this round's min consistent with what THIS query has
     * measured across rounds, or was the whole suite sitting in a noisy-
     * neighbor window the intra-run probes were too short to see?
+    *
+    * STALENESS CAP (`staleN`): a query gets a band only if it appears
+    * in one of the last `staleN` artifacts. The driver tails are
+    * TRUNCATED, so a query can vanish from recent artifacts while old
+    * appearances survive — and a band built purely from a code state
+    * many rounds back flags the query's legitimate CURRENT level as a
+    * window artifact (measured: dedup_embedding_lsh's last surviving
+    * appearances were r6–r11 at ~2s, its steady r17/r18 level is
+    * ~3.7–4s — the stale band cried wolf on a clean run). No recent
+    * appearance → no current level to compare against → no band.
     */
   private[graft] def historyBands(artifacts: Seq[String], lastN: Int = 6,
-                                  minRounds: Int = 3): Map[String, Double] = {
+                                  minRounds: Int = 3,
+                                  staleN: Int = 6): Map[String, Double] = {
     val perRound = artifacts.map(parseBenchArtifact)
+    val recent = perRound.takeRight(staleN)
     perRound.flatMap(_.keys).distinct.flatMap { n =>
       val vals = perRound.flatMap(_.get(n)).takeRight(lastN).sorted
-      if (vals.size < minRounds) None
+      if (vals.size < minRounds || !recent.exists(_.contains(n))) None
       else Some(n -> (if (vals.size % 2 == 1) vals(vals.size / 2)
                       else (vals(vals.size / 2 - 1) + vals(vals.size / 2)) / 2))
     }.toMap

@@ -306,6 +306,17 @@ class BenchSpec extends SparkSpec {
     assert(bands.contains("s") && bands.contains("r"))
     // below minRounds -> no band
     assert(!Bench.historyBands(arts.take(2), minRounds = 3).contains("q"))
+    // STALE: a query absent from the last `staleN` artifacts gets no
+    // band — the driver tails are truncated, so old appearances can
+    // survive while recent ones vanish, and a band from a code state
+    // many rounds back flags the query's legitimate current level
+    // (the r19 dedup_embedding_lsh false alarm: banded ~2s from
+    // r6-r11 survivors vs a steady ~3.7s since r17)
+    val stale = Seq(
+      art("old" -> 2.0), art("old" -> 2.1), art("old" -> 2.2)) ++
+      Seq.fill(6)(art("live" -> 1.0))
+    val b2 = Bench.historyBands(stale)
+    assert(!b2.contains("old") && b2.contains("live"), b2.toString)
   }
 
   test("windowSuspects flags mins outside the committed band; rerun can clear the flag") {
