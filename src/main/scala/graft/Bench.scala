@@ -329,11 +329,87 @@ object Bench {
     val perRound = artifacts.map(parseBenchArtifact)
     val recent = perRound.takeRight(staleN)
     perRound.flatMap(_.keys).distinct.flatMap { n =>
-      val vals = perRound.flatMap(_.get(n)).takeRight(lastN).sorted
-      if (vals.size < minRounds || !recent.exists(_.contains(n))) None
+      // the median draws ONLY from the recent (staleN) artifacts: the
+      // r19 staleness cap required one recent appearance but still let
+      // surviving ancient values dominate the median — a query with
+      // five old ~2s appearances plus one recent ~3.7s would pass the
+      // cap yet keep a ~2s band, re-creating the exact cry-wolf false
+      // window_suspect the cap was added to fix
+      val vals = recent.flatMap(_.get(n)).takeRight(lastN).sorted
+      if (vals.size < minRounds) None
       else Some(n -> (if (vals.size % 2 == 1) vals(vals.size / 2)
                       else (vals(vals.size / 2 - 1) + vals(vals.size / 2)) / 2))
     }.toMap
+  }
+
+  /** Report-only creep detector, complementing [[windowSuspects]]: the
+    * window band is a NOISE guard (median of recent appearances), so a
+    * genuine ≤1.5x-per-6-rounds regression re-bases itself into the
+    * band and never flags. This flags a query whose current min AND
+    * whose last `consecutive - 1` committed appearances ALL exceed
+    * `factor` x the query's best-ever committed min — sustained drift
+    * from the query's own best, visible in one artifact field instead
+    * of a judge diffing six artifacts. Returns name -> best-ever min
+    * so the annotation is self-interpreting. Report-only: no rerun, no
+    * gating — a deliberate improvement-tradeoff (e.g. exactness work
+    * that costs 1.6x) simply stays annotated until a new best re-bases
+    * it.
+    *
+    * Floors draw ONLY on LOAD-QUALIFIED artifacts — those carrying the
+    * calibration-probe log (r9+). The pre-probe artifacts were
+    * measured without the per-rep cache flush or any load bracketing
+    * (the r5–r7 misreporting era), and their mins are non-comparable
+    * in BOTH directions: warm shared caches made cache-friendly
+    * queries spuriously fast (dedup_exact 0.16s in r5/r6 vs a steady
+    * 0.25–0.32s ever since), which would pin a permanent false drift
+    * flag on today's legitimate level.
+    */
+  private[graft] def driftWatch(artifacts: Seq[String],
+                                results: Seq[QueryResult],
+                                factor: Double = 1.5,
+                                consecutive: Int = 3): Map[String, Double] = {
+    // "probes" appears in no pre-r9 artifact (grep-verified) and in
+    // every artifact the current harness renders, truncated or not
+    val perRound = artifacts.filter(_.contains("probes"))
+      .map(parseBenchArtifact)
+    results.flatMap { r =>
+      val hist = perRound.flatMap(_.get(r.name))
+      if (r.okTimes.isEmpty || hist.size < consecutive - 1) None
+      else {
+        val best = hist.min
+        val run = hist.takeRight(consecutive - 1) :+ r.okTimes.min
+        if (run.forall(_ > factor * best)) Some(r.name -> best) else None
+      }
+    }.toMap
+  }
+
+  /** Round number of a committed artifact file name
+    * (`BENCH_r07.json` -> 7, `BENCH_full_r20.json` -> 20).
+    */
+  private[graft] def roundOf(name: String): Option[Int] =
+    "_r(\\d+)\\.json$".r.findFirstMatchIn(name).map(_.group(1).toInt)
+
+  /** The committed per-round artifact history, in round order, for
+    * [[historyBands]]/[[driftWatch]]. For each round, the COMPLETE
+    * archived artifact (`BENCH_full_r<N>.json`) is preferred over the
+    * driver's truncated stdout tail (`BENCH_r<N>.json`): the tails
+    * drop alphabetically-early queries (agg_, ann_, corpus_ rows),
+    * which left exactly the expensive rows the r18 incident class hits
+    * hardest without a band (78/115 coverage in r19). Tails remain the
+    * fallback for rounds predating the archive.
+    */
+  private[graft] def loadRoundArtifacts(dir: java.io.File): Seq[String] = {
+    val files = Option(dir.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+    def byRound(pattern: String) = files
+      .filter(_.getName.matches(pattern))
+      .flatMap(f => roundOf(f.getName).map(_ -> f)).toMap
+    val tails = byRound("BENCH_r\\d+\\.json")
+    val fulls = byRound("BENCH_full_r\\d+\\.json")
+    (tails.keySet ++ fulls.keySet).toSeq.sorted.map { n =>
+      val f = fulls.getOrElse(n, tails(n))
+      new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+    }
   }
 
   /** Queries whose judged min exceeds `factor` x their multi-round band
@@ -420,7 +496,8 @@ object Bench {
   def render(results: Seq[QueryResult], reps: Int, sfDir: String,
              probes: Seq[Double] = Seq.empty,
              bands: Map[String, Double] = Map.empty,
-             bandFactor: Double = 1.5): String = {
+             bandFactor: Double = 1.5,
+             drift: Map[String, Double] = Map.empty): String = {
     def jsonStr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"
@@ -463,7 +540,13 @@ object Bench {
     val qsMax = objOf(ok.filter(r => maxWorthy(r.name))
       .map(r => r.name -> fmt(r.okTimes.max)))
     val qs = objOf(ok.map(r => r.name -> fmt(r.okTimes.min)))
-    s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"sf":"$sfDir","errors":$errs,"bonus_err":$bonusErrs,"reps_ok":$repsOk,"window_band":$windowBands,"queries_max":$qsMax,"queries":$qs,"probes":$probesJson,"load_suspect":$suspectsJson,"window_suspect":$windowJson,"failed":$nFailed,"flaky":${flaky.size},"total_sec":${fmt(total)}}"""
+    // report-only sustained-drift annotation ([[driftWatch]]); rides
+    // AFTER "probes" so its name:number pairs can never bleed into
+    // parseBenchArtifact's min-map region, and near the tail so it
+    // survives the driver's stdout truncation (normally "{}")
+    val driftJson = objOf(drift.toSeq.sortBy(_._1)
+      .map { case (n, b) => n -> fmt(b) })
+    s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"sf":"$sfDir","errors":$errs,"bonus_err":$bonusErrs,"reps_ok":$repsOk,"window_band":$windowBands,"queries_max":$qsMax,"queries":$qs,"probes":$probesJson,"load_suspect":$suspectsJson,"window_suspect":$windowJson,"drift_watch":$driftJson,"failed":$nFailed,"flaky":${flaky.size},"total_sec":${fmt(total)}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -493,20 +576,15 @@ object Bench {
     // against) — BENCH_r*.json live in the repo root the driver runs in
     val bandFactor = sys.env.get("SPARK_GRAFT_BAND_FACTOR")
       .flatMap(_.toDoubleOption).getOrElse(1.5)
-    val bands: Map[String, Double] =
-      try {
-        val dir = new java.io.File(
-          sys.env.getOrElse("SPARK_GRAFT_HIST_DIR", "."))
-        val arts = Option(dir.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-          .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-          .sortBy(_.getName)
-          .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath),
-            java.nio.charset.StandardCharsets.UTF_8))
-        historyBands(arts)
-      } catch { case scala.util.control.NonFatal(e) =>
+    val histDir = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_HIST_DIR", "."))
+    val artifacts: Seq[String] =
+      try loadRoundArtifacts(histDir)
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] window bands unavailable: ${e.getMessage}")
-        Map.empty
+        Seq.empty
       }
+    val bands = historyBands(artifacts)
     warmup(spark, sfDir)
     val log = new ProbeLog
     val measured = measure(spark, selected.toSeq, sfDir, reps, log)
@@ -516,7 +594,9 @@ object Bench {
       cooldownSec)
     val banded = rerunWindowSuspects(spark, selected.toSeq, cooled, sfDir,
       bands, bandFactor, log)
-    val line = render(banded, reps, sfDir, log.times, bands, bandFactor)
+    val drift = driftWatch(artifacts, banded)
+    val line = render(banded, reps, sfDir, log.times, bands, bandFactor,
+      drift)
     // the driver keeps only the stdout TAIL (~4 KB) — r11 lost 16
     // per-query entries to that capture. Also write the COMPLETE
     // artifact to a file in the repo so every per-query time survives
@@ -524,10 +604,28 @@ object Bench {
     // SPARK_GRAFT_BENCH_OUT overrides the path (dev runs / subsets).
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "BENCH_full.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
-      line + "\n")
-    catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    def writeOut(p: String): Unit =
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+        line + "\n")
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not write $p: ${e.getMessage}")
+      }
+    writeOut(outPath)
+    // ROUND-STAMPED archive of the complete artifact, so historyBands
+    // accumulates FULL per-round history instead of the driver's
+    // truncated tails (the r19 guard covered only 78/115 queries for
+    // want of exactly this file). Stamp = 1 + the newest committed
+    // tail round (this round's own tail doesn't exist while the bench
+    // runs). Skipped for dev runs (query subset or explicit out path)
+    // so a partial artifact can never displace a full round in the
+    // staleness window.
+    if (only.isEmpty && !sys.env.contains("SPARK_GRAFT_BENCH_OUT")) {
+      val round = 1 + Option(histDir.listFiles())
+        .map(_.toSeq.map(_.getName).filter(_.matches("BENCH_r\\d+\\.json"))
+          .flatMap(roundOf)).getOrElse(Seq.empty)
+        .foldLeft(0)(math.max)
+      writeOut(new java.io.File(histDir,
+        f"BENCH_full_r$round%02d.json").getPath)
     }
     println(line)
     spark.stop()

@@ -412,10 +412,20 @@ object DocStreams {
     * (the scan session inherits only creation-time conf).
     */
   private[graft] def chunkPredicate(ch: Array[Array[Byte]],
-      group: Int): org.apache.spark.sql.Column =
-    ch.grouped(math.max(1, group))
-      .map(g => col("fpb").isInCollection(g.toSeq))
-      .reduceLeft(_ || _)
+      group: Int): org.apache.spark.sql.Column = {
+    // BALANCED Or reduction, not reduceLeft: parquet's visitors recurse
+    // once per or() level, so a left-deep chain over the groups re-opens
+    // the same overflow one level up (a raised fpChunkKeys of ~250k at
+    // the 100-key group is ~2500 or() levels — back in stack-overflow
+    // territory). Pairwise merging keeps the tree depth at
+    // ceil(log2(groups)) — 17 levels even at a million groups.
+    def balanced(cs: Seq[org.apache.spark.sql.Column])
+        : org.apache.spark.sql.Column =
+      if (cs.lengthCompare(1) == 0) cs.head
+      else balanced(cs.grouped(2).map(_.reduce(_ || _)).toSeq)
+    balanced(ch.grouped(math.max(1, group))
+      .map(g => col("fpb").isInCollection(g.toSeq)).toSeq)
+  }
 
   private def fpEqChunkKeys(spark: org.apache.spark.sql.SparkSession): Int =
     spark.conf.getOption("graft.sink.fpEqChunkKeys")
@@ -1129,9 +1139,33 @@ object DocStreams {
           if (pos.nonEmpty || band.nonEmpty) minMerge
           else math.min(minMerge, 2)
         val merged = buckets.filter(_.length >= trigger).flatten
-        pos.map(_._1) ++ band.map(_._1) ++ merged.map(_._1)
+        // pos-empty CONVERGENCE (offline consolidation): generations in
+        // distinct size tiers form singleton buckets that never reach
+        // even the relaxed trigger (sizes 1k/10k/100k at ratio 4 are
+        // three singletons), so repeated offline passes would stall
+        // short of one generation. With nothing else to merge, fold the
+        // two smallest adjacent tiers — each pass removes a tier, so
+        // offline passes converge without the O(store) fullFoldAt
+        // escape hatch. Never taken under a live sink (pos nonEmpty).
+        val offline = pos.isEmpty && band.isEmpty
+        val converged =
+          if (offline && merged.isEmpty && buckets.length >= 2)
+            buckets.take(2).flatten
+          else merged
+        pos.map(_._1) ++ band.map(_._1) ++ converged.map(_._1)
       }
-    if (old.length <= 1) return 0L
+    // A LONE selected generation folds only when it is a POSITIVE
+    // straggler beside other live generations: converting it to a
+    // negative generation is O(that batch) and makes it eligible for
+    // size-tiering, so a quiesced store converges through ordinary
+    // passes (the r20 crash soak caught a 1-doc trailing batch — too
+    // small to band, too alone to bucket — pinning three singleton
+    // tiers unmergeable forever, because pos.nonEmpty disabled the
+    // offline fallback below while old={straggler} skipped the fold).
+    // A lone NEGATIVE selection stays a no-op: rewriting one folded
+    // generation in place consolidates nothing.
+    if (old.isEmpty || (old.length == 1 &&
+        (idOf(old.head).forall(_ < 0L) || live.length <= 1))) return 0L
     if (!old.exists(d => fs.listStatus(d.getPath).exists(
         _.getPath.getName.endsWith(".parquet")))) {
       // nothing but empty remnants: clear them, there is no data to fold

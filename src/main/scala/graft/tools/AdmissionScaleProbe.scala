@@ -25,10 +25,15 @@ import graft.streaming.DocStreams
   * skipping (absent keys are where the blooms earn their bytes).
   *
   * Usage: `sbt "runMain graft.tools.AdmissionScaleProbe
-  *   [storeRows1,...] [batchDocs1,...] [reps]"`
-  * Defaults: 2000000,20000000 store keys; 10000 batch docs; 3 reps.
-  * A batch above `graft.sink.fpPushdownKeys` (100k) exercises the
-  * WAVED pushdown path.
+  *   [storeRows1,...] [batchDocs1,...] [reps] [eqChunkKeys1,...]"`
+  * Defaults: 2000000,20000000 store keys; 10000 batch docs; 3 reps;
+  * no eq-group sweep. A batch above `graft.sink.fpPushdownKeys`
+  * (100k) exercises the WAVED pushdown path. A non-empty 4th arg
+  * re-times the forced pushdown arm once per `fpEqChunkKeys` setting
+  * (the In-group size [[DocStreams.chunkPredicate]] shapes the
+  * parquet filter tree with) so the default can be pinned to the
+  * measured flat bottom rather than "an order of magnitude below the
+  * overflow".
   */
 object AdmissionScaleProbe {
 
@@ -38,6 +43,8 @@ object AdmissionScaleProbe {
     val batchSizes = (if (args.length > 1) args(1) else "10000")
       .split(",").map(_.trim.toInt).toSeq
     val reps = if (args.length > 2) args(2).toInt else 3
+    val sweepEq = (if (args.length > 3) args(3) else "")
+      .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
     val spark = SparkSession.builder()
       .appName("graft-admission-scale-probe").master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -60,8 +67,20 @@ object AdmissionScaleProbe {
       val dir = s"/tmp/graft_admission_probe_$n"
       val root = new org.apache.hadoop.fs.Path(dir)
       val files = math.max(4, (n / 4000000L).toInt)
-      if (reuse && fs.exists(
-          new org.apache.hadoop.fs.Path(s"$dir/fp/batch_id=-1"))) ()
+      // reuse only a CLEANLY consolidated store: the fold target must
+      // exist AND no raw positive-id partition may survive beside it —
+      // a prior run killed between the fold's partition write and the
+      // manifest apply (or mid-generation after a partial fold) leaves
+      // batch_id=0/1 coexisting with -1, and a union over both would
+      // double-count keys and silently skew the measured decode ratios
+      val cleanlyFolded = {
+        val fpRoot = new org.apache.hadoop.fs.Path(s"$dir/fp")
+        fs.exists(new org.apache.hadoop.fs.Path(fpRoot, "batch_id=-1")) &&
+          !fs.listStatus(fpRoot).exists(st => st.isDirectory &&
+            st.getPath.getName.stripPrefix("batch_id=").toLongOption
+              .exists(_ >= 0L))
+      }
+      if (reuse && cleanlyFolded) ()
       else {
         fs.delete(root, true)
         // store keys = md5(0..n) raw bytes, in the sink's own layout:
@@ -160,6 +179,24 @@ object AdmissionScaleProbe {
           f"batch=$nDocs%-7d admitted=$aSemi (expect ~$expectAdmitted)  " +
           f"$pushCell   scan_semi $tSemi%7.3f s   " +
           f"default gate -> $defaultArm")
+        // eq-group sweep: the forced pushdown arm re-timed per
+        // fpEqChunkKeys setting, same store, same batch, min-of-reps;
+        // admitted counts must agree across all settings (grouping is
+        // a filter-tree shape, never a semantics knob)
+        for (eq <- sweepEq if !pushHopeless) {
+          var t = Double.MaxValue; var a = -1L
+          for (_ <- 1 to reps) {
+            val (tt, arm, aa) = runArm(
+              "graft.sink.fpBroadcastBytes" -> "0",
+              "graft.sink.fpCrossover" -> "1e15",
+              "graft.sink.fpDriverCapKeys" -> "100000000",
+              "graft.sink.fpEqChunkKeys" -> eq.toString)
+            require(arm == "pushdown" || arm == "pushdown_waves", arm)
+            t = math.min(t, tt); a = aa
+          }
+          require(a == aSemi, s"eq=$eq disagrees: pushdown=$a semi=$aSemi")
+          println(f"  eqChunkKeys=$eq%-5d pushdown $t%7.3f s  admitted=$a")
+        }
         batch.unpersist()
       }
       if (!reuse) fs.delete(root, true)

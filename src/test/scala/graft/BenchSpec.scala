@@ -302,8 +302,12 @@ class BenchSpec extends SparkSpec {
     // q: last 6 = [2.4,2.6,2.8,3.0,3.1,6.4] -> median 2.9; the ancient
     // 33.9 fell out of the window, the hot 6.4 cannot drag the median
     assert(math.abs(bands("q") - 2.9) < 1e-9, bands.toString)
-    // s has exactly 3 samples -> banded; r has 3 too
-    assert(bands.contains("s") && bands.contains("r"))
+    // s has 3 samples inside the recent window -> banded; r's three
+    // appearances are mostly ANCIENT (only 2 fall in the last staleN
+    // artifacts) -> no band: the median must draw only on recent
+    // values, else surviving old values dominate it and re-create the
+    // stale-band false alarm the staleness cap exists to prevent
+    assert(bands.contains("s") && !bands.contains("r"), bands.toString)
     // below minRounds -> no band
     assert(!Bench.historyBands(arts.take(2), minRounds = 3).contains("q"))
     // STALE: a query absent from the last `staleN` artifacts gets no
@@ -317,6 +321,86 @@ class BenchSpec extends SparkSpec {
       Seq.fill(6)(art("live" -> 1.0))
     val b2 = Bench.historyBands(stale)
     assert(!b2.contains("old") && b2.contains("live"), b2.toString)
+    // the r19 ADVICE scenario the recent-only median closes: five
+    // stale ~2s values plus ONE recent 3.7 used to pass the staleness
+    // gate (one recent appearance) while the median stayed ~2s — a
+    // cry-wolf band against the query's legitimate current level. Now
+    // one recent appearance is below minRounds -> no band at all.
+    val mostlyStale =
+      Seq(art("c" -> 2.0), art("c" -> 2.1), art("c" -> 2.0),
+        art("c" -> 2.1), art("c" -> 2.0)) ++
+      Seq.fill(5)(art("x" -> 1.0)) :+ art("c" -> 3.7, "x" -> 1.0)
+    val b3 = Bench.historyBands(mostlyStale)
+    assert(!b3.contains("c") && b3.contains("x"), b3.toString)
+  }
+
+  test("loadRoundArtifacts prefers complete archives over truncated tails") {
+    val dir = java.nio.file.Files.createTempDirectory("bench_hist").toFile
+    def put(name: String, body: String): Unit =
+      java.nio.file.Files.writeString(
+        new java.io.File(dir, name).toPath, body)
+    // r1: the driver tail lost the alphabetically-early agg_a entry to
+    // truncation; the full archive carries it. r2: tail only (a round
+    // predating the archive). r3: full only.
+    put("BENCH_r01.json",
+      """{"tail": "\"queries\":{\"zz\":2.0000},\"probes\":[0.1],\"total_sec\":9.0}"}""")
+    put("BENCH_full_r01.json",
+      """{"queries":{"agg_a":1.0000,"zz":2.0000},"probes":[0.1],"total_sec":9.0}""")
+    put("BENCH_r02.json",
+      """{"tail": "\"queries\":{\"zz\":2.1000},\"probes\":[0.1]"}""")
+    put("BENCH_full_r03.json",
+      """{"queries":{"agg_a":1.2000,"zz":2.2000},"probes":[0.1]}""")
+    put("BENCH_full.json", // UNstamped current artifact: never history
+      """{"queries":{"agg_a":9.9000},"probes":[]}""")
+    put("notes.txt", "ignored")
+    val arts = Bench.loadRoundArtifacts(dir).map(Bench.parseBenchArtifact)
+    assert(arts.size == 3, arts.toString)
+    assert(arts(0) == Map("agg_a" -> 1.0, "zz" -> 2.0), arts(0).toString)
+    assert(arts(1) == Map("zz" -> 2.1), arts(1).toString)
+    assert(arts(2) == Map("agg_a" -> 1.2, "zz" -> 2.2), arts(2).toString)
+    // with full archives in history, the early query gets a band the
+    // tails alone could never give it
+    val raw = Bench.loadRoundArtifacts(dir)
+    assert(Bench.historyBands(raw, minRounds = 2).contains("agg_a"))
+    dir.listFiles().foreach(_.delete()); dir.delete()
+  }
+
+  test("driftWatch flags sustained creep the re-basing band misses; report-only") {
+    def art(m: (String, Double)*): String =
+      "\"queries\":{" + m.map { case (k, v) => s""""$k":$v""" }
+        .mkString(",") + "},\"probes\":[]"
+    // q crept 1.0 -> 1.6 -> 1.7 across rounds; current min 1.8. Each
+    // step is within the 1.5x window band of its recent median, so
+    // windowSuspects never fires — but current AND the last two
+    // committed appearances all exceed 1.5x the best-ever 1.0.
+    val hist = Seq(art("q" -> 1.0, "ok" -> 1.0), art("q" -> 1.6, "ok" -> 1.0),
+      art("q" -> 1.7, "ok" -> 1.61))
+    val results = Seq(
+      Bench.QueryResult("q", Seq(1.8), Seq(0), None, 1),
+      // ok's current min is high but its PREVIOUS appearance (1.0) was
+      // at the best -> not sustained -> not flagged
+      Bench.QueryResult("ok", Seq(1.8), Seq(0), None, 1),
+      // no history -> never flagged
+      Bench.QueryResult("new", Seq(9.0), Seq(0), None, 1))
+    val drift = Bench.driftWatch(hist, results)
+    assert(drift == Map("q" -> 1.0), drift.toString)
+    // an ancient PRE-PROBE artifact (the r5-r7 no-flush methodology:
+    // no "probes" log) carrying a lower floor is ignored — its mins
+    // are non-comparable and would pin a permanent false flag
+    val preProbe = """"queries":{"q":0.1,"ok":0.1}"""
+    val drift2 = Bench.driftWatch(preProbe +: hist, results)
+    assert(drift2 == Map("q" -> 1.0), drift2.toString)
+    // a recovered query (current min back at best) clears
+    val rec = Bench.driftWatch(hist,
+      Seq(Bench.QueryResult("q", Seq(1.0), Seq(0), None, 1)))
+    assert(rec.isEmpty, rec.toString)
+    // the annotation rides the artifact, after "probes" so it can
+    // never bleed into parseBenchArtifact's min-map region
+    val line = Bench.render(results, 1, "sf", drift = drift)
+    assert(line.contains(""""drift_watch":{"q":1.0000}"""), line)
+    assert(line.indexOf("\"drift_watch\"") > line.indexOf("\"probes\""))
+    val parsed = Bench.parseBenchArtifact(line)
+    assert(parsed.get("q").contains(1.8), parsed.toString)
   }
 
   test("windowSuspects flags mins outside the committed band; rerun can clear the flag") {

@@ -917,6 +917,38 @@ class StreamingSpec extends SparkSpec {
       == 40040L)
   }
 
+  test("offline consolidation converges distinct size tiers without fullFoldAt") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions.{md5, unhex}
+    val dir = tmpDir("fp-offline-converge")
+    def keysDf(lo: Int, hi: Int) = (lo until hi).map(i => s"t$i").toDF("text")
+      .select(unhex(md5(col("text").cast("binary"))).as("fpb"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fpDirs() = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/fp"))
+      .map(_.getPath.getName).filter(_.startsWith("batch_id=")).toSet
+    // three already-folded generations in DISTINCT size tiers (each
+    // >4x the last): every STCS bucket is a singleton, so no bucket
+    // reaches even the relaxed pos-empty trigger — the r19 ADVICE
+    // stall where repeated offline passes never converged the store
+    keysDf(0, 500).coalesce(1).write.parquet(s"$dir/fp/batch_id=-1")
+    keysDf(500, 5500).coalesce(1).write.parquet(s"$dir/fp/batch_id=-2")
+    keysDf(5500, 55500).coalesce(1).write.parquet(s"$dir/fp/batch_id=-3")
+    // pass 1: the two smallest tiers merge; the dominant one untouched
+    val f1 = graft.streaming.DocStreams.compactFpStore(spark, dir)
+    assert(f1 > 0L, "first offline pass folded nothing")
+    assert(fpDirs() == Set("batch_id=-3", "batch_id=-4"), fpDirs())
+    // pass 2: converged to ONE generation — no fullFoldAt hatch needed
+    graft.streaming.DocStreams.compactFpStore(spark, dir)
+    assert(fpDirs() == Set("batch_id=-5"), fpDirs())
+    // a converged store is a no-op pass, not a rewrite loop
+    assert(graft.streaming.DocStreams.compactFpStore(spark, dir) == 0L)
+    assert(fpDirs() == Set("batch_id=-5"), fpDirs())
+    assert(spark.read.parquet(s"$dir/fp").select("fpb").distinct().count()
+      == 55500L)
+  }
+
   test("compactFpStore crash windows: orphan consolidated partition and pending manifest both exact, both converge") {
     val spark0 = spark
     import spark0.implicits._
@@ -1102,6 +1134,28 @@ class StreamingSpec extends SparkSpec {
     assert(inSizes.forall(_ <= 100), s"an In group exceeds 100: $inSizes")
     assert(inSizes.sum == 1000, s"keys lost in grouping: $inSizes")
     assert(inSizes.size == 10)
+    // BALANCED Or tree (r19 ADVICE): the visitors recurse once per
+    // or() LEVEL, so depth must be O(log groups), not one level per
+    // group — else a raised fpChunkKeys re-opens the overflow at the
+    // group level (~2500 left-deep or() levels at 250k keys)
+    def depth(ex: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Int = ex match {
+      case org.apache.spark.sql.catalyst.expressions.Or(l, r) =>
+        1 + math.max(depth(l), depth(r))
+      case _ => 0
+    }
+    assert(depth(e) <= 4, s"Or tree not balanced: depth ${depth(e)}")
+    // group size 1 -> 1000 groups: balanced depth ceil(log2(1000))=10;
+    // a left-deep chain would be 999 deep
+    val wide = graft.streaming.DocStreams.chunkPredicate(keys, 1)
+    val we = Seq(Array.empty[Byte]).toDF("fpb").filter(wide)
+      .queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition
+      }.getOrElse(fail("no Filter in the analyzed plan"))
+    val wSizes = walk(we)
+    assert(depth(we) <= 10, s"1000-group depth ${depth(we)}")
+    assert(wSizes.sum == 1000 && wSizes.size == 1000, wSizes.take(5))
     // semantics under grouping, including a ragged tail (50 keys at
     // group 7 → groups of 7×7+1): admission identical to ungrouped
     val dir = tmpDir("fp-eq-groups")
