@@ -41,7 +41,12 @@ import graft.streaming.DocStreams
   * passes, final store 10.24M keys ≈ 181 MB — the SCALE.md table's
   * run; long enough that the tiered arm pays several of its
   * linearly-growing full folds while the ladder's tier merges stay
-  * geometric).
+  * geometric). The r20 decade-up anchor ran `2560 50000 8` (320
+  * passes, final store 128M keys ≈ 2.16 GB): ladder read amp 4.89x
+  * (vs 4.82x at 1/12th scale — flat), max pass 594 MB (the merging
+  * tier-3 bucket, 27% of store), while the tiered arm's amp grew
+  * 4.63x -> 10.73x with a 2,058 MB whole-store max pass — the
+  * SCALE.md decade-up table.
   */
 object FoldLadderProbe {
 
