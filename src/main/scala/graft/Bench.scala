@@ -389,6 +389,20 @@ object Bench {
   private[graft] def roundOf(name: String): Option[Int] =
     "_r(\\d+)\\.json$".r.findFirstMatchIn(name).map(_.group(1).toInt)
 
+  /** The round number THIS run's complete artifact should be stamped
+    * with: 1 + the newest committed driver tail (`BENCH_r<N>.json`).
+    * Deliberately ignores existing `BENCH_full_r*` archives: the
+    * current round's own archive may already exist from an in-round
+    * dev run, and counting it would bump the driver's end-of-round run
+    * to the WRONG (next) round. The driver writes the tail only after
+    * the bench, so at bench time the newest tail is last round's.
+    */
+  private[graft] def stampRound(dir: java.io.File): Int =
+    1 + Option(dir.listFiles())
+      .map(_.toSeq.map(_.getName).filter(_.matches("BENCH_r\\d+\\.json"))
+        .flatMap(roundOf)).getOrElse(Seq.empty)
+      .foldLeft(0)(math.max)
+
   /** The committed per-round artifact history, in round order, for
     * [[historyBands]]/[[driftWatch]]. For each round, the COMPLETE
     * archived artifact (`BENCH_full_r<N>.json`) is preferred over the
@@ -620,12 +634,8 @@ object Bench {
     // so a partial artifact can never displace a full round in the
     // staleness window.
     if (only.isEmpty && !sys.env.contains("SPARK_GRAFT_BENCH_OUT")) {
-      val round = 1 + Option(histDir.listFiles())
-        .map(_.toSeq.map(_.getName).filter(_.matches("BENCH_r\\d+\\.json"))
-          .flatMap(roundOf)).getOrElse(Seq.empty)
-        .foldLeft(0)(math.max)
       writeOut(new java.io.File(histDir,
-        f"BENCH_full_r$round%02d.json").getPath)
+        f"BENCH_full_r${stampRound(histDir)}%02d.json").getPath)
     }
     println(line)
     spark.stop()

@@ -362,6 +362,12 @@ class BenchSpec extends SparkSpec {
     // tails alone could never give it
     val raw = Bench.loadRoundArtifacts(dir)
     assert(Bench.historyBands(raw, minRounds = 2).contains("agg_a"))
+    // the archive stamp counts DRIVER TAILS only: an in-round dev
+    // archive (r3 full, above) must not bump the end-of-round run to
+    // the wrong (next) round — newest tail is r2, so this run is r3
+    assert(Bench.stampRound(dir) == 3, Bench.stampRound(dir).toString)
+    assert(Bench.stampRound(
+      java.nio.file.Files.createTempDirectory("empty").toFile) == 1)
     dir.listFiles().foreach(_.delete()); dir.delete()
   }
 

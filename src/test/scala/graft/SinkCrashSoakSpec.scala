@@ -211,8 +211,13 @@ class SinkCrashSoakSpec extends SparkSpec {
     } finally spark.conf.unset("graft.sink.maintainEvery")
   }
 
+  // GRAFT_SOAK_STEPS lengthens the schedule for ad-hoc torture runs
+  // (e.g. 600-step) without changing the committed suite's cost
+  private val steps =
+    sys.env.get("GRAFT_SOAK_STEPS").flatMap(_.toIntOption).getOrElse(200)
+
   for (seed <- Seq(11L, 23L, 37L, 41L))
-    test(s"sink maintenance crash soak, seed $seed (200 steps)") {
-      soak(seed, steps = 200)
+    test(s"sink maintenance crash soak, seed $seed ($steps steps)") {
+      soak(seed, steps)
     }
 }
