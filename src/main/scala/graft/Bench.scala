@@ -296,8 +296,13 @@ object Bench {
     }
     val start = tail.indexOf("\"queries\":{")
     val region0 = if (start >= 0) tail.substring(start) else tail
-    val stop = region0.indexOf("\"probes\":")
-    val region = if (stop >= 0) region0.substring(0, stop) else region0
+    // stop at the FIRST post-min-map marker present (defense in depth:
+    // a tail truncated past "probes": must not let drift_watch's
+    // name:number pairs parse as query mins)
+    val stops = Seq("\"probes\":", "\"load_suspect\":", "\"drift_watch\":")
+      .map(region0.indexOf).filter(_ >= 0)
+    val region =
+      if (stops.isEmpty) region0 else region0.substring(0, stops.min)
     val out = scala.collection.mutable.HashMap.empty[String, Double]
     "\"([A-Za-z0-9_]+)\":(\\d+\\.\\d+)".r.findAllMatchIn(region)
       .foreach(m => out(m.group(1)) = m.group(2).toDouble)
@@ -630,12 +635,32 @@ object Bench {
     // truncated tails (the r19 guard covered only 78/115 queries for
     // want of exactly this file). Stamp = 1 + the newest committed
     // tail round (this round's own tail doesn't exist while the bench
-    // runs). Skipped for dev runs (query subset or explicit out path)
-    // so a partial artifact can never displace a full round in the
-    // staleness window.
-    if (only.isEmpty && !sys.env.contains("SPARK_GRAFT_BENCH_OUT")) {
-      writeOut(new java.io.File(histDir,
-        f"BENCH_full_r${stampRound(histDir)}%02d.json").getPath)
+    // runs). Skipped for dev runs (query subset, explicit out path, or
+    // rep/band-factor env overrides) so a partial or non-comparable
+    // artifact can never displace a full round in the staleness window.
+    // An EXISTING same-round archive with different content is never
+    // overwritten (the r20 builder-then-driver same-round race silently
+    // ate the banked artifact): the later run side-writes a `_dev`
+    // suffix and says so on stderr, so both full runs survive and the
+    // committed one stays authoritative.
+    if (only.isEmpty && !sys.env.contains("SPARK_GRAFT_BENCH_OUT") &&
+        !sys.env.contains("SPARK_GRAFT_REPS") &&
+        !sys.env.contains("SPARK_GRAFT_BAND_FACTOR")) {
+      val archive = new java.io.File(histDir,
+        f"BENCH_full_r${stampRound(histDir)}%02d.json")
+      val existing =
+        try Some(java.nio.file.Files.readString(archive.toPath))
+        catch { case scala.util.control.NonFatal(_) => None }
+      existing match {
+        case Some(prev) if prev != line + "\n" =>
+          val dev = new java.io.File(histDir,
+            archive.getName.stripSuffix(".json") + "_dev.json")
+          System.err.println(s"[bench] ${archive.getName} already exists " +
+            s"with different content — side-writing ${dev.getName}")
+          writeOut(dev.getPath)
+        case Some(_) => () // identical re-run: nothing to change
+        case None => writeOut(archive.getPath)
+      }
     }
     println(line)
     spark.stop()

@@ -145,6 +145,21 @@ object Cluster {
     }
     var edges = cut(normalized(pairs))
     var last = probe(edges)
+    // SIZE-GATED LOCAL SOLVE — the broadcast-join analogue for the
+    // contraction: when the whole (deduplicated) edge set is at most
+    // `graft.cluster.localSolveEdges` rows (default 200k — a few MB of
+    // long pairs, far under any broadcast budget), finish with ONE
+    // bounded driver collect + union-find instead of O(log n)
+    // driver-looped rounds that each pay 2 checkpoints, ~6 exchanges
+    // and a probe job regardless of size. The near-dup pair list is
+    // orders of magnitude smaller than the corpus (scaladoc above), so
+    // real deployments hit this gate for all but pathological dup
+    // rates; past the gate the distributed contraction runs unchanged.
+    // Identical output by construction — min-id component labels either
+    // way (pinned in ClusterSpec against the distributed rounds).
+    val localMax = spark.conf.getOption("graft.cluster.localSolveEdges")
+      .flatMap(_.toLongOption).getOrElse(200000L)
+    if (last._1 <= localMax) return localLabels(spark, edges)
     var rounds = 0
     var stable = false
     while (!stable && rounds < maxRounds) {
@@ -194,4 +209,45 @@ object Cluster {
     edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
       .union(edges.select(col("v").as("doc_id"), col("v").as("cluster_id")))
       .distinct()
+
+  /** Driver union-find over a gate-bounded edge set: `(doc_id,
+    * cluster_id = component min)` for every vertex in an edge — the
+    * same labels the converged contraction emits. Path-halving find +
+    * min-root union keeps the smaller id as every tree's root, so the
+    * final root IS the component minimum.
+    */
+  private def localLabels(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val es = edges.select(col("u").cast("long"), col("v").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) {
+        val p = parent(x)
+        parent(x) = parent.getOrElse(p, p) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    es.foreach { case (u, v) =>
+      parent.getOrElseUpdate(u, u)
+      parent.getOrElseUpdate(v, v)
+      val ru = find(u)
+      val rv = find(v)
+      if (ru != rv) {
+        if (ru < rv) parent(rv) = ru else parent(ru) = rv
+      }
+    }
+    // explicit schema, nullability matching the distributed path's
+    // projection (nullable longs), so the two solves are plan-compatible
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cluster_id",
+        org.apache.spark.sql.types.LongType)))
+    val rows = parent.keys.toSeq.sorted
+      .map(x => org.apache.spark.sql.Row(x, find(x)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
 }

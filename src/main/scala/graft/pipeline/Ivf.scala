@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.LongArrayDot
+import graft.functions.{CodebookArgmin, CodebookTopN, LongArrayDot}
 
 /** IVF (inverted-file) approximate nearest-neighbor search: a coarse
   * k-means quantizer partitions vectors into cells; a query scores only
@@ -22,8 +22,34 @@ import graft.functions.LongArrayDot
   */
 object Ivf {
 
+  /** Driver-local codebook: cids ascending, centroids flattened row-major
+    * plus per-centroid squared norms — the literal operands of the
+    * shuffle-free [[CodebookArgmin]] projection. Collecting
+    * here is the module's standing contract, not a new driver crossing:
+    * the codebook is k x dim integers (kilobytes at any corpus scale)
+    * and already lives on the driver every training round.
+    */
+  private[pipeline] final case class LocalCodebook(
+      cids: Seq[Int], flat: Seq[Long], cn2: Seq[Long])
+
+  private[pipeline] def localCodebook(centroids: DataFrame): LocalCodebook = {
+    val rows = centroids
+      .select(col("cid").cast("int"), col("c"), col("cn2").cast("long"))
+      .collect().sortBy(_.getInt(0))
+    LocalCodebook(
+      rows.map(_.getInt(0)).toSeq,
+      rows.flatMap(_.getSeq[Long](1)).toSeq,
+      rows.map(_.getLong(2)).toSeq)
+  }
+
   /** Train k centroids on (vec_id, q) prepared vectors; returns the
     * centroid DataFrame `(cid, c, cn2)` (quantized ints, squared norm).
+    *
+    * Each Lloyd's round is ONE job with a single reduced shuffle: the
+    * assignment is the shuffle-free [[assign]] projection, and the
+    * per-cell means are per-dimension `sum(element_at(q, j))` aggregates
+    * (map-side partials reduce each partition to ≤k rows of dim sums —
+    * the posexplode form shuffled n x dim exploded rows instead).
     */
   def train(p: DataFrame, k: Int, iters: Int): DataFrame = {
     val spark = p.sparkSession
@@ -33,22 +59,26 @@ object Ivf {
     var centroids = p.orderBy("vec_id").limit(k).orderBy("vec_id")
       .select(col("q")).collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Long](0).toArray) }.toSeq
+    val dim = centroids.headOption.map(_._2.length).getOrElse(0)
     for (_ <- 1 to iters) {
       val cdf = centroids.toDF("cid", "c")
         .withColumn("cn2", Similarity.intDot(col("c"), col("c")))
       val assigned = assign(p, cdf)
-      // per-dimension integer mean of each cell's members; a cell with
-      // no members keeps its previous centroid (the groupBy would
-      // silently drop its cid and shrink the codebook below k)
-      val recomputed = assigned
-        .select(col("cid"), posexplode(col("q")))
-        .groupBy("cid", "pos")
-        .agg(call_function("div", sum(col("col")), count(lit(1))).as("m"))
-        .groupBy("cid")
-        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("dims"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getSeq[org.apache.spark.sql.Row](1)
-          .map(_.getLong(1)).toArray).toMap
+      // per-dimension integer mean of each cell's members (same div as
+      // the reference formulation, computed engine-side so truncation
+      // semantics can never drift); a cell with no members keeps its
+      // previous centroid (the groupBy would silently drop its cid and
+      // shrink the codebook below k)
+      val meanExprs = (0 until dim).map(j =>
+        call_function("div", sum(element_at(col("q"), j + 1)),
+          count(lit(1))).as(s"m$j"))
+      val recomputed =
+        if (dim == 0) Map.empty[Int, Array[Long]]
+        else assigned.groupBy("cid")
+          .agg(meanExprs.head, meanExprs.tail: _*)
+          .collect()
+          .map(r => r.getInt(0) ->
+            Array.tabulate(dim)(j => r.getLong(j + 1))).toMap
       centroids = centroids.map { case (cid, prev) =>
         (cid, recomputed.getOrElse(cid, prev))
       }
@@ -57,21 +87,27 @@ object Ivf {
       .withColumn("cn2", Similarity.intDot(col("c"), col("c")))
   }
 
-  /** Nearest-centroid assignment: broadcast the codebook, argmin integer
-    * L2 over cells. Returns `(vec_id, q, n2, cid)`.
+  /** Nearest-centroid assignment: argmin integer L2 over cells as a pure
+    * PROJECTION against the driver-local codebook ([[CodebookOps
+    * .CodebookArgmin]] over codebook literals). Returns
+    * `(vec_id, q, n2, cid)`.
     *
-    * Formulated as `min_by` over the k-way expansion rather than a
-    * window `row_number`: an aggregate gets map-side partial
-    * aggregation, so only one row per vector crosses the shuffle — a
-    * window would shuffle all n*k expanded rows to rank them. Tie-break
-    * matches the window form exactly (min by (d2, cid)).
+    * Zero exchanges: the corpus rows never move. The previous `min_by`
+    * aggregate over the broadcast k-way expansion still shuffled one
+    * full-vector row per vector to reduce the argmin; the projection
+    * keeps identical semantics — d2 differs from the reduced score
+    * `cn2 - 2<q,c>` only by the per-row constant `n2`, and the ascending
+    * strict-< walk reproduces the (d2, cid) tie-break exactly
+    * (CodebookOpsSpec pins both against the min_by form).
     */
   def assign(p: DataFrame, centroids: DataFrame): DataFrame = {
-    val d2 = col("n2") + col("cn2") - lit(2L) * Similarity.intDot(col("q"), col("c"))
-    p.crossJoin(broadcast(centroids))
-      .groupBy("vec_id")
-      .agg(first(col("q")).as("q"), first(col("n2")).as("n2"),
-        min_by(col("cid"), struct(d2, col("cid"))).as("cid"))
+    val spark = p.sparkSession
+    CodebookArgmin.register(spark)
+    val cb = localCodebook(centroids)
+    val pos = call_function(CodebookArgmin.name, col("q"),
+      typedlit(cb.flat), typedlit(cb.cn2))
+    p.select(col("vec_id"), col("q"), col("n2"),
+      element_at(typedlit(cb.cids), pos + 1).as("cid"))
   }
 
   /** The probe body shared by the inline and persisted paths: nprobe
@@ -83,14 +119,18 @@ object Ivf {
     */
   private def probeCells(queries: DataFrame, centroids: DataFrame,
                          lists: DataFrame, k: Int, nprobe: Int): DataFrame = {
-    val qd2 = col("n2") + col("cn2") - lit(2L) * Similarity.intDot(col("qq"), col("c"))
-    val qw = Window.partitionBy("qid").orderBy(qd2.asc, col("cid").asc)
+    // nprobe nearest cells per query as a projection + explode against
+    // the driver-local codebook (CodebookTopN ranks by the same
+    // (d2, cid) contract the previous window row_number ordered by) —
+    // no n x k expansion, no shuffle to rank it
+    CodebookTopN.register(queries.sparkSession)
+    val cb = localCodebook(centroids)
     val probes = queries
-      .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("rk", row_number().over(qw))
-      .filter(col("rk") <= nprobe)
-      .select(col("qid"), col("qq"), col("cid"))
+      .select(col("vec_id").as("qid"), col("q").as("qq"),
+        explode(call_function(CodebookTopN.name, col("q"),
+          typedlit(cb.flat), typedlit(cb.cn2), lit(nprobe))).as("pos"))
+      .select(col("qid"), col("qq"),
+        element_at(typedlit(cb.cids), col("pos") + 1).as("cid"))
     val scored = probes.join(lists, Seq("cid"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("dot", Similarity.intDot(col("qq"), col("nq")))

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.{AdcScore, IntArrayPack8, LongArrayDot}
+import graft.functions.{AdcScore, CodebookTopN, IntArrayPack8, LongArrayDot, PqEncodeCodes, PqQueryTable}
 // (coarse quantizer for the IVF-PQ composition comes from Ivf)
 
 /** Product quantization (PQ) approximate nearest-neighbor search
@@ -50,39 +50,61 @@ import graft.functions.{AdcScore, IntArrayPack8, LongArrayDot}
   */
 object Pq {
 
-  /** `(vec_id, sub, qs)`: the m contiguous subvector slices of each
-    * prepared vector. Dimension must divide evenly — a ragged split
-    * would silently misalign codebooks.
+  /** Driver-local PQ codebook: (sub, cid) ascending (sub major),
+    * centroids flattened row-major plus squared norms — the literal
+    * operands of the shuffle-free [[CodebookOps]] projections. The
+    * collect is the module's standing contract (m x ks x dim/m integers
+    * — kilobytes; the codebook already crosses the driver every
+    * training round). Cids are required contiguous 0..ks'-1 per
+    * subspace — every builder writes them that way, and a gap would
+    * silently desync the flat layout.
     */
-  private[pipeline] def subvectors(p: DataFrame, m: Int): DataFrame =
-    p.select(col("vec_id"), col("q"),
-        posexplode(sequence(lit(0), lit(m - 1))))
-      .select(col("vec_id"), col("col").cast("int").as("sub"),
-        expr(s"slice(q, col * (size(q) div $m) + 1, size(q) div $m)").as("qs"))
+  private final case class LocalPqCodebook(flat: Seq[Long], cn2: Seq[Long],
+                                           ks: Int)
 
-  /** Nearest-centroid assignment per (vector, subspace): broadcast
-    * codebook join + min_by over the ks-way expansion (map-side
-    * partial aggregation — one row per (vec_id, sub) crosses the
-    * shuffle, the [[Ivf.assign]] formulation).
-    */
-  private def assignSub(sv: DataFrame, codebook: DataFrame): DataFrame = {
-    val d2 = call_function(LongArrayDot.name, col("qs"), col("qs")) +
-      col("cn2") - lit(2L) * call_function(LongArrayDot.name, col("qs"), col("c"))
-    sv.join(broadcast(codebook), "sub")
-      .groupBy("vec_id", "sub")
-      .agg(first(col("qs")).as("qs"),
-        min_by(col("cid"), struct(d2, col("cid"))).as("cid"))
+  private def localPqCodebook(codebook: DataFrame,
+                              m: Int): Option[LocalPqCodebook] = {
+    val rows = codebook
+      .select(col("sub").cast("int"), col("cid").cast("int"), col("c"),
+        col("cn2").cast("long"))
+      .collect().sortBy(r => (r.getInt(0), r.getInt(1)))
+    if (rows.isEmpty) return None
+    require(rows.length % m == 0,
+      s"codebook holds ${rows.length} centroids, not divisible into $m subspaces")
+    val ks = rows.length / m
+    rows.zipWithIndex.foreach { case (r, ix) =>
+      require(r.getInt(0) == ix / ks && r.getInt(1) == ix % ks,
+        s"codebook (sub, cid) not contiguous at row $ix: " +
+          s"(${r.getInt(0)}, ${r.getInt(1)})")
+    }
+    Some(LocalPqCodebook(rows.flatMap(_.getSeq[Long](2)).toSeq,
+      rows.map(_.getLong(3)).toSeq, ks))
   }
+
+  /** All m sub-codes per vector as ONE projection column
+    * ([[PqEncodeCodes]] against the codebook literal) —
+    * `array<int>` ordered by subspace. Replaces the explode + broadcast
+    * join + min_by shuffle of the previous per-(vector, subspace)
+    * assignment: zero exchanges, no m-way row expansion, identical
+    * deterministic argmin (the (d2, cid) tie-break — CodebookOpsSpec).
+    */
+  private def encodeExpr(cb: LocalPqCodebook, m: Int): Column =
+    call_function(PqEncodeCodes.name, col("q"),
+      typedlit(cb.flat), typedlit(cb.cn2), lit(m))
 
   /** Train the m per-subspace codebooks on (vec_id, q) prepared
     * vectors: `(sub, cid, c, cn2)`. Lloyd's with deterministic
-    * first-ks init; every round assigns and recomputes ALL subspaces
-    * in one pair of shuffles. Empty cells keep their previous centroid
-    * (same guard as [[Ivf.train]]).
+    * first-ks init; every round is ONE job with a single reduced
+    * shuffle — assignment is the [[encodeExpr]] projection, and the
+    * per-(sub, cell) means are per-dimension sums over the exploded
+    * code column (map-side partials reduce each partition to ≤ m x ks
+    * rows). Empty cells keep their previous centroid (same guard as
+    * [[Ivf.train]]).
     */
   def train(p: DataFrame, m: Int, ks: Int, iters: Int): DataFrame = {
     val spark = p.sparkSession
     LongArrayDot.register(spark)
+    PqEncodeCodes.register(spark)
     import spark.implicits._
     val init = p.orderBy("vec_id").limit(ks).orderBy("vec_id")
       .select(col("q")).collect().map(_.getSeq[Long](0).toArray)
@@ -95,24 +117,24 @@ object Pq {
     var cents: Seq[(Int, Int, Array[Long])] =
       for (s <- 0 until m; i <- init.indices)
         yield (s, i, init(i).slice(s * d, s * d + d))
-    // the subvector table feeds every training round — materialize once
-    // (same policy and plan-only escape as the span/cluster loops)
-    val svRaw = subvectors(p, m)
-    val sv =
-      if (sys.props.contains("graft.plan.only")) svRaw
-      else svRaw.localCheckpoint()
     for (_ <- 1 to iters) {
-      val cdf = cents.toDF("sub", "cid", "c")
-        .withColumn("cn2", Similarity.intDot(col("c"), col("c")))
-      val recomputed = assignSub(sv, cdf)
-        .select(col("sub"), col("cid"), posexplode(col("qs")))
-        .groupBy("sub", "cid", "pos")
-        .agg(call_function("div", sum(col("col")), count(lit(1))).as("mn"))
+      val cb = LocalPqCodebook(
+        cents.flatMap(_._3),
+        cents.map(c => c._3.map(x => x * x).sum), init.length)
+      // subvector element j of subspace `sub` is q[sub*d + j]; the div
+      // runs engine-side so truncation semantics can never drift from
+      // the reference formulation
+      val meanExprs = (0 until d).map(j =>
+        call_function("div",
+          sum(element_at(col("q"), col("sub") * d + (j + 1))),
+          count(lit(1))).as(s"m$j"))
+      val recomputed = p
+        .select(posexplode(encodeExpr(cb, m)).as(Seq("sub", "cid")), col("q"))
         .groupBy("sub", "cid")
-        .agg(sort_array(collect_list(struct(col("pos"), col("mn")))).as("dims"))
+        .agg(meanExprs.head, meanExprs.tail: _*)
         .collect()
         .map(r => (r.getInt(0), r.getInt(1)) ->
-          r.getSeq[org.apache.spark.sql.Row](2).map(_.getLong(1)).toArray)
+          Array.tabulate(d)(j => r.getLong(j + 2)))
         .toMap
       cents = cents.map { case (s, i, prev) =>
         (s, i, recomputed.getOrElse((s, i), prev))
@@ -124,34 +146,42 @@ object Pq {
 
   /** One BYTE-PACKED code tuple per candidate — the stored index
     * representation: m codes ride as m bytes of `binary`
-    * ([[graft.functions.IntArrayPack8]]), one shuffle by vec_id to
-    * pack.
+    * ([[graft.functions.IntArrayPack8]]). A single projection over the
+    * prepared rows (encode + pack fused) — no shuffle, no explode.
     */
-  private def packedCodes(sv: DataFrame, codebook: DataFrame): DataFrame =
-    assignSub(sv, codebook)
-      .groupBy("vec_id")
-      .agg(call_function(IntArrayPack8.name,
-        transform(sort_array(collect_list(struct(col("sub"), col("cid")))),
-          x => x.getField("cid"))).as("codes"))
+  private def packedCodes(p: DataFrame, codebook: DataFrame, m: Int,
+                          keep: Seq[String] = Seq.empty): DataFrame = {
+    PqEncodeCodes.register(p.sparkSession)
+    val keepCols = keep.map(col)
+    localPqCodebook(codebook, m) match {
+      case None => p.select(col("vec_id") +: keepCols :+
+        lit(Array.empty[Byte]).as("codes"): _*).filter(lit(false))
+      case Some(cb) => p.select(col("vec_id") +: keepCols :+
+        call_function(IntArrayPack8.name, encodeExpr(cb, m)).as("codes"): _*)
+    }
+  }
 
   /** One flat lookup TABLE per query: `tbl[sub * stride + cid]` =
-    * <qs_sub, c>, from the query's exact subvectors x the broadcast
-    * codebook. `qs` is the prepared QUERY rows `(vec_id, q)` — for the
-    * IVF-PQ residual composition the table is still built from the
-    * FULL query vector (never a residual): <q, cand> decomposes as
-    * <q, c_cell> + <q, r_cand>, so the codebook side carries residual
-    * centroids while the query side stays exact.
+    * <qs_sub, c>, computed in a single projection per query row
+    * ([[PqQueryTable]] against the codebook literal — the
+    * explode + broadcast join + collect_list assembly cost two shuffles
+    * per search for the same table). `qs` is the prepared QUERY rows
+    * `(vec_id, q)` — for the IVF-PQ residual composition the table is
+    * still built from the FULL query vector (never a residual):
+    * <q, cand> decomposes as <q, c_cell> + <q, r_cand>, so the codebook
+    * side carries residual centroids while the query side stays exact.
     */
   private def queryTables(qs: DataFrame, m: Int,
-                          codebook: DataFrame): DataFrame =
-    subvectors(qs, m)
-      .join(broadcast(codebook), "sub")
-      .select(col("vec_id").as("qid"), col("sub"), col("cid"),
-        Similarity.intDot(col("qs"), col("c")).as("t"))
-      .groupBy("qid")
-      .agg(transform(
-        sort_array(collect_list(struct(col("sub"), col("cid"), col("t")))),
-        x => x.getField("t")).as("tbl"))
+                          codebook: DataFrame): DataFrame = {
+    PqQueryTable.register(qs.sparkSession)
+    localPqCodebook(codebook, m) match {
+      case None => qs.select(col("vec_id").as("qid"),
+        typedlit(Seq.empty[Long]).as("tbl")).filter(lit(false))
+      case Some(cb) => qs.select(col("vec_id").as("qid"),
+        call_function(PqQueryTable.name, col("q"),
+          typedlit(cb.flat), lit(m)).as("tbl"))
+    }
+  }
 
   /** The per-pair ADC lookup-sum — the native codegen'd
     * [[graft.functions.AdcScore]] (|q| x |n| evaluations per search;
@@ -196,7 +226,7 @@ object Pq {
     IntArrayPack8.register(p.sparkSession)
     AdcScore.register(p.sparkSession)
     val codebook = train(p, m, ks, iters)
-    val codes = packedCodes(subvectors(p, m), codebook)
+    val codes = packedCodes(p, codebook, m)
       .select(col("vec_id").as("nid"), col("codes"))
     scoreFlat(codes, queryTables(p.filter(queryPred), m, codebook), k)
   }
@@ -212,7 +242,7 @@ object Pq {
       IntArrayPack8.register(p.sparkSession)
       val codebook = train(p, m, ks, iters)
       codebook.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
-      packedCodes(subvectors(p, m), codebook)
+      packedCodes(p, codebook, m)
         .select(col("vec_id").as("nid"), col("codes"))
         .write.mode("overwrite").parquet(s"$dir/codes")
       AnnIndex.writeMeta(emb, dir, Seq(m, ks, iters))
@@ -265,16 +295,24 @@ object Pq {
   private def scoreIvf(queries: DataFrame, coarse: DataFrame,
                        codebook: DataFrame, codes: DataFrame,
                        k: Int, m: Int, nprobe: Int): DataFrame = {
-    val qd2 = col("n2") + col("cn2") -
-      lit(2L) * Similarity.intDot(col("qq"), col("c"))
-    val qw = Window.partitionBy("qid").orderBy(qd2.asc, col("cid").asc)
+    // nprobe nearest coarse cells per query as a projection + explode
+    // against the driver-local codebook (same (d2, cid) ranking the
+    // previous window row_number ordered by), the exact cell bias
+    // <q, c_cell> recomputed via centroid lookup — no n x k expansion,
+    // no shuffle, no broadcast re-join for the bias
+    CodebookTopN.register(queries.sparkSession)
+    val cb = Ivf.localCodebook(coarse)
+    val dim = if (cb.cids.isEmpty) 0 else cb.flat.length / cb.cids.length
+    val centArrays: Seq[Seq[Long]] =
+      cb.cids.indices.map(i => cb.flat.slice(i * dim, (i + 1) * dim))
     val probes = queries
-      .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2"))
-      .crossJoin(broadcast(coarse))
-      .withColumn("rk", row_number().over(qw))
-      .filter(col("rk") <= nprobe)
-      .select(col("qid"), col("cid").as("cell"),
-        Similarity.intDot(col("qq"), col("c")).as("bias"))
+      .select(col("vec_id").as("qid"), col("q").as("qq"),
+        explode(call_function(CodebookTopN.name, col("q"),
+          typedlit(cb.flat), typedlit(cb.cn2), lit(nprobe))).as("pos"))
+      .select(col("qid"),
+        element_at(typedlit(cb.cids), col("pos") + 1).as("cell"),
+        Similarity.intDot(col("qq"),
+          element_at(typedlit(centArrays), col("pos") + 1)).as("bias"))
     val qt = queryTables(queries, m, codebook)
     rankTopK(probes.join(codes, "cell")
       .filter(col("qid") =!= col("nid"))
@@ -308,8 +346,7 @@ object Pq {
     val coarse = Ivf.train(p, nCells, iters)
     val res = residuals(p, coarse).cache()
     val codebook = train(res, m, ks, iters)
-    val codes = packedCodes(subvectors(res, m), codebook)
-      .join(res.select(col("vec_id"), col("cell")), "vec_id")
+    val codes = packedCodes(res, codebook, m, keep = Seq("cell"))
       .select(col("vec_id").as("nid"), col("cell"), col("codes"))
     scoreIvf(p.filter(queryPred), coarse, codebook, codes, k, m, nprobe)
   }
@@ -331,8 +368,7 @@ object Pq {
       try {
         val codebook = train(res, m, ks, iters)
         codebook.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
-        packedCodes(subvectors(res, m), codebook)
-          .join(res.select(col("vec_id"), col("cell")), "vec_id")
+        packedCodes(res, codebook, m, keep = Seq("cell"))
           .select(col("vec_id").as("nid"), col("codes"), col("cell"))
           .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
       } finally res.unpersist()
@@ -383,8 +419,7 @@ object Pq {
     val coarse = spark.read.parquet(s"$dir/coarse")
     val codebook = spark.read.parquet(s"$dir/codebook")
     val res = residuals(Similarity.prepared(batch), coarse)
-    packedCodes(subvectors(res, m), codebook)
-      .join(res.select(col("vec_id"), col("cell")), "vec_id")
+    packedCodes(res, codebook, m, keep = Seq("cell"))
       .select(col("vec_id").as("nid"), col("codes"), col("cell"))
   }
 

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.{ByteArrayDot, FloatArrayQuantize8, LongArrayDot}
+import graft.functions.{ByteArrayDot, FloatArrayQuantize8, LongArrayDot, LshBandHashes}
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -264,18 +264,19 @@ object Similarity {
     val assigned =
       if (nAssign <= 1) Ivf.assign(p, centroids)
       else {
-        // nAssign nearest cells per vector: an AGGREGATE (map-side
-        // partials, one row per vector crossing the shuffle with a
-        // ≤nCells-entry state), not a window over the n×k expansion;
-        // sort key (d2, cid) matches Ivf.assign's tie-break exactly
-        val d2 = col("n2") + col("cn2") - lit(2L) * intDot(col("q"), col("c"))
-        p.crossJoin(broadcast(centroids))
-          .groupBy("vec_id")
-          .agg(first(col("q")).as("q"), first(col("n2")).as("n2"),
-            slice(sort_array(collect_list(struct(d2.as("d2"), col("cid")))),
-              1, nAssign).as("cells"))
+        // nAssign nearest cells per vector as a PROJECTION + explode
+        // against the driver-local codebook — CodebookTopN ranks by the
+        // same (d2, cid) key the previous slice(sort_array(
+        // collect_list(...))) aggregate sorted on, with zero exchanges
+        // (the aggregate still shuffled one full-vector row per vector)
+        graft.functions.CodebookTopN.register(p.sparkSession)
+        val cb = Ivf.localCodebook(centroids)
+        p.select(col("vec_id"), col("q"), col("n2"),
+            explode(call_function(graft.functions.CodebookTopN.name,
+              col("q"), typedlit(cb.flat), typedlit(cb.cn2),
+              lit(nAssign))).as("pos"))
           .select(col("vec_id"), col("q"), col("n2"),
-            explode(col("cells.cid")).as("cid"))
+            element_at(typedlit(cb.cids), col("pos") + 1).as("cid"))
       }
     val a = assigned.select(col("cid"), col("vec_id").as("da"),
       col("q").as("qa"), col("n2").as("na"))
@@ -289,30 +290,31 @@ object Similarity {
     if (nAssign <= 1) pairs else pairs.distinct()
   }
 
-  /** Deterministic +-1 hyperplane weight table `(pl, w)` for `planes`
-    * planes, dimensioned from `vecCol` of `df` — broadcast-sized at any
-    * corpus scale.
+  /** Deterministic +-1 hyperplane weight table in plane order for
+    * `planes` planes, dimensioned from `vecCol` of `df` — driver-sized
+    * at any corpus scale (bands x r x dim small ints).
     */
   private[pipeline] def planeWeights(df: DataFrame, planes: Int,
                                      seedBase: Long,
-                                     vecCol: String = "embedding"): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
+                                     vecCol: String = "embedding"): Seq[Array[Long]] = {
     // empty table -> dim 0 -> empty weight vectors (results are empty
     // anyway); never .first() on a possibly-empty scan
     val dim = df.select(size(col(vecCol)).as("d")).limit(1)
       .collect().headOption.map(_.getInt(0)).getOrElse(0)
     (0 until planes).map { pl =>
       val rnd = new java.util.Random(seedBase + pl)
-      (pl, Array.fill(dim)(if (rnd.nextBoolean()) 1L else -1L))
-    }.toDF("pl", "w")
+      Array.fill(dim)(if (rnd.nextBoolean()) 1L else -1L)
+    }
   }
 
   /** `(vec_id, band, bh)`: banded random-hyperplane signatures for
-    * prepared vectors — `bands` hashes of `r` sign bits each, computed
-    * with the codegen'd [[LongArrayDot]] against a broadcast weight
-    * table (one narrow broadcast join + a group-by, no interpreted
-    * per-element lambdas). Narrow on purpose: vectors re-attach only
+    * prepared vectors — `bands` hashes of `r` sign bits each, all
+    * computed per vector in ONE codegen'd projection
+    * ([[LshBandHashes]] against the flat driver-local weight table)
+    * and exploded to one row per band. Zero exchanges: the previous
+    * broadcast-join + groupBy shape expanded every vector bands x r
+    * ways and shuffled n x bands rows to sum bits that are a per-row
+    * local computation. Narrow on purpose: vectors re-attach only
     * after candidate dedup, so no grouping ever hashes an array.
     *
     * P(one bit agrees) = p = 1 - angle/pi; a pair shares a band with
@@ -322,14 +324,12 @@ object Similarity {
     */
   private def bandedSigs(p: DataFrame, bands: Int, r: Int,
                          seedBase: Long): DataFrame = {
-    val wdf = planeWeights(p, bands * r, seedBase, vecCol = "q")
-      .select((col("pl") / r).cast("int").as("band"),
-        pmod(col("pl"), lit(r)).as("bit_ix"), col("w"))
-    p.crossJoin(broadcast(wdf))
-      .select(col("vec_id"), col("band"),
-        (when(intDot(col("q"), col("w")) >= 0, lit(1L)).otherwise(lit(0L)) *
-          call_function("shiftleft", lit(1L), col("bit_ix"))).as("bit"))
-      .groupBy("vec_id", "band").agg(sum(col("bit")).as("bh"))
+    LshBandHashes.register(p.sparkSession)
+    val flat: Seq[Long] =
+      planeWeights(p, bands * r, seedBase, vecCol = "q").flatten.toSeq
+    p.select(col("vec_id"),
+        posexplode(call_function(LshBandHashes.name, col("q"),
+          typedlit(flat), lit(bands), lit(r))).as(Seq("band", "bh")))
   }
 
   /** Corpus-adaptive band WIDTH: the bits-per-band `r` that keeps

@@ -413,6 +413,11 @@ object DocStreams {
     */
   private[graft] def chunkPredicate(ch: Array[Array[Byte]],
       group: Int): org.apache.spark.sql.Column = {
+    // fail fast on empty input: balanced() below never terminates on an
+    // empty Seq (empty.grouped(2) yields another empty Seq), and the
+    // sole current caller dereferences ch.head first — this guard keeps
+    // that a loud contract for future callers instead of a stack hang
+    require(ch.nonEmpty, "chunkPredicate requires at least one key")
     // BALANCED Or reduction, not reduceLeft: parquet's visitors recurse
     // once per or() level, so a left-deep chain over the groups re-opens
     // the same overflow one level up (a raised fpChunkKeys of ~250k at
@@ -1139,15 +1144,23 @@ object DocStreams {
           if (pos.nonEmpty || band.nonEmpty) minMerge
           else math.min(minMerge, 2)
         val merged = buckets.filter(_.length >= trigger).flatten
-        // pos-empty CONVERGENCE (offline consolidation): generations in
+        // OFFLINE CONVERGENCE (offline consolidation): generations in
         // distinct size tiers form singleton buckets that never reach
         // even the relaxed trigger (sizes 1k/10k/100k at ratio 4 are
         // three singletons), so repeated offline passes would stall
         // short of one generation. With nothing else to merge, fold the
         // two smallest adjacent tiers — each pass removes a tier, so
         // offline passes converge without the O(store) fullFoldAt
-        // escape hatch. Never taken under a live sink (pos nonEmpty).
-        val offline = pos.isEmpty && band.isEmpty
+        // escape hatch. Gated on the EXPLICIT offline signal graceMs ≤ 0
+        // (the live sink always maintains with maintainGraceMs > 0;
+        // offline harnesses use the default 0): a pos-empty test alone
+        // is NOT offline — a maintenance cadence landing after a window
+        // of duplicate-only batches (admitted empty, fp partition
+        // deleted, marker written) has pos empty too, and taking the
+        // fallback there would progressively merge tiers toward an
+        // O(store) pass during idle traffic, violating the ladder's
+        // cost guarantee.
+        val offline = graceMs <= 0L && pos.isEmpty && band.isEmpty
         val converged =
           if (offline && merged.isEmpty && buckets.length >= 2)
             buckets.take(2).flatten

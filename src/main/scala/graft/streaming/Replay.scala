@@ -102,7 +102,27 @@ object Replay {
       start: DataFrame => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[A]
-    val q = start(in.toDF().repartition(FeedPartitions))
+    // same replay-scale state-store sizing as [[replay]] (the conf is
+    // frozen into the checkpoint at query START, so the caller-owned
+    // start() must run under it): a stateful transform upstream of the
+    // sink — toCorpus's watermark dedup — otherwise maintains one state
+    // file per batch-session shuffle partition per micro-batch, pure
+    // fixed overhead at replay scale. Same `graft.replay.
+    // shufflePartitions` escape for state-store measurement harnesses.
+    val pKey = "spark.sql.shuffle.partitions"
+    val rKey = "spark.sql.streaming.minBatchesToRetain"
+    val prev = spark.conf.get(pKey)
+    val prevR = spark.conf.getOption(rKey)
+    val q =
+      try {
+        spark.conf.set(pKey, spark.conf
+          .getOption("graft.replay.shufflePartitions").getOrElse("2"))
+        spark.conf.set(rKey, "1")
+        start(in.toDF().repartition(FeedPartitions))
+      } finally {
+        spark.conf.set(pKey, prev)
+        prevR.fold(spark.conf.unset(rKey))(spark.conf.set(rKey, _))
+      }
     try {
       batches.filter(_.nonEmpty).foreach { b =>
         in.addData(b)

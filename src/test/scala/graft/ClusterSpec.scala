@@ -68,6 +68,27 @@ class ClusterSpec extends SparkSpec {
     }
   }
 
+  test("size-gated local solve equals the distributed contraction on seeded random graphs") {
+    // the default gate (200k edges) routes small inputs to the driver
+    // union-find; forcing the gate to 0 runs the star-contraction loop —
+    // both must emit the identical (doc_id, component-min) labeling
+    val rnd = new scala.util.Random(20211)
+    val edges = Seq.fill(400)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter(e => e._1 != e._2)
+    val viaLocal = run(edges)
+    val key = "graft.cluster.localSolveEdges"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "0")
+    val viaDistributed =
+      try run(edges)
+      finally prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    assert(viaLocal == viaDistributed)
+    assert(viaLocal == unionFind(120, edges))
+  }
+
   test("reliable-checkpoint mode produces the identical labeling and writes to the dir") {
     import spark.implicits._
     val dir = tmpDir("cluster_ckpt")
