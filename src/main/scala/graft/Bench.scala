@@ -575,6 +575,20 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // guide §3.1/§9: let the planner pick shuffled-hash over
+      // sort-merge when its size conditions hold (skips two sorts), and
+      // let AQE rewrite a planned sort-merge to shuffled-hash at runtime
+      // when every post-shuffle partition's build map is provably small
+      // (per-partition bound — the OOM risk SHJ carries is capped by
+      // this threshold, and MEASURED sizes decide, so the setting is
+      // scale-safe: an exchange too big per partition keeps sort-merge).
+      // Hinted joins are untouched (DynamicJoinSelection adds its hint
+      // only where the user set none), so the four join keywords keep
+      // their algorithms. Env-parameterized for cluster overrides.
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCALMAP", "128m"))
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS); surface as long nanos
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

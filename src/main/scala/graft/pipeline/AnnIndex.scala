@@ -52,21 +52,31 @@ object AnnIndex {
   final case class Meta(n: Long, idSum: Long, params: Seq[Long],
                         nTrained: Long)
 
-  /** Read the freshness record, or None if absent/unreadable (a
-    * pre-append-era meta defaults `nTrained` to its corpus count — a
-    * fresh build trains on everything it indexes).
+  /** Read the freshness record, or None if absent/unreadable — which
+    * callers treat as "stale, rebuild". The record is ONE tiny
+    * tab-separated line read straight off the filesystem: a 4-value
+    * freshness stamp needs no Spark job on either side, and the
+    * previous one-row-parquet form cost a full job cycle per
+    * read/write — several per build/append/ensure, pure fixed overhead
+    * charged to every index-lifecycle operation. A partial file from a
+    * crashed write fails the parse and reads as stale, the same
+    * crash contract the parquet form had.
     */
   def readMeta(spark: org.apache.spark.sql.SparkSession,
                dir: String): Option[Meta] =
     try {
-      val m = spark.read.parquet(s"$dir/meta").head()
-      val n = m.getLong(m.fieldIndex("n"))
-      val nt =
-        if (m.schema.fieldNames.contains("n_trained"))
-          m.getLong(m.fieldIndex("n_trained"))
-        else n
-      Some(Meta(n, m.getLong(m.fieldIndex("id_sum")),
-        m.getSeq[Long](m.fieldIndex("params")).toSeq, nt))
+      val p = new org.apache.hadoop.fs.Path(s"$dir/meta")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.getFileStatus(p).isFile) return None
+      val in = fs.open(p)
+      val line =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      val f = line.split('\t')
+      val params =
+        if (f(3).isEmpty) Seq.empty[Long]
+        else f(3).split(',').toSeq.map(_.toLong)
+      Some(Meta(f(0).toLong, f(1).toLong, params, f(2).toLong))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Write the freshness record; call LAST in every build/append so
@@ -74,10 +84,16 @@ object AnnIndex {
     */
   def writeMetaValues(spark: org.apache.spark.sql.SparkSession, dir: String,
                       meta: Meta): Unit = {
-    import spark.implicits._
-    Seq((meta.n, meta.idSum, meta.params, meta.nTrained))
-      .toDF("n", "id_sum", "params", "n_trained")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    val p = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a legacy parquet-dir meta (or crashed remnant) must not shadow
+    // the file write
+    if (fs.exists(p) && fs.getFileStatus(p).isDirectory) fs.delete(p, true)
+    val out = fs.create(p, true)
+    try out.write(
+      s"${meta.n}\t${meta.idSum}\t${meta.nTrained}\t${meta.params.mkString(",")}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Build-time freshness record: trained-on = indexed corpus. */
@@ -112,11 +128,10 @@ object AnnIndex {
     * exactly `params`. Any read/parse failure means "not current".
     */
   def isCurrent(emb: DataFrame, dir: String, params: Seq[Long]): Boolean =
-    try {
-      val m = emb.sparkSession.read.parquet(s"$dir/meta").head()
-      val (n, idSum) = fingerprint(emb)
-      m.getLong(m.fieldIndex("n")) == n &&
-        m.getLong(m.fieldIndex("id_sum")) == idSum &&
-        m.getSeq[Long](m.fieldIndex("params")) == params
-    } catch { case scala.util.control.NonFatal(_) => false }
+    readMeta(emb.sparkSession, dir) match {
+      case None => false
+      case Some(m) =>
+        val (n, idSum) = fingerprint(emb)
+        m.n == n && m.idSum == idSum && m.params == params
+    }
 }

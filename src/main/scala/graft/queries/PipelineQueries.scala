@@ -1075,10 +1075,16 @@ object PipelineQueries {
   /** Per-document token counts under the LEARNED tokenizer (apply the
     * [[textBpeMerges]] merges back to the corpus — see
     * [[TextAnalysis.bpeEncodedCounts]]); oracle generated by
-    * [[bpeEncodeSql]] over the same replayed chain.
+    * [[bpeEncodeSql]] over the same replayed chain. Learning runs the
+    * BATCHED safe-prefix loop (fewer driver rounds; byte-identical to
+    * the sequential loop by [[TextAnalysis.safeBatch]]'s guarantee,
+    * which [[textBpeBatched]] holds to the sequential SQL oracle and
+    * TextAnalysisSpec pins at this k) — the classic one-merge-per-round
+    * shape stays exercised by [[textBpeMerges]].
     */
   def textBpeEncode(s: SparkSession, d: String): DataFrame =
-    TextAnalysis.bpeEncodedCounts(Tables.documents(s, d), k = bpeMergeRounds)
+    TextAnalysis.bpeEncodedCounts(Tables.documents(s, d), k = bpeMergeRounds,
+      batch = bpeMergeRounds)
 
   /** The BATCHED learning path (batch = k), answering to the SAME
     * sequential SQL replay oracle as [[textBpeMerges]] — the

@@ -51,9 +51,11 @@ class IvfSpec extends SparkSpec {
     assert(!graft.pipeline.AnnIndex.isCurrent(emb, dir, Seq(8L, 3L)))
     assert(!graft.pipeline.AnnIndex.isCurrent(
       emb.filter(col("vec_id") < 100), dir, Seq(8L, 2L)))
-    // ensure on a current index must NOT rebuild (meta untouched)
-    val metaDir = new java.io.File(s"$dir/meta")
-    def metaStamp() = metaDir.listFiles().map(f => f.getName -> f.lastModified).toSet
+    // ensure on a current index must NOT rebuild (meta untouched — a
+    // single freshness file since the plain-file meta format)
+    val metaFile = new java.io.File(s"$dir/meta")
+    def metaStamp() = (metaFile.lastModified,
+      new String(java.nio.file.Files.readAllBytes(metaFile.toPath)))
     val before = metaStamp()
     Ivf.ensureIndex(emb, dir, nCells = 8, iters = 2)
     assert(metaStamp() == before, "ensure rebuilt a current index")
