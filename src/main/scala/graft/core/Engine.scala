@@ -545,9 +545,10 @@ final class Session(val engine: Engine) {
     case Delete(posVar, cols) =>
       requireWritable()
       val ids = idsOf(getIds(posVar))
-      // delete punches holes in the position space -> pristine off
-      cols.foreach { c => rewrite(c, base =>
-        base.join(ids, Seq("id"), "left_anti"), keepsPristine = false) }
+      // delete punches holes in the position space -> pristine off;
+      // the per-column rewrites overlap (independent write jobs)
+      rewriteMany(cols, base =>
+        base.join(ids, Seq("id"), "left_anti"), keepsPristine = false)
       Iterator.empty
 
     case Update(posVar, c, value) =>
@@ -879,20 +880,46 @@ final class Session(val engine: Engine) {
     * reference (DBEUNSUPPORTED, storage.c:1833-1841).
     */
   private def rewrite(c: String, f: DataFrame => DataFrame,
-                      keepsPristine: Boolean): Unit = catalog.synchronized {
-    val meta = catalog.require(c)
-    if (meta.stype != Unsorted)
-      throw DbError.unsupported(s"delete/update on ${meta.stype.name} column $c")
-    val out = f(Storage.readColumn(spark, meta))
-    // nextId over-counts tombstoned holes — fine, the hint only sizes
-    // partitioning (and rewrite targets are unsorted: hint unused)
-    val path = meta.copy(version = meta.version + 1).dataPath
-    Storage.writeColumn(out, path, meta.stype, rowsHint = Some(meta.nextId))
-    catalog.update(c, meta.version + 1, meta.nextId,
-      stillPristine = keepsPristine,
-      baseFiles = Some(Storage.partFileCount(spark, path)),
-      rowsAtVersion = Some(meta.nextId))
-    engine.orphanChecked.add(c) // fresh version dir, accounted
+                      keepsPristine: Boolean): Unit =
+    rewriteMany(Seq(c), f, keepsPristine)
+
+  /** [[rewrite]] over several columns in one operation (multi-column
+    * delete): the per-column version writes are independent Spark jobs,
+    * so they run concurrently — the same overlap [[evalLoad]] uses for
+    * per-column load writes (guide-level: back-fill idle cores with the
+    * next job's tasks instead of serializing on each write's tail).
+    * Validation is up front and catalog commits happen after ALL writes
+    * land, on this thread — a failed write leaves only uncommitted
+    * version dirs (vacuum reclaims), never a half-advanced catalog.
+    */
+  private def rewriteMany(cs: Seq[String], f: DataFrame => DataFrame,
+                          keepsPristine: Boolean): Unit = catalog.synchronized {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val metas = cs.map { c =>
+      val meta = catalog.require(c)
+      if (meta.stype != Unsorted)
+        throw DbError.unsupported(s"delete/update on ${meta.stype.name} column $c")
+      (c, meta)
+    }
+    val written = metas.map { case (c, meta) =>
+      Future {
+        val out = f(Storage.readColumn(spark, meta))
+        // nextId over-counts tombstoned holes — fine, the hint only sizes
+        // partitioning (and rewrite targets are unsorted: hint unused)
+        val path = meta.copy(version = meta.version + 1).dataPath
+        Storage.writeColumn(out, path, meta.stype, rowsHint = Some(meta.nextId))
+        (c, meta, Storage.partFileCount(spark, path))
+      }
+    }
+    written.map(Await.result(_, Duration.Inf)).foreach { case (c, meta, files) =>
+      catalog.update(c, meta.version + 1, meta.nextId,
+        stillPristine = keepsPristine,
+        baseFiles = Some(files),
+        rowsAtVersion = Some(meta.nextId))
+      engine.orphanChecked.add(c) // fresh version dir, accounted
+    }
   }
 }
 
