@@ -65,8 +65,10 @@ object Replay {
     // partitioning, not the replay-overhead optimum.
     val pKey = "spark.sql.shuffle.partitions"
     val rKey = "spark.sql.streaming.minBatchesToRetain"
+    val nKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prev = spark.conf.get(pKey)
     val prevR = spark.conf.getOption(rKey)
+    val prevN = spark.conf.getOption(nKey)
     val q =
       try {
         spark.conf.set(pKey, spark.conf
@@ -75,11 +77,25 @@ object Replay {
         // checkpoint — retaining the default 100 batches of state
         // files is pure write amplification here
         spark.conf.set(rKey, "1")
+        // no-data micro-batches exist for EAGER emission/eviction on a
+        // live stream (emit a closed window without waiting for the
+        // next data batch). A bounded replay's accumulated output SET
+        // is no-data-batch independent by construction: every feed
+        // that needs a flush ends with sentinel batches, and batch N
+        // runs under the watermark from batch N-1, so everything a
+        // no-data batch would emit is emitted by the next DATA batch
+        // instead — but each no-data batch costs a full plan + state
+        // commit cycle, up to doubling the per-entry batch count.
+        // `graft.replay.noDataBatches=true` restores the live-stream
+        // behavior for latency-characterization harnesses.
+        spark.conf.set(nKey, spark.conf
+          .getOption("graft.replay.noDataBatches").getOrElse("false"))
         transform(in.toDF().repartition(FeedPartitions)).writeStream
           .format("memory").queryName(name).outputMode("append").start()
       } finally {
         spark.conf.set(pKey, prev)
         prevR.fold(spark.conf.unset(rKey))(spark.conf.set(rKey, _))
+        prevN.fold(spark.conf.unset(nKey))(spark.conf.set(nKey, _))
       }
     try {
       batches.filter(_.nonEmpty).foreach { b =>
@@ -111,17 +127,25 @@ object Replay {
     // shufflePartitions` escape for state-store measurement harnesses.
     val pKey = "spark.sql.shuffle.partitions"
     val rKey = "spark.sql.streaming.minBatchesToRetain"
+    val nKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prev = spark.conf.get(pKey)
     val prevR = spark.conf.getOption(rKey)
+    val prevN = spark.conf.getOption(nKey)
     val q =
       try {
         spark.conf.set(pKey, spark.conf
           .getOption("graft.replay.shufflePartitions").getOrElse("2"))
         spark.conf.set(rKey, "1")
+        // same no-data-batch reasoning as [[replay]]; additionally the
+        // foreachBatch sinks' batch ids become the dense data-batch
+        // sequence 0..n-1 regardless of upstream watermarks
+        spark.conf.set(nKey, spark.conf
+          .getOption("graft.replay.noDataBatches").getOrElse("false"))
         start(in.toDF().repartition(FeedPartitions))
       } finally {
         spark.conf.set(pKey, prev)
         prevR.fold(spark.conf.unset(rKey))(spark.conf.set(rKey, _))
+        prevN.fold(spark.conf.unset(nKey))(spark.conf.set(nKey, _))
       }
     try {
       batches.filter(_.nonEmpty).foreach { b =>

@@ -19,6 +19,14 @@ object PlanAudit {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
+      // same join-strategy knobs as the Bench session (env-overridable
+      // the same way), so audited plans match what the bench runs —
+      // SPARK_GRAFT_PREFER_SMJ=true SPARK_GRAFT_SHJ_LOCALMAP=0
+      // reproduces the pre-r21 defaults for before/after plan diffs
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCALMAP", "128m"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

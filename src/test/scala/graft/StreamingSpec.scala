@@ -1314,4 +1314,35 @@ class StreamingSpec extends SparkSpec {
       assert(rows.forall(_._2 == "en"), s"got $rows")
     } finally q.stop()
   }
+
+  test("Replay: accumulated output is no-data-microbatch independent") {
+    // Replay disables no-data micro-batches (pure per-batch overhead in
+    // a bounded replay); the flush-sentinel contract means the
+    // accumulated append output must be IDENTICAL either way. Pin it on
+    // a watermarked closed-window operator — the op family whose
+    // emission timing no-data batches exist to advance.
+    val spark0 = spark
+    import spark0.implicits._
+    val batches = Seq(
+      Seq(ev(1, 1, 1), ev(1, 2, 3, "buy", 2.5), ev(2, 3, 4)),
+      Seq(ev(1, 4, 25), ev(2, 5, 31)),
+      // two sentinel batches: sentinel-1 advances the watermark past
+      // every real window, sentinel-2's batch runs under it and flushes
+      Seq(ev(-1, -1, 10000)),
+      Seq(ev(-1, -2, 20000)))
+    def run(): Set[(Long, Long, Long, Long)] =
+      graft.streaming.Replay.replay(spark, batches) { in =>
+        EventStreams.windowedStats(in, "10 minutes", "5 minutes")
+      }.filter(col("user_id") >= 0)
+        .select("user_id", "w_start", "n_events", "cents").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getLong(2), r.getLong(3))).toSet
+    val lean = run()
+    spark.conf.set("graft.replay.noDataBatches", "true")
+    val live = try run()
+               finally spark.conf.unset("graft.replay.noDataBatches")
+    assert(lean == live, s"no-data-batch setting changed the output: " +
+      s"lean=$lean live=$live")
+    assert(lean.nonEmpty && lean.map(_._1) == Set(1L, 2L), s"got $lean")
+  }
 }
