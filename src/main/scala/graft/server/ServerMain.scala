@@ -58,13 +58,12 @@ object ServerMain {
       sys.exit(2)
     }
     val port = args.drop(1).find(!_.startsWith("-")).map(_.toInt).getOrElse(0)
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("GRAFT_MASTER", "local[*]"))
-      .appName("graft-server")
-      .config("spark.sql.shuffle.partitions",
+    // shared engine session (GraftSession: join knobs, UTC, parquet
+    // nanos) — the server serves the same plans bench/verify exercise
+    val spark = graft.GraftSession.builder(
+        sys.env.getOrElse("GRAFT_MASTER", "local[*]"),
         sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", "32"))
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
+      .appName("graft-server")
       .config("spark.driver.maxResultSize",
         sys.env.getOrElse("GRAFT_MAX_RESULT_SIZE", "1g"))
       .getOrCreate()

@@ -109,13 +109,12 @@ object Cli {
       System.err.println("--vacuum requires a writer engine; drop --read-only")
       sys.exit(2)
     }
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("GRAFT_MASTER", "local[*]"))
-      .appName("graft-cli")
-      .config("spark.sql.shuffle.partitions",
+    // shared engine session (GraftSession: join knobs, UTC, parquet
+    // nanos) — the CLI serves the same plans bench/verify exercise
+    val spark = graft.GraftSession.builder(
+        sys.env.getOrElse("GRAFT_MASTER", "local[*]"),
         sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", "32"))
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
+      .appName("graft-cli")
       // results stream partition-at-a-time (Session.emit), so this cap
       // only needs to cover one partition, not the whole printed result
       .config("spark.driver.maxResultSize",

@@ -17,18 +17,11 @@ object PlanAudit {
     // PipelineQueries.planOnlyQueries instead, never flag-branched.)
     sys.props("graft.plan.only") = "true"
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      // same join-strategy knobs as the Bench session (env-overridable
-      // the same way), so audited plans match what the bench runs —
-      // SPARK_GRAFT_PREFER_SMJ=true SPARK_GRAFT_SHJ_LOCALMAP=0
-      // reproduces the pre-r21 defaults for before/after plan diffs
-      .config("spark.sql.join.preferSortMergeJoin",
-        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCALMAP", "128m"))
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    // shared engine session (GraftSession) so audited plans match what
+    // bench/verify run; SPARK_GRAFT_PREFER_SMJ=true
+    // SPARK_GRAFT_SHJ_LOCALMAP=0 reproduces the pre-r21 planner for
+    // before/after plan diffs
+    val spark = graft.GraftSession.builder("local[8]", "8").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.drop(1).foreach { q =>
       graft.queries.PipelineQueries.planOnlyQueries.get(q) match {
